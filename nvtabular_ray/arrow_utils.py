@@ -1,0 +1,65 @@
+"""Small Arrow helpers shared across ops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def hstack(tables: list[pa.Table]) -> pa.Table:
+    """Column-concat tables (same row count); first occurrence wins on name
+    collisions (mirrors the reference's addition-node column concat)."""
+    if len(tables) == 1:
+        return tables[0]
+    n = tables[0].num_rows
+    cols: dict[str, pa.ChunkedArray] = {}
+    for t in tables:
+        if t.num_rows != n:
+            raise ValueError(
+                f"cannot concat branches with different row counts ({t.num_rows} vs {n}); "
+                "row-count-changing ops (Filter/Dropna) must run before branching"
+            )
+        for name in t.column_names:
+            if name not in cols:
+                cols[name] = t.column(name)
+    return pa.table(cols)
+
+
+def col_np(table: pa.Table, name: str) -> np.ndarray:
+    """Column as numpy (copies when nulls present)."""
+    return table.column(name).combine_chunks().to_numpy(zero_copy_only=False)
+
+
+def as_single_chunk(arr) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    return arr
+
+
+def sort_table(table: pa.Table, keys: list[str], ascending: bool = True) -> pa.Table:
+    order = "ascending" if ascending else "descending"
+    return table.sort_by([(k, order) for k in keys])
+
+
+def is_list_type(t: pa.DataType) -> bool:
+    return pa.types.is_list(t) or pa.types.is_large_list(t)
+
+
+def map_list_values(arr, fn) -> pa.Array:
+    """Apply ``fn`` to the flattened values of a (large_)list array, keeping
+    offsets — the Arrow analog of the reference's
+    flatten_list_column_values/encode_list_column pattern
+    (/root/reference/nvtabular/ops/normalize.py:75-88, logop.py:46-50)."""
+    arr = as_single_chunk(arr)
+    offsets = arr.offsets
+    new_values = fn(arr.values)
+    cls = pa.LargeListArray if pa.types.is_large_list(arr.type) else pa.ListArray
+    return cls.from_arrays(offsets, new_values)
+
+
+def apply_unary(arr, fn) -> pa.Array:
+    """Apply an Array->Array kernel, transparently recursing into list columns."""
+    arr = as_single_chunk(arr)
+    if is_list_type(arr.type):
+        return map_list_values(arr, fn)
+    return fn(arr)

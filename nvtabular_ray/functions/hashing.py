@@ -1,0 +1,53 @@
+"""Stable, vectorized 64-bit hashing.
+
+The reference warns that its GPU/CPU hash functions diverge
+(/root/reference/nvtabular/ops/categorify.py:332-338). We instead fix ONE
+documented hash everywhere: pandas' SipHash-1-3 (``pd.util.hash_array`` /
+``hash_pandas_object``) with a fixed 16-byte key. It is vectorized,
+platform-independent and stable across processes, which makes hash-derived
+features (HashBucket, OOV buckets, fold assignment, shuffle salting)
+partition-count-invariant and reproducible — a requirement the reference's
+partition-local RNG fold assignment does not meet (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Fixed key => deterministic across runs/machines. 16 ASCII bytes.
+_HASH_KEY = "nvtabular_ray_00"
+
+
+def _to_series(values) -> pd.Series:
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        values = values.to_pandas()
+    if not isinstance(values, pd.Series):
+        values = pd.Series(values)
+    return values
+
+
+def hash64(values) -> np.ndarray:
+    """Hash a column (pa.Array / ChunkedArray / np.ndarray / pd.Series) to uint64.
+
+    Nulls hash to a fixed value (the hash of NaN under pandas hashing);
+    callers that need null-awareness should mask nulls themselves.
+    """
+    s = _to_series(values)
+    return pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY).to_numpy()
+
+
+def hash64_columns(table, columns: list[str]) -> np.ndarray:
+    """Combined row-wise uint64 hash of several columns of a pa.Table/DataFrame.
+
+    Combination follows the XOR-with-multiplier mixing used by pandas'
+    hash_pandas_object for multi-column frames (order-sensitive).
+    """
+    if isinstance(table, pa.Table):
+        df = table.select(columns).to_pandas()
+    else:
+        df = table[columns]
+    return pd.util.hash_pandas_object(df, index=False, hash_key=_HASH_KEY).to_numpy()

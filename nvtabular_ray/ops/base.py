@@ -1,0 +1,104 @@
+"""Operator contracts.
+
+Re-cut of the reference's operator model for Ray Data:
+
+- ``Operator.transform(col_selector, table)`` — stateless, batch-local,
+  Arrow-in/Arrow-out; returns a table containing the op's OUTPUT columns only.
+  (Reference: ``Operator.transform(col_selector, df) -> df`` partition-local
+  contract, visible at e.g. /root/reference/nvtabular/ops/clip.py:49.)
+- ``StatOperator.fit(col_selector, ds)`` — runs Ray Data jobs (map_batches
+  partials, groupby shuffles) and stores fitted state on the op. (Reference:
+  fit/fit_finalize returning Dask Delayed graphs,
+  /root/reference/nvtabular/ops/normalize.py:62-68,
+  /root/reference/nvtabular/workflow/workflow.py:209.)
+
+Extra flags (new scope vs reference, SURVEY.md §7):
+
+- ``partition_cols`` / ``sort_cols`` on an op mark it as *partitioned*: it
+  needs all rows of one entity (e.g. conv_id) contiguous and ordered. The
+  workflow compiler then runs the whole DAG inside a bucketed
+  ``groupby().map_groups`` shuffle (see pipelines/partitioned.py) instead of
+  plain ``map_batches`` — making the reference's "you must pre-shuffle by key
+  yourself" footgun (groupby.py:32-40, difference_lag.py:27-38) impossible.
+- ``is_dataset_level`` marks ops that change row cardinality via a shuffle
+  (Groupby): they run as a dedicated Ray Data stage, terminal in the DAG.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import pyarrow as pa
+
+from nvtabular_ray.selector import ColumnSelector
+
+
+class Operator:
+    # extra columns pulled from the ROOT table into this op's input
+    # (reference: `dependencies` property, target_encoding.py:222-224)
+    dependencies: list[str] = []
+    # cardinality/shuffle behavior flags (see module docstring)
+    is_dataset_level: bool = False
+    partition_cols: Optional[list[str]] = None
+    sort_cols: Optional[list[str]] = None
+    # set True on ops that may drop rows (Filter/Dropna): they may not feed
+    # a branch concat whose other side has a different row count.
+    changes_row_count: bool = False
+
+    def __rrshift__(self, left) -> "Node":  # noqa: F821
+        """Enables ``["a", "b"] >> Op()`` DSL (reference Workflow DSL,
+        /root/reference/nvtabular/workflow/workflow.py:54-57)."""
+        from nvtabular_ray.dag import Node
+
+        return Node.from_selection(left) >> self
+
+    # ------------------------------------------------------------------ #
+    def column_mapping(self, col_selector: ColumnSelector) -> dict[str, list[str]]:
+        """output column -> input columns lineage (reference rename.py:59-78)."""
+        return {name: [name] for name in col_selector.names}
+
+    def output_column_names(self, col_selector: ColumnSelector) -> list[str]:
+        return list(self.column_mapping(col_selector).keys())
+
+    def transform(self, col_selector: ColumnSelector, table: pa.Table) -> pa.Table:
+        raise NotImplementedError
+
+    # Called once before the transform stage ships to Ray workers: ops with
+    # large state (vocabularies, stat tables) swap it for ray.put ObjectRefs
+    # so it is stored once in the object store and shared zero-copy by every
+    # actor, instead of being re-pickled into each task closure.
+    def prepare_broadcast(self) -> None:
+        return None
+
+    # Called on the worker (actor __init__ / first task) to turn broadcast
+    # ObjectRefs back into usable tables, cached on the op instance.
+    def resolve_broadcast(self) -> None:
+        return None
+
+    # True when the op holds per-worker state worth amortizing across batches
+    # (vocab tables, compiled models) => the workflow uses an actor pool.
+    @property
+    def needs_actor(self) -> bool:
+        return False
+
+    @property
+    def label(self) -> str:
+        return type(self).__name__
+
+    def __repr__(self):
+        return f"<op {self.label}>"
+
+
+class StatOperator(Operator):
+    """An operator with a distributed fit phase producing state."""
+
+    def __init__(self):
+        self.fitted = False
+
+    def fit(self, col_selector: ColumnSelector, ds: Any) -> None:
+        """Compute statistics over ``ds`` (a ray.data.Dataset of this op's
+        input columns, upstream ops already applied) and store them on self."""
+        raise NotImplementedError
+
+    def clear(self) -> None:
+        self.fitted = False

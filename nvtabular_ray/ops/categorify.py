@@ -1,0 +1,339 @@
+"""Categorify: category -> contiguous integer encoding.
+
+Encoding convention (reference /root/reference/nvtabular/ops/categorify.py:52-71):
+
+- ``0``   : reserved for padding (never produced).
+- ``1``   : null/NaN values.
+- ``[2, 2 + num_oov)`` : out-of-vocabulary values; ``num_oov = num_buckets or 1``
+  (a single OOV index 2 when ``num_buckets is None``, categorify.py:182-197).
+- ``[2 + num_oov, ...)`` : the vocabulary, sorted most-frequent-first with a
+  deterministic (count desc, value asc) tie-break — the reference's sort has
+  no tie-break and is partition-layout-dependent (categorify.py:1300-1316);
+  ours is partition-count-invariant (SURVEY.md §7.4.1).
+
+Fit (Ray-Data-first, replacing the reference's hand-built Dask tree reduction,
+categorify.py:955-1137): one ``map_batches`` pass emits per-batch value
+counts (the map-side combine), a ``groupby("value").sum`` merges them — Ray
+owns the shuffle — and the (small) vocabulary is collected, sorted and
+frozen on the driver. A ``cardinality_memory_limit`` guards the collect,
+mirroring categorify.py:199-203.
+
+Transform: vectorized ``pa.compute.index_in`` against the broadcast vocab
+(actor pools load it once per worker — the Ray analog of the reference's
+per-worker ``cat_cache``, categorify.py:1627-1643). OOV values hash with the
+engine-wide stable hash into the OOV range.
+
+Supports: ``freq_threshold``, ``max_size``, ``num_buckets``, user ``vocabs``,
+multi-column joint groups (shared vocab) and ``encode_type="combo"``
+(encode the tuple; output column "a_b", categorify.py:250-272), list
+(multi-hot) columns (categorify.py:1695-1705).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from nvtabular_ray.arrow_utils import as_single_chunk, is_list_type, map_list_values
+from nvtabular_ray.functions.hashing import hash64, hash64_columns
+from nvtabular_ray.ops.base import StatOperator
+
+PAD_OFFSET = 0
+NULL_OFFSET = 1
+OOV_OFFSET = 2
+
+_BROADCAST_BYTES = 1 << 20  # vocab larger than 1 MiB -> ray.put broadcast + actor pool
+
+
+def _make_name(*args, sep="_"):
+    return sep.join(args)
+
+
+class Categorify(StatOperator):
+    def __init__(
+        self,
+        freq_threshold: int = 0,
+        out_path: Optional[str] = None,
+        num_buckets: Optional[int] = None,
+        max_size: int = 0,
+        encode_type: str = "joint",
+        name_sep: str = "_",
+        vocabs: Optional[dict] = None,
+        cardinality_memory_limit: int = 2 << 30,
+    ):
+        super().__init__()
+        if encode_type not in ("joint", "combo"):
+            raise ValueError("encode_type must be 'joint' or 'combo'")
+        if num_buckets is not None and num_buckets < 2:
+            raise ValueError("num_buckets should be an int > 1, or None")
+        self.freq_threshold = freq_threshold
+        self.out_path = out_path
+        self.num_buckets = num_buckets
+        self.max_size = max_size
+        self.encode_type = encode_type
+        self.name_sep = name_sep
+        self.cardinality_memory_limit = cardinality_memory_limit
+        # group storage name -> vocab pa.Table (value col(s) + "{name}_size")
+        self.vocab_tables: dict[str, pa.Table] = {}
+        self.null_counts: dict[str, int] = {}
+        self._refs: dict[str, object] = {}
+        if vocabs:
+            for col, values in vocabs.items():
+                arr = pa.array(values)
+                self.vocab_tables[col] = pa.table(
+                    {col: arr, f"{col}_size": pa.array(np.zeros(len(arr), np.int64))}
+                )
+            self.fitted = True
+
+    # ----------------------------------------------------------- groups --
+    def _groups(self, col_selector) -> list[tuple[str, list[str]]]:
+        """(storage/output name, member columns) per encoding group."""
+        out = []
+        for g in col_selector.grouped_names:
+            if isinstance(g, str):
+                out.append((g, [g]))
+            else:
+                out.append((_make_name(*g, sep=self.name_sep), list(g)))
+        return out
+
+    @property
+    def num_oov(self) -> int:
+        return self.num_buckets if self.num_buckets else 1
+
+    @property
+    def vocab_base(self) -> int:
+        return OOV_OFFSET + self.num_oov
+
+    # -------------------------------------------------------------- fit --
+    def fit(self, col_selector, ds) -> None:
+        from ray.data.aggregate import Sum
+
+        for name, cols in self._groups(col_selector):
+            if name in self.vocab_tables and self.fitted:
+                continue  # user-supplied vocab
+            if len(cols) > 1 and self.encode_type == "combo":
+                self._fit_combo(ds, name, cols)
+                continue
+
+            # single column, or multi-column "joint" (shared vocab over the
+            # concatenation of the member columns, categorify.py:259-264)
+            def partial(t: pa.Table, cols=tuple(cols)) -> pa.Table:
+                vals, cnts, nulls = [], [], 0
+                for c in cols:
+                    arr = as_single_chunk(t.column(c))
+                    if is_list_type(arr.type):
+                        arr = arr.flatten()
+                    nulls += arr.null_count
+                    vc = pc.value_counts(arr.drop_null())
+                    vals.append(vc.field("values"))
+                    cnts.append(pc.cast(vc.field("counts"), pa.int64()))
+                value = pa.concat_arrays([v.cast(vals[0].type) for v in vals])
+                out = pa.table({"value": value, "count": pa.concat_arrays(cnts)})
+                # first row carries the batch's null count (summed later; null
+                # totals feed meta reporting only, not encoding correctness)
+                nulls_col = ([nulls] + [0] * (out.num_rows - 1)) if out.num_rows else []
+                return out.append_column("nulls", pa.array(nulls_col, pa.int64()))
+
+            parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            merged = parts.groupby("value").aggregate(
+                Sum("count", alias_name="count"), Sum("nulls", alias_name="nulls")
+            )
+            vocab_df = merged.to_pandas()
+            self._check_vocab_size(name, vocab_df)
+            nulls = int(vocab_df["nulls"].sum())
+            vocab_df = vocab_df.drop(columns=["nulls"])
+            self._finalize_vocab(name, cols[0] if len(cols) == 1 else name, vocab_df, nulls)
+
+        self._write_artifacts()
+
+    def _fit_combo(self, ds, name: str, cols: list[str]) -> None:
+        from ray.data.aggregate import Sum
+
+        def partial(t: pa.Table, cols=tuple(cols)) -> pa.Table:
+            df = t.select(list(cols)).to_pandas()
+            grouped = df.groupby(list(cols), dropna=False, observed=True).size().reset_index(name="count")
+            return pa.Table.from_pandas(grouped, preserve_index=False)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        merged = parts.groupby(list(cols)).aggregate(Sum("count", alias_name="count"))
+        vocab_df = merged.to_pandas()
+        self._check_vocab_size(name, vocab_df)
+        # rows with any null member are encoded as null (code 1), not vocab
+        null_mask = vocab_df[list(cols)].isna().any(axis=1)
+        nulls = int(vocab_df.loc[null_mask, "count"].sum())
+        vocab_df = vocab_df.loc[~null_mask]
+        vocab_df = vocab_df.rename(columns={"count": "count"})
+        self._finalize_vocab(name, list(cols), vocab_df, nulls, value_cols=list(cols))
+
+    def _check_vocab_size(self, name, vocab_df):
+        nbytes = int(vocab_df.memory_usage(deep=True).sum())
+        if nbytes > self.cardinality_memory_limit:
+            raise MemoryError(
+                f"vocabulary for {name} is {nbytes} bytes > cardinality_memory_limit; "
+                "raise the limit or use num_buckets/max_size to cap the vocab"
+            )
+
+    def _finalize_vocab(self, name, value_col, vocab_df: pd.DataFrame, nulls: int, value_cols=None):
+        """Deterministic (count desc, value asc) ordering + threshold/size caps."""
+        sort_cols = value_cols if value_cols else ["value"]
+        vocab_df = vocab_df.sort_values(
+            ["count"] + sort_cols, ascending=[False] + [True] * len(sort_cols), kind="mergesort"
+        ).reset_index(drop=True)
+        if self.freq_threshold and self.freq_threshold > 1:
+            vocab_df = vocab_df[vocab_df["count"] >= self.freq_threshold]
+        if self.max_size:
+            keep = self.max_size - OOV_OFFSET - self.num_oov
+            if keep < 1:
+                raise ValueError("max_size cannot be less than num_buckets + 3")
+            vocab_df = vocab_df.head(keep)
+        if value_cols:
+            data = {c: pa.Array.from_pandas(vocab_df[c]) for c in value_cols}
+        else:
+            data = {value_col if isinstance(value_col, str) else name: pa.Array.from_pandas(vocab_df["value"])}
+        data[f"{name}_size"] = pa.Array.from_pandas(vocab_df["count"].astype("int64"))
+        self.vocab_tables[name] = pa.table(data)
+        self.null_counts[name] = nulls
+
+    def _write_artifacts(self):
+        if not self.out_path:
+            return
+        os.makedirs(self.out_path, exist_ok=True)
+        for name, tab in self.vocab_tables.items():
+            pq.write_table(tab, os.path.join(self.out_path, f"unique.{name}.parquet"))
+            meta = pa.table(
+                {
+                    "kind": pa.array([name]),
+                    "num_observed": pa.array([tab.num_rows], pa.int64()),
+                    "nulls": pa.array([self.null_counts.get(name, 0)], pa.int64()),
+                    "offset": pa.array([self.vocab_base], pa.int64()),
+                }
+            )
+            pq.write_table(meta, os.path.join(self.out_path, f"meta.{name}.parquet"))
+
+    def clear(self):
+        super().clear()
+        self.vocab_tables, self.null_counts, self._refs = {}, {}, {}
+
+    # -------------------------------------------------------- broadcast --
+    @property
+    def needs_actor(self) -> bool:
+        return sum(t.nbytes for t in self.vocab_tables.values()) > _BROADCAST_BYTES
+
+    def prepare_broadcast(self):
+        import ray
+
+        if not ray.is_initialized():
+            return
+        for name, tab in list(self.vocab_tables.items()):
+            if isinstance(tab, pa.Table) and tab.nbytes > _BROADCAST_BYTES:
+                self._refs[name] = ray.put(tab)
+                self.vocab_tables[name] = None
+
+    def resolve_broadcast(self):
+        import ray
+
+        for name, ref in self._refs.items():
+            if self.vocab_tables.get(name) is None:
+                self.vocab_tables[name] = ray.get(ref)
+
+    # -------------------------------------------------------- transform --
+    def column_mapping(self, col_selector):
+        mapping = {}
+        for name, cols in self._groups(col_selector):
+            if len(cols) > 1 and self.encode_type == "combo":
+                mapping[name] = cols
+            else:
+                for c in cols:
+                    mapping[c] = [c]
+        return mapping
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        out = {}
+        for name, cols in self._groups(col_selector):
+            if len(cols) > 1 and self.encode_type == "combo":
+                out[name] = self._encode_combo(name, cols, table)
+            else:
+                vocab = self.vocab_tables[name]
+                value_col = cols[0] if len(cols) == 1 else name
+                vocab_values = as_single_chunk(vocab.column(vocab.column_names[0]))
+                for c in cols:
+                    out[c] = self._encode_column(table.column(c), vocab_values)
+        # preserve selector order for 1-to-1 outputs
+        ordered = {}
+        for name, cols in self._groups(col_selector):
+            if len(cols) > 1 and self.encode_type == "combo":
+                ordered[name] = out[name]
+            else:
+                for c in cols:
+                    ordered[c] = out[c]
+        return pa.table(ordered)
+
+    def _encode_values(self, values: pa.Array, vocab_values: pa.Array) -> np.ndarray:
+        """Vectorized code assignment for a flat value array."""
+        if len(vocab_values) and values.type != vocab_values.type:
+            values = values.cast(vocab_values.type)
+        idx = pc.index_in(values, value_set=vocab_values)
+        idx_np = idx.to_numpy(zero_copy_only=False).astype("float64")
+        null_mask = pc.is_null(values).to_numpy(zero_copy_only=False)
+        found = ~np.isnan(idx_np)
+        codes = np.empty(len(values), dtype=np.int64)
+        codes[found] = idx_np[found].astype(np.int64) + self.vocab_base
+        oov_mask = (~found) & (~null_mask)
+        if oov_mask.any():
+            if self.num_oov == 1:
+                codes[oov_mask] = OOV_OFFSET
+            else:
+                h = hash64(values)[oov_mask]
+                codes[oov_mask] = (h % np.uint64(self.num_oov)).astype(np.int64) + OOV_OFFSET
+        codes[null_mask] = NULL_OFFSET
+        return codes
+
+    def _encode_column(self, arr, vocab_values: pa.Array):
+        arr = as_single_chunk(arr)
+        if is_list_type(arr.type):
+            return map_list_values(
+                arr, lambda v: pa.array(self._encode_values(v, vocab_values), pa.int64())
+            )
+        return pa.array(self._encode_values(arr, vocab_values), pa.int64())
+
+    def _encode_combo(self, name: str, cols: list[str], table: pa.Table) -> pa.Array:
+        vocab = self.vocab_tables[name]
+        left = table.select(cols).to_pandas()
+        vdf = vocab.to_pandas()
+        vdf["__code__"] = np.arange(len(vdf), dtype=np.int64) + self.vocab_base
+        merged = left.merge(vdf[cols + ["__code__"]], on=cols, how="left")
+        codes = merged["__code__"].to_numpy(dtype="float64", na_value=np.nan)
+        out = np.empty(len(left), dtype=np.int64)
+        found = ~np.isnan(codes)
+        out[found] = codes[found].astype(np.int64)
+        null_mask = left[cols].isna().any(axis=1).to_numpy()
+        oov_mask = (~found) & (~null_mask)
+        if oov_mask.any():
+            h = hash64_columns(table, cols)[oov_mask]
+            out[oov_mask] = (h % np.uint64(self.num_oov)).astype(np.int64) + OOV_OFFSET
+        out[null_mask] = NULL_OFFSET
+        return pa.array(out, pa.int64())
+
+
+def get_embedding_sizes(source) -> dict[str, tuple[int, int]]:
+    """(cardinality, embedding dim) per encoded column; dim rule
+    min(max(16, round(1.6 * card**0.56)), 512)
+    (reference categorify.py:616-688, rule at :687)."""
+    ops = []
+    if isinstance(source, Categorify):
+        ops = [source]
+    else:  # Workflow
+        ops = [n.op for n in source._op_nodes() if isinstance(n.op, Categorify)]
+    out = {}
+    for op in ops:
+        for name, tab in op.vocab_tables.items():
+            card = op.vocab_base + tab.num_rows
+            dim = min(max(16, int(round(1.6 * card**0.56))), 512)
+            out[name] = (card, dim)
+    return out

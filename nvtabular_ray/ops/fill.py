@@ -1,0 +1,54 @@
+"""FillMedian stat op (FillMissing lives in ops/simple.py).
+
+Reference: /root/reference/nvtabular/ops/fill.py:83-146 — fills nulls with a
+fitted per-column median. The reference uses Dask's *approximate* quantile;
+we compute the EXACT interpolated median with the streaming histogram-refine
+engine (functions/quantile.py), so results match a DuckDB/pandas oracle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from nvtabular_ray.functions.quantile import distributed_quantiles
+from nvtabular_ray.ops.base import StatOperator
+
+
+class FillMedian(StatOperator):
+    def __init__(self, add_binary_cols: bool = False):
+        super().__init__()
+        self.add_binary_cols = add_binary_cols
+        self.medians: dict[str, float] = {}
+
+    def fit(self, col_selector, ds) -> None:
+        self.medians = distributed_quantiles(ds, col_selector.names, q=0.5)
+
+    def clear(self):
+        super().clear()
+        self.medians = {}
+
+    def column_mapping(self, col_selector):
+        mapping = {name: [name] for name in col_selector.names}
+        if self.add_binary_cols:
+            for name in col_selector.names:
+                mapping[f"{name}_filled"] = [name]
+        return mapping
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        cols = {}
+        for name in col_selector.names:
+            arr = table.column(name)
+            med = self.medians[name]
+            if self.add_binary_cols:
+                cols[f"{name}_filled"] = pc.is_null(arr, nan_is_null=True)
+            fill = pa.scalar(med, type=pa.float64())
+            out = pc.cast(arr, pa.float64())
+            out = pc.if_else(pc.is_nan(pc.fill_null(out, fill)), fill, pc.fill_null(out, fill))
+            cols[name] = pc.cast(out, arr.type) if pa.types.is_floating(arr.type) else out
+        ordered = {}
+        for name in col_selector.names:
+            ordered[name] = cols[name]
+            if self.add_binary_cols:
+                ordered[f"{name}_filled"] = cols[f"{name}_filled"]
+        return pa.table(ordered)

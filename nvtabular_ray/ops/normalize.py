@@ -1,0 +1,91 @@
+"""Normalize (z-score) and NormalizeMinMax stat ops.
+
+Reference: /root/reference/nvtabular/ops/normalize.py:33-212.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from nvtabular_ray.arrow_utils import apply_unary
+from nvtabular_ray.ops.base import StatOperator
+from nvtabular_ray.ops.moments import column_moments
+
+
+class Normalize(StatOperator):
+    """Z-score with fitted mean/std (ddof=1); std==0 -> centering only
+    (reference normalize.py:79-82); list columns normalized on flattened
+    values; out dtype float64 by default (normalize.py:121-124)."""
+
+    def __init__(self, out_dtype=None):
+        super().__init__()
+        self.means: dict[str, float] = {}
+        self.stds: dict[str, float] = {}
+        self.out_dtype = out_dtype or "float64"
+
+    def fit(self, col_selector, ds) -> None:
+        stats = column_moments(ds, col_selector.names)
+        for col, st in stats.items():
+            self.means[col] = st["mean"]
+            self.stds[col] = st["std"]
+
+    def clear(self):
+        super().clear()
+        self.means, self.stds = {}, {}
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        out_type = pa.from_numpy_dtype(self.out_dtype)
+        cols = {}
+        for name in col_selector.names:
+            mean, std = self.means[name], self.stds[name]
+
+            def kernel(a, mean=mean, std=std):
+                a = pc.cast(a, pa.float64())
+                a = pc.subtract(a, pa.scalar(mean, pa.float64()))
+                if std > 0:
+                    a = pc.divide(a, pa.scalar(std, pa.float64()))
+                return pc.cast(a, out_type)
+
+            cols[name] = apply_unary(table.column(name), kernel)
+        return pa.table(cols)
+
+
+class NormalizeMinMax(StatOperator):
+    """Scale to [0,1] from fitted min/max; dif==0 -> x/(2x)
+    (reference normalize.py:155-160). Out float64 default."""
+
+    def __init__(self, out_dtype=None):
+        super().__init__()
+        self.mins: dict[str, float] = {}
+        self.maxs: dict[str, float] = {}
+        self.out_dtype = out_dtype or "float64"
+
+    def fit(self, col_selector, ds) -> None:
+        stats = column_moments(ds, col_selector.names)
+        for col, st in stats.items():
+            self.mins[col] = st["min"]
+            self.maxs[col] = st["max"]
+
+    def clear(self):
+        super().clear()
+        self.mins, self.maxs = {}, {}
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        out_type = pa.from_numpy_dtype(self.out_dtype)
+        cols = {}
+        for name in col_selector.names:
+            mn, mx = self.mins[name], self.maxs[name]
+            dif = mx - mn
+
+            def kernel(a, mn=mn, dif=dif):
+                a = pc.cast(a, pa.float64())
+                if dif > 0:
+                    a = pc.divide(pc.subtract(a, pa.scalar(mn, pa.float64())), pa.scalar(dif, pa.float64()))
+                else:
+                    # reference normalize.py:158-160: when max==min, x / (2*x)
+                    a = pc.divide(a, pc.multiply(a, pa.scalar(2.0, pa.float64())))
+                return pc.cast(a, out_type)
+
+            cols[name] = apply_unary(table.column(name), kernel)
+        return pa.table(cols)

@@ -1,0 +1,222 @@
+"""Stateless per-batch ops: FillMissing, Clip, LogOp, Bucketize, Rename,
+Filter, Dropna, LambdaOp.
+
+All are vectorized Arrow kernels inside ``map_batches`` — no per-row Python.
+Reference semantics cited per class.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from nvtabular_ray.arrow_utils import apply_unary, as_single_chunk
+from nvtabular_ray.ops.base import Operator
+from nvtabular_ray.selector import ColumnSelector
+
+
+class FillMissing(Operator):
+    """Constant fill + optional ``{col}_filled`` bool indicator.
+
+    Reference: /root/reference/nvtabular/ops/fill.py:23-80 (fill_val default 0,
+    add_binary_cols adds isna() flags).
+    """
+
+    def __init__(self, fill_val=0, add_binary_cols: bool = False):
+        self.fill_val = fill_val
+        self.add_binary_cols = add_binary_cols
+
+    def column_mapping(self, col_selector):
+        mapping = {name: [name] for name in col_selector.names}
+        if self.add_binary_cols:
+            for name in col_selector.names:
+                mapping[f"{name}_filled"] = [name]
+        return mapping
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        cols = {}
+        for name in col_selector.names:
+            arr = table.column(name)
+            if self.add_binary_cols:
+                cols[f"{name}_filled"] = pc.is_null(arr, nan_is_null=True)
+            fill = pa.scalar(self.fill_val, type=arr.type) if not pa.types.is_floating(arr.type) else pa.scalar(float(self.fill_val), type=arr.type)
+            filled = pc.fill_null(arr, fill)
+            if pa.types.is_floating(arr.type):
+                # NaN counts as missing too (pandas .fillna semantics)
+                filled = pc.if_else(pc.is_nan(filled), fill, filled)
+            cols[name] = filled
+        ordered = {}
+        for name in col_selector.names:
+            ordered[name] = cols[name]
+            if self.add_binary_cols:
+                ordered[f"{name}_filled"] = cols[f"{name}_filled"]
+        return pa.table(ordered)
+
+
+class Clip(Operator):
+    """Clamp to [min_value, max_value].
+    Reference: /root/reference/nvtabular/ops/clip.py:21-57."""
+
+    def __init__(self, min_value=None, max_value=None):
+        if min_value is None and max_value is None:
+            raise ValueError("Clip needs min_value and/or max_value")
+        self.min_value = min_value
+        self.max_value = max_value
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        def kernel(a):
+            if self.min_value is not None:
+                a = pc.max_element_wise(a, pa.scalar(self.min_value, type=a.type))
+            if self.max_value is not None:
+                a = pc.min_element_wise(a, pa.scalar(self.max_value, type=a.type))
+            return a
+
+        return pa.table(
+            {n: apply_unary(table.column(n), kernel) for n in col_selector.names}
+        )
+
+
+class LogOp(Operator):
+    """log(1+x) as float32, list columns supported.
+    Reference: /root/reference/nvtabular/ops/logop.py:29-63."""
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        def kernel(a):
+            a = pc.cast(a, pa.float32())
+            return pc.cast(pc.ln(pc.add(a, pa.scalar(1.0, pa.float32()))), pa.float32())
+
+        return pa.table(
+            {n: apply_unary(table.column(n), kernel) for n in col_selector.names}
+        )
+
+
+class Bucketize(Operator):
+    """Continuous -> bin index via np.digitize(right=False); out int32.
+    Reference: /root/reference/nvtabular/ops/bucketize.py:24-104."""
+
+    def __init__(self, boundaries: Union[list, dict]):
+        if isinstance(boundaries, (list, tuple)):
+            self._lookup = {None: list(boundaries)}
+        elif isinstance(boundaries, dict):
+            self._lookup = dict(boundaries)
+        else:
+            raise TypeError("boundaries must be list or dict")
+
+    def _bounds(self, col):
+        return self._lookup.get(col, self._lookup.get(None))
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        cols = {}
+        for name in col_selector.names:
+            vals = as_single_chunk(table.column(name)).to_numpy(zero_copy_only=False)
+            binned = np.digitize(vals, np.asarray(self._bounds(name)), right=False)
+            cols[name] = pa.array(binned.astype(np.int32))
+        return pa.table(cols)
+
+
+class Rename(Operator):
+    """Rename via callable / postfix / fixed name.
+    Reference: /root/reference/nvtabular/ops/rename.py:20-78."""
+
+    def __init__(self, f: Optional[Callable] = None, postfix: Optional[str] = None, name: Optional[str] = None):
+        if not any([f, postfix, name]):
+            raise ValueError("Rename needs f, postfix or name")
+        self.f = f
+        self.postfix = postfix
+        self.name = name
+
+    def _new_name(self, col: str, n_cols: int) -> str:
+        if self.f:
+            return self.f(col)
+        if self.postfix:
+            return col + self.postfix
+        if n_cols > 1:
+            raise RuntimeError("Single name to Rename but multiple columns selected")
+        return self.name
+
+    def column_mapping(self, col_selector):
+        names = col_selector.names
+        return {self._new_name(c, len(names)): [c] for c in names}
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        names = col_selector.names
+        return pa.table({self._new_name(c, len(names)): table.column(c) for c in names})
+
+
+class Filter(Operator):
+    """Row filter from a user callable returning a boolean mask or a filtered
+    table. Reference: /root/reference/nvtabular/ops/filter.py:28-64.
+
+    The callable receives the selected columns as a pyarrow.Table (use
+    pyarrow.compute) — vectorized, unlike per-row ``ds.filter``.
+    """
+
+    changes_row_count = True
+
+    def __init__(self, f: Callable):
+        self.f = f
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        selected = table.select(col_selector.names)
+        result = self.f(selected)
+        if isinstance(result, pa.Table):
+            return result
+        if isinstance(result, (pa.Array, pa.ChunkedArray)):
+            return selected.filter(result)
+        if isinstance(result, np.ndarray):
+            return selected.filter(pa.array(result))
+        raise TypeError("Filter callable must return a mask or a pa.Table")
+
+
+class Dropna(Operator):
+    """Drop rows with nulls in the selected columns.
+    Reference: /root/reference/nvtabular/ops/dropna.py:21-39."""
+
+    changes_row_count = True
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        selected = table.select(col_selector.names)
+        return selected.drop_null()
+
+
+class LambdaOp(Operator):
+    """User function applied per selected column — the primary extension
+    surface. Reference: /root/reference/nvtabular/ops/lambdaop.py:19-51.
+
+    ``f`` receives a pandas Series by default (reference parity); pass
+    ``backend="pyarrow"`` for a zero-copy Arrow Array kernel.
+    """
+
+    def __init__(self, f: Callable, dtype=None, label: Optional[str] = None, backend: str = "pandas"):
+        self.f = f
+        self.dtype = dtype
+        self._label = label
+        self.backend = backend
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        cols = {}
+        for name in col_selector.names:
+            arr = as_single_chunk(table.column(name))
+            if self.backend == "pyarrow":
+                out = self.f(arr)
+                if isinstance(out, np.ndarray):
+                    out = pa.array(out)
+            else:
+                import pandas as pd
+
+                series = arr.to_pandas()
+                out = self.f(series)
+                if not isinstance(out, pd.Series):
+                    out = pd.Series(out)
+                out = pa.Array.from_pandas(out)
+            if self.dtype is not None:
+                out = pc.cast(out, pa.from_numpy_dtype(np.dtype(self.dtype)))
+            cols[name] = out
+        return pa.table(cols)
+
+    @property
+    def label(self):
+        return self._label or f"LambdaOp({getattr(self.f, '__name__', 'fn')})"

@@ -1,0 +1,262 @@
+"""Workflow: sklearn-style fit/transform over an operator DAG, compiled to
+Ray Data stages.
+
+Reference lifecycle (/root/reference/nvtabular/workflow/workflow.py:45-74,
+195-248): fit walks the DAG topologically, computing statistics for each
+StatOperator over the *upstream-transformed* data; transform lazily maps the
+whole fused DAG over each partition. Here:
+
+- fit         = per-stat-op Ray Data jobs (map_batches partials + groupby
+                shuffles) over a lazily upstream-transformed Dataset.
+- transform   = ONE fused stage over the input Dataset:
+    * all ops per-batch            -> ds.map_batches(fused_fn) — stateless
+      tasks, or an actor pool when any op carries heavy fitted state
+      (vocabularies etc.; the actor loads state once per worker, the Ray
+      analog of the reference's per-worker cat_cache,
+      categorify.py:1627-1643);
+    * any op needs entity-complete ordered input (partition_cols set:
+      DifferenceLag, sessionize, windows) -> the same fused DAG runs inside
+      a bucketed groupby().map_groups shuffle (pipelines/partitioned.py) so
+      every entity's rows arrive contiguous and sorted — no reference-style
+      "pre-shuffle it yourself" footgun;
+    * a terminal dataset-level op (Groupby) runs as its own Ray Data stage.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+from nvtabular_ray.arrow_utils import hstack
+from nvtabular_ray.dag import Node
+from nvtabular_ray.ops.base import Operator, StatOperator
+from nvtabular_ray.selector import ColumnSelector
+
+
+def _eval_dag(root_table: pa.Table, output_node: Node) -> pa.Table:
+    """Evaluate the whole DAG on one Arrow batch; returns the output columns."""
+    cache: dict[int, pa.Table] = {}
+
+    def ev(node: Node) -> pa.Table:
+        key = id(node)
+        if key in cache:
+            return cache[key]
+        if node.kind == "selection":
+            src = ev(node.parents[0]) if node.parents else root_table
+            out = src.select(node.selector.names)
+        elif node.kind == "addition":
+            out = hstack([ev(p) for p in node.parents])
+        else:  # op
+            parent_tables = [ev(p) for p in node.parents]
+            inp = hstack(parent_tables)
+            deps = [c for c in node.op.dependencies if c not in inp.column_names]
+            if deps:
+                dep_tab = root_table.select(deps)
+                if dep_tab.num_rows != inp.num_rows:
+                    raise ValueError(
+                        f"op {node.op.label} dependencies {deps} cannot be row-aligned "
+                        "after a row-count-changing upstream op"
+                    )
+                inp = hstack([inp, dep_tab])
+            out = node.op.transform(node.input_selector, inp)
+        cache[key] = out
+        return out
+
+    return ev(output_node)
+
+
+class _FusedTransform:
+    """The fused per-batch DAG function; also usable as an actor-pool class.
+
+    As an actor, ``__init__`` resolves broadcast state (ray.get of vocab/stat
+    ObjectRefs) once per actor — work is amortized across all batches the
+    actor processes.
+    """
+
+    def __init__(self, output_node: Node):
+        self.output_node = output_node
+        self._resolved = False
+
+    def _resolve(self):
+        # Runs on the WORKER (first batch of a task fn / actor): ray.get of
+        # broadcast refs is object-store-local and zero-copy for Arrow data.
+        for node in self.output_node.topo_order():
+            if node.kind == "op":
+                node.op.resolve_broadcast()
+        self._resolved = True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._resolved:
+            self._resolve()
+        return _eval_dag(batch, self.output_node)
+
+
+class Workflow:
+    def __init__(self, output_node, artifact_path: Optional[str] = None):
+        if not isinstance(output_node, Node):
+            output_node = Node.from_selection(output_node)
+        self.output_node = output_node
+        self.artifact_path = artifact_path
+        self._validate()
+
+    # ------------------------------------------------------------------ #
+    def _nodes(self) -> list[Node]:
+        return self.output_node.topo_order()
+
+    def _op_nodes(self) -> list[Node]:
+        return [n for n in self._nodes() if n.kind == "op"]
+
+    def _partitioned_spec(self):
+        """(partition_cols, sort_cols) shared by all partitioned ops, or None."""
+        spec = None
+        for n in self._op_nodes():
+            if n.op.partition_cols:
+                s = (tuple(n.op.partition_cols), tuple(n.op.sort_cols or ()))
+                if spec is None:
+                    spec = s
+                elif spec[0] != s[0]:
+                    raise ValueError(
+                        f"all partitioned ops in one workflow must share partition_cols; "
+                        f"got {spec[0]} and {s[0]}"
+                    )
+                else:
+                    # union of sort columns, first spec order wins
+                    extra = [c for c in s[1] if c not in spec[1]]
+                    spec = (spec[0], spec[1] + tuple(extra))
+        return spec
+
+    def _terminal_dataset_op(self) -> Optional[Node]:
+        ds_nodes = [n for n in self._op_nodes() if n.op.is_dataset_level]
+        if not ds_nodes:
+            return None
+        if len(ds_nodes) > 1 or ds_nodes[0] is not self.output_node:
+            raise ValueError(
+                "dataset-level ops (Groupby) must be the single terminal node of the DAG"
+            )
+        return ds_nodes[0]
+
+    def _validate(self):
+        self._partitioned_spec()
+        self._terminal_dataset_op()
+
+    # ------------------------------------------------------------- fit -- #
+    def fit(self, ds) -> "Workflow":
+        """Fit every StatOperator in topological order.
+
+        Each stat op sees its input columns with all upstream ops already
+        applied (matches chained-workflow semantics,
+        /root/reference/tests/unit/workflow/test_workflow_chaining.py)."""
+        for node in self._nodes():
+            if node.kind != "op" or not isinstance(node.op, StatOperator):
+                continue
+            if node.op.fitted:
+                continue
+            upstream = self._upstream_dataset(ds, node)
+            node.op.fit(node.input_selector, upstream)
+            node.op.fitted = True
+        return self
+
+    def _upstream_dataset(self, ds, node: Node):
+        """Lazy Dataset holding ``node``'s input columns (+deps)."""
+        parents = node.parents
+        sel_cols = list(node.input_selector.names) + [
+            c for c in node.op.dependencies if c not in node.input_selector.names
+        ]
+        # root columns the partial DAG needs
+        needed_roots = set()
+        for p in parents:
+            needed_roots.update(p.root_columns())
+        needed_roots.update(node.op.dependencies)
+        root_cols = [c for c in _existing_columns(ds) if c in needed_roots]
+
+        if all(p.kind == "selection" and not p.parents for p in parents):
+            # stat op directly over root columns: just project
+            return ds.select_columns(sel_cols)
+
+        def partial_eval(batch: pa.Table) -> pa.Table:
+            parts = [_eval_dag(batch, p) for p in parents]
+            inp = hstack(parts)
+            deps = [c for c in node.op.dependencies if c not in inp.column_names]
+            if deps:
+                inp = hstack([inp, batch.select(deps)])
+            return inp.select(sel_cols)
+
+        return ds.select_columns(root_cols).map_batches(
+            partial_eval, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # ------------------------------------------------------- transform -- #
+    def transform(self, ds, num_buckets: Optional[int] = None, concurrency=None):
+        """Compile + launch the (lazy) transform pipeline; returns a Dataset."""
+        for n in self._op_nodes():
+            op = n.op
+            if isinstance(op, StatOperator) and not op.fitted:
+                raise RuntimeError(f"workflow not fitted: {op.label}; call fit() first")
+
+        terminal = self._terminal_dataset_op()
+        body_output = terminal.parents[0] if terminal else self.output_node
+
+        spec = self._partitioned_spec()
+        root_cols = self.output_node.root_columns()
+        avail = _existing_columns(ds)
+        missing = [c for c in root_cols if c not in avail]
+        if missing:
+            raise ValueError(f"input dataset missing columns {missing}")
+        ds = ds.select_columns(root_cols)
+
+        for n in self._op_nodes():
+            n.op.prepare_broadcast()
+
+        needs_actor = any(n.op.needs_actor for n in self._op_nodes())
+
+        if spec is not None:
+            from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+            partition_cols, sort_cols = list(spec[0]), list(spec[1])
+            out = bucketed_group_map(
+                ds,
+                partition_cols,
+                sort_cols,
+                _FusedTransform(_detached(body_output)),
+                num_buckets=num_buckets,
+            )
+        else:
+            kwargs = dict(batch_format="pyarrow", batch_size=None)
+            if needs_actor:
+                conc = concurrency or 4
+                out = ds.map_batches(
+                    _FusedTransform,
+                    fn_constructor_args=(_detached(body_output),),
+                    concurrency=conc,
+                    **kwargs,
+                )
+            else:
+                fn = _FusedTransform(_detached(body_output))
+                out = ds.map_batches(fn, zero_copy_batch=True, **kwargs)
+
+        if terminal is not None:
+            out = terminal.op.apply_dataset(terminal.input_selector, out)
+        return out
+
+    def fit_transform(self, ds, **kw):
+        return self.fit(ds).transform(ds, **kw)
+
+    # ---------------------------------------------------------- schema -- #
+    def output_columns(self) -> list[str]:
+        return self.output_node.output_columns
+
+    def clear_stats(self):
+        for n in self._op_nodes():
+            if isinstance(n.op, StatOperator):
+                n.op.clear()
+
+
+def _detached(node: Node) -> Node:
+    """The DAG object shipped to workers (it is already plain-python)."""
+    return node
+
+
+def _existing_columns(ds) -> list[str]:
+    schema = ds.schema(fetch_if_missing=True)
+    return list(schema.names)
