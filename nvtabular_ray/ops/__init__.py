@@ -2,7 +2,12 @@
 
 from nvtabular_ray.ops.base import Operator, StatOperator
 from nvtabular_ray.ops.categorify import Categorify, get_embedding_sizes
+from nvtabular_ray.ops.difference_lag import DifferenceLag
 from nvtabular_ray.ops.dtypes import ReduceDtypeSize
+from nvtabular_ray.ops.groupby import Groupby
+from nvtabular_ray.ops.join_external import JoinExternal
+from nvtabular_ray.ops.join_groupby import JoinGroupby
+from nvtabular_ray.ops.target_encoding import TargetEncoding
 from nvtabular_ray.ops.fill import FillMedian
 from nvtabular_ray.ops.hashed import HashBucket, HashedCross
 from nvtabular_ray.ops.normalize import Normalize, NormalizeMinMax
@@ -23,7 +28,12 @@ __all__ = [
     "Bucketize",
     "Categorify",
     "Clip",
+    "DifferenceLag",
     "Dropna",
+    "Groupby",
+    "JoinExternal",
+    "JoinGroupby",
+    "TargetEncoding",
     "FillMedian",
     "FillMissing",
     "Filter",

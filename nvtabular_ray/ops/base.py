@@ -89,6 +89,47 @@ class Operator:
         return f"<op {self.label}>"
 
 
+class BroadcastTableState:
+    """Mixin managing a dict of (possibly large) fitted pa.Tables.
+
+    On the driver, tables above a size threshold are swapped for ray.put
+    ObjectRefs (stored ONCE in the object store); on each worker/actor they
+    are ray.get-resolved lazily and cached — the Ray analog of the
+    reference's per-worker stat cache (categorify.py:1627-1643).
+    """
+
+    _BROADCAST_BYTES = 1 << 20
+    _state_attr = "state_tables"
+
+    def _state(self) -> dict:
+        return getattr(self, self._state_attr)
+
+    @property
+    def needs_actor(self) -> bool:
+        tables = self._state()
+        return sum(t.nbytes for t in tables.values() if t is not None) > self._BROADCAST_BYTES
+
+    def prepare_broadcast(self):
+        import ray
+
+        if not ray.is_initialized():
+            return
+        if not hasattr(self, "_refs"):
+            self._refs = {}
+        tables = self._state()
+        for name, tab in list(tables.items()):
+            if tab is not None and tab.nbytes > self._BROADCAST_BYTES:
+                self._refs[name] = ray.put(tab)
+                tables[name] = None
+
+    def resolve_broadcast(self):
+        import ray
+
+        for name, ref in getattr(self, "_refs", {}).items():
+            if self._state().get(name) is None:
+                self._state()[name] = ray.get(ref)
+
+
 class StatOperator(Operator):
     """An operator with a distributed fit phase producing state."""
 

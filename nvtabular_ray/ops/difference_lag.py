@@ -1,0 +1,63 @@
+"""DifferenceLag: lag/lead deltas within entity partitions.
+
+Reference: /root/reference/nvtabular/ops/difference_lag.py:23-105 —
+``col - col.shift(k)`` masked to null at partition boundaries; negative
+shift = lead; output ``{col}_difference_lag_{k}`` float32. The reference
+requires pre-partitioned+pre-sorted input; in this engine the op declares
+``partition_cols``/``sort_cols`` and the Workflow compiler runs the whole
+DAG inside the bucketed key shuffle (pipelines/partitioned.py), so each
+transform call sees entity-complete, (key, sort)-ordered rows and computes
+grouped shifts vectorized (pandas groupby.shift across all entities at
+once — boundary masking is implied by the groupby, no mask arithmetic).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+import pyarrow as pa
+
+from nvtabular_ray.ops.base import Operator
+
+
+class DifferenceLag(Operator):
+    def __init__(
+        self,
+        partition_cols: Union[str, list[str]],
+        shift: Union[int, list[int]] = 1,
+        sort_cols: Optional[Union[str, list[str]]] = None,
+    ):
+        self.partition_cols = (
+            [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+        )
+        self.shifts = [shift] if isinstance(shift, int) else list(shift)
+        self.sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols or [])
+
+    @property
+    def dependencies(self):
+        return self.partition_cols + [c for c in self.sort_cols if c not in self.partition_cols]
+
+    def column_mapping(self, col_selector):
+        return {
+            f"{col}_difference_lag_{shift}": [col]
+            for col in col_selector.names
+            if col not in self.partition_cols and col not in self.sort_cols
+            for shift in self.shifts
+        }
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        value_cols = [
+            c
+            for c in col_selector.names
+            if c not in self.partition_cols and c not in self.sort_cols
+        ]
+        df = table.select(self.partition_cols + value_cols).to_pandas()
+        g = df.groupby(self.partition_cols, sort=False, observed=True)
+        out = {}
+        for shift in self.shifts:
+            shifted = g[value_cols].shift(shift)
+            for col in value_cols:
+                delta = (df[col] - shifted[col]).astype(np.float32)
+                out[f"{col}_difference_lag_{shift}"] = pa.Array.from_pandas(delta)
+        return pa.table(out)

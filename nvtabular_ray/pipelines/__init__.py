@@ -1,0 +1,7 @@
+"""Dataset-level building blocks: the bucketed key-partitioned shuffle runner,
+as-of joins, sessionization, windowed features, and the flagship transcript
+feature pipeline."""
+
+from nvtabular_ray.pipelines.partitioned import bucketed_group_map, shuffle_by_keys
+
+__all__ = ["bucketed_group_map", "shuffle_by_keys"]

@@ -1,0 +1,79 @@
+"""Bucketed key-partitioned execution: the ordered-feature workhorse.
+
+The reference punts entity partitioning to the user ("make sure the dataset
+is already shuffled by groupby_cols", /root/reference/nvtabular/ops/
+groupby.py:32-40, difference_lag.py:27-38). Here the engine owns it:
+
+    ds -> map_batches(+__bucket__ = stable_hash(keys) % B)   # cheap, narrow
+       -> groupby("__bucket__")                              # ONE Ray shuffle
+       -> map_groups(sort bucket by keys+order, apply fn)    # vectorized
+
+Why buckets instead of per-entity ``groupby(key)``: a bucket holds MANY
+entities, so the per-group Python overhead is amortized and the inner
+computation stays vectorized (pandas/Arrow grouped kernels across all
+entities in the bucket at once). B is chosen so a bucket fits in worker
+memory at the target scale; entities never span buckets (hash-assigned), so
+ordered semantics (lag/lead, sessions, as-of) are exact.
+
+Skew note: one pathological entity still lands in one bucket — fundamental
+for order-dependent semantics. For *algebraic* aggregations use the salted
+two-phase path in ops/groupby.py instead (SURVEY.md §7.4.4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from nvtabular_ray.functions.hashing import hash64_columns
+
+BUCKET_COL = "__bucket__"
+
+
+def _default_num_buckets() -> int:
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(32, cpus * 4)
+
+
+def add_bucket_column(ds, keys: list[str], num_buckets: int):
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64_columns(t, keys) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bucketed_group_map(
+    ds,
+    partition_cols: list[str],
+    sort_cols: list[str],
+    fn: Callable[[pa.Table], pa.Table],
+    num_buckets: Optional[int] = None,
+):
+    """Apply ``fn`` to entity-complete, (partition_cols+sort_cols)-sorted
+    Arrow tables; one call per hash bucket. ``fn`` output rows are free-form
+    (same-cardinality transforms and group aggregations both work)."""
+    num_buckets = num_buckets or _default_num_buckets()
+    bucketed = add_bucket_column(ds, partition_cols, num_buckets)
+    sort_keys = list(partition_cols) + [c for c in sort_cols if c not in partition_cols]
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([BUCKET_COL])
+        group = group.sort_by([(k, "ascending") for k in sort_keys])
+        out = fn(group)
+        return out
+
+    return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def shuffle_by_keys(ds, keys: list[str], sort_cols: Optional[list[str]] = None, num_buckets: Optional[int] = None):
+    """Ray analog of the reference's ``Dataset.shuffle_by_keys`` escape hatch:
+    co-locate all rows of each key in one block, optionally sorted."""
+    return bucketed_group_map(ds, keys, sort_cols or [], lambda t: t, num_buckets=num_buckets)

@@ -195,7 +195,15 @@ class Workflow:
                 raise RuntimeError(f"workflow not fitted: {op.label}; call fit() first")
 
         terminal = self._terminal_dataset_op()
-        body_output = terminal.parents[0] if terminal else self.output_node
+        if terminal:
+            body_output = terminal.parents[0]
+            dep_cols = [
+                c for c in terminal.op.dependencies if c not in body_output.output_columns
+            ]
+            if dep_cols:
+                body_output = body_output + Node.from_selection(dep_cols)
+        else:
+            body_output = self.output_node
 
         spec = self._partitioned_spec()
         root_cols = self.output_node.root_columns()
@@ -236,7 +244,9 @@ class Workflow:
                 out = ds.map_batches(fn, zero_copy_batch=True, **kwargs)
 
         if terminal is not None:
-            out = terminal.op.apply_dataset(terminal.input_selector, out)
+            out = terminal.op.apply_dataset(
+                ColumnSelector(body_output.output_columns), out
+            )
         return out
 
     def fit_transform(self, ds, **kw):
