@@ -8,6 +8,7 @@ from nvtabular_ray.ops.groupby import Groupby
 from nvtabular_ray.ops.join_external import JoinExternal
 from nvtabular_ray.ops.join_groupby import JoinGroupby
 from nvtabular_ray.ops.target_encoding import TargetEncoding
+from nvtabular_ray.ops.temporal_ops import RollingAgg, Sessionize
 from nvtabular_ray.ops.fill import FillMedian
 from nvtabular_ray.ops.hashed import HashBucket, HashedCross
 from nvtabular_ray.ops.normalize import Normalize, NormalizeMinMax
@@ -43,6 +44,8 @@ __all__ = [
     "LogOp",
     "Normalize",
     "NormalizeMinMax",
+    "RollingAgg",
+    "Sessionize",
     "ReduceDtypeSize",
     "Rename",
     "get_embedding_sizes",

@@ -1,0 +1,202 @@
+"""Point-in-time / ordered feature engine: as-of join, sessionize, rolling
+windows, backfill. NEW SCOPE mandated by the north rule (BASELINE.json) — the
+reference has no as-of/range join (SURVEY.md §2.3 joins row); its nearest
+semantics are TargetEncoding's leakage avoidance and DifferenceLag ordering.
+
+All functions share one physical pattern (pipelines/partitioned.py): hash-
+bucket the entity key -> ONE Ray shuffle -> per-bucket vectorized pandas over
+entity-complete, time-sorted rows. Temporal correctness is by construction:
+a feature at (key, t) is computed only from rows of that key with ts <= t
+(strictly < t where noted), so there is zero leakage from the future.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+_SIDE = "__side__"
+
+
+def sessionize(
+    ds,
+    key: Union[str, list[str]],
+    ts_col: str,
+    gap,
+    out_col: str = "session_id",
+    num_buckets: Optional[int] = None,
+):
+    """Assign 0-based session indices per entity: a new session starts when
+    the time since the previous row of the same entity exceeds ``gap``
+    (seconds or pd.Timedelta). Rows keep all input columns + ``out_col``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    gap_td = pd.Timedelta(seconds=gap) if not isinstance(gap, pd.Timedelta) else gap
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        delta = df.groupby(keys, sort=False, observed=True)[ts_col].diff()
+        new_session = (delta > gap_td) | delta.isna()
+        df[out_col] = (
+            new_session.groupby([df[k] for k in keys], observed=True).cumsum().astype("int64") - 1
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed_group_map(ds, keys, [ts_col], per_bucket, num_buckets=num_buckets)
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key: Union[str, list[str]],
+    left_ts: str,
+    right_ts: Optional[str] = None,
+    right_cols: Optional[list[str]] = None,
+    strict: bool = False,
+    suffix: str = "_asof",
+    num_buckets: Optional[int] = None,
+):
+    """Point-in-time as-of join: for every left row, attach the LATEST right
+    row of the same key with ``right_ts <= left_ts`` (``<`` when
+    ``strict=True`` — use strict for feature tables derived from the same
+    events to exclude the current instant). Left rows keep all columns;
+    unmatched rows get nulls. Rough SQL analog: DuckDB ``ASOF LEFT JOIN``.
+
+    Physical plan: pad both sides to a common schema with a side tag, union,
+    hash-bucket by key (ONE shuffle moves both sides together), then per
+    bucket a vectorized ``pd.merge_asof`` over key-sorted time-sorted rows.
+    No driver materialization; both sides stream.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    right_ts = right_ts or left_ts
+
+    left_schema = left_ds.schema(fetch_if_missing=True)
+    right_schema = right_ds.schema(fetch_if_missing=True)
+    left_cols = list(left_schema.names)
+    r_cols = right_cols or [c for c in right_schema.names if c not in keys and c != right_ts]
+    right_keep = keys + [right_ts] + [c for c in r_cols if c not in keys and c != right_ts]
+
+    # resolve output names for right value columns (suffix on collision)
+    out_name = {}
+    for c in r_cols:
+        out_name[c] = c + suffix if c in left_cols else c
+
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    ts_type = left_types[left_ts]
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        t = t.append_column(_SIDE, pa.array(np.zeros(t.num_rows, np.int8)))
+        t = t.append_column("__ts__", t.column(left_ts).cast(ts_type))
+        for c in r_cols:
+            t = t.append_column(out_name[c], pa.nulls(t.num_rows, right_types[c]))
+        return t
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in keys}
+        cols["__ts__"] = t.column(right_ts).cast(ts_type)
+        for c in r_cols:
+            cols[out_name[c]] = t.column(c)
+        out = pa.table(cols)
+        out = out.append_column(_SIDE, pa.array(np.ones(out.num_rows, np.int8)))
+        for c in left_cols:
+            if c not in out.column_names:
+                out = out.append_column(c, pa.nulls(out.num_rows, left_types[c]))
+        return out
+
+    l_pad = left_ds.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
+    r_pad = right_ds.map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True)
+    # align column order for union
+    order = left_cols + ["__ts__", _SIDE] + [out_name[c] for c in r_cols]
+    l_pad = l_pad.select_columns(order)
+    r_pad = r_pad.select_columns(order)
+    both = l_pad.union(r_pad)
+
+    val_cols = [out_name[c] for c in r_cols]
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        left = df[df[_SIDE] == 0]
+        right = df[df[_SIDE] == 1]
+        left = left.sort_values("__ts__", kind="mergesort")
+        right = right.sort_values("__ts__", kind="mergesort")
+        merged = pd.merge_asof(
+            left.drop(columns=val_cols + [_SIDE]),
+            right[keys + ["__ts__"] + val_cols],
+            on="__ts__",
+            by=keys,
+            direction="backward",
+            allow_exact_matches=not strict,
+        )
+        merged = merged.drop(columns=["__ts__"])
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    return bucketed_group_map(both, keys, [], per_bucket, num_buckets=num_buckets)
+
+
+def windowed_agg(
+    ds,
+    key: Union[str, list[str]],
+    ts_col: str,
+    value_col: str,
+    window_seconds: float,
+    aggs: list[str] = ("count", "sum", "mean"),
+    prefix: Optional[str] = None,
+    num_buckets: Optional[int] = None,
+):
+    """Per-row trailing-window aggregates: for each row, aggregate
+    ``value_col`` over the same entity's rows in (ts - window, ts]
+    — inclusive of the current row, past-only (zero leakage).
+    Output columns ``{prefix}{agg}`` appended to the input row.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    prefix = prefix or f"{value_col}_w{int(window_seconds)}s_"
+    window = pd.Timedelta(seconds=window_seconds)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(keys, sort=False, observed=True, group_keys=False)
+        rolled = g.rolling(window, on=ts_col, closed="right")[value_col].agg(list(aggs))
+        rolled = rolled.reset_index(drop=True)
+        for a in aggs:
+            col = rolled[a] if isinstance(rolled, pd.DataFrame) else rolled
+            df[f"{prefix}{a}"] = (
+                col.astype("int64") if a == "count" else col.astype("float64")
+            )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed_group_map(ds, keys, [ts_col], per_bucket, num_buckets=num_buckets)
+
+
+def backfill(
+    ds,
+    key: Union[str, list[str]],
+    ts_col: str,
+    cols: list[str],
+    direction: str = "forward",
+    out_suffix: str = "_filled",
+    num_buckets: Optional[int] = None,
+):
+    """Windowed backfill: within each entity ordered by ``ts_col``, fill null
+    values of ``cols`` from the most recent earlier non-null row
+    (``direction="forward"``, past-only, leakage-free) or the nearest later
+    one (``direction="backward"`` — training-label style backfill).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if direction not in ("forward", "backward"):
+        raise ValueError("direction must be forward or backward")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(keys, sort=False, observed=True)
+        for c in cols:
+            filled = g[c].ffill() if direction == "forward" else g[c].bfill()
+            df[f"{c}{out_suffix}"] = filled
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed_group_map(ds, keys, [ts_col], per_bucket, num_buckets=num_buckets)

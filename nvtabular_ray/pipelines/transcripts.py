@@ -1,0 +1,47 @@
+"""Flagship transcript feature pipeline (north-star workload).
+
+One Workflow over the transcript table (conv_id, turn_idx, role, text, tool,
+ts, text_len, latency) producing, per turn:
+
+- Categorify(role, tool)                       (vocab broadcast, null->1)
+- TE_role_text_len                             (out-of-fold target encoding)
+- text_len_norm                                (log1p + z-score)
+- text_len_difference_lag_{1,-1}               (per-conv lag/lead)
+- session_id                                   (gap-based sessionization)
+- text_len_w600s_{count,mean}                  (trailing 10-min window)
+
+All ordered features share ONE bucketed conv_id shuffle (the workflow
+compiler fuses partitioned ops); stat fits are map_batches partials + small
+groupby shuffles. Per-turn text is carried through untouched — the per-turn
+text-equality invariant holds under (conv_id, turn_idx) ordering.
+"""
+
+from __future__ import annotations
+
+from nvtabular_ray import ops
+from nvtabular_ray.workflow import Workflow
+
+PASSTHROUGH = ["conv_id", "turn_idx", "ts", "text"]
+
+
+def transcript_feature_workflow() -> Workflow:
+    cats = ["role", "tool"] >> ops.Categorify()
+    te = ["role"] >> ops.TargetEncoding(
+        "text_len", kfold=3, fold_on=["conv_id", "turn_idx"]
+    )
+    conts = ["text_len"] >> ops.LogOp() >> ops.Normalize() >> ops.Rename(postfix="_norm")
+    lag = ["text_len"] >> ops.DifferenceLag(
+        partition_cols="conv_id", shift=[1, -1], sort_cols=["turn_idx"]
+    )
+    sess = ["ts"] >> ops.Sessionize(partition_cols="conv_id", ts_col="ts", gap=300)
+    roll = ["text_len"] >> ops.RollingAgg(
+        partition_cols="conv_id", ts_col="ts", window_seconds=600, aggs=("count", "mean")
+    )
+    return Workflow(cats + te + conts + lag + sess + roll + PASSTHROUGH)
+
+
+def transcript_features(ds, num_buckets=None):
+    """fit + transform; returns (feature Dataset, fitted Workflow)."""
+    wf = transcript_feature_workflow()
+    wf.fit(ds)
+    return wf.transform(ds, num_buckets=num_buckets), wf

@@ -1,0 +1,175 @@
+"""Temporal engine tests: sessionize, as-of join, rolling windows, backfill,
+transcript generator invariants, flagship pipeline e2e, zero-leakage."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from nvtabular_ray.pipelines.temporal import asof_join, backfill, sessionize, windowed_agg
+from nvtabular_ray.pipelines.transcripts import transcript_features
+from nvtabular_ray.transcripts import generate_transcripts, generate_transcripts_pandas
+
+
+def _ds(df, blocks=3):
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(blocks)
+
+
+@pytest.fixture(scope="module")
+def tdf():
+    return generate_transcripts_pandas(40, seed=42, max_turns=200)
+
+
+def test_generator_deterministic_and_monotone(tdf):
+    tdf2 = generate_transcripts_pandas(40, seed=42, max_turns=200)
+    pd.testing.assert_frame_equal(tdf, tdf2)
+    g = tdf.sort_values(["conv_id", "turn_idx"]).groupby("conv_id")["ts"]
+    assert (g.diff().dropna() > pd.Timedelta(0)).all()
+    # distributed generation matches driver-side generation
+    dist = (
+        generate_transcripts(40, seed=42, max_turns=200)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    local = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist, local)
+
+
+def test_sessionize_oracle(tdf):
+    out = (
+        sessionize(_ds(tdf), "conv_id", "ts", gap=300, num_buckets=8)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    o = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    delta = o.groupby("conv_id")["ts"].diff()
+    new_s = (delta > pd.Timedelta(seconds=300)) | delta.isna()
+    oracle = new_s.groupby(o["conv_id"]).cumsum().astype("int64") - 1
+    np.testing.assert_array_equal(out["session_id"], oracle)
+
+
+def test_asof_join_oracle(tdf):
+    # right side: per-conv "feature snapshots" at every 5th turn
+    right = tdf[tdf["turn_idx"] % 5 == 0][["conv_id", "ts", "text_len"]].rename(
+        columns={"text_len": "feat"}
+    )
+    left = tdf[["conv_id", "turn_idx", "ts"]]
+    out = (
+        asof_join(_ds(left), _ds(right), key="conv_id", left_ts="ts", num_buckets=8)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    oracle = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="conv_id",
+        direction="backward",
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    np.testing.assert_array_equal(
+        out["feat"].to_numpy(dtype="float64", na_value=np.nan),
+        oracle["feat"].to_numpy(dtype="float64", na_value=np.nan),
+    )
+    assert len(out) == len(left)
+
+
+def test_asof_strict_excludes_current_instant(tdf):
+    right = tdf[["conv_id", "ts", "text_len"]].rename(columns={"text_len": "feat"})
+    left = tdf[["conv_id", "turn_idx", "ts"]]
+    out = (
+        asof_join(_ds(left), _ds(right), key="conv_id", left_ts="ts", strict=True, num_buckets=8)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    # first turn of each conv has no strictly-earlier snapshot
+    firsts = out.groupby("conv_id").head(1)
+    assert firsts["feat"].isna().all()
+    # later turns see the PREVIOUS turn's value, never their own
+    o = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    prev = o.groupby("conv_id")["text_len"].shift(1)
+    np.testing.assert_array_equal(
+        out["feat"].to_numpy(dtype="float64", na_value=np.nan),
+        prev.to_numpy(dtype="float64", na_value=np.nan),
+    )
+
+
+def test_windowed_agg_oracle(tdf):
+    out = (
+        windowed_agg(_ds(tdf), "conv_id", "ts", "text_len", 600, ["count", "mean"], num_buckets=8)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    o = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    rolled = (
+        o.groupby("conv_id", group_keys=False)
+        .rolling(pd.Timedelta(seconds=600), on="ts", closed="right")["text_len"]
+        .agg(["count", "mean"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(out["text_len_w600s_count"], rolled["count"].astype("int64"))
+    np.testing.assert_allclose(out["text_len_w600s_mean"], rolled["mean"], rtol=1e-12)
+
+
+def test_backfill_forward(tdf):
+    df = tdf.copy()
+    df["sparse"] = np.where(df["turn_idx"] % 3 == 0, df["text_len"].astype("float64"), np.nan)
+    out = (
+        backfill(_ds(df), "conv_id", "ts", ["sparse"], num_buckets=8)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    o = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    oracle = o.groupby("conv_id")["sparse"].ffill()
+    np.testing.assert_array_equal(
+        out["sparse_filled"].to_numpy(dtype="float64", na_value=np.nan),
+        oracle.to_numpy(dtype="float64", na_value=np.nan),
+    )
+
+
+def test_flagship_pipeline_e2e(tdf):
+    feats, wf = transcript_features(_ds(tdf), num_buckets=8)
+    out = feats.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    o = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # row count + per-turn text equality under stable (conv_id, turn_idx) order
+    assert len(out) == len(o)
+    assert (out["text"] == o["text"]).all()
+    # feature sanity
+    assert out["role"].isin([3, 4, 5]).all()  # 3 roles, vocab base 3
+    assert (out["session_id"] >= 0).all()
+    lag = out.groupby("conv_id")["text_len_difference_lag_1"]
+    assert out.groupby("conv_id").head(1)["text_len_difference_lag_1"].isna().all()
+    assert set(out.columns) >= {
+        "role", "tool", "TE_role_text_len", "text_len_norm",
+        "text_len_difference_lag_1", "text_len_difference_lag_-1",
+        "session_id", "text_len_w600s_count", "text_len_w600s_mean",
+    }
+
+
+def test_zero_temporal_leakage(tdf):
+    """Mutating rows with ts > t must not change leakage-free features at t
+    (FIXTURES.md invariant 4)."""
+    df = tdf.copy()
+    cut = df.groupby("conv_id")["ts"].transform("median")
+    mutated = df.copy()
+    future = mutated["ts"] > cut
+    mutated.loc[future, "text_len"] = 99_999
+
+    out_a = windowed_agg(_ds(df), "conv_id", "ts", "text_len", 600, ["mean"], num_buckets=8).to_pandas()
+    out_b = windowed_agg(_ds(mutated), "conv_id", "ts", "text_len", 600, ["mean"], num_buckets=8).to_pandas()
+
+    key = ["conv_id", "turn_idx"]
+    merged = out_a.merge(out_b, on=key, suffixes=("_a", "_b")).merge(
+        df.assign(_cut=cut)[key + ["_cut"]], on=key
+    )
+    past_rows = merged[merged["ts_a"] <= merged["_cut"]]
+    assert len(past_rows) > 0
+    np.testing.assert_allclose(
+        past_rows["text_len_w600s_mean_a"], past_rows["text_len_w600s_mean_b"], rtol=1e-12
+    )
