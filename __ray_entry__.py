@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-style feature pipeline;
+``queries()`` exposes one pipeline per implemented operator family
+(SURVEY.md §2) over the driver's parquet tables; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (non-SQL ops — hashing,
+MinHash dedup, SimHash, language-ID — are rows-only by design).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float-compare discipline: float64 outputs are rounded to 6 decimals on BOTH
+sides; float32 outputs are produced by a float64 aggregate cast to float32 in
+both engines (DuckDB ``CAST(x AS REAL)``), so value-hashes are stable.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +19,523 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round6(ds, cols):
+    def f(t: pa.Table) -> pa.Table:
+        for c in cols:
+            t = t.set_column(
+                t.column_names.index(c), c, pc.round(pc.cast(t.column(c), pa.float64()), ndigits=6)
+            )
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------- #
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: ordered per-entity feature engineering on sf0.001 events
+    (sessionize + lag + rolling window + categorify + target-encode),
+    the transcript-pipeline shape over the driver's own tables."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read("/root/testdata/sf0.001", "events")
+    cats = ["event_type"] >> ops.Categorify()
+    te = ["event_type"] >> ops.TargetEncoding(
+        "value", kfold=3, fold_on=["event_id"], out_col="te_event_value"
+    )
+    lag = ["value"] >> ops.DifferenceLag(partition_cols="user_id", shift=[1], sort_cols=["ts"])
+    sess = ["ts"] >> ops.Sessionize(partition_cols="user_id", ts_col="ts", gap=6 * 3600)
+    roll = ["value"] >> ops.RollingAgg(
+        partition_cols="user_id", ts_col="ts", window_seconds=86400, aggs=("count", "mean")
+    )
+    wf = Workflow(cats + te + lag + sess + roll + ["event_id", "user_id", "ts"])
+    return wf.fit(ds).transform(ds)
+
+
+# --------------------------------------------------------------------------- #
+# individual query pipelines
+# --------------------------------------------------------------------------- #
+def _q_categorify_event_type(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    wf = Workflow((["event_type"] >> ops.Categorify()) + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
+def _q_categorify_combo(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+    )
+    wf = Workflow(
+        ([["l_returnflag", "l_linestatus"]] >> ops.Categorify(encode_type="combo"))
+        + ["l_orderkey", "l_linenumber"]
+    )
+    return wf.fit(ds).transform(ds)
+
+
+def _q_normalize(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    wf = Workflow(
+        (["l_quantity"] >> ops.Normalize() >> ops.Rename(name="q_norm"))
+        + ["l_orderkey", "l_linenumber"]
+    )
+    return _round6(wf.fit(ds).transform(ds), ["q_norm"])
+
+
+def _q_minmax_logclip(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    node = (
+        ["l_extendedprice"]
+        >> ops.Clip(min_value=1000.0, max_value=60000.0)
+        >> ops.NormalizeMinMax()
+        >> ops.Rename(name="p_mm")
+    )
+    wf = Workflow(node + ["l_orderkey", "l_linenumber"])
+    return _round6(wf.fit(ds).transform(ds), ["p_mm"])
+
+
+def _with_value2(ds):
+    """value2 = value, nulled where event_type='error' (injects nulls so the
+    fill ops have work on the driver's null-free tables)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t.column("event_type"), "error")
+        v2 = pc.if_else(mask, pa.scalar(None, pa.float64()), t.column("value"))
+        return t.append_column("value2", v2)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_fillmissing(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _with_value2(_read(sf_dir, "events", columns=["event_id", "event_type", "value"]))
+    wf = Workflow(
+        (["value2"] >> ops.FillMissing(fill_val=-1.0, add_binary_cols=True)) + ["event_id"]
+    )
+    return wf.fit(ds).transform(ds)
+
+
+def _q_fillmedian(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _with_value2(_read(sf_dir, "events", columns=["event_id", "event_type", "value"]))
+    wf = Workflow((["value2"] >> ops.FillMedian()) + ["event_id"])
+    return _round6(wf.fit(ds).transform(ds), ["value2"])
+
+
+def _q_bucketize(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    wf = Workflow((["value"] >> ops.Bucketize([10.0, 50.0, 100.0, 150.0])) + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
+def _q_target_encode(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+    node = ["l_returnflag"] >> ops.TargetEncoding(
+        "l_quantity", kfold=1, p_smooth=20, out_col="te_rf", out_dtype="float64"
+    )
+    wf = Workflow(node + ["l_orderkey", "l_linenumber"])
+    return _round6(wf.fit(ds).transform(ds), ["te_rf"])
+
+
+def _q_join_groupby(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    node = ["o_custkey"] >> ops.JoinGroupby(cont_cols=["o_totalprice"], stats=["count", "sum"])
+    wf = Workflow(node + ["o_orderkey"])
+    out = wf.fit(ds).transform(ds)
+
+    def fix(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.column_names.index("o_custkey_count"),
+            "o_custkey_count",
+            pc.cast(t.column("o_custkey_count"), pa.int64()),
+        )
+        return t
+
+    return _round6(out.map_batches(fix, batch_format="pyarrow"), ["o_custkey_o_totalprice_sum"])
+
+
+def _q_join_external(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    node = ["c_custkey", "c_nationkey", "c_acctbal"] >> ops.JoinExternal(
+        nation, on="c_nationkey", on_ext="n_nationkey", how="left"
+    )
+    wf = Workflow(node)
+    out = wf.fit(ds).transform(ds)
+    return out.select_columns(["c_custkey", "c_acctbal", "n_name"])
+
+
+def _q_groupby_agg(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value", "event_type"])
+    node = ["user_id", "ts", "value", "event_type"] >> ops.Groupby(
+        groupby_cols="user_id",
+        sort_cols="ts",
+        aggs={"value": ["count", "sum", "mean"], "event_type": ["first", "last"]},
+    )
+    wf = Workflow(node)
+    out = wf.fit(ds).transform(ds)
+
+    def fix(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.column_names.index("value_count"),
+            "value_count",
+            pc.cast(t.column("value_count"), pa.int64()),
+        )
+        return t
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def _q_tpch_q1(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    node = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"] >> ops.Groupby(
+        groupby_cols=["l_returnflag", "l_linestatus"],
+        aggs={"l_quantity": ["sum", "count"], "l_extendedprice": ["sum"]},
+    )
+    out = Workflow(node).fit(ds).transform(ds)
+
+    def fix(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.column_names.index("l_quantity_count"),
+            "l_quantity_count",
+            pc.cast(t.column("l_quantity_count"), pa.int64()),
+        )
+        return t
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def _q_difference_lag(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    node = ["value"] >> ops.DifferenceLag(partition_cols="user_id", shift=[1], sort_cols=["ts"])
+    wf = Workflow(node + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
+def _q_sessionize(sf_dir: str):
+    from nvtabular_ray.pipelines.temporal import sessionize
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = sessionize(ds, "user_id", "ts", gap=6 * 3600)
+    return out.select_columns(["event_id", "session_id"])
+
+
+def _q_rolling_count(sf_dir: str):
+    from nvtabular_ray.pipelines.temporal import windowed_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = windowed_agg(ds, "user_id", "ts", "value", 86400, ["count"], prefix="w24h_")
+    return out.select_columns(["event_id", "w24h_count"])
+
+
+def _q_backfill(sf_dir: str):
+    from nvtabular_ray.pipelines.temporal import backfill
+
+    ds = _with_value2(_read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"]))
+    out = backfill(ds, "user_id", "ts", ["value2"], direction="forward")
+    return out.select_columns(["event_id", "value2_filled"])
+
+
+def _q_asof_join(sf_dir: str):
+    from nvtabular_ray.pipelines.temporal import asof_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    events = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["o_orderkey", "user_id", "o_orderdate"])
+
+    left = orders.map_batches(rename, batch_format="pyarrow")
+    out = asof_join(left, events, key="user_id", left_ts="o_orderdate", right_ts="ts")
+    return out.select_columns(["o_orderkey", "event_id"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    from nvtabular_ray.functions.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    out = exact_dedup(ds, key_cols=["text"], order_col="doc_id")
+    return out.select_columns(["doc_id", "n_chars"])
+
+
+def _q_text_stats(sf_dir: str):
+    from nvtabular_ray.functions.text import text_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_stats(ds)
+    return out.select_columns(["doc_id", "n_words", "n_chars_txt"])
+
+
+def _q_ann_topk(sf_dir: str):
+    from nvtabular_ray.functions.ann import brute_force_topk
+    import pyarrow.parquet as pq
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(qtab.column("embedding").to_pylist()[0], dtype=np.float64)
+    out = brute_force_topk(emb, qvec, k=10, id_col="vec_id")
+    return out.select_columns(["vec_id"])
+
+
+def _q_hashbucket(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    wf = Workflow((["event_type"] >> ops.HashBucket(16)) + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from nvtabular_ray.functions.dedup import minhash_lsh_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds, text_col="text", id_col="doc_id")
+
+
+def _q_langid(sf_dir: str):
+    from nvtabular_ray.functions.text import detect_language
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return detect_language(ds).select_columns(["doc_id", "lang_pred"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "categorify_event_type": _q_categorify_event_type,
+        "categorify_combo": _q_categorify_combo,
+        "normalize": _q_normalize,
+        "minmax_logclip": _q_minmax_logclip,
+        "fillmissing": _q_fillmissing,
+        "fillmedian": _q_fillmedian,
+        "bucketize": _q_bucketize,
+        "target_encode": _q_target_encode,
+        "join_groupby": _q_join_groupby,
+        "join_external": _q_join_external,
+        "groupby_agg": _q_groupby_agg,
+        "tpch_q1": _q_tpch_q1,
+        "difference_lag": _q_difference_lag,
+        "sessionize": _q_sessionize,
+        "rolling_count": _q_rolling_count,
+        "backfill": _q_backfill,
+        "asof_join": _q_asof_join,
+        "dedup_exact": _q_dedup_exact,
+        "text_stats": _q_text_stats,
+        "ann_topk": _q_ann_topk,
+        "hashbucket": _q_hashbucket,
+        "minhash_dedup": _q_minhash_dedup,
+        "langid": _q_langid,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "categorify_event_type": """
+            WITH vocab AS (
+                SELECT event_type,
+                       ROW_NUMBER() OVER (ORDER BY count(*) DESC, event_type ASC) + 2 AS code
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, v.code AS event_type
+            FROM events e JOIN vocab v USING (event_type)
+        """,
+        "categorify_combo": """
+            WITH vocab AS (
+                SELECT l_returnflag, l_linestatus,
+                       ROW_NUMBER() OVER (
+                           ORDER BY count(*) DESC, l_returnflag ASC, l_linestatus ASC
+                       ) + 2 AS code
+                FROM lineitem GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l.l_orderkey, l.l_linenumber, v.code AS l_returnflag_l_linestatus
+            FROM lineitem l JOIN vocab v USING (l_returnflag, l_linestatus)
+        """,
+        "normalize": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND((l_quantity - avg(l_quantity) OVER ())
+                         / stddev_samp(l_quantity) OVER (), 6) AS q_norm
+            FROM lineitem
+        """,
+        "minmax_logclip": """
+            WITH c AS (
+                SELECT l_orderkey, l_linenumber,
+                       LEAST(GREATEST(l_extendedprice, 1000.0), 60000.0) AS v
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   ROUND((v - min(v) OVER ()) / (max(v) OVER () - min(v) OVER ()), 6) AS p_mm
+            FROM c
+        """,
+        "fillmissing": """
+            SELECT event_id,
+                   COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE value END, -1.0)
+                       AS value2,
+                   (event_type = 'error') AS value2_filled
+            FROM events
+        """,
+        "fillmedian": """
+            WITH v AS (
+                SELECT event_id,
+                       CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value2
+                FROM events
+            ),
+            m AS (SELECT median(value2) AS med FROM v)
+            SELECT event_id, ROUND(COALESCE(value2, med), 6) AS value2 FROM v, m
+        """,
+        "bucketize": """
+            SELECT event_id,
+                   CAST(CASE WHEN value >= 150.0 THEN 4
+                             WHEN value >= 100.0 THEN 3
+                             WHEN value >= 50.0 THEN 2
+                             WHEN value >= 10.0 THEN 1
+                             ELSE 0 END AS INT) AS value
+            FROM events
+        """,
+        "target_encode": """
+            WITH stats AS (
+                SELECT l_returnflag, count(l_quantity) AS cnt, sum(l_quantity) AS s
+                FROM lineitem GROUP BY l_returnflag
+            ),
+            g AS (SELECT avg(l_quantity) AS gmean FROM lineitem)
+            SELECT l.l_orderkey, l.l_linenumber,
+                   ROUND((st.s + 20 * g.gmean) / (st.cnt + 20), 6) AS te_rf
+            FROM lineitem l JOIN stats st USING (l_returnflag), g
+        """,
+        "join_groupby": """
+            WITH st AS (
+                SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS s
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o.o_orderkey, st.cnt AS o_custkey_count,
+                   ROUND(st.s, 6) AS o_custkey_o_totalprice_sum
+            FROM orders o JOIN st USING (o_custkey)
+        """,
+        "join_external": """
+            SELECT c.c_custkey, c.c_acctbal, n.n_name
+            FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "groupby_agg": """
+            WITH ranked AS (
+                SELECT user_id, value, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC) AS rn_a,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn_d
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(value) AS BIGINT) AS value_count,
+                   CAST(sum(value) AS REAL) AS value_sum,
+                   CAST(avg(value) AS REAL) AS value_mean,
+                   max(CASE WHEN rn_a = 1 THEN event_type END) AS event_type_first,
+                   max(CASE WHEN rn_d = 1 THEN event_type END) AS event_type_last
+            FROM ranked GROUP BY user_id
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS REAL) AS l_quantity_sum,
+                   CAST(count(*) AS BIGINT) AS l_quantity_count,
+                   CAST(sum(l_extendedprice) AS REAL) AS l_extendedprice_sum
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "difference_lag": """
+            SELECT event_id,
+                   CAST(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS REAL)
+                       AS value_difference_lag_1
+            FROM events
+        """,
+        "sessionize": """
+            WITH d AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 6 HOUR
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+            FROM d
+        """,
+        "rolling_count": """
+            SELECT event_id,
+                   CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS w24h_count
+            FROM events
+        """,
+        "backfill": """
+            SELECT event_id,
+                   LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                       AS value2_filled
+            FROM events
+        """,
+        "asof_join": """
+            SELECT o.o_orderkey, e.event_id
+            FROM orders o
+            ASOF LEFT JOIN events e
+            ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+        """,
+        "dedup_exact": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                        AS BIGINT) AS n_words,
+                   CAST(length(text) AS BIGINT) AS n_chars_txt
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT embedding AS qv FROM embeddings
+                ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id FROM embeddings, q
+            ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id ASC
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,153 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "flagship_fit_transform_write_sec", "value": <sec>,
+   "unit": "sec", "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "turns": T, "turns_per_sec": T/sec}
+
+Headline: the flagship transcript feature pipeline (sessionize + lag/lead +
+rolling window + Categorify + TargetEncoding + Normalize) fit + transform +
+parquet write over a deterministic synthetic transcript table (BASELINE.json
+input_hint); turns/sec is the north-star metric. Per-query timings cover the
+__ray_entry__ pipelines over $GRAFT_SF_DIR.
+
+`--scaling`: runs the headline twice in fresh processes at RAY_GRAFT_CPUS=8
+and 32 on the SAME cached input and reports throughput at both plus scaling
+efficiency (the sandbox stand-in for the N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "80000"))
+CACHE = f"/tmp/nvtr_bench_transcripts_{BENCH_CONVS}"
+SKIP_QUERIES = os.environ.get("GRAFT_BENCH_SKIP_QUERIES", "") == "1"
+
+
+def _ensure_transcripts():
+    """Generate the bench transcript parquet once (also warms page cache)."""
+    if not os.path.exists(os.path.join(CACHE, "_SUCCESS")):
+        from nvtabular_ray.transcripts import generate_transcripts
+
+        ds = generate_transcripts(BENCH_CONVS, seed=42)
+        # ~64 healthy-sized files: block count should track cluster CPUs,
+        # not explode into hundreds of tiny sort partitions
+        ds.repartition(64).write_parquet(CACHE)
+        open(os.path.join(CACHE, "_SUCCESS"), "w").close()
+    # warm page cache with one untimed read of the metadata + data
+    import pyarrow.parquet as pq
+    import glob
+
+    n = 0
+    for f in glob.glob(f"{CACHE}/*.parquet"):
+        n += pq.read_metadata(f).num_rows
+    return n
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    n_turns = _ensure_transcripts()
+    # untimed warm read
+    rd.read_parquet(CACHE).count()
+
+    from nvtabular_ray.pipelines.transcripts import transcript_features
+
+    out_dir = f"/tmp/nvtr_bench_out_{NUM_CPUS}"
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(CACHE)
+    feats, wf = transcript_features(ds)
+    feats.write_parquet(out_dir)
+    headline = time.perf_counter() - t0
+
+    result = {
+        "metric": "flagship_fit_transform_write_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+        "queries": {},
+    }
+
+    if not SKIP_QUERIES:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import __ray_entry__ as entrymod
+
+        for name, fn in entrymod.queries().items():
+            t0 = time.perf_counter()
+            out = fn(SF_DIR)
+            if hasattr(out, "materialize"):
+                out.materialize()
+            result["queries"][name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_SKIP_QUERIES="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # N vs 4N. Default 2 -> 8: this sandbox advertises 32 CPUs but measures
+    # only ~11.4x parallel speedup (see BASELINE.md "hardware note"), so the
+    # honest two-level comparison keeps both levels within the real core
+    # budget. Override with GRAFT_SCALE_LO/HI.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": f"scaling_efficiency_{lo}_to_{hi}",
+                f"sec_{lo}": r_lo["value"],
+                f"sec_{hi}": r_hi["value"],
+                "turns": r_lo["turns"],
+                f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+                f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,253 @@
+"""Deduplication at scale: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup. (New scope beyond the reference — SURVEY.md §2.3
+notes the reference has no general dedup operator.)
+
+All are Ray-Data-native: vectorized signature computation in map_batches,
+ONE groupby shuffle on a hash/bucket key, per-group vectorized resolution.
+Document payloads never ride through the shuffle unless semantically needed
+(exact dedup groups on a 64-bit content hash and only compares full keys
+within hash groups — collision-safe without shuffling full text twice).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from nvtabular_ray.functions.hashing import hash64, hash64_columns
+
+_H = "__h__"
+
+
+def exact_dedup(ds, key_cols: list[str], order_col: str):
+    """Keep, per distinct key tuple, the row with the smallest ``order_col``.
+    Shuffle key is the 64-bit hash of the key columns (narrow), not the
+    payload; true key equality is re-checked within each hash group."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return t.append_column(_H, pa.array(hash64_columns(t, key_cols).astype(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pick_first(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.sort_values(order_col, kind="mergesort")
+            .drop_duplicates(subset=key_cols, keep="first")
+            .drop(columns=[_H])
+        )
+        return out
+
+    return hashed.groupby(_H).map_groups(pick_first, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ MinHash --
+def _char_shingles(text: str, k: int = 5) -> np.ndarray:
+    if len(text) < k:
+        return np.array([text], dtype=object)
+    return np.array([text[i : i + k] for i in range(len(text) - k + 1)], dtype=object)
+
+
+def minhash_signatures(texts, num_perm: int = 64, shingle_k: int = 5) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures; one base SipHash per
+    shingle + universal affine re-hashing (vectorized)."""
+    rng = np.random.RandomState(1729)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        sh = np.unique(hash64(pd.Series(_char_shingles(text or ""))))
+        # universal hash family: (a*h + b) mod 2^64, then min
+        vals = sh[None, :] * a[:, None] + b[:, None]
+        sigs[i] = vals.min(axis=1)
+    return sigs
+
+
+def minhash_lsh_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    rounds: int = 2,
+):
+    """Near-duplicate clustering: shingle -> MinHash -> LSH band buckets ->
+    min-label propagation. Returns (id_col, cluster_id): cluster_id is the
+    smallest doc id among LSH-connected docs after ``rounds`` propagation
+    rounds (connected components converge for chains up to 2^rounds hops).
+    """
+    rows_per_band = num_perm // bands
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sigs = minhash_signatures(texts, num_perm, shingle_k)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int32), len(ids))
+        doc_ids = np.tile(ids, bands)
+        band_hash = np.empty(bands * len(ids), dtype=np.int64)
+        for bnd in range(bands):
+            chunk = sigs[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]
+            band_hash[bnd * len(ids) : (bnd + 1) * len(ids)] = hash64(
+                pd.Series([chunk[i].tobytes() for i in range(len(ids))])
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(band_ids),
+                "band_hash": pa.array(band_hash),
+                id_col: pa.array(doc_ids),
+            }
+        )
+
+    buckets = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    # label = min doc id in each (band, band_hash) bucket; propagate
+    def bucket_min(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.copy()
+        group["label"] = group[id_col].min()
+        return group[[id_col, "label"]]
+
+    labels = buckets.groupby(["band", "band_hash"]).map_groups(bucket_min, batch_format="pandas")
+
+    def doc_min(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: [group[id_col].iloc[0]], "cluster_id": [group["label"].min()]}
+        )
+
+    result = labels.groupby(id_col).map_groups(doc_min, batch_format="pandas")
+    # extra propagation rounds for transitive chains (label -> that doc's label)
+    for _ in range(rounds - 1):
+        pairs = result  # (doc, cluster)
+
+        def relabel(group: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {id_col: group[id_col], "cluster_id": group["cluster_id"].min()}
+            )
+
+        result = pairs.groupby("cluster_id").map_groups(
+            lambda g: pd.DataFrame({id_col: g[id_col], "cluster_id": g["cluster_id"].min()}),
+            batch_format="pandas",
+        )
+    return result
+
+
+# ------------------------------------------------------------------ SimHash --
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", hamming_threshold: int = 3):
+    """64-bit SimHash over word tokens; docs sharing any of 4 16-bit bands
+    become candidates; candidates verified by full Hamming distance."""
+
+    def sim_rows(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sh = np.empty(len(texts), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            toks = (text or "").lower().split()
+            if not toks:
+                sh[i] = 0
+                continue
+            hs = hash64(pd.Series(toks, dtype=object))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+            vote = bits.sum(axis=0) * 2 - len(hs)
+            sh[i] = np.packbits((vote > 0)[::-1]).view(">u8")[0]
+        out = {"__simhash__": pa.array(sh.astype(np.int64)), id_col: t.column(id_col)}
+        return pa.table(out)
+
+    sigs = ds.map_batches(sim_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def explode(t: pa.Table) -> pa.Table:
+        s = t.column("__simhash__").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bands = [(s >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)]
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), len(ids))),
+                "key": pa.array(np.concatenate(bands).astype(np.int64)),
+                id_col: pa.array(np.tile(ids, 4)),
+                "__simhash__": pa.array(np.tile(s.astype(np.int64), 4)),
+            }
+        )
+
+    buckets = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({id_col: group[id_col], "cluster_id": group[id_col]})
+        sh = group["__simhash__"].to_numpy().astype(np.uint64)
+        ids = group[id_col].to_numpy()
+        order = np.argsort(ids)
+        sh, ids = sh[order], ids[order]
+        xor = sh[:, None] ^ sh[None, :]
+        ham = np.unpackbits(xor.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2).sum(axis=2)
+        labels = ids.copy()
+        close = ham <= hamming_threshold
+        labels = ids[np.argmax(close, axis=1)]  # first (smallest-id) close doc
+        return pd.DataFrame({id_col: ids, "cluster_id": labels})
+
+    labeled = buckets.groupby(["band", "key"]).map_groups(resolve, batch_format="pandas")
+    return labeled.groupby(id_col).map_groups(
+        lambda g: pd.DataFrame({id_col: [g[id_col].iloc[0]], "cluster_id": [g["cluster_id"].min()]}),
+        batch_format="pandas",
+    )
+
+
+# ------------------------------------------------- n-gram Jaccard / embeddings --
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Word n-gram Jaccard similarity (driver-side verification kernel)."""
+    def grams(t):
+        w = (t or "").lower().split()
+        return set(tuple(w[i : i + n]) for i in range(max(len(w) - n + 1, 1)))
+
+    ga, gb = grams(text_a), grams(text_b)
+    if not ga and not gb:
+        return 1.0
+    return len(ga & gb) / max(len(ga | gb), 1)
+
+
+def embedding_near_dup(
+    ds,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_buckets: int = 16,
+    seed: int = 7,
+):
+    """Embedding-cosine near-dup via random-hyperplane LSH: bucket by sign
+    pattern of ``log2(num_buckets)`` random projections, verify cosine within
+    buckets (vectorized matmul), emit (id, cluster_id=min id of near-dups)."""
+    nbits = int(np.log2(num_buckets))
+
+    state: dict = {}
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        emb = np.asarray(t.column(embedding_col).to_pylist(), dtype=np.float64)
+        if "planes" not in state:
+            rng = np.random.RandomState(seed)
+            state["planes"] = rng.normal(size=(emb.shape[1], nbits))
+        signs = (emb @ state["planes"]) > 0
+        bucket = signs @ (1 << np.arange(nbits))
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.astype(np.int64)),
+                id_col: t.column(id_col),
+                embedding_col: t.column(embedding_col),
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        emb = np.asarray(list(group[embedding_col]), dtype=np.float64)
+        ids = group[id_col].to_numpy()
+        order = np.argsort(ids)
+        emb, ids = emb[order], ids[order]
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = emb / norms
+        cos = unit @ unit.T
+        close = cos >= threshold
+        labels = ids[np.argmax(close, axis=1)]
+        return pd.DataFrame({id_col: ids, "cluster_id": labels})
+
+    return bucketed.groupby("bucket").map_groups(resolve, batch_format="pandas")

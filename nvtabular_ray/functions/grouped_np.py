@@ -1,0 +1,134 @@
+"""Vectorized grouped kernels over KEY-SORTED arrays.
+
+The ordered ops (DifferenceLag, Sessionize, RollingAgg) receive
+entity-complete tables sorted by (key, ts) from the bucketed shuffle. Inside
+a bucket, pandas ``groupby(...).shift/rolling/cumsum`` on string keys costs
+tens of µs/row; these numpy kernels (group ids from sorted change-points,
+shift-with-boundary-mask, trailing-window two-pointer via one searchsorted)
+run in ~ns/row and keep the per-bucket UDF off the critical path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def group_ids_sorted(table: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """0-based group index per row for a table sorted by ``key_cols``.
+    Change-point detection is pure Arrow (C) on sliced columns — no hashing,
+    no Python per row."""
+    n = table.num_rows
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in key_cols:
+        col = table.column(c).combine_chunks()
+        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+        change[1:] |= neq.to_numpy(zero_copy_only=False).astype(bool)
+    return np.cumsum(change) - 1
+
+
+def group_starts(gid: np.ndarray) -> np.ndarray:
+    """Index of the first row of each group (gid from group_ids_sorted)."""
+    if len(gid) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+
+
+def grouped_diff(values: np.ndarray, gid: np.ndarray, shift: int) -> np.ndarray:
+    """values[i] - values[i-shift], NaN where i-shift crosses a group
+    boundary (the reference DifferenceLag mask, difference_lag.py:66-80)."""
+    n = len(values)
+    out = np.full(n, np.nan, dtype=np.float64)
+    k = abs(shift)
+    if k == 0 or k >= n:
+        return out
+    if shift > 0:
+        valid = gid[k:] == gid[:-k]
+        out[k:][valid] = values[k:][valid] - values[:-k][valid]
+    else:
+        valid = gid[k:] == gid[:-k]
+        out[:-k][valid] = values[:-k][valid] - values[k:][valid]
+    return out
+
+
+def grouped_sessionize(ts_us: np.ndarray, gid: np.ndarray, gap_us: int) -> np.ndarray:
+    """0-based session index per row (new session at group start or when the
+    gap to the previous row of the group exceeds gap_us)."""
+    n = len(ts_us)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    new_s = np.ones(n, dtype=bool)
+    same = gid[1:] == gid[:-1]
+    new_s[1:] = (~same) | ((ts_us[1:] - ts_us[:-1]) > gap_us)
+    sid = np.cumsum(new_s)
+    starts = group_starts(gid)
+    counts = np.diff(np.r_[starts, n])
+    base = np.repeat(sid[starts], counts)
+    return (sid - base).astype(np.int64)
+
+
+def grouped_window_starts(ts_us: np.ndarray, gid: np.ndarray, window_us: int) -> np.ndarray:
+    """For each row i, the smallest index w in the same group with
+    ts[w] >= ts[i] - window (trailing window (t-window, t]).
+
+    One GLOBAL searchsorted over a per-group-rebased time axis: each group's
+    times are shifted onto a disjoint strictly-increasing band, so window
+    starts can never cross group boundaries. Falls back to a per-group loop
+    if the rebased axis would overflow int64 (gigantic buckets)."""
+    n = len(ts_us)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = group_starts(gid)
+    counts = np.diff(np.r_[starts, n])
+    rel = ts_us - np.repeat(ts_us[starts], counts)  # >= 0, monotone per group
+    max_rel = int(rel.max()) if n else 0
+    stride = max_rel + window_us + 2
+    n_groups = int(gid[-1]) + 1
+    if stride > 0 and n_groups < (2**62) // stride:
+        axis = rel + gid * stride
+        # side="right": window is (t - W, t] — matches pandas closed="right"
+        return np.searchsorted(axis, axis - window_us, side="right")
+    # fallback: loop over groups (rare; only for absurdly wide buckets)
+    out = np.empty(n, dtype=np.int64)
+    for s, c in zip(starts, counts):
+        seg = ts_us[s : s + c]
+        out[s : s + c] = s + np.searchsorted(seg, seg - window_us, side="right")
+    return out
+
+
+def rolling_aggregate(
+    values: np.ndarray, ts_us: np.ndarray, gid: np.ndarray, window_us: int, aggs: list[str]
+) -> dict[str, np.ndarray]:
+    """Trailing-window aggregates per row via prefix sums + window starts.
+    Supports count/sum/mean/min/max (min/max via pandas fallback)."""
+    w = grouped_window_starts(ts_us, gid, window_us)
+    idx = np.arange(len(values), dtype=np.int64)
+    out: dict[str, np.ndarray] = {}
+    count = idx - w + 1
+    if "count" in aggs:
+        out["count"] = count
+    if "sum" in aggs or "mean" in aggs:
+        cs = np.concatenate([[0.0], np.cumsum(values, dtype=np.float64)])
+        s = cs[idx + 1] - cs[w]
+        if "sum" in aggs:
+            out["sum"] = s
+        if "mean" in aggs:
+            out["mean"] = s / count
+    unsupported = [a for a in aggs if a not in ("count", "sum", "mean")]
+    if unsupported:
+        import pandas as pd
+
+        df = pd.DataFrame({"g": gid, "ts": pd.to_datetime(ts_us, unit="us"), "v": values})
+        g = df.groupby("g", sort=False, group_keys=False)
+        rolled = g.rolling(pd.Timedelta(microseconds=window_us), on="ts", closed="right")["v"].agg(
+            unsupported
+        )
+        rolled = rolled.reset_index(drop=True)
+        for a in unsupported:
+            col = rolled[a] if hasattr(rolled, "columns") else rolled
+            out[a] = col.to_numpy()
+    return out

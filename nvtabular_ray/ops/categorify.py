@@ -112,18 +112,91 @@ class Categorify(StatOperator):
 
     # -------------------------------------------------------------- fit --
     def fit(self, col_selector, ds) -> None:
-        from ray.data.aggregate import Sum
+        from nvtabular_ray.functions.aggregates import grouped_reduce
 
-        for name, cols in self._groups(col_selector):
-            if name in self.vocab_tables and self.fitted:
-                continue  # user-supplied vocab
-            if len(cols) > 1 and self.encode_type == "combo":
-                self._fit_combo(ds, name, cols)
-                continue
+        schema = ds.schema(fetch_if_missing=True)
+        types = dict(zip(schema.names, schema.types))
 
-            # single column, or multi-column "joint" (shared vocab over the
-            # concatenation of the member columns, categorify.py:259-264)
-            def partial(t: pa.Table, cols=tuple(cols)) -> pa.Table:
+        def value_type(c):
+            t = types[c]
+            return t.value_type if (pa.types.is_list(t) or pa.types.is_large_list(t)) else t
+
+        todo = [
+            (name, cols)
+            for name, cols in self._groups(col_selector)
+            if not (name in self.vocab_tables and self.fitted)
+        ]
+        combos = [(n, c) for n, c in todo if len(c) > 1 and self.encode_type == "combo"]
+        singles = [(n, c) for n, c in todo if not (len(c) > 1 and self.encode_type == "combo")]
+
+        for name, cols in combos:
+            self._fit_combo(ds, name, cols)
+
+        # FUSED single/joint fit: ONE pass + ONE groupby for ALL columns.
+        # Values ride the shuffle as strings keyed by group name; string/int/
+        # bool round-trip exactly (float categoricals fall back to per-group).
+        fuseable, fallback = [], []
+        for name, cols in singles:
+            if all(
+                pa.types.is_string(value_type(c))
+                or pa.types.is_large_string(value_type(c))
+                or pa.types.is_integer(value_type(c))
+                or pa.types.is_boolean(value_type(c))
+                for c in cols
+            ):
+                fuseable.append((name, cols))
+            else:
+                fallback.append((name, cols))
+
+        if fuseable:
+            group_of = [(name, c) for name, cols in fuseable for c in cols]
+
+            def partial(t: pa.Table, group_of=tuple(group_of)) -> pa.Table:
+                names_out, vals_out, cnts_out, nulls_out = [], [], [], []
+                for gname, c in group_of:
+                    arr = as_single_chunk(t.column(c))
+                    if is_list_type(arr.type):
+                        arr = arr.flatten()
+                    nulls = arr.null_count
+                    vc = pc.value_counts(arr.drop_null())
+                    v = pc.cast(vc.field("values"), pa.string())
+                    k = len(v)
+                    names_out.append(pa.array([gname] * k, pa.string()))
+                    vals_out.append(v)
+                    cnts_out.append(pc.cast(vc.field("counts"), pa.int64()))
+                    nulls_out.append(
+                        pa.array(([nulls] + [0] * (k - 1)) if k else [], pa.int64())
+                    )
+                return pa.table(
+                    {
+                        "g": pa.concat_arrays(names_out),
+                        "value": pa.concat_arrays(vals_out),
+                        "count": pa.concat_arrays(cnts_out),
+                        "nulls": pa.concat_arrays(nulls_out),
+                    }
+                )
+
+            merged = grouped_reduce(
+                ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+                ["g", "value"],
+                {"count": "sum", "nulls": "sum"},
+            )
+            for name, cols in fuseable:
+                vocab_df = merged[merged["g"] == name].drop(columns=["g"]).reset_index(drop=True)
+                self._check_vocab_size(name, vocab_df)
+                nulls = int(vocab_df["nulls"].sum())
+                vocab_df = vocab_df.drop(columns=["nulls"])
+                # cast string-transported values back to the column dtype
+                vt = value_type(cols[0])
+                if not (pa.types.is_string(vt) or pa.types.is_large_string(vt)):
+                    vocab_df["value"] = (
+                        pc.cast(pa.Array.from_pandas(vocab_df["value"]), vt).to_pandas()
+                    )
+                self._finalize_vocab(name, cols[0] if len(cols) == 1 else name, vocab_df, nulls)
+
+        for name, cols in fallback:
+
+            def partial1(t: pa.Table, cols=tuple(cols)) -> pa.Table:
                 vals, cnts, nulls = [], [], 0
                 for c in cols:
                     arr = as_single_chunk(t.column(c))
@@ -135,25 +208,23 @@ class Categorify(StatOperator):
                     cnts.append(pc.cast(vc.field("counts"), pa.int64()))
                 value = pa.concat_arrays([v.cast(vals[0].type) for v in vals])
                 out = pa.table({"value": value, "count": pa.concat_arrays(cnts)})
-                # first row carries the batch's null count (summed later; null
-                # totals feed meta reporting only, not encoding correctness)
                 nulls_col = ([nulls] + [0] * (out.num_rows - 1)) if out.num_rows else []
                 return out.append_column("nulls", pa.array(nulls_col, pa.int64()))
 
-            parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-            merged = parts.groupby("value").aggregate(
-                Sum("count", alias_name="count"), Sum("nulls", alias_name="nulls")
+            merged1 = grouped_reduce(
+                ds.map_batches(partial1, batch_format="pyarrow", zero_copy_batch=True),
+                ["value"],
+                {"count": "sum", "nulls": "sum"},
             )
-            vocab_df = merged.to_pandas()
-            self._check_vocab_size(name, vocab_df)
-            nulls = int(vocab_df["nulls"].sum())
-            vocab_df = vocab_df.drop(columns=["nulls"])
+            self._check_vocab_size(name, merged1)
+            nulls = int(merged1["nulls"].sum())
+            vocab_df = merged1.drop(columns=["nulls"])
             self._finalize_vocab(name, cols[0] if len(cols) == 1 else name, vocab_df, nulls)
 
         self._write_artifacts()
 
     def _fit_combo(self, ds, name: str, cols: list[str]) -> None:
-        from ray.data.aggregate import Sum
+        from nvtabular_ray.functions.aggregates import grouped_reduce
 
         def partial(t: pa.Table, cols=tuple(cols)) -> pa.Table:
             df = t.select(list(cols)).to_pandas()
@@ -161,8 +232,7 @@ class Categorify(StatOperator):
             return pa.Table.from_pandas(grouped, preserve_index=False)
 
         parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        merged = parts.groupby(list(cols)).aggregate(Sum("count", alias_name="count"))
-        vocab_df = merged.to_pandas()
+        vocab_df = grouped_reduce(parts, list(cols), {"count": "sum"})
         self._check_vocab_size(name, vocab_df)
         # rows with any null member are encoded as null (code 1), not vocab
         null_mask = vocab_df[list(cols)].isna().any(axis=1)

@@ -47,17 +47,29 @@ class DifferenceLag(Operator):
         }
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from nvtabular_ray.functions.grouped_np import group_ids_sorted, grouped_diff
+
         value_cols = [
             c
             for c in col_selector.names
             if c not in self.partition_cols and c not in self.sort_cols
         ]
-        df = table.select(self.partition_cols + value_cols).to_pandas()
-        g = df.groupby(self.partition_cols, sort=False, observed=True)
+        gid = group_ids_sorted(table, self.partition_cols)
         out = {}
-        for shift in self.shifts:
-            shifted = g[value_cols].shift(shift)
-            for col in value_cols:
-                delta = (df[col] - shifted[col]).astype(np.float32)
-                out[f"{col}_difference_lag_{shift}"] = pa.Array.from_pandas(delta)
+        for col in value_cols:
+            vals = (
+                table.column(col)
+                .combine_chunks()
+                .cast(pa.float64())
+                .to_numpy(zero_copy_only=False)
+            )
+            for shift in self.shifts:
+                delta = grouped_diff(vals, gid, shift).astype(np.float32)
+                # boundary rows are NULL (reference masks with None,
+                # difference_lag.py:74-78), not NaN
+                out[f"{col}_difference_lag_{shift}"] = pa.array(
+                    delta, pa.float32(), mask=np.isnan(delta)
+                )
         return pa.table(out)

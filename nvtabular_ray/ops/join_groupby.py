@@ -36,7 +36,7 @@ def _group_name(group, name_sep="_"):
 def grouped_stats(ds, group_cols: list[str], cont_cols: list[str]) -> pd.DataFrame:
     """Distributed grouped (count,sum,sumsq,min,max) with map-side combine;
     returns the small merged stat frame on the driver."""
-    from ray.data.aggregate import Max, Min, Sum
+    from nvtabular_ray.functions.aggregates import grouped_reduce
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.select(group_cols + cont_cols).to_pandas()
@@ -52,15 +52,13 @@ def grouped_stats(ds, group_cols: list[str], cont_cols: list[str]) -> pd.DataFra
         return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    aggs = [Sum("__count__", alias_name="__count__")]
+    spec = {"__count__": "sum"}
     for c in cont_cols:
-        aggs += [
-            Sum(f"__{c}_sum__", alias_name=f"__{c}_sum__"),
-            Sum(f"__{c}_sumsq__", alias_name=f"__{c}_sumsq__"),
-            Min(f"__{c}_min__", alias_name=f"__{c}_min__"),
-            Max(f"__{c}_max__", alias_name=f"__{c}_max__"),
-        ]
-    return parts.groupby(group_cols).aggregate(*aggs).to_pandas()
+        spec[f"__{c}_sum__"] = "sum"
+        spec[f"__{c}_sumsq__"] = "sum"
+        spec[f"__{c}_min__"] = "min"
+        spec[f"__{c}_max__"] = "max"
+    return grouped_reduce(parts, group_cols, spec)
 
 
 class JoinGroupby(BroadcastTableState, StatOperator):

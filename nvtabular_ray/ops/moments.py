@@ -62,22 +62,16 @@ def column_moments(ds, cols: list[str]) -> dict[str, dict[str, float]]:
 
     Finalization math mirrors /root/reference/nvtabular/ops/moments.py:89-116.
     """
-    from ray.data.aggregate import Max, Min, Sum
+    from nvtabular_ray.functions.aggregates import grouped_reduce
 
     partials = ds.map_batches(
         lambda t: _partials_batch(t, cols), batch_format="pyarrow", zero_copy_batch=True
     )
-    merged = (
-        partials.groupby("col")
-        .aggregate(
-            Sum("count", alias_name="count"),
-            Sum("sum", alias_name="sum"),
-            Sum("sumsq", alias_name="sumsq"),
-            Min("min", alias_name="min"),
-            Max("max", alias_name="max"),
-        )
-        .take_all()
-    )
+    merged = grouped_reduce(
+        partials,
+        ["col"],
+        {"count": "sum", "sum": "sum", "sumsq": "sum", "min": "min", "max": "max"},
+    ).to_dict("records")
     out: dict[str, dict[str, float]] = {}
     for row in merged:
         n = int(row["count"])

@@ -107,7 +107,7 @@ class TargetEncoding(BroadcastTableState, StatOperator):
 
     # -------------------------------------------------------------- fit --
     def fit(self, col_selector, ds) -> None:
-        from ray.data.aggregate import Sum
+        from nvtabular_ray.functions.aggregates import grouped_reduce
 
         input_cols = list(col_selector.names) + self.dependencies
         for name, group in self._groups(col_selector):
@@ -120,11 +120,9 @@ class TargetEncoding(BroadcastTableState, StatOperator):
                 return pa.Table.from_pandas(out, preserve_index=False)
 
             parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-            fold_stats = (
-                parts.groupby(list(group) + [FOLD_NAME])
-                .aggregate(Sum("count", alias_name="count_y"), Sum("sum", alias_name="sum_y"))
-                .to_pandas()
-            )
+            fold_stats = grouped_reduce(
+                parts, list(group) + [FOLD_NAME], {"count": "sum", "sum": "sum"}
+            ).rename(columns={"count": "count_y", "sum": "sum_y"})
             all_stats = (
                 fold_stats.groupby(list(group), dropna=False, observed=True)[["count_y", "sum_y"]]
                 .sum()

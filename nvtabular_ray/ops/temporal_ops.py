@@ -5,22 +5,41 @@ bucketed key shuffle alongside DifferenceLag/Categorify/etc. — one shuffle
 for the whole ordered feature set instead of one per op. NEW SCOPE vs the
 reference (north rule: sessionization + windowed features); ordering
 guarantees come from the workflow compiler (ops/base.py partition_cols).
+
+Hot path is pure numpy over key-sorted arrays (functions/grouped_np.py):
+group-change-point detection, cumsum session ids, one searchsorted for all
+trailing windows — no pandas groupby in the per-row path.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Union
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
+from nvtabular_ray.functions.grouped_np import (
+    group_ids_sorted,
+    grouped_sessionize,
+    rolling_aggregate,
+)
 from nvtabular_ray.ops.base import Operator
+
+
+def _ts_to_int_us(arr) -> tuple[np.ndarray, bool]:
+    """(int64 microseconds-or-raw-units, is_timestamp)."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_timestamp(a.type):
+        return pc.cast(a, pa.timestamp("us")).cast(pa.int64()).to_numpy(), True
+    return pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False), False
 
 
 class Sessionize(Operator):
     """0-based per-entity session index; new session when the time since the
-    previous row of the same entity exceeds ``gap`` seconds. Leakage-free:
-    depends only on current/earlier rows of the entity."""
+    previous row of the same entity exceeds ``gap`` (seconds for timestamp
+    columns, raw units for numeric ts columns). Leakage-free: depends only on
+    current/earlier rows of the entity."""
 
     def __init__(
         self,
@@ -45,20 +64,11 @@ class Sessionize(Operator):
         return {self.out_col: [self.ts_col]}
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
-        df = table.select(self.partition_cols + [self.ts_col]).to_pandas()
-        gap_td = pd.Timedelta(seconds=self.gap)
-        delta = df.groupby(self.partition_cols, sort=False, observed=True)[self.ts_col].diff()
-        if not hasattr(delta.iloc[0] if len(delta) else None, "total_seconds") and delta.dtype.kind in "if":
-            new_session = (delta > self.gap) | delta.isna()
-        else:
-            new_session = (delta > gap_td) | delta.isna()
-        session = (
-            new_session.groupby([df[k] for k in self.partition_cols], observed=True)
-            .cumsum()
-            .astype("int64")
-            - 1
-        )
-        return pa.table({self.out_col: pa.Array.from_pandas(session)})
+        gid = group_ids_sorted(table, self.partition_cols)
+        ts, is_ts = _ts_to_int_us(table.column(self.ts_col))
+        gap_units = int(self.gap * 1_000_000) if is_ts else int(self.gap)
+        sid = grouped_sessionize(ts, gid, gap_units)
+        return pa.table({self.out_col: pa.array(sid, pa.int64())})
 
 
 class RollingAgg(Operator):
@@ -85,32 +95,32 @@ class RollingAgg(Operator):
     def dependencies(self):
         return self.partition_cols + [self.ts_col]
 
+    def _value_cols(self, col_selector):
+        return [
+            c for c in col_selector.names if c not in self.partition_cols and c != self.ts_col
+        ]
+
     def _out_name(self, col: str, agg: str) -> str:
         return f"{col}_w{int(self.window_seconds)}s_{agg}"
 
     def column_mapping(self, col_selector):
-        value_cols = [
-            c
-            for c in col_selector.names
-            if c not in self.partition_cols and c != self.ts_col
-        ]
-        return {self._out_name(c, a): [c] for c in value_cols for a in self.aggs}
+        return {
+            self._out_name(c, a): [c] for c in self._value_cols(col_selector) for a in self.aggs
+        }
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
-        value_cols = [
-            c
-            for c in col_selector.names
-            if c not in self.partition_cols and c != self.ts_col
-        ]
-        df = table.select(self.partition_cols + [self.ts_col] + value_cols).to_pandas()
-        window = pd.Timedelta(seconds=self.window_seconds)
-        g = df.groupby(self.partition_cols, sort=False, observed=True, group_keys=False)
+        gid = group_ids_sorted(table, self.partition_cols)
+        ts, is_ts = _ts_to_int_us(table.column(self.ts_col))
+        window = int(self.window_seconds * 1_000_000) if is_ts else int(self.window_seconds)
         out = {}
-        for c in value_cols:
-            rolled = g.rolling(window, on=self.ts_col, closed="right")[c].agg(self.aggs)
-            rolled = rolled.reset_index(drop=True)
+        for c in self._value_cols(col_selector):
+            vals = (
+                table.column(c).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            )
+            res = rolling_aggregate(vals, ts, gid, window, self.aggs)
             for a in self.aggs:
-                series = rolled[a] if isinstance(rolled, pd.DataFrame) else rolled
-                series = series.astype("int64") if a == "count" else series.astype("float64")
-                out[self._out_name(c, a)] = pa.Array.from_pandas(series)
+                arr = res[a]
+                out[self._out_name(c, a)] = pa.array(
+                    arr.astype(np.int64) if a == "count" else arr.astype(np.float64)
+                )
         return pa.table(out)

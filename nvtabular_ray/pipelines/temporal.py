@@ -36,16 +36,17 @@ def sessionize(
     (seconds or pd.Timedelta). Rows keep all input columns + ``out_col``.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    gap_td = pd.Timedelta(seconds=gap) if not isinstance(gap, pd.Timedelta) else gap
+    gap_s = gap.total_seconds() if isinstance(gap, pd.Timedelta) else gap
+
+    from nvtabular_ray.ops.temporal_ops import Sessionize
+
+    op = Sessionize(keys, ts_col, gap_s, out_col=out_col)
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        delta = df.groupby(keys, sort=False, observed=True)[ts_col].diff()
-        new_session = (delta > gap_td) | delta.isna()
-        df[out_col] = (
-            new_session.groupby([df[k] for k in keys], observed=True).cumsum().astype("int64") - 1
-        )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        from nvtabular_ray.selector import ColumnSelector
+
+        sid = op.transform(ColumnSelector([ts_col]), t)
+        return t.append_column(out_col, sid.column(out_col))
 
     return bucketed_group_map(ds, keys, [ts_col], per_bucket, num_buckets=num_buckets)
 
@@ -156,19 +157,18 @@ def windowed_agg(
     """
     keys = [key] if isinstance(key, str) else list(key)
     prefix = prefix or f"{value_col}_w{int(window_seconds)}s_"
-    window = pd.Timedelta(seconds=window_seconds)
+
+    from nvtabular_ray.ops.temporal_ops import RollingAgg
+
+    op = RollingAgg(keys, ts_col, window_seconds, aggs=list(aggs))
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby(keys, sort=False, observed=True, group_keys=False)
-        rolled = g.rolling(window, on=ts_col, closed="right")[value_col].agg(list(aggs))
-        rolled = rolled.reset_index(drop=True)
+        from nvtabular_ray.selector import ColumnSelector
+
+        res = op.transform(ColumnSelector([value_col]), t)
         for a in aggs:
-            col = rolled[a] if isinstance(rolled, pd.DataFrame) else rolled
-            df[f"{prefix}{a}"] = (
-                col.astype("int64") if a == "count" else col.astype("float64")
-            )
-        return pa.Table.from_pandas(df, preserve_index=False)
+            t = t.append_column(f"{prefix}{a}", res.column(op._out_name(value_col, a)))
+        return t
 
     return bucketed_group_map(ds, keys, [ts_col], per_bucket, num_buckets=num_buckets)
 
@@ -191,12 +191,31 @@ def backfill(
     if direction not in ("forward", "backward"):
         raise ValueError("direction must be forward or backward")
 
+    import pyarrow.compute as pc
+
+    from nvtabular_ray.functions.grouped_np import group_ids_sorted, group_starts
+
     def per_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby(keys, sort=False, observed=True)
+        n = t.num_rows
+        gid = group_ids_sorted(t, keys)
+        starts = group_starts(gid)
+        counts = np.diff(np.r_[starts, n])
+        gstart = np.repeat(starts, counts)
+        idx = np.arange(n, dtype=np.int64)
         for c in cols:
-            filled = g[c].ffill() if direction == "forward" else g[c].bfill()
-            df[f"{c}{out_suffix}"] = filled
-        return pa.Table.from_pandas(df, preserve_index=False)
+            col = t.column(c).combine_chunks()
+            valid = ~pc.is_null(col, nan_is_null=True).to_numpy(zero_copy_only=False)
+            if direction == "forward":
+                last_valid = np.maximum.accumulate(np.where(valid, idx, -1))
+                ok = last_valid >= gstart
+                gather = np.where(ok, last_valid, 0)
+            else:
+                gend = gstart + np.repeat(counts, counts) - 1
+                nxt = np.flip(np.minimum.accumulate(np.flip(np.where(valid, idx, n))))
+                ok = nxt <= gend
+                gather = np.where(ok, np.minimum(nxt, n - 1), 0)
+            filled = pc.take(col, pa.array(gather, pa.int64(), mask=~ok))
+            t = t.append_column(f"{c}{out_suffix}", filled)
+        return t
 
     return bucketed_group_map(ds, keys, [ts_col], per_bucket, num_buckets=num_buckets)
