@@ -30,11 +30,13 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def _round6(ds, cols):
+def _round6(ds, cols, digits: int = 6):
     def f(t: pa.Table) -> pa.Table:
         for c in cols:
             t = t.set_column(
-                t.column_names.index(c), c, pc.round(pc.cast(t.column(c), pa.float64()), ndigits=6)
+                t.column_names.index(c),
+                c,
+                pc.round(pc.cast(t.column(c), pa.float64()), ndigits=digits),
             )
         return t
 
@@ -316,6 +318,53 @@ def _q_ann_topk(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def _q_list_slice(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    wf = Workflow((["embedding"] >> ops.ListSlice(8)) + ["vec_id"])
+    return wf.fit(ds).transform(ds)
+
+
+def _q_column_similarity(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from nvtabular_ray import Workflow, ops
+
+    emb_tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n = emb_tab.num_rows
+    feats = np.asarray(emb_tab.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def add_partner(t: pa.Table) -> pa.Table:
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.append_column("partner_id", pa.array((vid + 1) % n))
+
+    ds = ds.map_batches(add_partner, batch_format="pyarrow")
+    node = [["vec_id", "partner_id"]] >> ops.ColumnSimilarity(feats, metric="cosine")
+    wf = Workflow(node + ["vec_id"])
+    out = wf.fit(ds).transform(ds)
+    # 4 digits: DuckDB's list_cosine_similarity accumulates in float32 while
+    # we compute in float64 — they agree to ~1e-5, not 1e-7
+    return _round6(out, ["vec_id_partner_id_sim"], digits=4)
+
+
+def _q_data_stats(sf_dir: str):
+    import pandas as pd
+
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    wf = Workflow(["user_id", "event_type", "value"] >> ops.DataStats())
+    wf.fit(ds)
+    op = wf._op_nodes()[0].op
+    rows = [
+        {"col": c, "cardinality": int(st["cardinality"]), "nulls_pct": float(st["per_nan"])}
+        for c, st in op.output.items()
+    ]
+    return pd.DataFrame(rows).sort_values("col").reset_index(drop=True)
+
+
 def _q_hashbucket(sf_dir: str):
     from nvtabular_ray import Workflow, ops
 
@@ -357,6 +406,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_count": _q_rolling_count,
         "backfill": _q_backfill,
         "asof_join": _q_asof_join,
+        "list_slice": _q_list_slice,
+        "column_similarity": _q_column_similarity,
+        "data_stats": _q_data_stats,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "ann_topk": _q_ann_topk,
@@ -514,6 +566,29 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             ASOF LEFT JOIN events e
             ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+        """,
+        "list_slice": """
+            SELECT vec_id, embedding[1:8] AS embedding FROM embeddings
+        """,
+        "column_similarity": """
+            WITH n AS (SELECT count(*) AS cnt FROM embeddings)
+            SELECT a.vec_id,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+                       AS vec_id_partner_id_sim
+            FROM embeddings a, n
+            JOIN embeddings b ON b.vec_id = (a.vec_id + 1) % n.cnt
+        """,
+        "data_stats": """
+            SELECT 'event_type' AS col, count(DISTINCT event_type) AS cardinality,
+                   100.0 * (count(*) - count(event_type)) / count(*) AS nulls_pct
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(DISTINCT user_id),
+                   100.0 * (count(*) - count(user_id)) / count(*) FROM events
+            UNION ALL
+            SELECT 'value', count(DISTINCT value),
+                   100.0 * (count(*) - count(value)) / count(*) FROM events
+            ORDER BY col
         """,
         "dedup_exact": """
             SELECT doc_id, n_chars FROM (

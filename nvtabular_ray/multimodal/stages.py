@@ -1,0 +1,114 @@
+"""Actor-pool multimodal stages over opaque binary columns.
+
+Schema convention: a modality column is ``{name}: binary`` plus typed
+metadata columns ``{name}_mime: string``, ``{name}_meta: string(JSON)``.
+Payloads are large -> stages default to SMALL batch sizes and pyarrow
+batch_format (binary round-trips arrow fine, not pandas — ray_guide
+pitfalls), with ``concurrency``/``num_cpus`` sized per stage.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def attach_binary_column(ds, name: str, payload_fn=None, mime: str = "application/octet-stream"):
+    """Attach a binary modality column (+metadata) to a Dataset. With no
+    payload_fn a small deterministic fake payload is generated per row —
+    enough to exercise batch sizing and decode plumbing in tests."""
+
+    def add(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if payload_fn is not None:
+            payloads = [payload_fn(i) for i in range(n)]
+        else:
+            payloads = [bytes([i % 256]) * 64 for i in range(n)]
+        t = t.append_column(name, pa.array(payloads, pa.binary()))
+        t = t.append_column(f"{name}_mime", pa.array([mime] * n, pa.string()))
+        t = t.append_column(
+            f"{name}_meta",
+            pa.array([json.dumps({"bytes": len(p)}) for p in payloads], pa.string()),
+        )
+        return t
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class DecodeImageStage:
+    """Actor-pool image decode / resize / feature-extract stage.
+
+    ``__init__`` (once per actor) is where a real build would load the codec
+    / model; ``__call__`` decodes each payload to a fixed-size feature
+    vector. With ``fake=True`` a deterministic stand-in (byte-histogram,
+    normalized) is produced; with ``fake=False`` it raises
+    NotImplementedError(no image libraries in this environment) — the
+    documented stub point.
+    """
+
+    def __init__(self, column: str = "image", out_dim: int = 32, fake: bool = True):
+        self.column = column
+        self.out_dim = out_dim
+        self.fake = fake
+        # real build: self.codec = load_codec(); self.model = load_model()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t.column(self.column).to_pylist()
+        if not self.fake:
+            raise NotImplementedError(
+                "image decode requires an image library not present in this "
+                "environment; run with fake=True for the deterministic stand-in"
+            )
+        feats = np.zeros((len(payloads), self.out_dim), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            if p:
+                h = np.bincount(np.frombuffer(p, dtype=np.uint8) % self.out_dim, minlength=self.out_dim)
+                feats[i] = h / max(h.sum(), 1)
+        return t.drop_columns([self.column]).append_column(
+            f"{self.column}_features", pa.array(list(feats), pa.list_(pa.float32()))
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool video frame sampler: emits every k-th 'frame' (fixed-size
+    slice) of the binary payload as its own row (flat_map shape). Real codec
+    stubbed the same way as DecodeImageStage."""
+
+    def __init__(self, column: str = "video", frame_bytes: int = 16, every_k: int = 4, fake: bool = True):
+        self.column = column
+        self.frame_bytes = frame_bytes
+        self.every_k = every_k
+        self.fake = fake
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("video decode requires a codec not in this environment")
+        ids, frames, frame_idx = [], [], []
+        payloads = t.column(self.column).to_pylist()
+        for row in range(t.num_rows):
+            p = payloads[row] or b""
+            n_frames = len(p) // self.frame_bytes
+            for f in range(0, n_frames, self.every_k):
+                ids.append(row)
+                frame_idx.append(f)
+                frames.append(p[f * self.frame_bytes : (f + 1) * self.frame_bytes])
+        base = t.drop_columns([self.column])
+        gathered = base.take(pa.array(ids, pa.int64())) if ids else base.slice(0, 0)
+        gathered = gathered.append_column("frame_idx", pa.array(frame_idx, pa.int32()))
+        gathered = gathered.append_column("frame", pa.array(frames, pa.binary()))
+        return gathered
+
+
+def decode_images(ds, column: str = "image", concurrency: int = 4, batch_size: int = 256, **kw):
+    """The canonical stateful multimodal stage wiring: callable CLASS + actor
+    pool + small batches (large payloads)."""
+    return ds.map_batches(
+        DecodeImageStage,
+        fn_constructor_kwargs=dict(column=column, **kw),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

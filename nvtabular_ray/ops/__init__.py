@@ -2,7 +2,21 @@
 
 from nvtabular_ray.ops.base import Operator, StatOperator
 from nvtabular_ray.ops.categorify import Categorify, get_embedding_sizes
+from nvtabular_ray.ops.column_similarity import ColumnSimilarity
+from nvtabular_ray.ops.data_stats import DataStats
 from nvtabular_ray.ops.difference_lag import DifferenceLag
+from nvtabular_ray.ops.drop_low_cardinality import DropLowCardinality
+from nvtabular_ray.ops.list_ops import ListSlice, ValueCount
+from nvtabular_ray.ops.metadata import (
+    AddMetadata,
+    AddProperties,
+    AddTags,
+    TagAsItemFeatures,
+    TagAsItemID,
+    TagAsUserFeatures,
+    TagAsUserID,
+    Tags,
+)
 from nvtabular_ray.ops.dtypes import ReduceDtypeSize
 from nvtabular_ray.ops.groupby import Groupby
 from nvtabular_ray.ops.join_external import JoinExternal
@@ -26,7 +40,20 @@ from nvtabular_ray.ops.simple import (
 __all__ = [
     "Operator",
     "StatOperator",
+    "AddMetadata",
+    "AddProperties",
+    "AddTags",
     "Bucketize",
+    "ColumnSimilarity",
+    "DataStats",
+    "DropLowCardinality",
+    "ListSlice",
+    "Tags",
+    "TagAsItemFeatures",
+    "TagAsItemID",
+    "TagAsUserFeatures",
+    "TagAsUserID",
+    "ValueCount",
     "Categorify",
     "Clip",
     "DifferenceLag",

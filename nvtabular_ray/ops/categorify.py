@@ -56,6 +56,8 @@ def _make_name(*args, sep="_"):
 
 
 class Categorify(StatOperator):
+    output_tags = ["categorical"]
+
     def __init__(
         self,
         freq_threshold: int = 0,

@@ -1,0 +1,133 @@
+"""DataStats: per-column profiling (dtype class, cardinality, min/max,
+mean/std, %NaN) — feeds dataset inspection / synthetic-data generation.
+
+Reference: /root/reference/nvtabular/ops/data_stats.py:25-121 (dispatches on
+dtype; strings profile min/max/mean of str.len; cardinality is exact
+nunique). Ray design: one map_batches pass emits per-batch partials; exact
+distinct counts travel as 64-bit value hashes (columns never ship their
+payloads), combined with the streaming grouped_reduce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from nvtabular_ray.arrow_utils import as_single_chunk, is_list_type
+from nvtabular_ray.functions.hashing import hash64
+from nvtabular_ray.ops.base import StatOperator
+
+
+class DataStats(StatOperator):
+    def __init__(self):
+        super().__init__()
+        self.output: dict[str, dict] = {}
+
+    def fit(self, col_selector, ds) -> None:
+        from nvtabular_ray.functions.aggregates import grouped_reduce
+        from nvtabular_ray.ops.moments import column_moments
+
+        schema = ds.schema(fetch_if_missing=True)
+        types = dict(zip(schema.names, schema.types))
+        cols = list(col_selector.names)
+
+        num_cols = [c for c in cols if pa.types.is_integer(types[c]) or pa.types.is_floating(types[c])]
+        str_cols = [c for c in cols if pa.types.is_string(types[c]) or pa.types.is_large_string(types[c])]
+
+        # distinct counts via hashed values (exact; payloads never shuffle)
+        def distinct_partial(t: pa.Table) -> pa.Table:
+            names, hashes, nulls, counts = [], [], [], []
+            for c in cols:
+                arr = as_single_chunk(t.column(c))
+                if is_list_type(arr.type):
+                    arr = arr.flatten()
+                nn = arr.null_count
+                uniq = pc.unique(arr.drop_null())
+                h = hash64(uniq).astype(np.int64)
+                names.append(pa.array([c] * len(h), pa.string()))
+                hashes.append(pa.array(h))
+                nulls.append(pa.array(([nn] + [0] * (len(h) - 1)) if len(h) else [], pa.int64()))
+                counts.append(pa.array([len(arr)] + [0] * (len(h) - 1) if len(h) else [], pa.int64()))
+            return pa.table(
+                {
+                    "col": pa.concat_arrays(names),
+                    "h": pa.concat_arrays(hashes),
+                    "nulls": pa.concat_arrays(nulls),
+                    "rows": pa.concat_arrays(counts),
+                }
+            )
+
+        parts = ds.map_batches(distinct_partial, batch_format="pyarrow", zero_copy_batch=True)
+        merged = grouped_reduce(parts, ["col", "h"], {"nulls": "sum", "rows": "sum"})
+        per_col = merged.groupby("col").agg(
+            cardinality=("h", "nunique"), nulls=("nulls", "sum"), rows=("rows", "sum")
+        )
+
+        moments = column_moments(ds, num_cols) if num_cols else {}
+
+        # string length stats in one extra lightweight pass
+        strlen_stats = {}
+        if str_cols:
+
+            def strlen_partial(t: pa.Table) -> pa.Table:
+                out = {}
+                for c in str_cols:
+                    ln = pc.utf8_length(as_single_chunk(t.column(c)).drop_null())
+                    out[c] = ln
+                return pa.table(
+                    {
+                        "col": pa.array(
+                            [c for c in str_cols for _ in range(1)] , pa.string()
+                        ),
+                        "min": pa.array([pc.min(out[c]).as_py() or 0 for c in str_cols], pa.int64()),
+                        "max": pa.array([pc.max(out[c]).as_py() or 0 for c in str_cols], pa.int64()),
+                        "sum": pa.array([pc.sum(out[c]).as_py() or 0 for c in str_cols], pa.int64()),
+                        "n": pa.array([len(out[c]) for c in str_cols], pa.int64()),
+                    }
+                )
+
+            sl = grouped_reduce(
+                ds.map_batches(strlen_partial, batch_format="pyarrow", zero_copy_batch=True),
+                ["col"],
+                {"min": "min", "max": "max", "sum": "sum", "n": "sum"},
+            )
+            for row in sl.to_dict("records"):
+                strlen_stats[row["col"]] = row
+
+        for c in cols:
+            t = types[c]
+            info = per_col.loc[c] if c in per_col.index else None
+            rows = int(info["rows"]) if info is not None else 0
+            entry: dict = {
+                "dtype": str(t),
+                "cardinality": int(info["cardinality"]) if info is not None else 0,
+                "per_nan": (float(info["nulls"]) / rows * 100.0) if info is not None and rows else 0.0,
+            }
+            if c in moments:
+                entry.update(
+                    {
+                        "min": moments[c]["min"],
+                        "max": moments[c]["max"],
+                        "mean": moments[c]["mean"],
+                        "std": moments[c]["std"],
+                    }
+                )
+            if c in strlen_stats:
+                s = strlen_stats[c]
+                entry.update(
+                    {
+                        "min": int(s["min"]),
+                        "max": int(s["max"]),
+                        "mean": float(s["sum"]) / max(int(s["n"]), 1),
+                    }
+                )
+            self.output[c] = entry
+
+    def clear(self):
+        super().clear()
+        self.output = {}
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        return table.select(col_selector.names)

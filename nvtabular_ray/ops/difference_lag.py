@@ -22,6 +22,8 @@ from nvtabular_ray.ops.base import Operator
 
 
 class DifferenceLag(Operator):
+    output_tags = ["continuous"]
+
     def __init__(
         self,
         partition_cols: Union[str, list[str]],

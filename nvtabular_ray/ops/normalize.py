@@ -14,6 +14,8 @@ from nvtabular_ray.ops.moments import column_moments
 
 
 class Normalize(StatOperator):
+    output_tags = ["continuous"]
+
     """Z-score with fitted mean/std (ddof=1); std==0 -> centering only
     (reference normalize.py:79-82); list columns normalized on flattened
     values; out dtype float64 by default (normalize.py:121-124)."""
@@ -52,6 +54,8 @@ class Normalize(StatOperator):
 
 
 class NormalizeMinMax(StatOperator):
+    output_tags = ["continuous"]
+
     """Scale to [0,1] from fitted min/max; dif==0 -> x/(2x)
     (reference normalize.py:155-160). Out float64 default."""
 

@@ -83,6 +83,8 @@ class LogOp(Operator):
     """log(1+x) as float32, list columns supported.
     Reference: /root/reference/nvtabular/ops/logop.py:29-63."""
 
+    output_tags = ["continuous"]
+
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         def kernel(a):
             a = pc.cast(a, pa.float32())

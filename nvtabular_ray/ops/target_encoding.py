@@ -38,6 +38,8 @@ FOLD_NAME = "__fold__"
 
 
 class TargetEncoding(BroadcastTableState, StatOperator):
+    output_tags = ["continuous"]
+
     def __init__(
         self,
         target: str,

@@ -1,0 +1,86 @@
+"""Dataset readers and the shuffling parquet writer.
+
+Reference surface (SURVEY.md §2.2):
+- ``Dataset(paths, engine="parquet"/"csv", part_size=...)`` multi-file reader
+  (tests/conftest.py:238-242) -> ``read_dataset``.
+- ``to_parquet(path, shuffle=Shuffle.PER_PARTITION|PER_WORKER,
+  out_files_per_proc=k)`` — intra-partition shuffle on write for training
+  randomness (docs/source/core_features.md:67-69, test_dask_nvt.py:108) ->
+  ``write_parquet``.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional, Union
+
+import numpy as np
+import pyarrow as pa
+
+
+class Shuffle(enum.Enum):
+    PER_PARTITION = "per_partition"  # permute rows inside each block
+    PER_WORKER = "per_worker"  # permute inside blocks after coalescing
+    FULL = "full"  # global random_shuffle (strongest, most expensive)
+
+
+def read_dataset(
+    paths: Union[str, list[str]],
+    engine: str = "parquet",
+    columns: Optional[list[str]] = None,
+    part_size: Optional[int] = None,
+    names: Optional[list[str]] = None,
+    **kw,
+):
+    """Multi-file parquet/csv reader -> ray.data.Dataset.
+
+    ``part_size`` (bytes) maps to DataContext.target_max_block_size for the
+    read — the analog of the reference's partition sizing knob."""
+    import ray.data as rd
+
+    if part_size:
+        from ray.data import DataContext
+
+        DataContext.get_current().target_max_block_size = int(part_size)
+    if engine == "parquet":
+        return rd.read_parquet(paths, columns=columns, **kw)
+    if engine == "csv":
+        import pyarrow.csv as pacsv
+
+        read_options = None
+        if names:
+            read_options = pacsv.ReadOptions(column_names=names)
+        ds = rd.read_csv(paths, read_options=read_options, **kw)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
+    raise ValueError(f"unsupported engine {engine}")
+
+
+def write_parquet(
+    ds,
+    path: str,
+    shuffle: Optional[Shuffle] = None,
+    out_files_per_proc: Optional[int] = None,
+    seed: int = 42,
+    **kw,
+):
+    """Write with optional shuffle-on-write.
+
+    PER_PARTITION permutes rows within each Arrow block in a final
+    map_batches (cheap, no data movement — the reference default for
+    training-order randomness); FULL is a global random_shuffle (all-to-all).
+    ``out_files_per_proc`` ~ output file count via repartition."""
+    if shuffle in (Shuffle.PER_PARTITION, Shuffle.PER_WORKER):
+
+        def permute(t: pa.Table) -> pa.Table:
+            rng = np.random.default_rng([seed, t.num_rows])
+            return t.take(pa.array(rng.permutation(t.num_rows)))
+
+        ds = ds.map_batches(permute, batch_format="pyarrow", batch_size=None)
+    elif shuffle is Shuffle.FULL:
+        ds = ds.random_shuffle(seed=seed)
+    if out_files_per_proc:
+        ds = ds.repartition(out_files_per_proc)
+    ds.write_parquet(path, **kw)
+    return path

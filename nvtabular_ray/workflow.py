@@ -286,10 +286,63 @@ class Workflow:
     def output_columns(self) -> list[str]:
         return self.output_node.output_columns
 
+    def output_metadata(self) -> dict[str, dict]:
+        """Per-output-column tags + properties, propagated through the DAG —
+        the light-weight analog of the reference's schema system
+        (SURVEY.md §1.4: tags CATEGORICAL/CONTINUOUS/..., properties like
+        value_count; reference add_metadata.py:54-72, value_counts.py:60-75).
+        """
+        meta: dict[str, dict] = {}
+
+        def ensure(col):
+            return meta.setdefault(col, {"tags": set(), "properties": {}})
+
+        for node in self._nodes():
+            if node.kind != "op":
+                continue
+            out_cols = node.op.output_column_names(node.input_selector)
+            tags = getattr(node.op, "output_tags", None)
+            props_fn = getattr(node.op, "output_properties", None)
+            props = props_fn() if callable(props_fn) else {}
+            for col in out_cols:
+                entry = ensure(col)
+                if tags:
+                    entry["tags"].update(tags if not callable(tags) else [])
+                if props:
+                    # per-column properties (dict of col->dict) or shared dict
+                    if col in props and isinstance(props[col], dict):
+                        entry["properties"].update(props[col])
+                    elif not any(isinstance(v, dict) for v in props.values()):
+                        entry["properties"].update(props)
+        for col in self.output_columns():
+            ensure(col)
+        return {c: {"tags": sorted(v["tags"]), "properties": v["properties"]} for c, v in meta.items()}
+
     def clear_stats(self):
         for n in self._op_nodes():
             if isinstance(n.op, StatOperator):
                 n.op.clear()
+
+    # ------------------------------------------------------- persistence -- #
+    def save(self, path: str) -> None:
+        """JSON DAG + parquet artifacts; no pickle (reference
+        workflow.py:256-297 layout)."""
+        from nvtabular_ray.state.artifacts import save_workflow
+
+        save_workflow(self, path)
+
+    @classmethod
+    def load(cls, path: str) -> "Workflow":
+        from nvtabular_ray.state.artifacts import load_workflow
+
+        return load_workflow(path)
+
+    def transform_resumable(self, ds, out_dir: str, partition_cols, **kw):
+        """Partitioned transform with per-bucket lineage + manifest resume
+        (state/resume.py)."""
+        from nvtabular_ray.state.resume import resumable_transform
+
+        return resumable_transform(self, ds, out_dir, partition_cols, **kw)
 
 
 def _detached(node: Node) -> Node:

@@ -1,0 +1,156 @@
+"""ListSlice, ValueCount, DataStats, DropLowCardinality, ColumnSimilarity,
+metadata/tags tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from nvtabular_ray import Workflow, ops
+
+
+def _ds(df, blocks=2):
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(blocks)
+
+
+@pytest.fixture()
+def list_df():
+    return pd.DataFrame(
+        {
+            "v": [[1, 2, 3, 4, 5], [1], [], [9, 8, 7], [1, 2]],
+            "i": np.arange(5, dtype="int64"),
+        }
+    )
+
+
+def test_list_slice_variants(list_df):
+    cases = [
+        (dict(start=3), [r[:3] for r in list_df["v"]]),
+        (dict(start=1, end=4), [r[1:4] for r in list_df["v"]]),
+        (dict(start=-2), [r[-2:] for r in list_df["v"]]),
+        (dict(start=1, end=-1), [r[1:-1] for r in list_df["v"]]),
+    ]
+    for kwargs, expected in cases:
+        wf = Workflow((["v"] >> ops.ListSlice(**kwargs)) + ["i"])
+        out = (
+            wf.fit(_ds(list_df, 1)).transform(_ds(list_df, 1)).to_pandas().sort_values("i")
+        )
+        got = [list(x) for x in out["v"]]
+        assert got == [list(e) for e in expected], kwargs
+
+
+def test_list_slice_pad(list_df):
+    wf = Workflow(["v"] >> ops.ListSlice(3, pad=True, pad_value=-1))
+    out = wf.fit(_ds(list_df, 1)).transform(_ds(list_df, 1)).to_pandas()
+    got = [list(x) for x in out["v"]]
+    assert all(len(g) == 3 for g in got)
+    assert got[1] == [1, -1, -1]
+    assert got[2] == [-1, -1, -1]
+
+
+def test_value_count(list_df):
+    wf = Workflow(["v"] >> ops.ValueCount())
+    wf.fit(_ds(list_df))
+    op = wf._op_nodes()[0].op
+    assert op.stats["v"]["value_count"] == {"min": 0, "max": 5}
+    meta = wf.output_metadata()
+    assert meta["v"]["properties"]["value_count"] == {"min": 0, "max": 5}
+
+
+def test_data_stats(mixed_ds, mixed_df):
+    wf = Workflow(["id", "x", "name_cat"] >> ops.DataStats())
+    wf.fit(mixed_ds)
+    op = wf._op_nodes()[0].op
+    assert op.output["id"]["cardinality"] == mixed_df["id"].nunique()
+    assert op.output["name_cat"]["cardinality"] == mixed_df["name_cat"].nunique()
+    assert op.output["x"]["mean"] == pytest.approx(mixed_df["x"].mean(), rel=1e-9)
+    assert op.output["x"]["per_nan"] == pytest.approx(
+        mixed_df["x"].isna().mean() * 100, rel=1e-6
+    )
+    # string length stats
+    assert op.output["name_cat"]["max"] == mixed_df["name_cat"].str.len().max()
+
+
+def test_drop_low_cardinality():
+    df = pd.DataFrame(
+        {"keep": ["a", "b", "c", "a"], "drop": ["x", "x", "x", "x"], "i": range(4)}
+    )
+    wf = Workflow(["keep", "drop"] >> ops.DropLowCardinality(min_cardinality=2))
+    out = wf.fit(_ds(df)).transform(_ds(df)).to_pandas()
+    assert list(out.columns) == ["keep"]
+
+
+def test_column_similarity():
+    rng = np.random.RandomState(3)
+    feats = rng.normal(size=(10, 8))
+    df = pd.DataFrame({"a": [0, 1, 2], "b": [1, 1, 5]})
+    wf = Workflow([["a", "b"]] >> ops.ColumnSimilarity(feats, metric="cosine"))
+    out = wf.fit(_ds(df, 1)).transform(_ds(df, 1)).to_pandas()
+
+    def cos(i, j):
+        u, v = feats[i], feats[j]
+        return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+    np.testing.assert_allclose(
+        out["a_b_sim"], [cos(0, 1), cos(1, 1), cos(2, 5)], rtol=1e-9
+    )
+
+
+def test_metadata_tags(mixed_ds):
+    node = (["x"] >> ops.Normalize() >> ops.AddTags(["target"])) + (
+        ["id"] >> ops.TagAsUserID()
+    )
+    wf = Workflow(node)
+    wf.fit(mixed_ds)
+    meta = wf.output_metadata()
+    assert "continuous" in meta["x"]["tags"] and "target" in meta["x"]["tags"]
+    assert set(meta["id"]["tags"]) >= {"id", "user", "user_id"}
+
+
+def test_embedding_near_dup_and_simhash():
+    from nvtabular_ray.functions.dedup import embedding_near_dup, simhash_dedup
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(20, 16))
+    emb = np.vstack([base, base[:5] + rng.normal(scale=1e-4, size=(5, 16))])
+    df = pd.DataFrame({"vec_id": np.arange(25, dtype="int64"), "embedding": list(emb)})
+    out = embedding_near_dup(_ds(df, 2), threshold=0.99).to_pandas()
+    dup = out[out["vec_id"] >= 20].sort_values("vec_id")
+    assert list(dup["cluster_id"]) == [0, 1, 2, 3, 4]
+
+    # simhash needs enough tokens for stable bit votes — use ~60-word docs
+    base_text = " ".join(f"token{i}" for i in range(60))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                base_text,
+                base_text + " extra",
+                " ".join(f"other{i}" for i in range(60)),
+            ],
+        }
+    )
+    sh = simhash_dedup(_ds(docs, 1)).to_pandas().sort_values("doc_id")
+    assert sh["cluster_id"].iloc[1] == 0  # near-dup of doc 0
+    assert sh["cluster_id"].iloc[2] == 2
+
+
+def test_minhash_dedup_clusters():
+    from nvtabular_ray.functions.dedup import minhash_lsh_dedup
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "ray data streaming execution with backpressure and arrow blocks",
+                "ray data streaming execution with backpressure and arrow blocks!!",
+                "nvtabular fit transform workflow over dask cudf partitions",
+                "zzzz totally unrelated short text",
+            ],
+        }
+    )
+    out = minhash_lsh_dedup(_ds(docs, 1)).to_pandas().sort_values("doc_id")
+    assert out["cluster_id"].iloc[1] == 0
+    assert out["cluster_id"].iloc[2] == 2
+    assert out["cluster_id"].iloc[3] == 3
