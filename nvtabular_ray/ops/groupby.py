@@ -88,10 +88,100 @@ class Groupby(Operator):
         raise RuntimeError("Groupby is a dataset-level op; use apply_dataset")
 
     # -------------------------------------------------- dataset stage --
+    _ALGEBRAIC = ("sum", "count", "mean", "std", "var", "min", "max")
+
+    def _all_algebraic(self, agg_dict) -> bool:
+        return all(a in self._ALGEBRAIC for aggs in agg_dict.values() for a in aggs)
+
     def apply_dataset(self, col_selector, ds):
+        agg_dict = self._agg_dict(col_selector)
+        # Skew-proof path: purely algebraic aggs never need entity-complete
+        # groups — each batch pre-aggregates to <= #distinct-keys rows
+        # (map-side combine), so a hot key contributes ONE row per input
+        # block to the merge shuffle instead of all its rows. This is the
+        # salted-key mitigation SURVEY.md §7.4.4 calls for, done one better
+        # (no explicit salt column needed).
+        if self._all_algebraic(agg_dict) and not self.sort_cols:
+            schema = ds.schema(fetch_if_missing=True)
+            types = dict(zip(schema.names, schema.types))
+            if all(
+                pa.types.is_integer(types[c]) or pa.types.is_floating(types[c])
+                for c in agg_dict
+            ):
+                return self._apply_algebraic(agg_dict, ds)
+        return self._apply_bucketed(agg_dict, ds)
+
+    def _apply_algebraic(self, agg_dict, ds):
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Max, Min, Sum
+
+        keys = self.groupby_cols
+        name_sep = self.name_sep
+
+        def partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            cols = {}
+            for col in agg_dict:
+                cols[f"__{col}_cnt__"] = (col, "count")
+                cols[f"__{col}_sum__"] = (col, "sum")
+                cols[f"__{col}_min__"] = (col, "min")
+                cols[f"__{col}_max__"] = (col, "max")
+                df[f"__{col}_sq__"] = df[col].astype("float64") ** 2
+                cols[f"__{col}_sumsq__"] = (f"__{col}_sq__", "sum")
+            g = df.groupby(keys, observed=True, sort=False)
+            out = g.agg(**{k: v for k, v in cols.items()}).reset_index()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        aggs = []
+        for col in agg_dict:
+            aggs += [
+                Sum(f"__{col}_cnt__", alias_name=f"__{col}_cnt__"),
+                Sum(f"__{col}_sum__", alias_name=f"__{col}_sum__"),
+                Sum(f"__{col}_sumsq__", alias_name=f"__{col}_sumsq__"),
+                Min(f"__{col}_min__", alias_name=f"__{col}_min__"),
+                Max(f"__{col}_max__", alias_name=f"__{col}_max__"),
+            ]
+        merged = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(keys)
+            .aggregate(*aggs)
+        )
+
+        def finalize(t: pa.Table) -> pa.Table:
+            out = {k: t.column(k) for k in keys}
+            for col, col_aggs in agg_dict.items():
+                cnt = t.column(f"__{col}_cnt__").cast(pa.float64())
+                s = t.column(f"__{col}_sum__").cast(pa.float64())
+                sq = t.column(f"__{col}_sumsq__").cast(pa.float64())
+                mean = pc.divide(s, cnt)
+                var = pc.divide(
+                    pc.subtract(sq, pc.multiply(cnt, pc.multiply(mean, mean))),
+                    pc.subtract(cnt, pa.scalar(1.0)),
+                )
+                var = pc.max_element_wise(var, pa.scalar(0.0))
+                for a in col_aggs:
+                    name = f"{col}{self.name_sep}{a}"
+                    if a == "count":
+                        out[name] = t.column(f"__{col}_cnt__").cast(pa.int32())
+                    elif a == "sum":
+                        out[name] = pc.cast(s, pa.float32())
+                    elif a == "mean":
+                        out[name] = pc.cast(mean, pa.float32())
+                    elif a == "var":
+                        out[name] = pc.cast(var, pa.float32())
+                    elif a == "std":
+                        out[name] = pc.cast(pc.sqrt(var), pa.float32())
+                    elif a == "min":
+                        out[name] = t.column(f"__{col}_min__")
+                    elif a == "max":
+                        out[name] = t.column(f"__{col}_max__")
+            return pa.table(out)
+
+        return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _apply_bucketed(self, agg_dict, ds):
         from nvtabular_ray.pipelines.partitioned import bucketed_group_map
 
-        agg_dict = self._agg_dict(col_selector)
         keys = self.groupby_cols
         sort_keys = self.sort_cols
         name_sep = self.name_sep
