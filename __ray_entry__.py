@@ -387,6 +387,55 @@ def _q_langid(sf_dir: str):
     return detect_language(ds).select_columns(["doc_id", "lang_pred"])
 
 
+def _q_token_count(sf_dir: str):
+    from nvtabular_ray.functions.text import token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_count(ds).select_columns(["doc_id", "n_tokens"])
+
+
+def _q_quality_score(sf_dir: str):
+    from nvtabular_ray.functions.text import quality_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = quality_score(ds).select_columns(
+        ["doc_id", "mean_word_len", "punct_ratio", "stopword_ratio", "quality"]
+    )
+    return _round6(out, ["mean_word_len", "punct_ratio", "stopword_ratio", "quality"])
+
+
+def _q_fingerprint(sf_dir: str):
+    from nvtabular_ray.functions.text import fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return fingerprint(ds).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_simhash(sf_dir: str):
+    from nvtabular_ray.functions.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(ds)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from nvtabular_ray.functions.dedup import embedding_near_dup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup(ds, threshold=0.95)
+
+
+def _q_ann_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from nvtabular_ray.functions.ann import lsh_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    qvec = np.asarray(qtab.column("embedding").to_pylist()[0], dtype=np.float64)
+    return lsh_topk(emb, qvec, k=10).select_columns(["vec_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "categorify_event_type": _q_categorify_event_type,
@@ -415,6 +464,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashbucket": _q_hashbucket,
         "minhash_dedup": _q_minhash_dedup,
         "langid": _q_langid,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "fingerprint": _q_fingerprint,
+        "simhash_dedup": _q_simhash,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ann_lsh": _q_ann_lsh,
     }
 
 
@@ -602,6 +657,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
                         AS BIGINT) AS n_words,
                    CAST(length(text) AS BIGINT) AS n_chars_txt
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+                       AS n_tokens
             FROM documents
         """,
         "ann_topk": """

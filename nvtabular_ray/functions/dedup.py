@@ -51,17 +51,25 @@ def _char_shingles(text: str, k: int = 5) -> np.ndarray:
 
 
 def minhash_signatures(texts, num_perm: int = 64, shingle_k: int = 5) -> np.ndarray:
-    """(n_docs, num_perm) uint64 MinHash signatures; one base SipHash per
-    shingle + universal affine re-hashing (vectorized)."""
+    """(n_docs, num_perm) uint64 MinHash signatures.
+
+    Fully vectorized across the batch: ALL shingles of all docs hash in ONE
+    SipHash call; each of the ``num_perm`` universal hashes ((a*h+b) mod
+    2^64) is a single 1-D pass with ``np.minimum.reduceat`` over doc
+    boundaries. (A (num_perm, total) 2-D uint64 broadcast is ~100x slower —
+    numpy falls off the fast path; keep the per-perm 1-D loop.)"""
     rng = np.random.RandomState(1729)
     a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
     b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    if not len(texts):
+        return np.empty((0, num_perm), dtype=np.uint64)
+    shingles = [_char_shingles(t or "", shingle_k) for t in texts]
+    lens = np.array([len(s) for s in shingles], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    h = hash64(pd.Series(np.concatenate(shingles), dtype=object))
     sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
-    for i, text in enumerate(texts):
-        sh = np.unique(hash64(pd.Series(_char_shingles(text or ""))))
-        # universal hash family: (a*h + b) mod 2^64, then min
-        vals = sh[None, :] * a[:, None] + b[:, None]
-        sigs[i] = vals.min(axis=1)
+    for j in range(num_perm):
+        sigs[:, j] = np.minimum.reduceat(h * a[j] + b[j], starts)
     return sigs
 
 
@@ -103,34 +111,56 @@ def minhash_lsh_dedup(
 
     buckets = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    # label = min doc id in each (band, band_hash) bucket; propagate
-    def bucket_min(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.copy()
-        group["label"] = group[id_col].min()
-        return group[[id_col, "label"]]
+    # Min-label propagation, all VECTORIZED (no per-group Python):
+    #   bucket label = min doc id per (band, band_hash)   [map-side combine +
+    #   streaming reduce]; doc label = min over its bucket labels, applied by
+    #   a broadcast hash lookup inside map_batches. The bucket->label table
+    #   is ~bands x n_docs rows of ints; at 10^9-doc scale swap the broadcast
+    #   for Dataset.join (hash-partitioned) — same dataflow, bigger exchange.
+    from nvtabular_ray.functions.aggregates import grouped_reduce
 
-    labels = buckets.groupby(["band", "band_hash"]).map_groups(bucket_min, batch_format="pandas")
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby(["band", "band_hash"], observed=True, sort=False)[id_col].min()
+        return pa.Table.from_pandas(out.rename("label").reset_index(), preserve_index=False)
 
-    def doc_min(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {id_col: [group[id_col].iloc[0]], "cluster_id": [group["label"].min()]}
-        )
+    bucket_labels = grouped_reduce(
+        buckets.map_batches(bucket_partial, batch_format="pyarrow"),
+        ["band", "band_hash"],
+        {"label": "min"},
+    )
+    bucket_labels["key"] = (
+        bucket_labels["band"].astype("int64") * (1 << 32) ^ bucket_labels["band_hash"].astype("int64")
+    )
+    lookup = dict(zip(bucket_labels["key"], bucket_labels["label"]))
 
-    result = labels.groupby(id_col).map_groups(doc_min, batch_format="pandas")
-    # extra propagation rounds for transitive chains (label -> that doc's label)
+    import ray
+
+    lookup_ref = ray.put(lookup) if ray.is_initialized() else lookup
+
+    def doc_label(t: pa.Table) -> pa.Table:
+        # stateless task; ray.get of the broadcast lookup is object-store
+        # local (zero-copy read, once per task)
+        table = ray.get(lookup_ref) if ray.is_initialized() else lookup_ref
+        df = t.to_pandas()
+        key = df["band"].astype("int64") * (1 << 32) ^ df["band_hash"].astype("int64")
+        df["label"] = key.map(table)
+        out = df.groupby(id_col, observed=True, sort=False)["label"].min()
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    doc_partials = buckets.map_batches(doc_label, batch_format="pyarrow")
+    result = grouped_reduce(doc_partials, [id_col], {"label": "min"})
+    result = result.rename(columns={"label": "cluster_id"})
+
+    # transitive chains: doc -> label -> that doc's label (cheap driver rounds
+    # over the small (doc, cluster) frame)
     for _ in range(rounds - 1):
-        pairs = result  # (doc, cluster)
+        mapping = dict(zip(result[id_col], result["cluster_id"]))
+        result["cluster_id"] = result["cluster_id"].map(mapping).fillna(result["cluster_id"])
 
-        def relabel(group: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {id_col: group[id_col], "cluster_id": group["cluster_id"].min()}
-            )
+    import ray.data as rd
 
-        result = pairs.groupby("cluster_id").map_groups(
-            lambda g: pd.DataFrame({id_col: g[id_col], "cluster_id": g["cluster_id"].min()}),
-            batch_format="pandas",
-        )
-    return result
+    return rd.from_arrow(pa.Table.from_pandas(result, preserve_index=False))
 
 
 # ------------------------------------------------------------------ SimHash --

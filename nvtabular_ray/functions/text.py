@@ -138,10 +138,10 @@ def fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
         for i, s in enumerate(texts):
             s = s or ""
             if len(s) < 8:
-                out[i] = int(hash64(pd.Series([s]))[0] & 0x7FFFFFFFFFFFFFFF)
+                out[i] = int(hash64(pd.Series([s]))[0]) & 0x7FFFFFFFFFFFFFFF
                 continue
             grams = pd.Series([s[j : j + 8] for j in range(len(s) - 7)], dtype=object)
-            out[i] = int(hash64(grams).min() & 0x7FFFFFFFFFFFFFFF)
+            out[i] = int(hash64(grams).min()) & 0x7FFFFFFFFFFFFFFF
         return t.append_column(out_col, pa.array(out))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,80 @@
+"""Look-alike synthetic dataset generation from a DataStats profile.
+
+Reference: /root/reference/nvtabular/tools/data_gen.py:41-460 — ``DatasetGen``
+scales test data from an inspector profile with uniform/powerlaw
+distributions, categorical vocabularies and multi-hot columns.
+
+Ray design: generation is a ``range(n) -> map_batches`` pipeline (one task
+per row-shard, deterministic per (seed, shard)) so arbitrarily large
+look-alike tables are produced distributed, never on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+class DatasetGen:
+    """Generate a Dataset matching a DataStats profile
+    ({col: {dtype, cardinality, min, max, mean, std, per_nan}}).
+
+    Numeric columns: normal(mean, std) clipped to [min, max] (powerlaw via
+    ``distro="powerlaw"``); string columns: vocabulary of ``cardinality``
+    synthetic tokens, zipf-weighted; nulls injected at ``per_nan``%.
+    """
+
+    def __init__(self, profile: dict, seed: int = 42, distro: str = "normal"):
+        self.profile = profile
+        self.seed = seed
+        self.distro = distro
+
+    def _column(self, rng: np.random.Generator, name: str, spec: dict, n: int) -> pa.Array:
+        dtype = spec.get("dtype", "double")
+        per_nan = float(spec.get("per_nan", 0.0)) / 100.0
+        null_mask = rng.random(n) < per_nan
+
+        if dtype.startswith(("int", "double", "float")):
+            lo = float(spec.get("min", 0.0))
+            hi = float(spec.get("max", 1.0))
+            mean = float(spec.get("mean", (lo + hi) / 2))
+            std = float(spec.get("std", (hi - lo) / 6 or 1.0))
+            if self.distro == "powerlaw":
+                vals = lo + (hi - lo) * rng.power(2.0, n)
+            else:
+                vals = np.clip(rng.normal(mean, std or 1.0, n), lo, hi)
+            if dtype.startswith("int"):
+                arr = pa.array(np.round(vals).astype(np.int64), pa.int64())
+                arr = pa.array(
+                    np.round(vals).astype(np.int64), pa.int64(), mask=null_mask
+                )
+            else:
+                arr = pa.array(vals, pa.float64(), mask=null_mask)
+            return arr
+        # string / categorical: zipf-weighted synthetic vocab
+        card = max(int(spec.get("cardinality", 10)), 1)
+        weights = 1.0 / np.arange(1, card + 1) ** 1.2
+        weights /= weights.sum()
+        codes = rng.choice(card, size=n, p=weights)
+        vocab = np.array([f"{name}_{i}" for i in range(card)], dtype=object)
+        return pa.array(vocab[codes], pa.string(), mask=null_mask)
+
+    def generate(self, num_rows: int, shard_rows: int = 100_000):
+        import ray.data as rd
+
+        n_shards = max(1, (num_rows + shard_rows - 1) // shard_rows)
+        profile, seed = self.profile, self.seed
+        gen_col = self._column
+
+        def shard(batch) -> pa.Table:
+            out_tables = []
+            for sid in np.asarray(batch["id"]):
+                rng = np.random.default_rng([seed, int(sid)])
+                rows = min(shard_rows, num_rows - int(sid) * shard_rows)
+                cols = {c: gen_col(rng, c, spec, rows) for c, spec in profile.items()}
+                out_tables.append(pa.table(cols))
+            return pa.concat_tables(out_tables)
+
+        return rd.range(n_shards).map_batches(shard, batch_format="numpy")

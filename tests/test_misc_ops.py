@@ -154,3 +154,24 @@ def test_minhash_dedup_clusters():
     assert out["cluster_id"].iloc[1] == 0
     assert out["cluster_id"].iloc[2] == 2
     assert out["cluster_id"].iloc[3] == 3
+
+
+def test_dataset_gen_from_profile(mixed_ds, mixed_df):
+    """DataStats profile -> DatasetGen look-alike (reference tools/data_gen.py
+    analog): schema, cardinality and moments should approximate the source."""
+    from nvtabular_ray import Workflow, ops as _ops
+    from nvtabular_ray.tools import DatasetGen
+
+    wf = Workflow(["id", "x", "name_cat"] >> _ops.DataStats())
+    wf.fit(mixed_ds)
+    profile = wf._op_nodes()[0].op.output
+    gen = DatasetGen(profile, seed=7)
+    out = gen.generate(2000, shard_rows=500).to_pandas()
+    assert len(out) == 2000
+    assert set(out.columns) == {"id", "x", "name_cat"}
+    assert out["name_cat"].nunique() <= profile["name_cat"]["cardinality"]
+    assert abs(out["x"].mean() - profile["x"]["mean"]) < 0.5
+    assert out["id"].between(profile["id"]["min"], profile["id"]["max"]).all()
+    # deterministic
+    out2 = gen.generate(2000, shard_rows=500).to_pandas()
+    assert (out["id"].to_numpy() == out2["id"].to_numpy()).all()
