@@ -436,6 +436,127 @@ def _q_ann_lsh(sf_dir: str):
     return lsh_topk(emb, qvec, k=10).select_columns(["vec_id"])
 
 
+def _q_reduce_dtype(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    wf = Workflow((["value"] >> ops.ReduceDtypeSize()) + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
+def _q_dropna(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _with_value2(_read(sf_dir, "events", columns=["event_id", "event_type", "value"]))
+    wf = Workflow(["event_id", "value2"] >> ops.Dropna())
+    return wf.fit(ds).transform(ds)
+
+
+def _q_filter_lambda(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    filt = ["event_id", "value"] >> ops.Filter(lambda t: pc.less(t.column("value"), 100.0))
+    kept = Workflow(filt).fit(ds).transform(ds)
+    wf = Workflow((["value"] >> ops.LambdaOp(lambda s: s * 2.0)) + ["event_id"])
+    return wf.fit(kept).transform(kept)
+
+
+def _q_hashed_cross(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "user_id"])
+    wf = Workflow(
+        ([["event_type", "user_id"]] >> ops.HashedCross(num_buckets=64)) + ["event_id"]
+    )
+    return wf.fit(ds).transform(ds)
+
+
+def _q_difference_lead(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    node = ["value"] >> ops.DifferenceLag(partition_cols="user_id", shift=[-1], sort_cols=["ts"])
+    wf = Workflow(node + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
+def _q_rolling_mean(sf_dir: str):
+    from nvtabular_ray.pipelines.temporal import windowed_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = windowed_agg(ds, "user_id", "ts", "value", 86400, ["mean"], prefix="w24h_")
+    return _round6(out.select_columns(["event_id", "w24h_mean"]), ["w24h_mean"])
+
+
+def _q_groupby_stats(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    node = ["user_id", "value"] >> ops.Groupby(
+        groupby_cols="user_id", aggs={"value": ["min", "max", "nunique"]}
+    )
+    out = Workflow(node).fit(ds).transform(ds)
+
+    def fix(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("value_nunique")
+        return t.set_column(i, "value_nunique", pc.cast(t.column("value_nunique"), pa.int64()))
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def _q_categorify_freq_threshold(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    # single OOV bucket => every below-threshold user gets code 2 (SQL-expressible)
+    wf = Workflow((["user_id"] >> ops.Categorify(freq_threshold=60)) + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
+def _q_embedding_sizes(sf_dir: str):
+    import pandas as pd
+
+    from nvtabular_ray import Workflow, ops
+    from nvtabular_ray.ops.categorify import get_embedding_sizes
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    wf = Workflow(["event_type", "user_id"] >> ops.Categorify())
+    wf.fit(ds)
+    sizes = get_embedding_sizes(wf)
+    rows = [
+        {"col": c, "cardinality": int(card), "dim": int(dim)}
+        for c, (card, dim) in sorted(sizes.items())
+    ]
+    return pd.DataFrame(rows)
+
+
+def _q_ngram_dedup(sf_dir: str):
+    from nvtabular_ray.functions.dedup import ngram_jaccard_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_dedup(ds, threshold=0.8)
+
+
+def _q_multimodal_meta(sf_dir: str):
+    """Binary-column plumbing: attach a binary payload (utf-8 text bytes),
+    run the actor-pool decode stage (deterministic fake codec), report
+    payload byte counts — schema/batch wiring real, codec stubbed."""
+    from nvtabular_ray.multimodal.stages import decode_images
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        blob = pc.cast(t.column("text"), pa.binary())
+        t = t.append_column("blob", blob)
+        t = t.append_column("blob_bytes", pc.cast(pc.binary_length(blob), pa.int64()))
+        return t.drop_columns(["text"])
+
+    with_blob = ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+    decoded = decode_images(with_blob, column="blob", out_dim=8, concurrency=2)
+    return decoded.select_columns(["doc_id", "blob_bytes"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "categorify_event_type": _q_categorify_event_type,
@@ -470,6 +591,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_lsh": _q_ann_lsh,
+        "reduce_dtype": _q_reduce_dtype,
+        "dropna": _q_dropna,
+        "filter_lambda": _q_filter_lambda,
+        "hashed_cross": _q_hashed_cross,
+        "difference_lead": _q_difference_lead,
+        "rolling_mean": _q_rolling_mean,
+        "groupby_stats": _q_groupby_stats,
+        "categorify_freq_threshold": _q_categorify_freq_threshold,
+        "embedding_sizes": _q_embedding_sizes,
+        "ngram_dedup": _q_ngram_dedup,
+        "multimodal_meta": _q_multimodal_meta,
     }
 
 
@@ -673,5 +805,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id ASC
             LIMIT 10
+        """,
+        "reduce_dtype": """
+            SELECT event_id, CAST(value AS REAL) AS value FROM events
+        """,
+        "dropna": """
+            SELECT event_id,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value2
+            FROM events WHERE event_type <> 'error'
+        """,
+        "filter_lambda": """
+            SELECT event_id, value * 2.0 AS value FROM events WHERE value < 100.0
+        """,
+        "difference_lead": """
+            SELECT event_id,
+                   CAST(value - lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS REAL)
+                       AS "value_difference_lag_-1"
+            FROM events
+        """,
+        "rolling_mean": """
+            SELECT event_id,
+                   ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW), 6)
+                       AS w24h_mean
+            FROM events
+        """,
+        "groupby_stats": """
+            SELECT user_id, min(value) AS value_min, max(value) AS value_max,
+                   CAST(count(DISTINCT value) AS BIGINT) AS value_nunique
+            FROM events GROUP BY user_id
+        """,
+        "categorify_freq_threshold": """
+            WITH counts AS (
+                SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+            ),
+            vocab AS (
+                SELECT user_id, ROW_NUMBER() OVER (ORDER BY c DESC, user_id ASC) + 2 AS code
+                FROM counts WHERE c >= 60
+            )
+            SELECT e.event_id, COALESCE(v.code, 2) AS user_id
+            FROM events e LEFT JOIN vocab v USING (user_id)
+        """,
+        "embedding_sizes": """
+            WITH cards AS (
+                SELECT 'event_type' AS col,
+                       count(DISTINCT event_type) + 3 AS cardinality FROM events
+                UNION ALL
+                SELECT 'user_id', count(DISTINCT user_id) + 3 FROM events
+            )
+            SELECT col, cardinality,
+                   CAST(LEAST(GREATEST(16, CAST(round(1.6 * pow(cardinality, 0.56), 0)
+                        AS BIGINT)), 512) AS BIGINT) AS dim
+            FROM cards ORDER BY col
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blob_bytes
+            FROM documents
         """,
     }

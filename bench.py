@@ -60,6 +60,7 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,  # keep stdout pure: the ONE JSON line only
     )
     from ray.data import DataContext
 

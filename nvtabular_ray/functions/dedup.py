@@ -223,6 +223,90 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", hamming_th
 
 
 # ------------------------------------------------- n-gram Jaccard / embeddings --
+def _word_ngram_hashes(texts, n: int):
+    """Per-doc sorted-unique uint64 hashes of word n-grams, vectorized: all
+    grams of the batch hash in ONE SipHash call, split back by doc."""
+    grams: list[np.ndarray] = []
+    for text in texts:
+        w = (text or "").lower().split()
+        if len(w) < n:
+            grams.append(np.array([" ".join(w)], dtype=object))
+        else:
+            grams.append(
+                np.array([" ".join(w[i : i + n]) for i in range(len(w) - n + 1)], dtype=object)
+            )
+    lens = np.array([len(g) for g in grams], dtype=np.int64)
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    h = hash64(pd.Series(np.concatenate(grams), dtype=object))
+    return [np.unique(h[bounds[i] : bounds[i + 1]]) for i in range(len(texts))]
+
+
+def ngram_jaccard_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 4,
+):
+    """Near-dup clustering by word n-gram Jaccard: candidates from
+    ``num_hashes`` independent min-hash buckets over the n-gram set, then
+    EXACT Jaccard verification inside each bucket (the int n-gram hash set —
+    not the text — rides the shuffle). cluster_id = smallest doc id whose
+    verified Jaccard >= threshold."""
+    rng = np.random.RandomState(4242)
+    a = rng.randint(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+
+    def rows(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        gsets = _word_ngram_hashes(texts, n)
+        bucket = np.empty(num_hashes * len(ids), dtype=np.int64)
+        for j in range(num_hashes):
+            bucket[j * len(ids) : (j + 1) * len(ids)] = np.array(
+                [np.min(g * a[j] + b[j]) for g in gsets], dtype=np.uint64
+            ).astype(np.int64)
+        gram_col = pa.array(
+            [g.astype(np.int64) for g in gsets] * num_hashes, pa.list_(pa.int64())
+        )
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(num_hashes, dtype=np.int32), len(ids))),
+                "key": pa.array(bucket),
+                id_col: pa.array(np.tile(ids, num_hashes)),
+                "__grams__": gram_col,
+            }
+        )
+
+    buckets = ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({id_col: ids, "cluster_id": ids})
+        order = np.argsort(ids)
+        ids = ids[order]
+        gsets = [np.asarray(g, dtype=np.int64) for g in group["__grams__"].to_numpy()[order]]
+        m = len(ids)
+        close = np.eye(m, dtype=bool)
+        for i in range(m):
+            for j in range(i + 1, m):
+                inter = len(np.intersect1d(gsets[i], gsets[j], assume_unique=True))
+                union = len(gsets[i]) + len(gsets[j]) - inter
+                if union == 0 or inter / union >= threshold:
+                    close[i, j] = close[j, i] = True
+        labels = ids[np.argmax(close, axis=1)]
+        return pd.DataFrame({id_col: ids, "cluster_id": labels})
+
+    labeled = buckets.groupby(["band", "key"]).map_groups(resolve, batch_format="pandas")
+
+    def doc_min(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: [g[id_col].iloc[0]], "cluster_id": [g["cluster_id"].min()]})
+
+    return labeled.groupby(id_col).map_groups(doc_min, batch_format="pandas")
+
+
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     """Word n-gram Jaccard similarity (driver-side verification kernel)."""
     def grams(t):

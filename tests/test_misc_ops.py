@@ -156,6 +156,28 @@ def test_minhash_dedup_clusters():
     assert out["cluster_id"].iloc[3] == 3
 
 
+def test_ngram_jaccard_dedup_clusters():
+    from nvtabular_ray.functions.dedup import ngram_jaccard, ngram_jaccard_dedup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                base,
+                base + " tail",  # jaccard 38/40 ≈ 0.95 on word 3-grams
+                " ".join(f"q{i}" for i in range(40)),
+            ],
+        }
+    )
+    assert ngram_jaccard(docs.text[0], docs.text[1]) > 0.9
+    out = ngram_jaccard_dedup(_ds(docs, 2), threshold=0.8).to_pandas().sort_values("doc_id")
+    assert list(out["cluster_id"]) == [0, 0, 2]
+    # below-threshold pair stays separate at a tighter threshold
+    strict = ngram_jaccard_dedup(_ds(docs, 2), threshold=0.99).to_pandas().sort_values("doc_id")
+    assert list(strict["cluster_id"]) == [0, 1, 2]
+
+
 def test_dataset_gen_from_profile(mixed_ds, mixed_df):
     """DataStats profile -> DatasetGen look-alike (reference tools/data_gen.py
     analog): schema, cardinality and moments should approximate the source."""
