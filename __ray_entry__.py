@@ -538,6 +538,45 @@ def _q_ngram_dedup(sf_dir: str):
     return ngram_jaccard_dedup(ds, threshold=0.8)
 
 
+def _q_log_norm(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    node = ["l_extendedprice"] >> ops.LogOp() >> ops.Normalize() >> ops.Rename(name="lp_norm")
+    wf = Workflow(node + ["l_orderkey", "l_linenumber"])
+    return _round6(wf.fit(ds).transform(ds), ["lp_norm"])
+
+
+def _q_value_count(sf_dir: str):
+    import pandas as pd
+
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    wf = Workflow(["embedding"] >> ops.ValueCount())
+    wf.fit(ds)
+    stats = wf._op_nodes()[0].op.stats
+    rows = [
+        {
+            "col": c,
+            "len_min": int(st["value_count"]["min"]),
+            "len_max": int(st["value_count"]["max"]),
+        }
+        for c, st in sorted(stats.items())
+    ]
+    return pd.DataFrame(rows)
+
+
+def _q_drop_low_cardinality(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "user_id"])
+    # event_type (~5 distinct) is dropped; user_id (~150) survives and encodes
+    node = ["event_type", "user_id"] >> ops.DropLowCardinality(min_cardinality=50) >> ops.Categorify()
+    wf = Workflow(node + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
 def _q_multimodal_meta(sf_dir: str):
     """Binary-column plumbing: attach a binary payload (utf-8 text bytes),
     run the actor-pool decode stage (deterministic fake codec), report
@@ -602,6 +641,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_sizes": _q_embedding_sizes,
         "ngram_dedup": _q_ngram_dedup,
         "multimodal_meta": _q_multimodal_meta,
+        "log_norm": _q_log_norm,
+        "value_count": _q_value_count,
+        "drop_low_cardinality": _q_drop_low_cardinality,
     }
 
 
@@ -861,5 +903,32 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blob_bytes
             FROM documents
+        """,
+        "log_norm": """
+            -- LogOp emits float32 (reference logop.py:29-63): model the
+            -- quantization with CAST AS REAL before the float64 normalize
+            WITH lg AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(ln(1 + l_extendedprice) AS REAL) AS v
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   ROUND((v - avg(v) OVER ()) / stddev_samp(v) OVER (), 6) AS lp_norm
+            FROM lg
+        """,
+        "value_count": """
+            SELECT 'embedding' AS col,
+                   CAST(min(len(embedding)) AS BIGINT) AS len_min,
+                   CAST(max(len(embedding)) AS BIGINT) AS len_max
+            FROM embeddings
+        """,
+        "drop_low_cardinality": """
+            WITH vocab AS (
+                SELECT user_id,
+                       ROW_NUMBER() OVER (ORDER BY count(*) DESC, user_id ASC) + 2 AS code
+                FROM events GROUP BY user_id
+            )
+            SELECT e.event_id, v.code AS user_id
+            FROM events e JOIN vocab v USING (user_id)
         """,
     }

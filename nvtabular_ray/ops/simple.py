@@ -87,8 +87,11 @@ class LogOp(Operator):
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         def kernel(a):
-            a = pc.cast(a, pa.float32())
-            return pc.cast(pc.ln(pc.add(a, pa.scalar(1.0, pa.float32()))), pa.float32())
+            # ln at float64 precision, float32 only on the OUTPUT — matches
+            # the reference (log at input dtype, downcast result) and avoids
+            # 1-ulp float32-ln divergence from SQL engines
+            a = pc.cast(a, pa.float64())
+            return pc.cast(pc.ln(pc.add(a, pa.scalar(1.0, pa.float64()))), pa.float32())
 
         return pa.table(
             {n: apply_unary(table.column(n), kernel) for n in col_selector.names}

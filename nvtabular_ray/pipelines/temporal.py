@@ -119,6 +119,11 @@ def asof_join(
     both = l_pad.union(r_pad)
 
     val_cols = [out_name[c] for c in r_cols]
+    # fixed output schema: unmatched right values must stay their Arrow type
+    # (nulls), not drift to float64 when pandas injects NaN in some buckets
+    out_fields = [(c, left_types[c]) for c in left_cols] + [
+        (out_name[c], right_types[c]) for c in r_cols
+    ]
 
     def per_bucket(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -134,8 +139,9 @@ def asof_join(
             direction="backward",
             allow_exact_matches=not strict,
         )
-        merged = merged.drop(columns=["__ts__"])
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        return pa.table(
+            {name: pa.Array.from_pandas(merged[name], type=typ) for name, typ in out_fields}
+        )
 
     return bucketed_group_map(both, keys, [], per_bucket, num_buckets=num_buckets)
 

@@ -22,7 +22,8 @@ def test_fill_clip_log_chain(mixed_ds, mixed_df):
     oracle = mixed_df.copy()
     for c in ("x", "y"):
         v = oracle[c].fillna(0).clip(lower=0)
-        oracle[c] = np.log(v.astype("float32") + 1).astype("float32")
+        # ln at float64 precision, float32 on the output (LogOp contract)
+        oracle[c] = np.log(v.astype("float64") + 1).astype("float32")
     oracle = (
         oracle[["x", "y", "id"]].sort_values("id", kind="mergesort").reset_index(drop=True)
     )
