@@ -577,6 +577,17 @@ def _q_drop_low_cardinality(sf_dir: str):
     return wf.fit(ds).transform(ds)
 
 
+def _q_categorify_distributed(sf_dir: str):
+    """Scale-path Categorify: vocab never materializes on the driver
+    (distributed rank sort + sharded parquet), encode via shuffle join.
+    Must produce codes identical to the in-memory path."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    wf = Workflow((["user_id"] >> ops.Categorify(distributed=True)) + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
 def _q_multimodal_meta(sf_dir: str):
     """Binary-column plumbing: attach a binary payload (utf-8 text bytes),
     run the actor-pool decode stage (deterministic fake codec), report
@@ -641,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_sizes": _q_embedding_sizes,
         "ngram_dedup": _q_ngram_dedup,
         "multimodal_meta": _q_multimodal_meta,
+        "categorify_distributed": _q_categorify_distributed,
         "log_norm": _q_log_norm,
         "value_count": _q_value_count,
         "drop_low_cardinality": _q_drop_low_cardinality,
@@ -903,6 +915,15 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blob_bytes
             FROM documents
+        """,
+        "categorify_distributed": """
+            WITH vocab AS (
+                SELECT user_id,
+                       ROW_NUMBER() OVER (ORDER BY count(*) DESC, user_id ASC) + 2 AS code
+                FROM events GROUP BY user_id
+            )
+            SELECT e.event_id, v.code AS user_id
+            FROM events e JOIN vocab v USING (user_id)
         """,
         "log_norm": """
             -- LogOp emits float32 (reference logop.py:29-63): model the

@@ -32,6 +32,7 @@ multi-column joint groups (shared vocab) and ``encode_type="combo"``
 from __future__ import annotations
 
 import os
+import tempfile
 from typing import Optional
 
 import numpy as np
@@ -68,6 +69,8 @@ class Categorify(StatOperator):
         name_sep: str = "_",
         vocabs: Optional[dict] = None,
         cardinality_memory_limit: int = 2 << 30,
+        distributed: bool = False,
+        split_out: Optional[int] = None,
     ):
         super().__init__()
         if encode_type not in ("joint", "combo"):
@@ -81,6 +84,12 @@ class Categorify(StatOperator):
         self.encode_type = encode_type
         self.name_sep = name_sep
         self.cardinality_memory_limit = cardinality_memory_limit
+        # scale path (reference split_out>1 analog, categorify.py:1644-1679):
+        # vocab never materializes on the driver; encode is a shuffle join
+        self.distributed = distributed
+        self.split_out = split_out
+        self.distributed_vocabs: dict[str, dict] = {}
+        self.dependencies: list[str] = []  # __catcode_{col}__ in distributed mode
         # group storage name -> vocab pa.Table (value col(s) + "{name}_size")
         self.vocab_tables: dict[str, pa.Table] = {}
         self.null_counts: dict[str, int] = {}
@@ -130,6 +139,16 @@ class Categorify(StatOperator):
         ]
         combos = [(n, c) for n, c in todo if len(c) > 1 and self.encode_type == "combo"]
         singles = [(n, c) for n, c in todo if not (len(c) > 1 and self.encode_type == "combo")]
+
+        if self.distributed:
+            if combos:
+                raise NotImplementedError(
+                    "distributed Categorify does not support encode_type='combo'"
+                )
+            for name, cols in singles:
+                self._fit_distributed(ds, name, cols, value_type)
+            self._write_artifacts()
+            return
 
         for name, cols in combos:
             self._fit_combo(ds, name, cols)
@@ -243,6 +262,194 @@ class Categorify(StatOperator):
         vocab_df = vocab_df.rename(columns={"count": "count"})
         self._finalize_vocab(name, list(cols), vocab_df, nulls, value_cols=list(cols))
 
+    # ---------------------------------------------- distributed (scale) --
+    def _fit_distributed(self, ds, name: str, cols: list[str], value_type) -> None:
+        """Vocabulary-bigger-than-driver-memory path (SURVEY.md §7.4.5; the
+        reference's ``split_out>1`` analog, categorify.py:1644-1679).
+
+        Counts stay a Ray Dataset end-to-end: map-side value counts ->
+        ``groupby("value").sum`` (Ray shuffle) -> distributed (count desc,
+        value asc) sort -> block-wise global rank assignment from block
+        METADATA (row counts only; no vocab rows ever reach the driver) ->
+        sharded vocab parquet written by remote tasks. Encoding is a shuffle
+        join (``join_encode``). List columns are not supported here."""
+        import ray
+
+        schema = ds.schema(fetch_if_missing=True)
+        types = dict(zip(schema.names, schema.types))
+        for c in cols:
+            if pa.types.is_list(types[c]) or pa.types.is_large_list(types[c]):
+                raise NotImplementedError(
+                    "distributed Categorify does not support list columns"
+                )
+
+        from ray.data.aggregate import Sum
+
+        def partial(t: pa.Table, cols=tuple(cols)) -> pa.Table:
+            vals, cnts, nulls = [], [], 0
+            for c in cols:
+                arr = as_single_chunk(t.column(c))
+                nulls += arr.null_count
+                vc = pc.value_counts(arr.drop_null())
+                vals.append(vc.field("values"))
+                cnts.append(pc.cast(vc.field("counts"), pa.int64()))
+            value = pa.concat_arrays([v.cast(vals[0].type) for v in vals])
+            out = pa.table({"value": value, "count": pa.concat_arrays(cnts)})
+            nulls_col = ([nulls] + [0] * (out.num_rows - 1)) if out.num_rows else []
+            return out.append_column("nulls", pa.array(nulls_col, pa.int64()))
+
+        parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        counts = parts.groupby("value").aggregate(Sum("count"), Sum("nulls"))
+        nulls_total = int(counts.sum("sum(nulls)") or 0)
+
+        thresh = self.freq_threshold if self.freq_threshold and self.freq_threshold > 1 else None
+
+        def tidy(t: pa.Table) -> pa.Table:
+            t = pa.table({"value": t.column("value"), "count": t.column("sum(count)")})
+            if thresh:
+                t = t.filter(pc.greater_equal(t.column("count"), thresh))
+            return t
+
+        ranked = counts.map_batches(tidy, batch_format="pyarrow").sort(
+            ["count", "value"], descending=[True, False]
+        )
+        if self.max_size:
+            keep = self.max_size - OOV_OFFSET - self.num_oov
+            if keep < 1:
+                raise ValueError("max_size cannot be less than num_buckets + 3")
+            ranked = ranked.limit(keep)
+
+        root = self.out_path or tempfile.mkdtemp(prefix="nvtr_vocab_")
+        path = os.path.join(root, f"vocab.{name}")
+        os.makedirs(path, exist_ok=True)
+        base = self.vocab_base
+        size_col = f"{name}_size"
+
+        @ray.remote
+        def write_shard(block: pa.Table, offset: int, shard_path: str) -> int:
+            codes = pa.array(np.arange(block.num_rows, dtype=np.int64) + offset + base)
+            pq.write_table(
+                pa.table(
+                    {
+                        "value": block.column("value"),
+                        size_col: block.column("count"),
+                        "__code__": codes,
+                    }
+                ),
+                shard_path,
+            )
+            return block.num_rows
+
+        mat = ranked.materialize()
+        futures, offset = [], 0
+        i = 0
+        for bundle in mat.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                n = meta.num_rows
+                if n is None:
+                    n = ray.get(ref).num_rows
+                if n == 0:
+                    continue
+                futures.append(
+                    write_shard.remote(ref, offset, os.path.join(path, f"part-{i:05d}.parquet"))
+                )
+                offset += n
+                i += 1
+        ray.get(futures)
+        self.distributed_vocabs[name] = {
+            "path": path,
+            "cols": list(cols),
+            "num_rows": offset,
+            "value_type": str(types[cols[0]]),
+        }
+        self.null_counts[name] = nulls_total
+        for c in cols:
+            dep = f"__catcode_{c}__"
+            if dep not in self.dependencies:
+                self.dependencies.append(dep)
+
+    def join_encode(self, ds):
+        """Shuffle-join encode for distributed vocabularies: ONE bucketed
+        shuffle per column co-partitions data rows and vocab shards by
+        hash(value); codes resolve per bucket with ``index_in``. Appends an
+        int64 ``__catcode_{col}__`` column per encoded column; ``transform``
+        then just projects it (via the op ``dependencies`` mechanism)."""
+        for name, info in self.distributed_vocabs.items():
+            for col in info["cols"]:
+                ds = self._join_encode_col(ds, col, name, info)
+        return ds
+
+    def _join_encode_col(self, ds, col: str, name: str, info: dict):
+        import ray.data as rd
+
+        from nvtabular_ray.pipelines.partitioned import _default_num_buckets
+
+        dep = f"__catcode_{col}__"
+        vocab = rd.read_parquet(info["path"])
+        num_buckets = self.split_out or _default_num_buckets()
+        data_schema = ds.schema(fetch_if_missing=True)
+        data_names = list(data_schema.names)
+        data_types = dict(zip(data_schema.names, data_schema.types))
+        vtype = data_types[col]
+        num_oov = self.num_oov
+
+        def pad_data(t: pa.Table) -> pa.Table:
+            h = hash64(as_single_chunk(t.column(col)))
+            b = (h % np.uint64(num_buckets)).astype(np.int32)
+            t = t.append_column("__vbkt__", pa.array(b))
+            t = t.append_column("__vcode__", pa.nulls(t.num_rows, pa.int64()))
+            t = t.append_column("__vside__", pa.array(np.zeros(t.num_rows, np.int8)))
+            return t
+
+        def pad_vocab(t: pa.Table) -> pa.Table:
+            vals = as_single_chunk(t.column("value").cast(vtype))
+            h = hash64(vals)
+            b = (h % np.uint64(num_buckets)).astype(np.int32)
+            out = {
+                c2: (vals if c2 == col else pa.nulls(t.num_rows, data_types[c2]))
+                for c2 in data_names
+            }
+            out["__vbkt__"] = pa.array(b)
+            out["__vcode__"] = t.column("__code__").cast(pa.int64())
+            out["__vside__"] = pa.array(np.ones(t.num_rows, np.int8))
+            return pa.table(out)
+
+        order = data_names + ["__vbkt__", "__vcode__", "__vside__"]
+        both = (
+            ds.map_batches(pad_data, batch_format="pyarrow", zero_copy_batch=True)
+            .select_columns(order)
+            .union(vocab.map_batches(pad_vocab, batch_format="pyarrow").select_columns(order))
+        )
+
+        def per_bucket(t: pa.Table) -> pa.Table:
+            side = t.column("__vside__").to_numpy(zero_copy_only=False)
+            vtab = t.filter(pa.array(side == 1))
+            dtab = t.filter(pa.array(side == 0))
+            vocab_vals = as_single_chunk(vtab.column(col))
+            vocab_codes = vtab.column("__vcode__").to_numpy(zero_copy_only=False)
+            values = as_single_chunk(dtab.column(col))
+            idx = (
+                pc.index_in(values, value_set=vocab_vals)
+                .to_numpy(zero_copy_only=False)
+                .astype("float64")
+            )
+            found = ~np.isnan(idx)
+            nulls = pc.is_null(values).to_numpy(zero_copy_only=False)
+            codes = np.empty(len(values), dtype=np.int64)
+            codes[found] = vocab_codes[idx[found].astype(np.int64)].astype(np.int64)
+            oov = (~found) & (~nulls)
+            if oov.any():
+                if num_oov == 1:
+                    codes[oov] = OOV_OFFSET
+                else:
+                    hh = hash64(values)[oov]
+                    codes[oov] = (hh % np.uint64(num_oov)).astype(np.int64) + OOV_OFFSET
+            codes[nulls] = NULL_OFFSET
+            out = dtab.drop_columns(["__vbkt__", "__vcode__", "__vside__"])
+            return out.append_column(dep, pa.array(codes, pa.int64()))
+
+        return both.groupby("__vbkt__").map_groups(per_bucket, batch_format="pyarrow")
+
     def _check_vocab_size(self, name, vocab_df):
         nbytes = int(vocab_df.memory_usage(deep=True).sum())
         if nbytes > self.cardinality_memory_limit:
@@ -287,10 +494,21 @@ class Categorify(StatOperator):
                 }
             )
             pq.write_table(meta, os.path.join(self.out_path, f"meta.{name}.parquet"))
+        for name, info in self.distributed_vocabs.items():
+            meta = pa.table(
+                {
+                    "kind": pa.array([name]),
+                    "num_observed": pa.array([info["num_rows"]], pa.int64()),
+                    "nulls": pa.array([self.null_counts.get(name, 0)], pa.int64()),
+                    "offset": pa.array([self.vocab_base], pa.int64()),
+                }
+            )
+            pq.write_table(meta, os.path.join(self.out_path, f"meta.{name}.parquet"))
 
     def clear(self):
         super().clear()
         self.vocab_tables, self.null_counts, self._refs = {}, {}, {}
+        self.distributed_vocabs, self.dependencies = {}, []
 
     # -------------------------------------------------------- broadcast --
     @property
@@ -328,7 +546,12 @@ class Categorify(StatOperator):
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         out = {}
         for name, cols in self._groups(col_selector):
-            if len(cols) > 1 and self.encode_type == "combo":
+            if name in self.distributed_vocabs:
+                # codes were resolved by the join_encode shuffle stage and
+                # ride in as dependency columns — just project them
+                for c in cols:
+                    out[c] = table.column(f"__catcode_{c}__")
+            elif len(cols) > 1 and self.encode_type == "combo":
                 out[name] = self._encode_combo(name, cols, table)
             else:
                 vocab = self.vocab_tables[name]
@@ -404,8 +627,10 @@ def get_embedding_sizes(source) -> dict[str, tuple[int, int]]:
         ops = [n.op for n in source._op_nodes() if isinstance(n.op, Categorify)]
     out = {}
     for op in ops:
-        for name, tab in op.vocab_tables.items():
-            card = op.vocab_base + tab.num_rows
+        sizes = {name: tab.num_rows for name, tab in op.vocab_tables.items()}
+        sizes.update({name: info["num_rows"] for name, info in op.distributed_vocabs.items()})
+        for name, nrows in sizes.items():
+            card = op.vocab_base + nrows
             dim = min(max(16, int(round(1.6 * card**0.56))), 512)
             out[name] = (card, dim)
     return out

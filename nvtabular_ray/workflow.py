@@ -190,6 +190,18 @@ class Workflow:
     def _upstream_dataset(self, ds, node: Node):
         """Lazy Dataset holding ``node``'s input columns (+deps)."""
         parents = node.parents
+        # chained stat after a distributed-vocab Categorify: resolve codes
+        # first so the ancestor's transform finds its __catcode_* deps
+        seen: set[int] = set()
+        for p in parents:
+            for anc in p.topo_order():
+                if (
+                    anc.kind == "op"
+                    and id(anc.op) not in seen
+                    and getattr(anc.op, "distributed_vocabs", None)
+                ):
+                    seen.add(id(anc.op))
+                    ds = anc.op.join_encode(ds)
         sel_cols = list(node.input_selector.names) + [
             c for c in node.op.dependencies if c not in node.input_selector.names
         ]
@@ -238,10 +250,20 @@ class Workflow:
         spec = self._partitioned_spec()
         root_cols = self.output_node.root_columns()
         avail = _existing_columns(ds)
-        missing = [c for c in root_cols if c not in avail]
+        # __catcode_* deps are synthetic: produced by the join_encode
+        # pre-stage below, never expected in the input
+        missing = [
+            c for c in root_cols if c not in avail and not c.startswith("__catcode_")
+        ]
         if missing:
             raise ValueError(f"input dataset missing columns {missing}")
-        ds = ds.select_columns(root_cols)
+        ds = ds.select_columns([c for c in root_cols if c in avail])
+
+        # distributed-vocab Categorify: resolve codes via a shuffle join
+        # BEFORE the fused stage; codes ride along as __catcode_* columns
+        for n in self._op_nodes():
+            if getattr(n.op, "distributed_vocabs", None):
+                ds = n.op.join_encode(ds)
 
         for n in self._op_nodes():
             n.op.prepare_broadcast()

@@ -1,0 +1,128 @@
+"""Distributed (larger-than-driver-memory) Categorify: the SURVEY.md §7.4.5
+scale path — vocab stays a Ray Dataset end-to-end (groupby shuffle ->
+distributed rank sort -> sharded parquet), encode is a shuffle join.
+Reference analog: split_out>1, /root/reference/nvtabular/ops/categorify.py:1644-1679.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from nvtabular_ray import Workflow, ops
+
+
+def _events(n=500, seed=3):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.zipf(1.5, n).astype("int64") % 40,
+            "kind": rng.choice(["a", "b", "c", "d", None], n, p=[0.4, 0.3, 0.2, 0.05, 0.05]),
+            "ts": np.arange(n, dtype="int64"),
+            "value": rng.normal(size=n),
+        }
+    )
+
+
+def _arrow_ds(df, parts=4):
+    import pyarrow as pa
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(parts)
+
+
+def _both(df, node_mem, node_dist):
+    ds = _arrow_ds(df)
+    a = Workflow(node_mem + ["event_id"]).fit(ds).transform(ds)
+    b = Workflow(node_dist + ["event_id"]).fit(ds).transform(ds)
+    a = a.to_pandas().sort_values("event_id").reset_index(drop=True)
+    b = b.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return a, b
+
+
+def test_distributed_matches_in_memory():
+    df = _events()
+    a, b = _both(
+        df,
+        ["user_id", "kind"] >> ops.Categorify(),
+        ["user_id", "kind"] >> ops.Categorify(distributed=True),
+    )
+    assert list(a.columns) == list(b.columns)
+    for c in ("user_id", "kind"):
+        assert (a[c].to_numpy() == b[c].to_numpy()).all()
+    # nulls encode to 1 in both
+    nulls = df["kind"].isna().to_numpy()
+    assert (b.sort_index()["kind"].to_numpy()[nulls] == 1).all()
+
+
+def test_distributed_freq_threshold_and_oov_buckets():
+    df = _events()
+    a, b = _both(
+        df,
+        ["user_id"] >> ops.Categorify(freq_threshold=10, num_buckets=4),
+        ["user_id"] >> ops.Categorify(freq_threshold=10, num_buckets=4, distributed=True),
+    )
+    assert (a["user_id"].to_numpy() == b["user_id"].to_numpy()).all()
+    # OOV range actually used
+    assert ((b["user_id"] >= 2) & (b["user_id"] <= 5)).any()
+
+
+def test_distributed_joint_shared_vocab():
+    df = _events()
+    df["kind2"] = df["kind"].map({"a": "b", "b": "c", "c": "d", "d": "a"})
+    a, b = _both(
+        df,
+        [["kind", "kind2"]] >> ops.Categorify(),
+        [["kind", "kind2"]] >> ops.Categorify(distributed=True),
+    )
+    for c in ("kind", "kind2"):
+        assert (a[c].to_numpy() == b[c].to_numpy()).all()
+
+
+def test_distributed_chained_with_partitioned_op():
+    """Distributed codes must survive the bucketed conv-shuffle path and the
+    synthetic __catcode_* columns must not leak into the output."""
+    df = _events()
+    ds = _arrow_ds(df)
+    node = (["kind"] >> ops.Categorify(distributed=True)) + (
+        ["value"] >> ops.DifferenceLag(partition_cols="user_id", shift=[1], sort_cols=["ts"])
+    )
+    wf = Workflow(node + ["event_id", "user_id"])
+    out = wf.fit(ds).transform(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert not any(c.startswith("__catcode_") for c in out.columns)
+    ref = (
+        Workflow((["kind"] >> ops.Categorify()) + ["event_id"])
+        .fit(ds)
+        .transform(ds)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert (out["kind"].to_numpy() == ref["kind"].to_numpy()).all()
+    # lag column present and entity-masked like the plain op
+    first_per_user = ~df.sort_values("ts").duplicated("user_id", keep="first").to_numpy()
+    assert out["value_difference_lag_1"].isna().sum() >= first_per_user.sum()
+
+
+def test_distributed_embedding_sizes_and_max_size():
+    from nvtabular_ray.ops.categorify import get_embedding_sizes
+
+    df = _events()
+    ds = _arrow_ds(df)
+    wf = Workflow((["user_id"] >> ops.Categorify(max_size=10, distributed=True)) + ["event_id"])
+    wf.fit(ds)
+    card, dim = get_embedding_sizes(wf)["user_id"]
+    assert card == 10  # max_size caps base(3) + vocab rows
+    out = wf.transform(ds).to_pandas()
+    assert out["user_id"].max() <= 9
+
+
+def test_distributed_combo_rejected():
+    df = _events()
+    ds = _arrow_ds(df)
+    wf = Workflow(
+        ([["user_id", "kind"]] >> ops.Categorify(encode_type="combo", distributed=True))
+        + ["event_id"]
+    )
+    with pytest.raises(NotImplementedError):
+        wf.fit(ds)
