@@ -117,6 +117,25 @@ def test_distributed_embedding_sizes_and_max_size():
     assert out["user_id"].max() <= 9
 
 
+def test_distributed_save_load_roundtrip(tmp_path):
+    """distributed_vocabs is path-referenced state (reference model:
+    vocab parquet on shared FS, categorify.py:404-408) — survives save/load."""
+    df = _events()
+    ds = _arrow_ds(df)
+    wf = Workflow(
+        (["kind"] >> ops.Categorify(out_path=str(tmp_path / "cats"), distributed=True))
+        + ["event_id"]
+    )
+    wf.fit(ds)
+    wf.save(str(tmp_path / "wf"))
+    from nvtabular_ray.workflow import Workflow as W
+
+    wf2 = W.load(str(tmp_path / "wf"))
+    a = wf.transform(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+    b = wf2.transform(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert (a["kind"].to_numpy() == b["kind"].to_numpy()).all()
+
+
 def test_distributed_combo_rejected():
     df = _events()
     ds = _arrow_ds(df)
