@@ -71,6 +71,7 @@ class Categorify(StatOperator):
         cardinality_memory_limit: int = 2 << 30,
         distributed: bool = False,
         split_out: Optional[int] = None,
+        dtype=None,
     ):
         super().__init__()
         if encode_type not in ("joint", "combo"):
@@ -84,6 +85,8 @@ class Categorify(StatOperator):
         self.encode_type = encode_type
         self.name_sep = name_sep
         self.cardinality_memory_limit = cardinality_memory_limit
+        # output code dtype override (reference categorify.py:211); None -> int64
+        self.dtype = dtype
         # scale path (reference split_out>1 analog, categorify.py:1644-1679):
         # vocab never materializes on the driver; encode is a shuffle join
         self.distributed = distributed
@@ -567,6 +570,13 @@ class Categorify(StatOperator):
             else:
                 for c in cols:
                     ordered[c] = out[c]
+        if self.dtype is not None:
+            target = (
+                self.dtype
+                if isinstance(self.dtype, pa.DataType)
+                else pa.from_numpy_dtype(np.dtype(self.dtype))
+            )
+            ordered = {k: pc.cast(v, target) for k, v in ordered.items()}
         return pa.table(ordered)
 
     def _encode_values(self, values: pa.Array, vocab_values: pa.Array) -> np.ndarray:

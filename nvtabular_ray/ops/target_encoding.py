@@ -43,6 +43,7 @@ class TargetEncoding(BroadcastTableState, StatOperator):
     def __init__(
         self,
         target: str,
+        target_mean: Optional[float] = None,
         kfold: int = 3,
         fold_seed: int = 42,
         p_smooth: int = 20,
@@ -58,6 +59,7 @@ class TargetEncoding(BroadcastTableState, StatOperator):
                 raise NotImplementedError("one target column supported")
             target = target[0]
         self.target = target
+        self.target_mean = target_mean  # user-supplied global mean (reference :132)
         self.kfold = kfold
         self.fold_seed = fold_seed
         self.p_smooth = p_smooth
@@ -67,7 +69,7 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         self.drop_folds = drop_folds
         self.name_sep = name_sep
         self.state_tables: dict[str, pa.Table] = {}
-        self.global_mean: Optional[float] = None
+        self.global_mean: Optional[float] = target_mean
 
     @property
     def dependencies(self):
@@ -145,7 +147,7 @@ class TargetEncoding(BroadcastTableState, StatOperator):
     def clear(self):
         super().clear()
         self.state_tables = {}
-        self.global_mean = None
+        self.global_mean = self.target_mean
         self._refs = {}
 
     # -------------------------------------------------------- transform --

@@ -150,3 +150,12 @@ def test_artifacts_written(tmp_path):
     assert uniques.column("c").to_pylist() == ["a", "b"]
     meta = pq.read_table(tmp_path / "meta.c.parquet").to_pylist()[0]
     assert meta["nulls"] == 1 and meta["num_observed"] == 2
+
+
+def test_dtype_override(mixed_ds):
+    import pyarrow as pa
+
+    wf = Workflow((["name_cat"] >> ops.Categorify(dtype="int32")) + ["id"])
+    out = wf.fit(mixed_ds).transform(mixed_ds)
+    schema = out.schema()
+    assert dict(zip(schema.names, schema.types))["name_cat"] == pa.int32()
