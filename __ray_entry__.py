@@ -607,6 +607,17 @@ def _q_multimodal_meta(sf_dir: str):
     return decoded.select_columns(["doc_id", "blob_bytes"])
 
 
+def _q_ann_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from nvtabular_ray.functions.ann import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    qvec = np.asarray(qtab.column("embedding").to_pylist()[0], dtype=np.float64)
+    return ivf_topk(emb, qvec, k=10, nlist=16, nprobe=8).select_columns(["vec_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "categorify_event_type": _q_categorify_event_type,
@@ -641,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "reduce_dtype": _q_reduce_dtype,
         "dropna": _q_dropna,
         "filter_lambda": _q_filter_lambda,

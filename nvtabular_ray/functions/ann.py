@@ -5,6 +5,10 @@
   top-k reduce (only k rows per batch leave the workers).
 - lsh_topk: scale path — random-hyperplane LSH restricts the scan to
   matching buckets (and their Hamming-1 neighbors) before exact re-ranking.
+- IVFIndex / ivf_topk: the other scale path — coarse k-means centroids
+  trained once on a driver-side sample; each batch scans only rows assigned
+  to the query's ``nprobe`` nearest centroids. Train-once state lives in the
+  index object (ray.put broadcast), the scan is a stateless map_batches.
 """
 
 from __future__ import annotations
@@ -43,6 +47,92 @@ def brute_force_topk(ds, query_vec, k: int = 10, id_col: str = "vec_id", embeddi
     order = np.lexsort((ids, -sims))[:k]
     import ray.data as rd
 
+    return rd.from_arrow(pa.table({id_col: pa.array(ids[order]), "sim": pa.array(sims[order])}))
+
+
+class IVFIndex:
+    """Coarse-quantizer state for IVF search: L2-normalized k-means centroids
+    trained on a sample (few Lloyd iterations — a coarse quantizer does not
+    need convergence). Broadcast via ``ray.put`` once; every scan task reads
+    it zero-copy from the local object store."""
+
+    def __init__(self, centroids: np.ndarray):
+        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self.centroids = centroids / norms
+
+    @classmethod
+    def train(cls, ds, nlist: int = 16, sample_rows: int = 50_000,
+              embedding_col: str = "embedding", iters: int = 5, seed: int = 11):
+        sample = ds.limit(sample_rows).take_all()
+        x = np.asarray([r[embedding_col] for r in sample], dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        x = x / norms
+        rng = np.random.RandomState(seed)
+        cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(x @ cent.T, axis=1)
+            for j in range(len(cent)):
+                m = assign == j
+                if m.any():
+                    c = x[m].mean(axis=0)
+                    n = np.linalg.norm(c)
+                    cent[j] = c / (n or 1.0)
+        return cls(cent)
+
+    def assign(self, emb: np.ndarray) -> np.ndarray:
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return np.argmax((emb / norms) @ self.centroids.T, axis=1)
+
+
+def ivf_topk(
+    ds,
+    query_vec,
+    k: int = 10,
+    index: Optional[IVFIndex] = None,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    nlist: int = 16,
+):
+    """IVF approximate top-k: scan only rows whose nearest centroid is among
+    the query's ``nprobe`` closest centroids, exact cosine re-rank inside.
+    At scale prunes ~ nprobe/nlist of the data per query; the centroid
+    table is tiny and broadcast, so this composes with any batch source."""
+    import ray
+
+    qvec = np.asarray(query_vec, dtype=np.float64)
+    if index is None:
+        index = IVFIndex.train(ds, nlist=nlist, embedding_col=embedding_col)
+    probe = set(np.argsort(-(index.centroids @ (qvec / (np.linalg.norm(qvec) or 1.0))))[:nprobe].tolist())
+    idx_ref = ray.put(index) if ray.is_initialized() else index
+
+    def prune_and_score(t: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref) if ray.is_initialized() else idx_ref
+        emb = np.asarray(t.column(embedding_col).to_pylist(), dtype=np.float64)
+        mask = np.isin(ix.assign(emb), list(probe))
+        if not mask.any():
+            return pa.table(
+                {id_col: pa.array([], t.column(id_col).type), "sim": pa.array([], pa.float64())}
+            )
+        sub = t.filter(pa.array(mask))
+        sim = _batch_cosine(sub, qvec, embedding_col)
+        n = min(k, len(sim))
+        idx = np.argpartition(-sim, n - 1)[:n] if len(sim) > n else np.arange(len(sim))
+        ids = sub.column(id_col).to_numpy(zero_copy_only=False)[idx]
+        return pa.table({id_col: pa.array(ids), "sim": pa.array(sim[idx])})
+
+    partials = ds.map_batches(prune_and_score, batch_format="pyarrow", zero_copy_batch=True)
+    rows = partials.take_all()
+    import ray.data as rd
+
+    if not rows:
+        return rd.from_arrow(pa.table({id_col: pa.array([]), "sim": pa.array([])}))
+    ids = np.array([r[id_col] for r in rows])
+    sims = np.array([r["sim"] for r in rows])
+    order = np.lexsort((ids, -sims))[:k]
     return rd.from_arrow(pa.table({id_col: pa.array(ids[order]), "sim": pa.array(sims[order])}))
 
 

@@ -201,3 +201,31 @@ def test_dataset_gen_from_profile(mixed_ds, mixed_df):
     a = out.sort_values(key).reset_index(drop=True)
     b = out2.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ann_bruteforce_lsh_ivf_recall():
+    """brute force is exact; LSH and IVF are approximate scale paths that
+    must recover most of the true top-k on clustered data."""
+    from nvtabular_ray.functions.ann import IVFIndex, brute_force_topk, ivf_topk, lsh_topk
+
+    rng = np.random.RandomState(0)
+    centers = rng.normal(size=(8, 16)) * 4
+    emb = np.vstack([centers[i % 8] + rng.normal(scale=0.3, size=16) for i in range(400)])
+    df = pd.DataFrame({"vec_id": np.arange(400, dtype="int64"), "embedding": list(emb)})
+    ds = _ds(df, 4)
+    q = emb[0]
+
+    exact = brute_force_topk(ds, q, k=10).to_pandas()
+    assert exact["vec_id"].iloc[0] == 0  # the query vector itself
+    assert (exact["sim"].to_numpy()[:-1] >= exact["sim"].to_numpy()[1:]).all()
+
+    truth = set(exact["vec_id"])
+    lsh = set(lsh_topk(ds, q, k=10).to_pandas()["vec_id"])
+    ivf = set(ivf_topk(ds, q, k=10, nlist=8, nprobe=3).to_pandas()["vec_id"])
+    assert len(lsh & truth) >= 7
+    assert len(ivf & truth) >= 7
+
+    # pre-trained index reuse (the broadcast-once pattern)
+    idx = IVFIndex.train(ds, nlist=8)
+    ivf2 = set(ivf_topk(ds, q, k=10, index=idx, nprobe=3).to_pandas()["vec_id"])
+    assert len(ivf2 & truth) >= 7
