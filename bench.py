@@ -54,6 +54,22 @@ def _ensure_transcripts():
 def run_bench() -> dict:
     import ray
 
+    kwargs = {}
+    if os.environ.get("GRAFT_CAP_KERNEL_THREADS") == "1":
+        # scaling mode: pin Arrow/BLAS pools to 1 thread per task so measured
+        # speedup reflects RAY parallelism, not kernels stealing idle cores
+        # at the low level (2-cpu runs otherwise use ~all physical cores)
+        kwargs["runtime_env"] = {
+            "env_vars": {
+                "OMP_NUM_THREADS": "1",
+                "OPENBLAS_NUM_THREADS": "1",
+                "MKL_NUM_THREADS": "1",
+            }
+        }
+        import pyarrow as _pa
+
+        _pa.set_cpu_count(1)
+        _pa.set_io_thread_count(1)
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -61,6 +77,7 @@ def run_bench() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
         log_to_driver=False,  # keep stdout pure: the ONE JSON line only
+        **kwargs,
     )
     from ray.data import DataContext
 
@@ -114,6 +131,8 @@ def run_scaling():
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_SKIP_QUERIES="1",
+            GRAFT_CAP_KERNEL_THREADS="1",
+            OMP_NUM_THREADS="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

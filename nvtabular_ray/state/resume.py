@@ -82,7 +82,7 @@ def resumable_transform(
     """Run ``workflow.transform`` bucketed by ``partition_cols`` and write one
     parquet file + lineage record per bucket; skip buckets already completed
     by a previous run of the same workflow. Returns the manifest dict."""
-    from nvtabular_ray.pipelines.partitioned import add_bucket_column
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
     from nvtabular_ray.workflow import _FusedTransform
 
     num_buckets = num_buckets or _default_num_buckets()
@@ -95,32 +95,22 @@ def resumable_transform(
     completed = set(manifest["completed"])
 
     spec = workflow._partitioned_spec()
-    sort_keys = list(partition_cols) + [
+    sort_keys = [
         c for c in (sort_cols or (list(spec[1]) if spec else [])) if c not in partition_cols
     ]
 
     root_cols = workflow.output_node.root_columns()
-    ds = ds.select_columns([c for c in root_cols])
+    avail = set(ds.schema(fetch_if_missing=True).names)
+    ds = ds.select_columns([c for c in root_cols if c in avail])
+    for n in workflow._op_nodes():
+        if getattr(n.op, "distributed_vocabs", None):
+            ds = n.op.join_encode(ds)
     for n in workflow._op_nodes():
         n.op.prepare_broadcast()
     fn = _FusedTransform(workflow.output_node)
 
-    bucketed = add_bucket_column(ds, partition_cols, num_buckets)
-    if completed:
-        done = np.array(sorted(completed), dtype=np.int32)
-
-        def prune(t: pa.Table) -> pa.Table:
-            mask = ~np.isin(t.column(BUCKET_COL).to_numpy(zero_copy_only=False), done)
-            return t.filter(pa.array(mask))
-
-        bucketed = bucketed.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
-
-    def write_bucket(group: pa.Table) -> pa.Table:
+    def write_bucket(body: pa.Table, bucket: int) -> pa.Table:
         t0 = time.perf_counter()
-        bucket = int(group.column(BUCKET_COL)[0].as_py())
-        body = group.drop_columns([BUCKET_COL]).sort_by(
-            [(k, "ascending") for k in sort_keys]
-        )
         out = fn(body)
         fname = f"part-{bucket:05d}.parquet"
         tmp = os.path.join(out_dir, fname + ".tmp")
@@ -129,7 +119,7 @@ def resumable_transform(
         lineage = {
             "bucket": bucket,
             "file": fname,
-            "rows_in": group.num_rows,
+            "rows_in": body.num_rows,
             "rows_out": out.num_rows,
             "bytes": out.nbytes,
             "wall_ms": round((time.perf_counter() - t0) * 1000, 1),
@@ -139,7 +129,15 @@ def resumable_transform(
             json.dump(lineage, f)
         return pa.table({"bucket": pa.array([bucket], pa.int32()), "rows_out": pa.array([out.num_rows], pa.int64())})
 
-    results = bucketed.groupby(BUCKET_COL).map_groups(write_bucket, batch_format="pyarrow").take_all()
+    results = bucketed_group_map(
+        ds,
+        list(partition_cols),
+        sort_keys,
+        write_bucket,
+        num_buckets=num_buckets,
+        fn_accepts_bucket=True,
+        skip_buckets=completed,
+    ).take_all()
     manifest["completed"] = sorted(completed | {r["bucket"] for r in results})
     with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
