@@ -126,6 +126,25 @@ def run_bench() -> dict:
 
 
 def run_scaling():
+    import shutil as _shutil
+
+    # Scaling default: the 3x input (37M turns). Scaling efficiency is a
+    # CLUSTER criterion; per-node data is large in the target regime, so the
+    # bigger input — where fixed driver/scheduling latency amortizes as it
+    # would on a real cluster — is the representative measurement. Override
+    # with GRAFT_BENCH_CONVS.
+    if "GRAFT_BENCH_CONVS" not in os.environ:
+        os.environ["GRAFT_BENCH_CONVS"] = "240000"
+
+    # build the input cache UNPINNED first — generation is not part of the
+    # measurement and must not run under the low-level core mask
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--gen-only"],
+        env=dict(os.environ),
+        capture_output=True,
+        check=True,
+    )
+
     def one(ncpu: int) -> dict:
         env = dict(
             os.environ,
@@ -134,8 +153,16 @@ def run_scaling():
             GRAFT_CAP_KERNEL_THREADS="1",
             OMP_NUM_THREADS="1",
         )
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # Pin the WHOLE process tree (driver + raylet + plasma + workers) to
+        # ncpu physical cores — the faithful stand-in for an ncpu-core node.
+        # Capping only Ray task slots lets the driver/raylet/object store run
+        # on idle cores, which inflates the small-cluster number and
+        # understates scaling.
+        if _shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env,
             capture_output=True,
             text=True,
@@ -167,7 +194,9 @@ def run_scaling():
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--gen-only" in sys.argv:
+        _ensure_transcripts()
+    elif "--scaling" in sys.argv:
         run_scaling()
     else:
         print(json.dumps(run_bench()))
