@@ -451,7 +451,12 @@ class Categorify(StatOperator):
             out = dtab.drop_columns(["__vbkt__", "__vcode__", "__vside__"])
             return out.append_column(dep, pa.array(codes, pa.int64()))
 
-        return both.groupby("__vbkt__").map_groups(per_bucket, batch_format="pyarrow")
+        from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+        # task-based hash exchange on the precomputed value bucket; re-hashing
+        # __vbkt__ preserves data-row/vocab-row co-location (both sides carry
+        # the same bucket id for the same value)
+        return bucketed_group_map(both, ["__vbkt__"], [], per_bucket, num_buckets=num_buckets)
 
     def _check_vocab_size(self, name, vocab_df):
         nbytes = int(vocab_df.memory_usage(deep=True).sum())
