@@ -577,6 +577,19 @@ def _q_drop_low_cardinality(sf_dir: str):
     return wf.fit(ds).transform(ds)
 
 
+def _q_groupby_list(sf_dir: str):
+    """The reference Groupby's DEFAULT agg: per-entity ordered value list
+    (groupby.py:67-71). Rows-only check (list-valued cells don't hash
+    portably in the driver compare)."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    node = ["user_id", "ts", "event_type"] >> ops.Groupby(
+        groupby_cols="user_id", sort_cols="ts", aggs={"event_type": ["list"]}
+    )
+    return Workflow(node).fit(ds).transform(ds)
+
+
 def _q_categorify_distributed(sf_dir: str):
     """Scale-path Categorify: vocab never materializes on the driver
     (distributed rank sort + sharded parquet), encode via shuffle join.
@@ -665,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup": _q_ngram_dedup,
         "multimodal_meta": _q_multimodal_meta,
         "categorify_distributed": _q_categorify_distributed,
+        "groupby_list": _q_groupby_list,
         "log_norm": _q_log_norm,
         "value_count": _q_value_count,
         "drop_low_cardinality": _q_drop_low_cardinality,

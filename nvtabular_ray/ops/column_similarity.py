@@ -27,8 +27,8 @@ class ColumnSimilarity(BroadcastTableState, Operator):
     def __init__(self, features, metric: str = "cosine", on_device: bool = False):
         """features: 2D numpy array (row i = feature vector of id i) or a
         pa.Table with an ``embedding`` list column indexed by position."""
-        if metric not in ("cosine", "inner"):
-            raise ValueError("metric must be cosine or inner")
+        if metric not in ("cosine", "inner", "tfidf"):
+            raise ValueError("metric must be cosine, inner or tfidf")
         self.metric = metric
         if isinstance(features, pa.Table):
             mat = np.asarray(features.column(features.column_names[-1]).to_pylist(), dtype=np.float64)
@@ -44,7 +44,14 @@ class ColumnSimilarity(BroadcastTableState, Operator):
         if getattr(self, "_mat", None) is None:
             tab = self.state_tables["features"]
             self._mat = np.asarray(tab.column("vec").to_pylist(), dtype=np.float64)
-            if self.metric == "cosine":
+            if self.metric == "tfidf":
+                # reference column_similarity.py:274-277: idf = log(N / df_j)
+                # over NONZERO entries, weight, then row-normalize (:263-264)
+                nz = self._mat != 0
+                df = nz.sum(axis=0).astype(np.float64)
+                df[df == 0] = 1.0
+                self._mat = self._mat * np.log(len(self._mat) / df)[None, :]
+            if self.metric in ("cosine", "tfidf"):
                 norms = np.linalg.norm(self._mat, axis=1, keepdims=True)
                 norms[norms == 0] = 1.0
                 self._mat = self._mat / norms

@@ -229,3 +229,19 @@ def test_ann_bruteforce_lsh_ivf_recall():
     idx = IVFIndex.train(ds, nlist=8)
     ivf2 = set(ivf_topk(ds, q, k=10, index=idx, nprobe=3).to_pandas()["vec_id"])
     assert len(ivf2 & truth) >= 7
+
+
+def test_column_similarity_tfidf():
+    """tfidf metric: idf-weight nonzero term counts then cosine (reference
+    column_similarity.py:263-277)."""
+    counts = np.array(
+        [[2.0, 0.0, 1.0], [2.0, 0.0, 0.0], [0.0, 3.0, 1.0]]
+    )  # term 0 df=2, term 1 df=1, term 2 df=2
+    df_pairs = pd.DataFrame({"a": [0, 0], "b": [1, 2]})
+    wf = Workflow([["a", "b"]] >> ops.ColumnSimilarity(counts, metric="tfidf"))
+    out = wf.fit(_ds(df_pairs, 1)).transform(_ds(df_pairs, 1)).to_pandas()
+
+    idf = np.log(3 / np.array([2.0, 1.0, 2.0]))
+    w = counts * idf
+    w = w / np.linalg.norm(w, axis=1, keepdims=True)
+    np.testing.assert_allclose(out["a_b_sim"], [w[0] @ w[1], w[0] @ w[2]], rtol=1e-9)
