@@ -577,6 +577,25 @@ def _q_drop_low_cardinality(sf_dir: str):
     return wf.fit(ds).transform(ds)
 
 
+def _q_join_groupby_distributed(sf_dir: str):
+    """Scale-path JoinGroupby: stat table never broadcasts — joined back by
+    a bucketed shuffle. Values identical to the broadcast path."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    node = ["o_custkey"] >> ops.JoinGroupby(
+        cont_cols=["o_totalprice"], stats=["count", "sum"], distributed=True
+    )
+    wf = Workflow(node + ["o_orderkey"])
+    out = wf.fit(ds).transform(ds)
+
+    def fix(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("o_custkey_count")
+        return t.set_column(i, "o_custkey_count", pc.cast(t.column("o_custkey_count"), pa.int64()))
+
+    return _round6(out.map_batches(fix, batch_format="pyarrow"), ["o_custkey_o_totalprice_sum"])
+
+
 def _q_groupby_list(sf_dir: str):
     """The reference Groupby's DEFAULT agg: per-entity ordered value list
     (groupby.py:67-71). Rows-only check (list-valued cells don't hash
@@ -678,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup": _q_ngram_dedup,
         "multimodal_meta": _q_multimodal_meta,
         "categorify_distributed": _q_categorify_distributed,
+        "join_groupby_distributed": _q_join_groupby_distributed,
         "groupby_list": _q_groupby_list,
         "log_norm": _q_log_norm,
         "value_count": _q_value_count,
@@ -941,6 +961,15 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blob_bytes
             FROM documents
+        """,
+        "join_groupby_distributed": """
+            WITH st AS (
+                SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS s
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o.o_orderkey, st.cnt AS o_custkey_count,
+                   ROUND(st.s, 6) AS o_custkey_o_totalprice_sum
+            FROM orders o JOIN st USING (o_custkey)
         """,
         "categorify_distributed": """
             WITH vocab AS (

@@ -371,6 +371,9 @@ class Categorify(StatOperator):
             if dep not in self.dependencies:
                 self.dependencies.append(dep)
 
+    def pre_transform_stage(self, ds):
+        return self.join_encode(ds) if self.distributed_vocabs else ds
+
     def join_encode(self, ds):
         """Shuffle-join encode for distributed vocabularies: ONE bucketed
         shuffle per column co-partitions data rows and vocab shards by

@@ -68,6 +68,8 @@ class JoinGroupby(BroadcastTableState, StatOperator):
         stats=("count",),
         out_path: Optional[str] = None,
         name_sep: str = "_",
+        distributed: bool = False,
+        split_out: Optional[int] = None,
     ):
         StatOperator.__init__(self)
         self.cont_cols = list(cont_cols or [])
@@ -77,11 +79,20 @@ class JoinGroupby(BroadcastTableState, StatOperator):
         self.stats = list(stats)
         self.out_path = out_path
         self.name_sep = name_sep
+        # scale path: stat table too big to broadcast -> stays a Dataset,
+        # joined back by a bucketed shuffle (same pattern as Categorify's
+        # distributed vocab; reference split_out analog, join_groupby.py:93)
+        self.distributed = distributed
+        self.split_out = split_out
+        self.distributed_stats: dict[str, dict] = {}
         self.state_tables: dict[str, pa.Table] = {}
 
     @property
     def dependencies(self):
-        return self.cont_cols
+        deps = list(self.cont_cols)
+        for info in self.distributed_stats.values():
+            deps.extend(f"__jgb_{c}__" for c in info["out_cols"])
+        return deps
 
     def _groups(self, col_selector) -> list[tuple[str, list[str]]]:
         out = []
@@ -103,8 +114,21 @@ class JoinGroupby(BroadcastTableState, StatOperator):
                         mapping[f"{name}_{cont}_{stat}"] = [cont, *group]
         return mapping
 
+    def _group_out_cols(self, name: str, group: list[str]) -> list[str]:
+        cols = []
+        for stat in self.stats:
+            if stat == "count":
+                cols.append(f"{name}_count")
+            else:
+                cols.extend(f"{name}_{c}_{stat}" for c in self.cont_cols)
+        return cols
+
     # -------------------------------------------------------------- fit --
     def fit(self, col_selector, ds) -> None:
+        if self.distributed:
+            for name, group in self._groups(col_selector):
+                self._fit_distributed(ds, name, group)
+            return
         for name, group in self._groups(col_selector):
             raw = grouped_stats(ds, group, self.cont_cols)
             stat = raw[group].copy()
@@ -142,15 +166,182 @@ class JoinGroupby(BroadcastTableState, StatOperator):
             for name, tab in self.state_tables.items():
                 pq.write_table(tab, os.path.join(self.out_path, f"cat_stats.{name}.parquet"))
 
+    def _fit_distributed(self, ds, name: str, group: list[str]) -> None:
+        """Stat-table-bigger-than-memory path: partial grouped stats ->
+        ``groupby(key)`` shuffle (stays a Dataset) -> elementwise finalize
+        -> sharded parquet; the join back is a bucketed shuffle
+        (``pre_transform_stage``). Single-column groups only."""
+        if len(group) != 1:
+            raise NotImplementedError(
+                "distributed JoinGroupby supports single-column groups only"
+            )
+        key = group[0]
+        from ray.data.aggregate import Max, Min, Sum
+
+        cont_cols, stats_list, name_sep = self.cont_cols, self.stats, self.name_sep
+
+        def partial(t: pa.Table) -> pa.Table:
+            df = t.select([key] + cont_cols).to_pandas()
+            for c in cont_cols:
+                df[f"__{c}_sq__"] = df[c].astype("float64") ** 2
+            g = df.groupby([key], dropna=True, observed=True)
+            out = g.size().rename("__count__").to_frame()
+            for c in cont_cols:
+                out[f"__{c}_sum__"] = g[c].sum()
+                out[f"__{c}_sumsq__"] = g[f"__{c}_sq__"].sum()
+                out[f"__{c}_min__"] = g[c].min()
+                out[f"__{c}_max__"] = g[c].max()
+            return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        aggs = [Sum("__count__")]
+        for c in cont_cols:
+            aggs += [
+                Sum(f"__{c}_sum__"),
+                Sum(f"__{c}_sumsq__"),
+                Min(f"__{c}_min__"),
+                Max(f"__{c}_max__"),
+            ]
+        merged = parts.groupby(key).aggregate(*aggs)
+
+        def finalize(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            out = pd.DataFrame({key: df[key]})
+            cnt = df["sum(__count__)"].astype("float64")
+            if "count" in stats_list:
+                out[f"{name}_count"] = df["sum(__count__)"].astype("int64")
+            for c in cont_cols:
+                s, sq = df[f"sum(__{c}_sum__)"], df[f"sum(__{c}_sumsq__)"]
+                mean = s / cnt
+                var = ((sq - cnt * mean * mean) / (cnt - 1)).clip(lower=0)
+                for statname in stats_list:
+                    if statname == "count":
+                        continue
+                    col = f"{name}_{c}_{statname}"
+                    if statname == "sum":
+                        out[col] = s
+                    elif statname == "mean":
+                        out[col] = mean
+                    elif statname == "var":
+                        out[col] = var
+                    elif statname == "std":
+                        out[col] = np.sqrt(var)
+                    elif statname == "min":
+                        out[col] = df[f"min(__{c}_min__)"]
+                    elif statname == "max":
+                        out[col] = df[f"max(__{c}_max__)"]
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        import os
+        import tempfile
+
+        stat_ds = merged.map_batches(finalize, batch_format="pyarrow")
+        path = os.path.join(
+            self.out_path or tempfile.mkdtemp(prefix="nvtr_jgb_"), f"cat_stats.{name}"
+        )
+        os.makedirs(path, exist_ok=True)
+        stat_ds.write_parquet(path)
+        self.distributed_stats[name] = {
+            "path": path,
+            "key": key,
+            "out_cols": self._group_out_cols(name, group),
+        }
+
+    def pre_transform_stage(self, ds):
+        for name, info in self.distributed_stats.items():
+            ds = self._join_stats(ds, info)
+        return ds
+
+    def _join_stats(self, ds, info: dict):
+        """ONE bucketed shuffle co-partitions data rows and stat shards by
+        hash(key); per bucket a pandas left-merge resolves the stat columns
+        into __jgb_* dependency slots consumed by ``transform``."""
+        import ray.data as rd
+
+        from nvtabular_ray.functions.hashing import hash64
+        from nvtabular_ray.arrow_utils import as_single_chunk
+        from nvtabular_ray.pipelines.partitioned import (
+            _default_num_buckets,
+            bucketed_group_map,
+        )
+
+        key, out_cols = info["key"], info["out_cols"]
+        dep_names = [f"__jgb_{c}__" for c in out_cols]
+        stat = rd.read_parquet(info["path"])
+        num_buckets = self.split_out or _default_num_buckets()
+        schema = ds.schema(fetch_if_missing=True)
+        data_names = list(schema.names)
+        data_types = dict(zip(schema.names, schema.types))
+        ktype = data_types[key]
+        stat_schema = stat.schema(fetch_if_missing=True)
+        stat_types = dict(zip(stat_schema.names, stat_schema.types))
+
+        def bucket_of(vals):
+            return (hash64(as_single_chunk(vals)) % np.uint64(num_buckets)).astype(np.int32)
+
+        def pad_data(t: pa.Table) -> pa.Table:
+            t = t.append_column("__vbkt__", pa.array(bucket_of(t.column(key))))
+            for c, dep in zip(out_cols, dep_names):
+                t = t.append_column(dep, pa.nulls(t.num_rows, stat_types[c]))
+            t = t.append_column("__vside__", pa.array(np.zeros(t.num_rows, np.int8)))
+            return t
+
+        def pad_stat(t: pa.Table) -> pa.Table:
+            kvals = as_single_chunk(t.column(key).cast(ktype))
+            out = {
+                c: (kvals if c == key else pa.nulls(t.num_rows, data_types[c]))
+                for c in data_names
+            }
+            out["__vbkt__"] = pa.array(bucket_of(kvals))
+            for c, dep in zip(out_cols, dep_names):
+                out[dep] = t.column(c)
+            out["__vside__"] = pa.array(np.ones(t.num_rows, np.int8))
+            return pa.table(out)
+
+        order = data_names + ["__vbkt__"] + dep_names + ["__vside__"]
+        both = (
+            ds.map_batches(pad_data, batch_format="pyarrow", zero_copy_batch=True)
+            .select_columns(order)
+            .union(stat.map_batches(pad_stat, batch_format="pyarrow").select_columns(order))
+        )
+
+        def per_bucket(t: pa.Table) -> pa.Table:
+            side = t.column("__vside__").to_numpy(zero_copy_only=False)
+            stat_df = t.filter(pa.array(side == 1)).select([key] + dep_names).to_pandas()
+            dtab = t.filter(pa.array(side == 0))
+            left = dtab.select([key]).to_pandas()
+            mg = left.merge(stat_df, on=key, how="left")
+            out = dtab.drop_columns(["__vbkt__", "__vside__"] + dep_names)
+            for c, dep in zip(out_cols, dep_names):
+                out = out.append_column(
+                    dep, pa.Array.from_pandas(mg[dep], type=stat_types[c])
+                )
+            return out
+
+        return bucketed_group_map(both, ["__vbkt__"], [], per_bucket, num_buckets=num_buckets)
+
     def clear(self):
         super().clear()
         self.state_tables = {}
+        self.distributed_stats = {}
         self._refs = {}
 
     # -------------------------------------------------------- transform --
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         out_parts = []
         for name, group in self._groups(col_selector):
+            if name in self.distributed_stats:
+                # stats were resolved by the pre_transform_stage shuffle and
+                # ride in as __jgb_* dependency columns — project + coerce
+                cols = {}
+                for c in self.distributed_stats[name]["out_cols"]:
+                    arr = table.column(f"__jgb_{c}__")
+                    for agg, dt in AGG_DTYPES.items():
+                        if c.endswith(f"{self.name_sep}{agg}"):
+                            arr = arr.cast(pa.from_numpy_dtype(np.dtype(dt)))
+                    cols[c] = arr
+                out_parts.append(pa.table(cols))
+                continue
             stat = self.state_tables[name].to_pandas()
             left = table.select(group).to_pandas()
             merged = left.merge(stat, on=group, how="left")

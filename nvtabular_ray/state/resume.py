@@ -103,8 +103,9 @@ def resumable_transform(
     avail = set(ds.schema(fetch_if_missing=True).names)
     ds = ds.select_columns([c for c in root_cols if c in avail])
     for n in workflow._op_nodes():
-        if getattr(n.op, "distributed_vocabs", None):
-            ds = n.op.join_encode(ds)
+        pre = getattr(n.op, "pre_transform_stage", None)
+        if pre is not None:
+            ds = pre(ds)
     for n in workflow._op_nodes():
         n.op.prepare_broadcast()
     fn = _FusedTransform(workflow.output_node)

@@ -195,18 +195,16 @@ class Workflow:
     def _upstream_dataset(self, ds, node: Node):
         """Lazy Dataset holding ``node``'s input columns (+deps)."""
         parents = node.parents
-        # chained stat after a distributed-vocab Categorify: resolve codes
-        # first so the ancestor's transform finds its __catcode_* deps
+        # chained stat after a distributed-state op: resolve its shuffle-join
+        # first so the ancestor's transform finds its synthetic deps
         seen: set[int] = set()
         for p in parents:
             for anc in p.topo_order():
-                if (
-                    anc.kind == "op"
-                    and id(anc.op) not in seen
-                    and getattr(anc.op, "distributed_vocabs", None)
-                ):
+                if anc.kind == "op" and id(anc.op) not in seen:
                     seen.add(id(anc.op))
-                    ds = anc.op.join_encode(ds)
+                    pre = getattr(anc.op, "pre_transform_stage", None)
+                    if pre is not None:
+                        ds = pre(ds)
         sel_cols = list(node.input_selector.names) + [
             c for c in node.op.dependencies if c not in node.input_selector.names
         ]
@@ -255,20 +253,24 @@ class Workflow:
         spec = self._partitioned_spec()
         root_cols = self.output_node.root_columns()
         avail = _existing_columns(ds)
-        # __catcode_* deps are synthetic: produced by the join_encode
-        # pre-stage below, never expected in the input
+        # __catcode_* / __jgb_* deps are synthetic: produced by the
+        # pre_transform_stage shuffles below, never expected in the input
         missing = [
-            c for c in root_cols if c not in avail and not c.startswith("__catcode_")
+            c
+            for c in root_cols
+            if c not in avail and not c.startswith(("__catcode_", "__jgb_"))
         ]
         if missing:
             raise ValueError(f"input dataset missing columns {missing}")
         ds = ds.select_columns([c for c in root_cols if c in avail])
 
-        # distributed-vocab Categorify: resolve codes via a shuffle join
-        # BEFORE the fused stage; codes ride along as __catcode_* columns
+        # distributed-state ops (Categorify vocab, JoinGroupby stats too big
+        # to broadcast): resolve via a shuffle join BEFORE the fused stage;
+        # results ride along as synthetic dependency columns
         for n in self._op_nodes():
-            if getattr(n.op, "distributed_vocabs", None):
-                ds = n.op.join_encode(ds)
+            pre = getattr(n.op, "pre_transform_stage", None)
+            if pre is not None:
+                ds = pre(ds)
 
         for n in self._op_nodes():
             n.op.prepare_broadcast()

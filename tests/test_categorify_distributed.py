@@ -145,3 +145,30 @@ def test_distributed_combo_rejected():
     )
     with pytest.raises(NotImplementedError):
         wf.fit(ds)
+
+
+def test_distributed_join_groupby_matches_broadcast():
+    """JoinGroupby(distributed=True): stat table stays a Dataset, joined
+    back by a bucketed shuffle — values identical to the broadcast path."""
+    df = _events()
+    ds = _arrow_ds(df)
+
+    def run(distributed):
+        node = ["user_id"] >> ops.JoinGroupby(
+            cont_cols=["value"],
+            stats=["count", "sum", "mean", "std"],
+            distributed=distributed,
+        )
+        wf = Workflow(node + ["event_id"])
+        return (
+            wf.fit(ds).transform(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+
+    a, b = run(False), run(True)
+    assert sorted(a.columns) == sorted(b.columns)
+    for c in a.columns:
+        if a[c].dtype.kind == "f":
+            np.testing.assert_allclose(a[c], b[c], rtol=1e-9)
+        else:
+            assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+    assert str(b["user_id_count"].dtype) == "int32"
