@@ -577,6 +577,19 @@ def _q_drop_low_cardinality(sf_dir: str):
     return wf.fit(ds).transform(ds)
 
 
+def _q_target_encode_distributed(sf_dir: str):
+    """Scale-path TargetEncoding: per-(category,fold) stat table never
+    broadcasts — one bucketed shuffle resolves fold + total stats."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+    node = ["l_returnflag"] >> ops.TargetEncoding(
+        "l_quantity", kfold=1, p_smooth=20, out_col="te_rf", out_dtype="float64", distributed=True
+    )
+    wf = Workflow(node + ["l_orderkey", "l_linenumber"])
+    return _round6(wf.fit(ds).transform(ds), ["te_rf"])
+
+
 def _q_join_groupby_distributed(sf_dir: str):
     """Scale-path JoinGroupby: stat table never broadcasts — joined back by
     a bucketed shuffle. Values identical to the broadcast path."""
@@ -698,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": _q_multimodal_meta,
         "categorify_distributed": _q_categorify_distributed,
         "join_groupby_distributed": _q_join_groupby_distributed,
+        "target_encode_distributed": _q_target_encode_distributed,
         "groupby_list": _q_groupby_list,
         "log_norm": _q_log_norm,
         "value_count": _q_value_count,
@@ -961,6 +975,16 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blob_bytes
             FROM documents
+        """,
+        "target_encode_distributed": """
+            WITH stats AS (
+                SELECT l_returnflag, count(l_quantity) AS cnt, sum(l_quantity) AS s
+                FROM lineitem GROUP BY l_returnflag
+            ),
+            g AS (SELECT avg(l_quantity) AS gmean FROM lineitem)
+            SELECT l.l_orderkey, l.l_linenumber,
+                   ROUND((st.s + 20 * g.gmean) / (st.cnt + 20), 6) AS te_rf
+            FROM lineitem l JOIN stats st USING (l_returnflag), g
         """,
         "join_groupby_distributed": """
             WITH st AS (

@@ -52,6 +52,8 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         fold_on: Optional[list[str]] = None,
         drop_folds: bool = True,
         name_sep: str = "_",
+        distributed: bool = False,
+        split_out: Optional[int] = None,
     ):
         StatOperator.__init__(self)
         if isinstance(target, (list, tuple)):
@@ -68,6 +70,12 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         self.fold_on = list(fold_on) if fold_on else None
         self.drop_folds = drop_folds
         self.name_sep = name_sep
+        # scale path: per-(category,fold) stat table too big to broadcast —
+        # stays a Dataset, joined back by one bucketed shuffle (per-category
+        # totals derived per bucket, so no second shuffle)
+        self.distributed = distributed
+        self.split_out = split_out
+        self.distributed_stats: dict[str, dict] = {}
         self.state_tables: dict[str, pa.Table] = {}
         self.global_mean: Optional[float] = target_mean
 
@@ -76,6 +84,13 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         deps = [self.target]
         if self.fold_on:
             deps += [c for c in self.fold_on if c not in deps]
+        for name in self.distributed_stats:
+            deps += [
+                f"__te_{name}_cnt_all__",
+                f"__te_{name}_sum_all__",
+                f"__te_{name}_cnt_f__",
+                f"__te_{name}_sum_f__",
+            ]
         return deps
 
     def _groups(self, col_selector) -> list[tuple[str, list[str]]]:
@@ -113,7 +128,11 @@ class TargetEncoding(BroadcastTableState, StatOperator):
     def fit(self, col_selector, ds) -> None:
         from nvtabular_ray.functions.aggregates import grouped_reduce
 
-        input_cols = list(col_selector.names) + self.dependencies
+        input_cols = list(col_selector.names) + [self.target] + (self.fold_on or [])
+        if self.distributed:
+            for name, group in self._groups(col_selector):
+                self._fit_distributed(ds, name, group, input_cols)
+            return
         for name, group in self._groups(col_selector):
 
             def partial(t: pa.Table, group=tuple(group)) -> pa.Table:
@@ -144,9 +163,165 @@ class TargetEncoding(BroadcastTableState, StatOperator):
                 all_stats, preserve_index=False
             )
 
+    def _fit_distributed(self, ds, name: str, group: list[str], input_cols) -> None:
+        """Stat-table-bigger-than-memory path: per-(category,fold) count/sum
+        stays a Dataset (one groupby shuffle), written as sharded parquet;
+        the join back happens in ``pre_transform_stage``. Requires an
+        explicit ``fold_on`` when kfold>1 so fold assignment can't depend on
+        which columns happen to ride a batch."""
+        if len(group) != 1:
+            raise NotImplementedError("distributed TargetEncoding: single-column groups only")
+        if self.kfold > 1 and not self.fold_on:
+            raise ValueError("distributed TargetEncoding with kfold>1 requires fold_on=[...]")
+        key = group[0]
+        from ray.data.aggregate import Sum
+
+        def partial(t: pa.Table) -> pa.Table:
+            df = t.select([key, self.target]).to_pandas()
+            df[FOLD_NAME] = self._fold_np(t, input_cols)
+            g = df.groupby([key, FOLD_NAME], dropna=False, observed=True)
+            out = g[self.target].agg(["count", "sum"]).reset_index()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        merged = parts.groupby([key, FOLD_NAME]).aggregate(Sum("count"), Sum("sum"))
+        if self.global_mean is None:
+            total_cnt = float(merged.sum("sum(count)") or 0.0)
+            total_sum = float(merged.sum("sum(sum)") or 0.0)
+            self.global_mean = total_sum / total_cnt if total_cnt else 0.0
+
+        import os
+        import tempfile
+
+        import pyarrow.compute as _pc
+
+        def tidy(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key: t.column(key),
+                    FOLD_NAME: t.column(FOLD_NAME),
+                    "count_y": _pc.cast(t.column("sum(count)"), pa.float64()),
+                    "sum_y": _pc.cast(t.column("sum(sum)"), pa.float64()),
+                }
+            )
+
+        stat_ds = merged.map_batches(tidy, batch_format="pyarrow")
+        path = os.path.join(tempfile.mkdtemp(prefix="nvtr_te_"), f"te_stats.{name}")
+        os.makedirs(path, exist_ok=True)
+        stat_ds.write_parquet(path)
+        self.distributed_stats[name] = {"path": path, "key": key}
+
+    def pre_transform_stage(self, ds):
+        for name, info in self.distributed_stats.items():
+            ds = self._join_stats(ds, name, info)
+        return ds
+
+    def _join_stats(self, ds, name: str, info: dict):
+        """ONE bucketed shuffle by hash(category): co-locates data rows with
+        ALL fold rows of their category, so per-category totals are summed
+        inside the bucket (no second shuffle); resolves the four __te_*
+        dependency columns consumed by ``transform``."""
+        import ray.data as rd
+
+        from nvtabular_ray.arrow_utils import as_single_chunk
+        from nvtabular_ray.functions.hashing import hash64
+        from nvtabular_ray.pipelines.partitioned import (
+            _default_num_buckets,
+            bucketed_group_map,
+        )
+
+        key = info["key"]
+        deps = [
+            f"__te_{name}_cnt_all__",
+            f"__te_{name}_sum_all__",
+            f"__te_{name}_cnt_f__",
+            f"__te_{name}_sum_f__",
+        ]
+        stat = rd.read_parquet(info["path"])
+        num_buckets = self.split_out or _default_num_buckets()
+        schema = ds.schema(fetch_if_missing=True)
+        data_names = list(schema.names)
+        data_types = dict(zip(schema.names, schema.types))
+        ktype = data_types[key]
+        input_cols = data_names
+
+        def bucket_of(vals):
+            return (hash64(as_single_chunk(vals)) % np.uint64(num_buckets)).astype(np.int32)
+
+        def pad_data(t: pa.Table) -> pa.Table:
+            t = t.append_column("__vbkt__", pa.array(bucket_of(t.column(key))))
+            t = t.append_column(
+                "__te_fold__",
+                pa.array(
+                    self._fold_np(t, input_cols)
+                    if self.kfold > 1
+                    else np.zeros(t.num_rows, np.int64)
+                ),
+            )
+            for d in deps + ["__te_cnt__", "__te_sum__"]:
+                t = t.append_column(d, pa.nulls(t.num_rows, pa.float64()))
+            t = t.append_column("__vside__", pa.array(np.zeros(t.num_rows, np.int8)))
+            return t
+
+        def pad_stat(t: pa.Table) -> pa.Table:
+            kvals = as_single_chunk(t.column(key).cast(ktype))
+            out = {
+                c: (kvals if c == key else pa.nulls(t.num_rows, data_types[c]))
+                for c in data_names
+            }
+            out["__vbkt__"] = pa.array(bucket_of(kvals))
+            out["__te_fold__"] = t.column(FOLD_NAME).cast(pa.int64())
+            for d in deps:
+                out[d] = pa.nulls(t.num_rows, pa.float64())
+            out["__te_cnt__"] = t.column("count_y")
+            out["__te_sum__"] = t.column("sum_y")
+            out["__vside__"] = pa.array(np.ones(t.num_rows, np.int8))
+            return pa.table(out)
+
+        order = data_names + ["__vbkt__", "__te_fold__"] + deps + [
+            "__te_cnt__", "__te_sum__", "__vside__"
+        ]
+        both = (
+            ds.map_batches(pad_data, batch_format="pyarrow", zero_copy_batch=True)
+            .select_columns(order)
+            .union(stat.map_batches(pad_stat, batch_format="pyarrow").select_columns(order))
+        )
+
+        def per_bucket(t: pa.Table) -> pa.Table:
+            side = t.column("__vside__").to_numpy(zero_copy_only=False)
+            sdf = (
+                t.filter(pa.array(side == 1))
+                .select([key, "__te_fold__", "__te_cnt__", "__te_sum__"])
+                .to_pandas()
+            )
+            all_df = (
+                sdf.groupby([key], dropna=False, observed=True)[["__te_cnt__", "__te_sum__"]]
+                .sum()
+                .reset_index()
+                .rename(columns={"__te_cnt__": "__a_cnt__", "__te_sum__": "__a_sum__"})
+            )
+            dtab = t.filter(pa.array(side == 0))
+            left = dtab.select([key, "__te_fold__"]).to_pandas()
+            m_all = left.merge(all_df, on=key, how="left")
+            m_f = left.merge(sdf, on=[key, "__te_fold__"], how="left")
+            drop = ["__vbkt__", "__te_fold__", "__te_cnt__", "__te_sum__", "__vside__"] + deps
+            out = dtab.drop_columns(drop)
+            cols = {
+                deps[0]: m_all["__a_cnt__"],
+                deps[1]: m_all["__a_sum__"],
+                deps[2]: m_f["__te_cnt__"],
+                deps[3]: m_f["__te_sum__"],
+            }
+            for d, series in cols.items():
+                out = out.append_column(d, pa.Array.from_pandas(series, type=pa.float64()))
+            return out
+
+        return bucketed_group_map(both, ["__vbkt__"], [], per_bucket, num_buckets=num_buckets)
+
     def clear(self):
         super().clear()
         self.state_tables = {}
+        self.distributed_stats = {}
         self.global_mean = self.target_mean
         self._refs = {}
 
@@ -156,6 +331,27 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         fold = self._fold_np(table, input_cols) if self.kfold > 1 else None
         out = {}
         for i, (name, group) in enumerate(self._groups(col_selector)):
+            if name in self.distributed_stats:
+                # stats resolved by the pre_transform_stage shuffle join
+                cnt_all = table.column(f"__te_{name}_cnt_all__").to_pandas()
+                sum_all_s = table.column(f"__te_{name}_sum_all__").to_pandas()
+                cnt_f = table.column(f"__te_{name}_cnt_f__").to_pandas()
+                sum_f_s = table.column(f"__te_{name}_sum_f__").to_pandas()
+                unseen = cnt_all.isna().to_numpy()
+                ca = cnt_all.to_numpy(dtype="float64", na_value=0.0)
+                sa = sum_all_s.to_numpy(dtype="float64", na_value=0.0)
+                cf = cnt_f.to_numpy(dtype="float64", na_value=0.0)
+                sf = sum_f_s.to_numpy(dtype="float64", na_value=0.0)
+                if self.kfold <= 1:
+                    cf = np.zeros(len(ca))
+                    sf = np.zeros(len(ca))
+                gmean = self.global_mean
+                denom = (ca - cf) + self.p_smooth
+                te = ((sa - sf) + self.p_smooth * gmean) / denom
+                te = np.where(denom > 0, te, gmean)
+                te[unseen] = gmean
+                out[self._te_name(name, i)] = pa.array(te.astype(self.out_dtype))
+                continue
             left = table.select(group).to_pandas()
             all_stats = self.state_tables[f"{name}__all"].to_pandas()
             merged = left.merge(all_stats, on=group, how="left")

@@ -258,7 +258,7 @@ class Workflow:
         missing = [
             c
             for c in root_cols
-            if c not in avail and not c.startswith(("__catcode_", "__jgb_"))
+            if c not in avail and not c.startswith(("__catcode_", "__jgb_", "__te_"))
         ]
         if missing:
             raise ValueError(f"input dataset missing columns {missing}")

@@ -172,3 +172,35 @@ def test_distributed_join_groupby_matches_broadcast():
         else:
             assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
     assert str(b["user_id_count"].dtype) == "int32"
+
+
+def test_distributed_target_encoding_matches_broadcast():
+    """TargetEncoding(distributed=True): per-(category,fold) stats stay a
+    Dataset; one bucketed shuffle resolves both fold and total stats —
+    TE values identical to the broadcast path."""
+    df = _events()
+    ds = _arrow_ds(df)
+
+    def run(distributed):
+        node = ["user_id"] >> ops.TargetEncoding(
+            "value", kfold=3, fold_on=["event_id"], distributed=distributed
+        )
+        wf = Workflow(node + ["event_id"])
+        return (
+            wf.fit(ds).transform(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+
+    a, b = run(False), run(True)
+    assert sorted(a.columns) == sorted(b.columns)
+    np.testing.assert_allclose(a["TE_user_id_value"], b["TE_user_id_value"], rtol=1e-6)
+
+    # kfold=1 (transform-only global stats) path
+    def run1(distributed):
+        node = ["user_id"] >> ops.TargetEncoding("value", kfold=1, distributed=distributed)
+        wf = Workflow(node + ["event_id"])
+        return (
+            wf.fit(ds).transform(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+
+    a1, b1 = run1(False), run1(True)
+    np.testing.assert_allclose(a1["TE_user_id_value"], b1["TE_user_id_value"], rtol=1e-6)
