@@ -38,27 +38,34 @@ def grouped_reduce(
         if a not in _AGG_FUNCS:
             raise ValueError(f"unsupported merge agg {a}")
 
-    def combine_pdf(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, dropna=False, observed=True, sort=False)
-        return g.agg(agg_spec).reset_index()
+    # Arrow group_by, NOT pandas: pandas' StringHashTable compares object
+    # strings with C-string semantics, silently MERGING keys that differ only
+    # at/after an embedded NUL byte ("" == "\x00") — found by the hypothesis
+    # Categorify property test. Arrow grouping is binary-exact.
+    aggs = [(c, a) for c, a in agg_spec.items()]
+    rename = {f"{c}_{a}": c for c, a in aggs}
+    out_order = keys + [c for c, _ in aggs]
 
-    def combine(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(combine_pdf(t.to_pandas()), preserve_index=False)
+    def combine_tbl(t: pa.Table) -> pa.Table:
+        res = t.group_by(keys, use_threads=False).aggregate(aggs)
+        res = res.rename_columns([rename.get(n, n) for n in res.column_names])
+        return res.select(out_order)
 
     # fan-in stage: giant batch_size coalesces many tiny partial blocks per task
     combined = partials_ds.map_batches(
-        combine, batch_format="pyarrow", batch_size=4_000_000
+        combine_tbl, batch_format="pyarrow", batch_size=4_000_000
     )
 
-    chunks: list[pd.DataFrame] = []
-    acc: pd.DataFrame | None = None
-    for batch in combined.iter_batches(batch_size=None, batch_format="pandas"):
+    chunks: list[pa.Table] = []
+    acc: pa.Table | None = None
+    for batch in combined.iter_batches(batch_size=None, batch_format="pyarrow"):
         chunks.append(batch)
         if len(chunks) >= compact_every:
             frames = ([acc] if acc is not None else []) + chunks
-            acc = combine_pdf(pd.concat(frames, ignore_index=True))
+            acc = combine_tbl(pa.concat_tables(frames, promote_options="default"))
             chunks = []
     frames = ([acc] if acc is not None else []) + chunks
     if not frames:
         return pd.DataFrame(columns=keys + list(agg_spec))
-    return combine_pdf(pd.concat(frames, ignore_index=True))
+    out = combine_tbl(pa.concat_tables(frames, promote_options="default"))
+    return out.to_pandas()

@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for core op semantics — beyond the
+reference's test strategy, which has no randomized testing (SURVEY.md §5).
+Each property runs the REAL Ray pipeline against a pandas oracle on
+adversarially-generated small frames."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from hypothesis import given, settings, strategies as st
+
+from nvtabular_ray import Workflow, ops
+
+_SETTINGS = dict(max_examples=10, deadline=None)
+
+
+def _ds(df, parts=3):
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(parts)
+
+
+@st.composite
+def cat_frames(draw):
+    n = draw(st.integers(5, 60))
+    vocab = draw(st.lists(st.text(min_size=0, max_size=4), min_size=1, max_size=8, unique=True))
+    vals = draw(
+        st.lists(st.one_of(st.sampled_from(vocab), st.none()), min_size=n, max_size=n)
+    )
+    return pd.DataFrame({"i": np.arange(n, dtype="int64"), "c": pd.array(vals, dtype="object")})
+
+
+@settings(**_SETTINGS)
+@given(cat_frames())
+def test_categorify_code_properties(df):
+    ds = _ds(df)
+    wf = Workflow((["c"] >> ops.Categorify()) + ["i"])
+    out = wf.fit(ds).transform(ds).to_pandas().sort_values("i").reset_index(drop=True)
+    codes = out["c"].to_numpy()
+    vals = df["c"]
+    # oracle uses PYTHON sets/dicts, not pandas groupby/nunique: pandas'
+    # StringHashTable merges strings differing only past an embedded NUL —
+    # the exact bug this property caught in (and which was fixed out of)
+    # grouped_reduce; the oracle must not share it
+    nonnull = [(v, c) for v, c in zip(vals.tolist(), codes) if v is not None]
+    n_distinct = len({v for v, _ in nonnull})
+    # nulls -> 1; observed values -> [3, 3+n_distinct) (base=3: pad,null,oov)
+    assert (codes[vals.isna().to_numpy()] == 1).all()
+    seen = np.array([c for _, c in nonnull])
+    assert ((seen >= 3) & (seen < 3 + n_distinct)).all()
+    # bijection: same value <-> same code
+    v2c: dict = {}
+    c2v: dict = {}
+    for v, c in nonnull:
+        assert v2c.setdefault(v, c) == c
+        assert c2v.setdefault(c, v) == v
+    # frequency order: strictly more frequent value gets a smaller code
+    from collections import Counter
+
+    counts = Counter(v for v, _ in nonnull)
+    items = sorted(counts.items(), key=lambda kv: -kv[1])
+    for a in range(len(items)):
+        for b in range(a + 1, len(items)):
+            if items[a][1] > items[b][1]:
+                assert v2c[items[a][0]] < v2c[items[b][0]]
+
+
+@st.composite
+def lag_frames(draw):
+    n = draw(st.integers(4, 50))
+    ent = draw(st.lists(st.integers(0, 4), min_size=n, max_size=n))
+    vals = draw(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, width=32), min_size=n, max_size=n
+        )
+    )
+    return pd.DataFrame(
+        {
+            "i": np.arange(n, dtype="int64"),
+            "e": np.array(ent, dtype="int64"),
+            "t": np.arange(n, dtype="int64"),
+            "v": np.array(vals, dtype="float64"),
+        }
+    )
+
+
+@settings(**_SETTINGS)
+@given(lag_frames())
+def test_difference_lag_matches_pandas(df):
+    ds = _ds(df)
+    node = ["v"] >> ops.DifferenceLag(partition_cols="e", shift=[1], sort_cols=["t"])
+    wf = Workflow(node + ["i"])
+    out = wf.fit(ds).transform(ds).to_pandas().sort_values("i").reset_index(drop=True)
+    oracle = (
+        df.sort_values(["e", "t"]).groupby("e")["v"].diff().astype("float32")
+    )
+    oracle = oracle.reindex(df.sort_values(["e", "t"]).index).sort_index()
+    got = out["v_difference_lag_1"].astype("float32")
+    np.testing.assert_allclose(
+        got.to_numpy(), oracle.to_numpy(), rtol=1e-6, equal_nan=True
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.floats(-1e4, 1e4, allow_nan=False, width=32), min_size=3, max_size=80
+    ).filter(lambda v: np.std(v) > 1e-6)
+)
+def test_normalize_zscore_property(vals):
+    df = pd.DataFrame({"i": np.arange(len(vals), dtype="int64"), "x": np.array(vals, "float64")})
+    ds = _ds(df)
+    wf = Workflow((["x"] >> ops.Normalize()) + ["i"])
+    out = wf.fit(ds).transform(ds).to_pandas().sort_values("i")
+    x = out["x"].to_numpy()
+    assert abs(x.mean()) < 1e-6
+    assert abs(x.std(ddof=1) - 1.0) < 1e-6
