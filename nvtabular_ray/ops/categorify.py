@@ -251,9 +251,14 @@ class Categorify(StatOperator):
         from nvtabular_ray.functions.aggregates import grouped_reduce
 
         def partial(t: pa.Table, cols=tuple(cols)) -> pa.Table:
-            df = t.select(list(cols)).to_pandas()
-            grouped = df.groupby(list(cols), dropna=False, observed=True).size().reset_index(name="count")
-            return pa.Table.from_pandas(grouped, preserve_index=False)
+            # arrow group_by, not pandas (NUL-exact string keys; see
+            # functions/aggregates.py note)
+            res = t.select(list(cols)).group_by(list(cols), use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+            return res.rename_columns(
+                ["count" if n == "count_all" else n for n in res.column_names]
+            )
 
         parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         vocab_df = grouped_reduce(parts, list(cols), {"count": "sum"})

@@ -33,25 +33,44 @@ def _group_name(group, name_sep="_"):
     return group
 
 
+def _grouped_stats_partial(t: pa.Table, group_cols: list[str], cont_cols: list[str]) -> pa.Table:
+    """Per-batch grouped (count,sum,sumsq,min,max) partial via arrow group_by
+    (NUL-exact string keys; aggregates.py note); null-key rows dropped up
+    front (pandas dropna=True semantics of the reference)."""
+    import pyarrow.compute as _pc
+
+    sel = t.select(group_cols + cont_cols)
+    mask = None
+    for k in group_cols:
+        valid = _pc.is_valid(sel.column(k))
+        mask = valid if mask is None else _pc.and_(mask, valid)
+    sel = sel.filter(mask)
+    for c in cont_cols:
+        v = _pc.cast(sel.column(c), pa.float64())
+        sel = sel.append_column(f"__{c}_sq__", _pc.multiply(v, v))
+    aggs = [([], "count_all")]
+    for c in cont_cols:
+        aggs += [(c, "sum"), (f"__{c}_sq__", "sum"), (c, "min"), (c, "max")]
+    res = sel.group_by(group_cols, use_threads=False).aggregate(aggs)
+    ren = {"count_all": "__count__"}
+    for c in cont_cols:
+        ren[f"{c}_sum"] = f"__{c}_sum__"
+        ren[f"__{c}_sq___sum"] = f"__{c}_sumsq__"
+        ren[f"{c}_min"] = f"__{c}_min__"
+        ren[f"{c}_max"] = f"__{c}_max__"
+    return res.rename_columns([ren.get(n, n) for n in res.column_names])
+
+
 def grouped_stats(ds, group_cols: list[str], cont_cols: list[str]) -> pd.DataFrame:
     """Distributed grouped (count,sum,sumsq,min,max) with map-side combine;
     returns the small merged stat frame on the driver."""
     from nvtabular_ray.functions.aggregates import grouped_reduce
 
-    def partial(t: pa.Table) -> pa.Table:
-        df = t.select(group_cols + cont_cols).to_pandas()
-        for c in cont_cols:
-            df[f"__{c}_sq__"] = df[c].astype("float64") ** 2
-        g = df.groupby(group_cols, dropna=True, observed=True)
-        out = g.size().rename("__count__").to_frame()
-        for c in cont_cols:
-            out[f"__{c}_sum__"] = g[c].sum()
-            out[f"__{c}_sumsq__"] = g[f"__{c}_sq__"].sum()
-            out[f"__{c}_min__"] = g[c].min()
-            out[f"__{c}_max__"] = g[c].max()
-        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
-
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = ds.map_batches(
+        lambda t: _grouped_stats_partial(t, group_cols, cont_cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     spec = {"__count__": "sum"}
     for c in cont_cols:
         spec[f"__{c}_sum__"] = "sum"
@@ -180,20 +199,12 @@ class JoinGroupby(BroadcastTableState, StatOperator):
 
         cont_cols, stats_list, name_sep = self.cont_cols, self.stats, self.name_sep
 
-        def partial(t: pa.Table) -> pa.Table:
-            df = t.select([key] + cont_cols).to_pandas()
-            for c in cont_cols:
-                df[f"__{c}_sq__"] = df[c].astype("float64") ** 2
-            g = df.groupby([key], dropna=True, observed=True)
-            out = g.size().rename("__count__").to_frame()
-            for c in cont_cols:
-                out[f"__{c}_sum__"] = g[c].sum()
-                out[f"__{c}_sumsq__"] = g[f"__{c}_sq__"].sum()
-                out[f"__{c}_min__"] = g[c].min()
-                out[f"__{c}_max__"] = g[c].max()
-            return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
-
-        parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        # same arrow-group_by partial as the broadcast path's grouped_stats
+        parts = ds.map_batches(
+            lambda t: _grouped_stats_partial(t, [key], cont_cols),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         aggs = [Sum("__count__")]
         for c in cont_cols:
             aggs += [

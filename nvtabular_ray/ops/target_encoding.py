@@ -136,11 +136,14 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         for name, group in self._groups(col_selector):
 
             def partial(t: pa.Table, group=tuple(group)) -> pa.Table:
-                df = t.select(list(group) + [self.target]).to_pandas()
-                df[FOLD_NAME] = self._fold_np(t, input_cols)
-                g = df.groupby(list(group) + [FOLD_NAME], dropna=False, observed=True)
-                out = g[self.target].agg(["count", "sum"]).reset_index()
-                return pa.Table.from_pandas(out, preserve_index=False)
+                # arrow group_by (NUL-exact string keys; aggregates.py note)
+                sel = t.select(list(group) + [self.target])
+                sel = sel.append_column(FOLD_NAME, pa.array(self._fold_np(t, input_cols)))
+                res = sel.group_by(list(group) + [FOLD_NAME], use_threads=False).aggregate(
+                    [(self.target, "count"), (self.target, "sum")]
+                )
+                ren = {f"{self.target}_count": "count", f"{self.target}_sum": "sum"}
+                return res.rename_columns([ren.get(n, n) for n in res.column_names])
 
             parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
             fold_stats = grouped_reduce(
@@ -177,11 +180,13 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         from ray.data.aggregate import Sum
 
         def partial(t: pa.Table) -> pa.Table:
-            df = t.select([key, self.target]).to_pandas()
-            df[FOLD_NAME] = self._fold_np(t, input_cols)
-            g = df.groupby([key, FOLD_NAME], dropna=False, observed=True)
-            out = g[self.target].agg(["count", "sum"]).reset_index()
-            return pa.Table.from_pandas(out, preserve_index=False)
+            sel = t.select([key, self.target])
+            sel = sel.append_column(FOLD_NAME, pa.array(self._fold_np(t, input_cols)))
+            res = sel.group_by([key, FOLD_NAME], use_threads=False).aggregate(
+                [(self.target, "count"), (self.target, "sum")]
+            )
+            ren = {f"{self.target}_count": "count", f"{self.target}_sum": "sum"}
+            return res.rename_columns([ren.get(n, n) for n in res.column_names])
 
         parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         merged = parts.groupby([key, FOLD_NAME]).aggregate(Sum("count"), Sum("sum"))
