@@ -119,18 +119,32 @@ class Groupby(Operator):
         name_sep = self.name_sep
 
         def partial(t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            cols = {}
+            # arrow group_by, not pandas (NUL-exact string keys; see
+            # functions/aggregates.py note)
+            sel = t
+            batch_aggs = []
+            ren = {}
             for col in agg_dict:
-                cols[f"__{col}_cnt__"] = (col, "count")
-                cols[f"__{col}_sum__"] = (col, "sum")
-                cols[f"__{col}_min__"] = (col, "min")
-                cols[f"__{col}_max__"] = (col, "max")
-                df[f"__{col}_sq__"] = df[col].astype("float64") ** 2
-                cols[f"__{col}_sumsq__"] = (f"__{col}_sq__", "sum")
-            g = df.groupby(keys, observed=True, sort=False)
-            out = g.agg(**{k: v for k, v in cols.items()}).reset_index()
-            return pa.Table.from_pandas(out, preserve_index=False)
+                v = pc.cast(t.column(col), pa.float64())
+                sel = sel.append_column(f"__{col}_sq__", pc.multiply(v, v))
+                batch_aggs += [
+                    (col, "count"),
+                    (col, "sum"),
+                    (f"__{col}_sq__", "sum"),
+                    (col, "min"),
+                    (col, "max"),
+                ]
+                ren.update(
+                    {
+                        f"{col}_count": f"__{col}_cnt__",
+                        f"{col}_sum": f"__{col}_sum__",
+                        f"__{col}_sq___sum": f"__{col}_sumsq__",
+                        f"{col}_min": f"__{col}_min__",
+                        f"{col}_max": f"__{col}_max__",
+                    }
+                )
+            res = sel.group_by(keys, use_threads=False).aggregate(batch_aggs)
+            return res.rename_columns([ren.get(n, n) for n in res.column_names])
 
         aggs = []
         for col in agg_dict:
