@@ -113,3 +113,75 @@ def test_normalize_zscore_property(vals):
     x = out["x"].to_numpy()
     assert abs(x.mean()) < 1e-6
     assert abs(x.std(ddof=1) - 1.0) < 1e-6
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 2), min_size=4, max_size=30),
+    st.lists(st.integers(0, 2000), min_size=4, max_size=30),
+    st.integers(2, 500),
+)
+def test_sessionize_gap_invariants(ents, gaps, gap):
+    n = min(len(ents), len(gaps))
+    df = pd.DataFrame(
+        {
+            "i": np.arange(n, dtype="int64"),
+            "e": np.array(ents[:n], dtype="int64"),
+            "ts": pd.to_datetime(np.cumsum(np.array(gaps[:n], dtype="int64")), unit="s"),
+        }
+    )
+    from nvtabular_ray.pipelines.temporal import sessionize
+
+    out = (
+        sessionize(_ds(df), "e", "ts", gap=gap)
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    merged = df.merge(out[["i", "session_id"]], on="i")
+    for _, g in merged.sort_values("ts").groupby("e"):
+        sid = g["session_id"].to_numpy()
+        dt = g["ts"].diff().dt.total_seconds().to_numpy()
+        # session ids start at 0, increment by exactly 1 on gaps > threshold
+        assert sid[0] == 0
+        for j in range(1, len(g)):
+            assert sid[j] - sid[j - 1] == (1 if dt[j] > gap else 0)
+
+
+@settings(**_SETTINGS)
+@given(st.integers(0, 10_000))
+def test_target_encoding_out_of_fold_leakage(seed):
+    """Leakage property: a row's own target must not influence its TE value
+    through the fold statistics. The global smoothing prior is pinned with
+    ``target_mean`` (otherwise the row legitimately moves the global mean —
+    reference semantics, target_encoding.py:132). With the prior fixed,
+    perturbing ONE row's target must leave that row's own out-of-fold
+    encoding unchanged."""
+    rng = np.random.RandomState(seed)
+    n = 40
+    df = pd.DataFrame(
+        {
+            "i": np.arange(n, dtype="int64"),
+            "c": rng.choice(["a", "b"], n),
+            "y": rng.normal(size=n),
+        }
+    )
+    row = int(rng.randint(n))
+    df2 = df.copy()
+    df2.loc[row, "y"] = df2.loc[row, "y"] + 1000.0
+
+    def run(frame):
+        ds = _ds(frame)
+        node = ["c"] >> ops.TargetEncoding(
+            "y", target_mean=0.0, kfold=4, fold_on=["i"], out_col="te"
+        )
+        wf = Workflow(node + ["i"])
+        return (
+            wf.fit(ds).transform(ds).to_pandas().sort_values("i").reset_index(drop=True)
+        )
+
+    a, b = run(df), run(df2)
+    # the perturbed row's own TE is leakage-free: unchanged
+    np.testing.assert_allclose(a.loc[row, "te"], b.loc[row, "te"], rtol=1e-5)
+    # but the perturbation IS visible somewhere else (sanity: stats not ignored)
+    assert not np.allclose(a["te"], b["te"], rtol=1e-5)
