@@ -110,19 +110,55 @@ def run_bench() -> dict:
         "queries": {},
     }
 
-    if not SKIP_QUERIES:
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        import __ray_entry__ as entrymod
-
-        for name, fn in entrymod.queries().items():
-            t0 = time.perf_counter()
-            out = fn(SF_DIR)
-            if hasattr(out, "materialize"):
-                out.materialize()
-            result["queries"][name] = round(time.perf_counter() - t0, 3)
-
     ray.shutdown()
+
+    if not SKIP_QUERIES:
+        # query sweep in a CHILD process (fresh Ray session, one retry):
+        # a rare ray-core check-fail race (task_manager.cc:930, triggered by
+        # limit-cancellation of in-flight tasks) aborts the whole process —
+        # isolation keeps the headline measurement safe either way
+        for _attempt in range(2):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--queries-only"],
+                env=dict(os.environ),
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode == 0:
+                try:
+                    result["queries"] = json.loads(proc.stdout.strip().splitlines()[-1])
+                    break
+                except (json.JSONDecodeError, IndexError):
+                    continue
     return result
+
+
+def run_queries_only() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    timings = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        out = fn(SF_DIR)
+        if hasattr(out, "materialize"):
+            out.materialize()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    return timings
 
 
 def run_scaling():
@@ -196,6 +232,8 @@ def run_scaling():
 if __name__ == "__main__":
     if "--gen-only" in sys.argv:
         _ensure_transcripts()
+    elif "--queries-only" in sys.argv:
+        print(json.dumps(run_queries_only()))
     elif "--scaling" in sys.argv:
         run_scaling()
     else:
