@@ -93,6 +93,11 @@ def run_bench() -> dict:
     from nvtabular_ray.pipelines.transcripts import transcript_features
 
     out_dir = f"/tmp/nvtr_bench_out_{NUM_CPUS}"
+    # write_parquet appends files per run — clear stale output so repeated
+    # benches don't accumulate tens of GB and skew writeback/IO timing
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     ds = rd.read_parquet(CACHE)
     feats, wf = transcript_features(ds)
