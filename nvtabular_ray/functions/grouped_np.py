@@ -100,35 +100,62 @@ def grouped_window_starts(ts_us: np.ndarray, gid: np.ndarray, window_us: int) ->
     return out
 
 
+def grouped_window_bounds(ts_us: np.ndarray, gid: np.ndarray, window_us: int):
+    """(start, end) index pair per row for the trailing window (t - W, t]:
+    start = first row inside the window, end = one past the LAST row with
+    the same timestamp — ties at the current instant are window PEERS, the
+    SQL ``RANGE ... AND CURRENT ROW`` semantics our DuckDB oracles verify
+    (a position-based end would exclude later-positioned equal-ts rows)."""
+    n = len(ts_us)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    starts = group_starts(gid)
+    counts = np.diff(np.r_[starts, n])
+    rel = ts_us - np.repeat(ts_us[starts], counts)
+    max_rel = int(rel.max()) if n else 0
+    stride = max_rel + window_us + 2
+    n_groups = int(gid[-1]) + 1
+    if stride > 0 and n_groups < (2**62) // stride:
+        axis = rel + gid * stride
+        start = np.searchsorted(axis, axis - window_us, side="right")
+        end = np.searchsorted(axis, axis, side="right")
+        return start, end
+    start = np.empty(n, dtype=np.int64)
+    end = np.empty(n, dtype=np.int64)
+    for s, c in zip(starts, counts):
+        seg = ts_us[s : s + c]
+        start[s : s + c] = s + np.searchsorted(seg, seg - window_us, side="right")
+        end[s : s + c] = s + np.searchsorted(seg, seg, side="right")
+    return start, end
+
+
 def rolling_aggregate(
     values: np.ndarray, ts_us: np.ndarray, gid: np.ndarray, window_us: int, aggs: list[str]
 ) -> dict[str, np.ndarray]:
     """Trailing-window aggregates per row via prefix sums + window starts.
     Supports count/sum/mean/min/max (min/max via pandas fallback)."""
-    w = grouped_window_starts(ts_us, gid, window_us)
-    idx = np.arange(len(values), dtype=np.int64)
+    w, end = grouped_window_bounds(ts_us, gid, window_us)
     out: dict[str, np.ndarray] = {}
-    count = idx - w + 1
+    count = end - w
     if "count" in aggs:
         out["count"] = count
     if "sum" in aggs or "mean" in aggs:
         cs = np.concatenate([[0.0], np.cumsum(values, dtype=np.float64)])
-        s = cs[idx + 1] - cs[w]
+        s = cs[end] - cs[w]
         if "sum" in aggs:
             out["sum"] = s
         if "mean" in aggs:
             out["mean"] = s / count
     unsupported = [a for a in aggs if a not in ("count", "sum", "mean")]
     if unsupported:
-        import pandas as pd
-
-        df = pd.DataFrame({"g": gid, "ts": pd.to_datetime(ts_us, unit="us"), "v": values})
-        g = df.groupby("g", sort=False, group_keys=False)
-        rolled = g.rolling(pd.Timedelta(microseconds=window_us), on="ts", closed="right")["v"].agg(
-            unsupported
-        )
-        rolled = rolled.reset_index(drop=True)
+        # min/max: per-row slice over the (start, end) bounds — same RANGE
+        # tie semantics as above (pandas rolling ends at the row POSITION,
+        # which would disagree on duplicate timestamps)
         for a in unsupported:
-            col = rolled[a] if hasattr(rolled, "columns") else rolled
-            out[a] = col.to_numpy()
+            res = np.empty(len(values), dtype=np.float64)
+            fn = np.min if a == "min" else np.max
+            for i in range(len(values)):
+                res[i] = fn(values[w[i] : end[i]]) if end[i] > w[i] else np.nan
+            out[a] = res
     return out

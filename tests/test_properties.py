@@ -185,3 +185,82 @@ def test_target_encoding_out_of_fold_leakage(seed):
     np.testing.assert_allclose(a.loc[row, "te"], b.loc[row, "te"], rtol=1e-5)
     # but the perturbation IS visible somewhere else (sanity: stats not ignored)
     assert not np.allclose(a["te"], b["te"], rtol=1e-5)
+
+
+@settings(**_SETTINGS)
+@given(st.integers(0, 10_000))
+def test_asof_join_point_in_time_property(seed):
+    """North-star semantics: for every left row, the joined value is from
+    the LATEST right row of the same key with right.ts <= left.ts — and
+    never from the future (zero temporal leakage), checked against a
+    brute-force oracle."""
+    from nvtabular_ray.pipelines.temporal import asof_join
+
+    rng = np.random.RandomState(seed)
+    nl, nr = 25, 30
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 3, nl).astype("int64"),
+            "ts": rng.randint(0, 1000, nl).astype("int64"),
+            "lid": np.arange(nl, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 3, nr).astype("int64"),
+            "ts": rng.randint(0, 1000, nr).astype("int64"),
+            "val": rng.randint(0, 10_000, nr).astype("int64"),
+        }
+    )
+    # dedupe (k, ts) on the right so "latest" is unambiguous
+    right = right.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+
+    out = (
+        asof_join(_ds(left), _ds(right), key="k", left_ts="ts")
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    for _, row in left.iterrows():
+        cand = right[(right["k"] == row["k"]) & (right["ts"] <= row["ts"])]
+        expect = None if cand.empty else int(cand.sort_values("ts")["val"].iloc[-1])
+        got = out.loc[out["lid"] == row["lid"], "val"].iloc[0]
+        if expect is None:
+            assert pd.isna(got)
+        else:
+            assert int(got) == expect
+
+
+@settings(**_SETTINGS)
+@given(st.integers(0, 10_000))
+def test_rolling_window_matches_bruteforce(seed):
+    """Trailing-window count/sum equals the O(n^2) brute-force oracle over
+    (ts - window, ts] per entity — inclusive of the current row, past-only."""
+    from nvtabular_ray.pipelines.temporal import windowed_agg
+
+    rng = np.random.RandomState(seed)
+    n = 30
+    df = pd.DataFrame(
+        {
+            "i": np.arange(n, dtype="int64"),
+            "e": rng.randint(0, 3, n).astype("int64"),
+            "ts": pd.to_datetime(rng.randint(0, 500, n), unit="s"),
+            "v": rng.normal(size=n),
+        }
+    )
+    w = int(rng.randint(5, 120))
+    out = (
+        windowed_agg(_ds(df), "e", "ts", "v", w, ["count", "sum"], prefix="w_")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    merged = df.merge(out[["i", "w_count", "w_sum"]], on="i")
+    for _, row in merged.iterrows():
+        in_w = merged[
+            (merged["e"] == row["e"])
+            & (merged["ts"] <= row["ts"])
+            & (merged["ts"] > row["ts"] - pd.Timedelta(seconds=w))
+        ]
+        assert int(row["w_count"]) == len(in_w)
+        np.testing.assert_allclose(row["w_sum"], in_w["v"].sum(), rtol=1e-9)
