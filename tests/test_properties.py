@@ -264,3 +264,37 @@ def test_rolling_window_matches_bruteforce(seed):
         ]
         assert int(row["w_count"]) == len(in_w)
         np.testing.assert_allclose(row["w_sum"], in_w["v"].sum(), rtol=1e-9)
+
+
+@settings(**_SETTINGS)
+@given(st.integers(0, 10_000))
+def test_backfill_matches_pandas_ffill(seed):
+    """Forward backfill equals per-entity pandas ffill over ts order — and
+    never pulls a value from the future (past-only, zero leakage)."""
+    from nvtabular_ray.pipelines.temporal import backfill
+
+    rng = np.random.RandomState(seed)
+    n = 30
+    df = pd.DataFrame(
+        {
+            "i": np.arange(n, dtype="int64"),
+            "e": rng.randint(0, 3, n).astype("int64"),
+            "ts": pd.to_datetime(
+                rng.permutation(np.arange(n)) * 10, unit="s"
+            ),  # unique per-row ts
+            "v": np.where(rng.rand(n) < 0.4, np.nan, rng.normal(size=n)),
+        }
+    )
+    out = (
+        backfill(_ds(df), "e", "ts", ["v"], direction="forward")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    oracle = (
+        df.sort_values(["e", "ts"]).groupby("e")["v"].ffill()
+    )
+    oracle = oracle.reindex(df.sort_values(["e", "ts"]).index).sort_index()
+    np.testing.assert_allclose(
+        out["v_filled"].to_numpy(), oracle.to_numpy(), rtol=1e-9, equal_nan=True
+    )
