@@ -203,28 +203,47 @@ class Groupby(Operator):
 
         def per_bucket(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
-            if sort_keys:
-                df = df.sort_values(
-                    keys + sort_keys, ascending=ascending, kind="mergesort", ignore_index=True
-                )
-            g = df.groupby(keys, sort=True, observed=True)
+            # keys ascending (stable group output order), sort_cols honor the
+            # user's `ascending` — only IN-GROUP order is semantic
+            df = df.sort_values(
+                keys + sort_keys,
+                ascending=[True] * len(keys) + [ascending] * len(sort_keys),
+                kind="mergesort",
+                ignore_index=True,
+            )
+            # pandas dropna=True groupby semantics: drop null-key rows
+            df = df[~df[keys].isna().any(axis=1)].reset_index(drop=True)
+            # change-point int gid over the SORTED keys — NUL-exact, unlike
+            # pandas' StringHashTable groupby (see functions/aggregates.py)
+            change = np.zeros(len(df), dtype=bool)
+            if len(df):
+                change[0] = True
+            for k in keys:
+                col = df[k]
+                change[1:] |= ~col.iloc[1:].reset_index(drop=True).eq(
+                    col.iloc[:-1].reset_index(drop=True)
+                ).to_numpy()
+            gid = np.cumsum(change) - 1
+            starts = np.flatnonzero(change)
+            ends = np.r_[starts[1:], len(df)] if len(starts) else starts
+            g = df.groupby(gid, sort=False)
             # literal first/last row per group (reference takes list[0]/[-1],
             # groupby.py:290-319 — NOT pandas' null-skipping first/last)
-            firsts = df.drop_duplicates(subset=keys, keep="first").set_index(keys)
-            lasts = df.drop_duplicates(subset=keys, keep="last").set_index(keys)
-            pieces = {}
+            firsts = df.iloc[starts].reset_index(drop=True)
+            lasts = df.iloc[ends - 1].reset_index(drop=True)
+            pieces = {k: firsts[k] for k in keys}
             for col, col_aggs in agg_dict.items():
                 for a in col_aggs:
                     out_name = f"{col}{name_sep}{a}"
                     if a == "list":
-                        pieces[out_name] = g[col].agg(list)
+                        pieces[out_name] = g[col].agg(list).reset_index(drop=True)
                     elif a == "first":
                         pieces[out_name] = firsts[col]
                     elif a == "last":
                         pieces[out_name] = lasts[col]
                     else:
-                        pieces[out_name] = g[col].agg(a)
-            out = pd.DataFrame(pieces).reset_index()
+                        pieces[out_name] = g[col].agg(a).reset_index(drop=True)
+            out = pd.DataFrame(pieces)
             for c in out.columns:
                 if any(c.endswith(f"{name_sep}{a}") for a in _INT32_RE):
                     out[c] = out[c].astype(np.int32)
