@@ -162,3 +162,25 @@ def test_difference_lag(session_df):
     # boundary rows (first per user) must be null
     firsts = out.groupby("user").head(1)
     assert firsts["x_difference_lag_1"].isna().all()
+
+
+def test_groupby_first_last_on_list_columns():
+    """Reference parity: first/last of a LIST column takes the literal
+    first/last row's list (groupby.py:290-319)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b"]),
+            "t": pa.array([1, 2, 1]),
+            "lv": pa.array([[1, 2], [3], [4, 5, 6]], pa.list_(pa.int64())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    node = ["k", "t", "lv"] >> ops.Groupby(
+        groupby_cols="k", sort_cols="t", aggs={"lv": ["first", "last"]}
+    )
+    out = Workflow(node).fit(ds).transform(ds).to_pandas().sort_values("k")
+    got = [(r["k"], list(r["lv_first"]), list(r["lv_last"])) for r in out.to_dict("records")]
+    assert got == [("a", [1, 2], [3]), ("b", [4, 5, 6], [4, 5, 6])]
