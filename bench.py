@@ -217,17 +217,30 @@ def run_scaling():
     # budget. Override with GRAFT_SCALE_LO/HI.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-    r_lo, r_hi = one(lo), one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # Alternate legs and take per-leg MINIMA: this VM has hypervisor steal
+    # (phantom load-avg spikes at idle) plus post-generation writeback that
+    # hits whichever leg runs first — min-of-N under interleaved identical
+    # conditions is the least-contaminated estimate of true hardware time.
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    sec_lo = min(r["value"] for r in runs_lo)
+    sec_hi = min(r["value"] for r in runs_hi)
+    turns = runs_lo[0]["turns"]
+    eff = (sec_lo / sec_hi) / (hi / lo)
     print(
         json.dumps(
             {
                 "metric": f"scaling_efficiency_{lo}_to_{hi}",
-                f"sec_{lo}": r_lo["value"],
-                f"sec_{hi}": r_hi["value"],
-                "turns": r_lo["turns"],
-                f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
-                f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+                f"sec_{lo}": sec_lo,
+                f"sec_{hi}": sec_hi,
+                f"all_sec_{lo}": [r["value"] for r in runs_lo],
+                f"all_sec_{hi}": [r["value"] for r in runs_hi],
+                "turns": turns,
+                f"turns_per_sec_{lo}": round(turns / sec_lo, 1),
+                f"turns_per_sec_{hi}": round(turns / sec_hi, 1),
                 "scaling_efficiency": round(eff, 3),
             }
         )
