@@ -344,9 +344,9 @@ def _q_column_similarity(sf_dir: str):
     node = [["vec_id", "partner_id"]] >> ops.ColumnSimilarity(feats, metric="cosine")
     wf = Workflow(node + ["vec_id"])
     out = wf.fit(ds).transform(ds)
-    # 4 digits: DuckDB's list_cosine_similarity accumulates in float32 while
-    # we compute in float64 — they agree to ~1e-5, not 1e-7
-    return _round6(out, ["vec_id_partner_id_sim"], digits=4)
+    # the oracle computes the cosine at float64 via a zipped unnest, same
+    # arithmetic as the engine — round 6 is stable on both sides
+    return _round6(out, ["vec_id_partner_id_sim"], digits=6)
 
 
 def _q_data_stats(sf_dir: str):
@@ -848,8 +848,10 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "rolling_count": """
+            -- count(value), not count(*): the engine's rolling count is the
+            -- SQL/pandas skipna count of VALID values in the window
             SELECT event_id,
-                   CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                   CAST(count(value) OVER (PARTITION BY user_id ORDER BY ts
                         RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS w24h_count
             FROM events
@@ -872,12 +874,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, embedding[1:8] AS embedding FROM embeddings
         """,
         "column_similarity": """
-            WITH n AS (SELECT count(*) AS cnt FROM embeddings)
-            SELECT a.vec_id,
-                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+            -- float64 cosine via zipped unnest (list_cosine_similarity
+            -- accumulates in float32 and diverges at the rounding boundary)
+            WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+            pairs AS (
+                SELECT a.vec_id, a.embedding AS ea, b.embedding AS eb
+                FROM embeddings a, n
+                JOIN embeddings b ON b.vec_id = (a.vec_id + 1) % n.cnt
+            ),
+            z AS (
+                SELECT vec_id, CAST(unnest(ea) AS DOUBLE) AS x,
+                       CAST(unnest(eb) AS DOUBLE) AS y
+                FROM pairs
+            )
+            SELECT vec_id,
+                   ROUND(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 6)
                        AS vec_id_partner_id_sim
-            FROM embeddings a, n
-            JOIN embeddings b ON b.vec_id = (a.vec_id + 1) % n.cnt
+            FROM z GROUP BY vec_id
         """,
         "data_stats": """
             SELECT 'event_type' AS col, count(DISTINCT event_type) AS cardinality,

@@ -134,19 +134,30 @@ def rolling_aggregate(
     values: np.ndarray, ts_us: np.ndarray, gid: np.ndarray, window_us: int, aggs: list[str]
 ) -> dict[str, np.ndarray]:
     """Trailing-window aggregates per row via prefix sums + window starts.
-    Supports count/sum/mean/min/max (min/max via pandas fallback)."""
+    Supports count/sum/mean/min/max (min/max via per-row slice fallback).
+
+    Null/NaN handling is SQL/pandas skipna: NaN values are excluded from
+    count/sum/mean/min/max (a raw cumsum would poison every later window of
+    the entity). count = number of VALID values in the window (SQL
+    ``count(value)``); sum/mean/min/max are NaN when the window holds no
+    valid value (SQL NULL)."""
     w, end = grouped_window_bounds(ts_us, gid, window_us)
     out: dict[str, np.ndarray] = {}
-    count = end - w
+    valid = ~np.isnan(values)
+    cv = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])
+    count = cv[end] - cv[w]
     if "count" in aggs:
         out["count"] = count
     if "sum" in aggs or "mean" in aggs:
-        cs = np.concatenate([[0.0], np.cumsum(values, dtype=np.float64)])
+        cs = np.concatenate(
+            [[0.0], np.cumsum(np.where(valid, values, 0.0), dtype=np.float64)]
+        )
         s = cs[end] - cs[w]
         if "sum" in aggs:
-            out["sum"] = s
+            out["sum"] = np.where(count > 0, s, np.nan)
         if "mean" in aggs:
-            out["mean"] = s / count
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out["mean"] = np.where(count > 0, s / count, np.nan)
     unsupported = [a for a in aggs if a not in ("count", "sum", "mean")]
     if unsupported:
         # min/max: per-row slice over the (start, end) bounds — same RANGE
@@ -154,8 +165,9 @@ def rolling_aggregate(
         # which would disagree on duplicate timestamps)
         for a in unsupported:
             res = np.empty(len(values), dtype=np.float64)
-            fn = np.min if a == "min" else np.max
+            fn = np.nanmin if a == "min" else np.nanmax
             for i in range(len(values)):
-                res[i] = fn(values[w[i] : end[i]]) if end[i] > w[i] else np.nan
+                seg = values[w[i] : end[i]]
+                res[i] = fn(seg) if end[i] > w[i] and valid[w[i] : end[i]].any() else np.nan
             out[a] = res
     return out

@@ -185,6 +185,14 @@ class Categorify(StatOperator):
                     vc = pc.value_counts(arr.drop_null())
                     v = pc.cast(vc.field("values"), pa.string())
                     k = len(v)
+                    if k == 0 and nulls:
+                        # all-null batch: carry the null count on a sentinel
+                        # row (null value, count 0) so it isn't dropped
+                        names_out.append(pa.array([gname], pa.string()))
+                        vals_out.append(pa.array([None], pa.string()))
+                        cnts_out.append(pa.array([0], pa.int64()))
+                        nulls_out.append(pa.array([nulls], pa.int64()))
+                        continue
                     names_out.append(pa.array([gname] * k, pa.string()))
                     vals_out.append(v)
                     cnts_out.append(pc.cast(vc.field("counts"), pa.int64()))
@@ -209,6 +217,9 @@ class Categorify(StatOperator):
                 vocab_df = merged[merged["g"] == name].drop(columns=["g"]).reset_index(drop=True)
                 self._check_vocab_size(name, vocab_df)
                 nulls = int(vocab_df["nulls"].sum())
+                # drop the all-null-batch sentinel rows (count 0); genuine
+                # vocab entries always have count >= 1
+                vocab_df = vocab_df[vocab_df["count"] > 0].reset_index(drop=True)
                 vocab_df = vocab_df.drop(columns=["nulls"])
                 # cast string-transported values back to the column dtype
                 vt = value_type(cols[0])
@@ -232,6 +243,14 @@ class Categorify(StatOperator):
                     cnts.append(pc.cast(vc.field("counts"), pa.int64()))
                 value = pa.concat_arrays([v.cast(vals[0].type) for v in vals])
                 out = pa.table({"value": value, "count": pa.concat_arrays(cnts)})
+                if out.num_rows == 0 and nulls:
+                    # all-null batch: sentinel row carries the null count
+                    out = pa.table(
+                        {
+                            "value": pa.nulls(1, vals[0].type),
+                            "count": pa.array([0], pa.int64()),
+                        }
+                    )
                 nulls_col = ([nulls] + [0] * (out.num_rows - 1)) if out.num_rows else []
                 return out.append_column("nulls", pa.array(nulls_col, pa.int64()))
 
@@ -242,6 +261,7 @@ class Categorify(StatOperator):
             )
             self._check_vocab_size(name, merged1)
             nulls = int(merged1["nulls"].sum())
+            merged1 = merged1[merged1["count"] > 0].reset_index(drop=True)  # drop sentinels
             vocab_df = merged1.drop(columns=["nulls"])
             self._finalize_vocab(name, cols[0] if len(cols) == 1 else name, vocab_df, nulls)
 
@@ -303,6 +323,11 @@ class Categorify(StatOperator):
                 cnts.append(pc.cast(vc.field("counts"), pa.int64()))
             value = pa.concat_arrays([v.cast(vals[0].type) for v in vals])
             out = pa.table({"value": value, "count": pa.concat_arrays(cnts)})
+            if out.num_rows == 0 and nulls:
+                # all-null batch: sentinel row carries the null count
+                out = pa.table(
+                    {"value": pa.nulls(1, vals[0].type), "count": pa.array([0], pa.int64())}
+                )
             nulls_col = ([nulls] + [0] * (out.num_rows - 1)) if out.num_rows else []
             return out.append_column("nulls", pa.array(nulls_col, pa.int64()))
 
@@ -314,8 +339,8 @@ class Categorify(StatOperator):
 
         def tidy(t: pa.Table) -> pa.Table:
             t = pa.table({"value": t.column("value"), "count": t.column("sum(count)")})
-            if thresh:
-                t = t.filter(pc.greater_equal(t.column("count"), thresh))
+            # count >= 1 drops the all-null sentinel rows from the vocab
+            t = t.filter(pc.greater_equal(t.column("count"), thresh or 1))
             return t
 
         ranked = counts.map_batches(tidy, batch_format="pyarrow").sort(

@@ -14,8 +14,11 @@ Fold assignment (deliberate divergence, SURVEY.md §7.4.2): the reference's
 (target_encoding.py:427-439) — fold membership changes with the partition
 layout. We define ``fold = stable_hash(fold_on columns) % kfold``:
 deterministic, partition-layout-free, identical in fit and transform.
-``fold_on`` should name a row-unique key (e.g. ["conv_id","turn_idx"]);
-when omitted, all input+target columns are hashed.
+``fold_on`` MUST name a row-unique key (e.g. ["conv_id","turn_idx"]) and is
+REQUIRED when kfold>1. The target column is never part of the fold hash:
+folding on (category, target) would make leave-one-fold-out subtraction
+remove exactly the rows sharing the row's own target value — the TE output
+becomes a (smoothed) copy of the target, catastrophic train-time leakage.
 
 Ray design: fit = one map_batches pass of per-batch grouped (count,sum)
 partials per (group, fold) -> one small groupby shuffle -> driver holds both
@@ -68,6 +71,14 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         self.out_col = out_col
         self.out_dtype = out_dtype
         self.fold_on = list(fold_on) if fold_on else None
+        if kfold > 1 and not self.fold_on:
+            raise ValueError(
+                "TargetEncoding with kfold>1 requires fold_on=[...] naming a "
+                "row-unique key (e.g. ['conv_id','turn_idx']): deriving folds "
+                "from the (category, target) pair leaks the target"
+            )
+        if self.fold_on and target in self.fold_on:
+            raise ValueError("fold_on must not contain the target column (target leakage)")
         self.drop_folds = drop_folds
         self.name_sep = name_sep
         # scale path: per-(category,fold) stat table too big to broadcast —
@@ -118,7 +129,9 @@ class TargetEncoding(BroadcastTableState, StatOperator):
 
     # ------------------------------------------------------------- fold --
     def _fold_np(self, table: pa.Table, input_cols: list[str]) -> np.ndarray:
-        cols = self.fold_on or [c for c in input_cols if c in table.column_names]
+        # fold_on is guaranteed set whenever kfold>1 (enforced in __init__);
+        # it never includes the target, so fold ⊥ target given the row key.
+        cols = self.fold_on or [c for c in input_cols if c in table.column_names and c != self.target]
         h = hash64_columns(table, cols)
         # mix in the seed so different seeds give different (still stable) folds
         h = h ^ np.uint64(self.fold_seed * 0x9E3779B97F4A7C15 % (1 << 64))

@@ -37,12 +37,37 @@ from nvtabular_ray.functions.hashing import hash64_columns
 from nvtabular_ray.pipelines.partitioned import BUCKET_COL, _default_num_buckets
 
 
+def _table_checksum(t: pa.Table) -> str:
+    """Content checksum of a fitted table: schema + raw column buffer bytes.
+    chunks are combined first so equal tables hash equal regardless of
+    chunking; a refit that changes any value invalidates the manifest."""
+    h = hashlib.sha256()
+    h.update(str(t.schema).encode())
+    for name in t.column_names:
+        arr = t.column(name).combine_chunks()
+        for buf in arr.buffers():
+            if buf is not None:
+                h.update(buf)
+    return h.hexdigest()[:16]
+
+
 def _op_chain_hash(workflow) -> str:
-    """Stable hash of the DAG structure + op configs (pa.Tables by schema+rows)."""
+    """Stable hash of the DAG structure + op configs. Fitted pa.Tables hash
+    by CONTENT (schema + buffers), not just shape: refitting on new data
+    that happens to yield a same-cardinality stat table must still
+    invalidate previously written buckets."""
 
     def describe(v):
         if isinstance(v, pa.Table):
-            return ["table", v.num_rows, str(v.schema)]
+            return ["table", v.num_rows, _table_checksum(v)]
+        try:  # broadcast refs (prepare_broadcast nulls the table): hash content
+            import ray
+
+            if isinstance(v, ray.ObjectRef):
+                obj = ray.get(v)
+                return describe(obj)
+        except ImportError:
+            pass
         if isinstance(v, (list, tuple)):
             return [describe(x) for x in v]
         if isinstance(v, dict):
@@ -105,6 +130,7 @@ def resumable_transform(
     for n in workflow._op_nodes():
         pre = getattr(n.op, "pre_transform_stage", None)
         if pre is not None:
+            workflow._check_distributed_root(n)
             ds = pre(ds)
     for n in workflow._op_nodes():
         n.op.prepare_broadcast()

@@ -140,6 +140,28 @@ class Workflow:
         self._partitioned_spec()
         self._terminal_dataset_op()
 
+    @staticmethod
+    def _check_distributed_root(node: Node) -> None:
+        """Distributed-state ops (Categorify/JoinGroupby/TargetEncoding with
+        distributed=True) resolve their shuffle join against ROOT column
+        values. If the op's input is not a direct root selection, fit saw
+        upstream-TRANSFORMED values while the join would see RAW ones —
+        silently wrong output (e.g. LambdaOp(upper) >> Categorify(distributed)
+        encodes everything OOV). Fail loudly instead."""
+        if getattr(node.op, "pre_transform_stage", None) is None:
+            return
+        if not getattr(node.op, "distributed", False):
+            return  # broadcast-state path re-evaluates upstream per batch: safe
+        if all(p.kind == "selection" and not p.parents for p in node.parents):
+            return
+        raise NotImplementedError(
+            f"distributed-state op {node.op.label} must consume a direct root "
+            "column selection: its shuffle join resolves against raw input "
+            "values, which diverge from upstream-transformed values. Apply "
+            "upstream ops in a separate workflow (materialize, then fit this "
+            "op on the result), or use the non-distributed path."
+        )
+
     # ------------------------------------------------------------- fit -- #
     def fit(self, ds) -> "Workflow":
         """Fit every StatOperator, level-parallel.
@@ -204,6 +226,7 @@ class Workflow:
                     seen.add(id(anc.op))
                     pre = getattr(anc.op, "pre_transform_stage", None)
                     if pre is not None:
+                        self._check_distributed_root(anc)
                         ds = pre(ds)
         sel_cols = list(node.input_selector.names) + [
             c for c in node.op.dependencies if c not in node.input_selector.names
@@ -270,6 +293,7 @@ class Workflow:
         for n in self._op_nodes():
             pre = getattr(n.op, "pre_transform_stage", None)
             if pre is not None:
+                self._check_distributed_root(n)
                 ds = pre(ds)
 
         for n in self._op_nodes():
