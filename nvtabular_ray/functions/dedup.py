@@ -11,8 +11,6 @@ within hash groups — collision-safe without shuffling full text twice).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -50,23 +48,38 @@ def _char_shingles(text: str, k: int = 5) -> np.ndarray:
     return np.array([text[i : i + k] for i in range(len(text) - k + 1)], dtype=object)
 
 
-def minhash_signatures(texts, num_perm: int = 64, shingle_k: int = 5) -> np.ndarray:
-    """(n_docs, num_perm) uint64 MinHash signatures.
-
-    Fully vectorized across the batch: ALL shingles of all docs hash in ONE
-    SipHash call; each of the ``num_perm`` universal hashes ((a*h+b) mod
-    2^64) is a single 1-D pass with ``np.minimum.reduceat`` over doc
-    boundaries. (A (num_perm, total) 2-D uint64 broadcast is ~100x slower —
-    numpy falls off the fast path; keep the per-perm 1-D loop.)"""
+def minhash_perm_constants(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """PUBLIC permutation constants: (a_j, b_j) for the universal hashes
+    sig_j = min over shingles of ((a_j * h + b_j) mod 2^64). Shared by the
+    engine and by the DuckDB oracle builder (which embeds the numbers as
+    HUGEINT literals), so both compute bit-identical signatures."""
     rng = np.random.RandomState(1729)
     a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
     b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(texts, num_perm: int = 16, shingle_k: int = 5) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures.
+
+    PUBLIC spec (SQL-replicable): shingle hash h = md5_60(shingle)
+    (functions/hashing.py), permutation j value = (a_j*h + b_j) mod 2^64
+    with the minhash_perm_constants numbers; signature = per-doc min.
+
+    Fully vectorized across the batch: ALL shingles of all docs hash in ONE
+    dictionary-encoded md5_60 call; each permutation is a single 1-D pass
+    with ``np.minimum.reduceat`` over doc boundaries. (A (num_perm, total)
+    2-D uint64 broadcast is ~100x slower — numpy falls off the fast path;
+    keep the per-perm 1-D loop.)"""
+    from nvtabular_ray.functions.hashing import md5_60
+
+    a, b = minhash_perm_constants(num_perm)
     if not len(texts):
         return np.empty((0, num_perm), dtype=np.uint64)
     shingles = [_char_shingles(t or "", shingle_k) for t in texts]
     lens = np.array([len(s) for s in shingles], dtype=np.int64)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    h = hash64(pd.Series(np.concatenate(shingles), dtype=object))
+    h = md5_60(np.concatenate(shingles))
     sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
     for j in range(num_perm):
         sigs[:, j] = np.minimum.reduceat(h * a[j] + b[j], starts)
@@ -77,16 +90,33 @@ def minhash_lsh_dedup(
     ds,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_perm: int = 64,
-    bands: int = 16,
+    num_perm: int = 16,
+    bands: int = 4,
     shingle_k: int = 5,
     rounds: int = 2,
+    num_buckets=None,
 ):
     """Near-duplicate clustering: shingle -> MinHash -> LSH band buckets ->
     min-label propagation. Returns (id_col, cluster_id): cluster_id is the
     smallest doc id among LSH-connected docs after ``rounds`` propagation
     rounds (connected components converge for chains up to 2^rounds hops).
+
+    FULLY DISTRIBUTED label propagation: every stage is a bucketed shuffle
+    over narrow int tables — no driver-side label dict of unbounded
+    cardinality (the round-1 version broadcast a (band,band_hash)->label
+    python dict, O(bands x n_docs) on the driver):
+
+      rows(band, band_hash, doc)                    one map_batches pass
+        -> per-(band,hash) min-label, per-row       bucketed exchange 1
+        -> per-doc min over its band labels (L1)    bucketed exchange 2
+        -> (rounds-1) x label-of-label join         bucketed exchange each
+
+    Semantics are SQL-replicable (see __ray_entry__ oracle): L1(d) = min doc
+    id sharing any band signature tuple with d; final = L1 applied
+    ``rounds`` times.
     """
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
     rows_per_band = num_perm // bands
 
     def sig_rows(t: pa.Table) -> pa.Table:
@@ -97,9 +127,14 @@ def minhash_lsh_dedup(
         doc_ids = np.tile(ids, bands)
         band_hash = np.empty(bands * len(ids), dtype=np.int64)
         for bnd in range(bands):
+            # vectorized row-tuple hash of the band's signature columns
+            # (internal SipHash: only EQUALITY of tuples matters downstream)
             chunk = sigs[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]
-            band_hash[bnd * len(ids) : (bnd + 1) * len(ids)] = hash64(
-                pd.Series([chunk[i].tobytes() for i in range(len(ids))])
+            tbl = pa.table(
+                {f"s{i}": pa.array(chunk[:, i].astype(np.int64)) for i in range(rows_per_band)}
+            )
+            band_hash[bnd * len(ids) : (bnd + 1) * len(ids)] = hash64_columns(
+                tbl, list(tbl.column_names)
             ).astype(np.int64)
         return pa.table(
             {
@@ -111,85 +146,151 @@ def minhash_lsh_dedup(
 
     buckets = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    # Min-label propagation, all VECTORIZED (no per-group Python):
-    #   bucket label = min doc id per (band, band_hash)   [map-side combine +
-    #   streaming reduce]; doc label = min over its bucket labels, applied by
-    #   a broadcast hash lookup inside map_batches. The bucket->label table
-    #   is ~bands x n_docs rows of ints; at 10^9-doc scale swap the broadcast
-    #   for Dataset.join (hash-partitioned) — same dataflow, bigger exchange.
-    from nvtabular_ray.functions.aggregates import grouped_reduce
-
-    def bucket_partial(t: pa.Table) -> pa.Table:
+    # exchange 1: co-locate each (band, band_hash) group; label each row with
+    # the group's min doc id (vectorized arrow group_by + merge per bucket)
+    def bucket_min(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        out = df.groupby(["band", "band_hash"], observed=True, sort=False)[id_col].min()
-        return pa.Table.from_pandas(out.rename("label").reset_index(), preserve_index=False)
+        lab = df.groupby(["band", "band_hash"], observed=True, sort=False)[id_col].transform(
+            "min"
+        )
+        return pa.table(
+            {id_col: pa.Array.from_pandas(df[id_col]), "label": pa.Array.from_pandas(lab)}
+        )
 
-    bucket_labels = grouped_reduce(
-        buckets.map_batches(bucket_partial, batch_format="pyarrow"),
-        ["band", "band_hash"],
-        {"label": "min"},
+    per_row = bucketed_group_map(
+        buckets, ["band", "band_hash"], [], bucket_min, num_buckets=num_buckets
     )
-    bucket_labels["key"] = (
-        bucket_labels["band"].astype("int64") * (1 << 32) ^ bucket_labels["band_hash"].astype("int64")
-    )
-    lookup = dict(zip(bucket_labels["key"], bucket_labels["label"]))
 
-    import ray
+    # exchange 2: per-doc min over its band labels -> L1
+    def doc_min(t: pa.Table) -> pa.Table:
+        res = t.group_by([id_col], use_threads=False).aggregate([("label", "min")])
+        return res.rename_columns([id_col, "cluster_id"])
 
-    lookup_ref = ray.put(lookup) if ray.is_initialized() else lookup
+    result = bucketed_group_map(per_row, [id_col], [], doc_min, num_buckets=num_buckets)
 
-    def doc_label(t: pa.Table) -> pa.Table:
-        # stateless task; ray.get of the broadcast lookup is object-store
-        # local (zero-copy read, once per task)
-        table = ray.get(lookup_ref) if ray.is_initialized() else lookup_ref
-        df = t.to_pandas()
-        key = df["band"].astype("int64") * (1 << 32) ^ df["band_hash"].astype("int64")
-        df["label"] = key.map(table)
-        out = df.groupby(id_col, observed=True, sort=False)["label"].min()
-        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
-
-    doc_partials = buckets.map_batches(doc_label, batch_format="pyarrow")
-    result = grouped_reduce(doc_partials, [id_col], {"label": "min"})
-    result = result.rename(columns={"label": "cluster_id"})
-
-    # transitive chains: doc -> label -> that doc's label (cheap driver rounds
-    # over the small (doc, cluster) frame)
+    # transitive chains: cluster(d) <- cluster(cluster(d)), as a distributed
+    # self-join per round (labels are doc ids, so the "reference side" is the
+    # result table itself keyed by doc id)
     for _ in range(rounds - 1):
-        mapping = dict(zip(result[id_col], result["cluster_id"]))
-        result["cluster_id"] = result["cluster_id"].map(mapping).fillna(result["cluster_id"])
+        result = _label_lookup_join(result, id_col, num_buckets=num_buckets)
+    return result
 
-    import ray.data as rd
 
-    return rd.from_arrow(pa.Table.from_pandas(result, preserve_index=False))
+def _label_lookup_join(result, id_col: str, num_buckets=None):
+    """One distributed round of cluster_id <- cluster_id[cluster_id]:
+    union(data rows keyed by cluster_id, ref rows keyed by doc_id) -> one
+    bucketed exchange -> per-bucket pandas merge. Never collects labels."""
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+    def pad_data(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__key__": t.column("cluster_id").cast(pa.int64()),
+                id_col: t.column(id_col),
+                "__lbl__": pa.nulls(t.num_rows, pa.int64()),
+                "__side__": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    def pad_ref(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__key__": t.column(id_col).cast(pa.int64()),
+                id_col: pa.nulls(t.num_rows, t.column(id_col).type),
+                "__lbl__": t.column("cluster_id").cast(pa.int64()),
+                "__side__": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    both = result.map_batches(pad_data, batch_format="pyarrow").union(
+        result.map_batches(pad_ref, batch_format="pyarrow")
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ref = df[df["__side__"] == 1][["__key__", "__lbl__"]]
+        data = df[df["__side__"] == 0][["__key__", id_col]]
+        m = data.merge(ref, on="__key__", how="left")
+        lbl = m["__lbl__"].fillna(m["__key__"]).astype("int64")
+        return pa.table(
+            {id_col: pa.Array.from_pandas(m[id_col]), "cluster_id": pa.Array.from_pandas(lbl)}
+        )
+
+    return bucketed_group_map(both, ["__key__"], [], per_bucket, num_buckets=num_buckets)
 
 
 # ------------------------------------------------------------------ SimHash --
-def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", hamming_threshold: int = 3):
-    """64-bit SimHash over word tokens; docs sharing any of 4 16-bit bands
-    become candidates; candidates verified by full Hamming distance."""
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (no O(n*64) unpackbits blowup)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_signatures(texts) -> np.ndarray:
+    """60-bit SimHash per text over lowercase whitespace tokens.
+
+    PUBLIC spec (SQL-replicable): token hash = md5_60(token); signature bit
+    j = 1 iff sum over tokens of (2*bit_j(h)-1) > 0; empty text -> 0.
+
+    Vectorized across the batch: one md5_60 call for all tokens, then 60
+    1-D ``np.add.reduceat`` passes over doc boundaries (no per-doc loop)."""
+    from nvtabular_ray.functions.hashing import md5_60
+
+    n = len(texts)
+    sh = np.zeros(n, dtype=np.uint64)
+    toks = [(t or "").lower().split() for t in texts]
+    lens = np.array([len(x) for x in toks], dtype=np.int64)
+    flat = [w for ws in toks for w in ws]
+    if not flat:
+        return sh
+    h = md5_60(np.array(flat, dtype=object))
+    nz = lens > 0
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])[nz]
+    nzlens = lens[nz]
+    sig_nz = np.zeros(int(nz.sum()), dtype=np.uint64)
+    for j in range(60):
+        bitj = ((h >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        votes = np.add.reduceat(bitj, starts)
+        sig_nz |= np.uint64(1 << j) * (votes * 2 > nzlens).astype(np.uint64)
+    sh[nz] = sig_nz
+    return sh
+
+
+def simhash_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_threshold: int = 3,
+    max_bucket_sigs: int = 4096,
+):
+    """60-bit SimHash over word tokens; docs sharing any of 4 15-bit bands
+    become candidates; candidates verified by full Hamming distance.
+
+    With hamming_threshold < 4 bands the band filter is EXHAUSTIVE by
+    pigeonhole (<=3 differing bits can touch at most 3 of the 4 bands), so
+    cluster_id(d) = min{e : hamming(sig_d, sig_e) <= threshold} exactly —
+    which is what the SQL oracle asserts. In-bucket verification first
+    collapses to UNIQUE signatures (a skew bucket of identical docs costs
+    O(u^2), not O(m^2)); buckets with more than ``max_bucket_sigs`` distinct
+    signatures degrade to exact-signature-equality clustering (documented
+    cap — only reachable under adversarial skew)."""
 
     def sim_rows(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        sh = np.empty(len(texts), dtype=np.uint64)
-        for i, text in enumerate(texts):
-            toks = (text or "").lower().split()
-            if not toks:
-                sh[i] = 0
-                continue
-            hs = hash64(pd.Series(toks, dtype=object))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-            vote = bits.sum(axis=0) * 2 - len(hs)
-            sh[i] = np.packbits((vote > 0)[::-1]).view(">u8")[0]
-        out = {"__simhash__": pa.array(sh.astype(np.int64)), id_col: t.column(id_col)}
-        return pa.table(out)
+        sh = simhash_signatures(t.column(text_col).to_pylist())
+        return pa.table(
+            {"__simhash__": pa.array(sh.astype(np.int64)), id_col: t.column(id_col)}
+        )
 
     sigs = ds.map_batches(sim_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def explode(t: pa.Table) -> pa.Table:
         s = t.column("__simhash__").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        bands = [(s >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)]
+        bands = [(s >> np.uint64(15 * b)) & np.uint64(0x7FFF) for b in range(4)]
         return pa.table(
             {
                 "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), len(ids))),
@@ -201,25 +302,49 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", hamming_th
 
     buckets = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({id_col: group[id_col], "cluster_id": group[id_col]})
-        sh = group["__simhash__"].to_numpy().astype(np.uint64)
-        ids = group[id_col].to_numpy()
-        order = np.argsort(ids)
-        sh, ids = sh[order], ids[order]
-        xor = sh[:, None] ^ sh[None, :]
-        ham = np.unpackbits(xor.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2).sum(axis=2)
-        labels = ids.copy()
+    def _resolve_group(ids: np.ndarray, sh: np.ndarray) -> np.ndarray:
+        """labels for one (band, key) group (>= 2 rows); ids sorted asc."""
+        uniq, inv = np.unique(sh, return_inverse=True)
+        big = np.iinfo(np.int64).max
+        min_id = np.full(len(uniq), big, dtype=np.int64)
+        np.minimum.at(min_id, inv, ids)
+        if len(uniq) > max_bucket_sigs:
+            # documented skew cap: exact-equal signatures only
+            return min_id[inv]
+        ham = _popcount64(uniq[:, None] ^ uniq[None, :])
         close = ham <= hamming_threshold
-        labels = ids[np.argmax(close, axis=1)]  # first (smallest-id) close doc
-        return pd.DataFrame({id_col: ids, "cluster_id": labels})
+        lab = np.min(np.where(close, min_id[None, :], big), axis=1)
+        return lab[inv]
 
-    labeled = buckets.groupby(["band", "key"]).map_groups(resolve, batch_format="pandas")
-    return labeled.groupby(id_col).map_groups(
-        lambda g: pd.DataFrame({id_col: [g[id_col].iloc[0]], "cluster_id": [g["cluster_id"].min()]}),
-        batch_format="pandas",
-    )
+    # ONE task-based exchange co-locates all (band, key) groups of a hash
+    # bucket; groups of size 1 (the vast majority) are labeled in bulk, only
+    # multi-row groups run the Hamming kernel
+    def resolve_bucket(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sh = t.column("__simhash__").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, key, band))
+        band, key, ids, sh = band[order], key[order], ids[order], sh[order]
+        n = len(ids)
+        labels = ids.copy()
+        if n:
+            change = np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
+            starts = np.flatnonzero(change)
+            sizes = np.diff(np.r_[starts, n])
+            for s, c in zip(starts[sizes > 1], sizes[sizes > 1]):
+                labels[s : s + c] = _resolve_group(ids[s : s + c], sh[s : s + c])
+        return pa.table({id_col: pa.array(ids), "label": pa.array(labels)})
+
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+    labeled = bucketed_group_map(buckets, ["band", "key"], [], resolve_bucket)
+
+    def doc_min(t: pa.Table) -> pa.Table:
+        res = t.group_by([id_col], use_threads=False).aggregate([("label", "min")])
+        return res.rename_columns([id_col, "cluster_id"])
+
+    return bucketed_group_map(labeled, [id_col], [], doc_min)
 
 
 # ------------------------------------------------- n-gram Jaccard / embeddings --
@@ -281,30 +406,67 @@ def ngram_jaccard_dedup(
 
     buckets = ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({id_col: ids, "cluster_id": ids})
-        order = np.argsort(ids)
-        ids = ids[order]
-        gsets = [np.asarray(g, dtype=np.int64) for g in group["__grams__"].to_numpy()[order]]
+    def _resolve_group(ids: np.ndarray, gsets: list, max_bucket_docs: int = 2048) -> np.ndarray:
+        """Exact Jaccard for ALL pairs in one (band, key) group via ONE
+        membership-matrix matmul (inter[i,j] = |g_i ∩ g_j|) — no per-pair
+        Python loop. m docs with U distinct grams cost an (m x U) float32
+        matmul; groups beyond ``max_bucket_docs`` degrade to identical-
+        gram-set clustering (documented skew cap)."""
         m = len(ids)
-        close = np.eye(m, dtype=bool)
-        for i in range(m):
-            for j in range(i + 1, m):
-                inter = len(np.intersect1d(gsets[i], gsets[j], assume_unique=True))
-                union = len(gsets[i]) + len(gsets[j]) - inter
-                if union == 0 or inter / union >= threshold:
-                    close[i, j] = close[j, i] = True
-        labels = ids[np.argmax(close, axis=1)]
-        return pd.DataFrame({id_col: ids, "cluster_id": labels})
+        lens = np.array([len(g) for g in gsets], dtype=np.int64)
+        if m > max_bucket_docs:
+            # skew cap: cluster only exact-identical gram sets (hash the
+            # sorted gram array; gsets are sorted-unique by construction)
+            keys = np.fromiter((hash(g.tobytes()) for g in gsets), dtype=np.int64, count=m)
+            _, kinv = np.unique(keys, return_inverse=True)
+            big = np.iinfo(np.int64).max
+            min_id = np.full(kinv.max() + 1, big, dtype=np.int64)
+            np.minimum.at(min_id, kinv, ids)
+            return min_id[kinv]
+        concat = np.concatenate(gsets)
+        doc_idx = np.repeat(np.arange(m), lens)
+        uniq, invg = np.unique(concat, return_inverse=True)
+        mem = np.zeros((m, len(uniq)), dtype=np.float32)
+        mem[doc_idx, invg] = 1.0
+        inter = mem @ mem.T
+        union = lens[:, None] + lens[None, :] - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1e-12), 1.0)
+        close = jac >= threshold
+        np.fill_diagonal(close, True)
+        return ids[np.argmax(close, axis=1)]
 
-    labeled = buckets.groupby(["band", "key"]).map_groups(resolve, batch_format="pandas")
+    # ONE task-based exchange; only multi-row (band, key) groups run the
+    # Jaccard kernel (size-1 groups label themselves in bulk)
+    def resolve_bucket(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        grams = t.column("__grams__").to_pylist()
+        order = np.lexsort((ids, key, band))
+        band, key, ids = band[order], key[order], ids[order]
+        n = len(ids)
+        labels = ids.copy()
+        if n:
+            change = np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
+            starts = np.flatnonzero(change)
+            sizes = np.diff(np.r_[starts, n])
+            for s, c in zip(starts[sizes > 1], sizes[sizes > 1]):
+                gsets = [
+                    np.asarray(grams[order[s + i]], dtype=np.int64) for i in range(c)
+                ]
+                labels[s : s + c] = _resolve_group(ids[s : s + c], gsets)
+        return pa.table({id_col: pa.array(ids), "label": pa.array(labels)})
 
-    def doc_min(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: [g[id_col].iloc[0]], "cluster_id": [g["cluster_id"].min()]})
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
 
-    return labeled.groupby(id_col).map_groups(doc_min, batch_format="pandas")
+    labeled = bucketed_group_map(buckets, ["band", "key"], [], resolve_bucket)
+
+    def doc_min(t: pa.Table) -> pa.Table:
+        res = t.group_by([id_col], use_threads=False).aggregate([("label", "min")])
+        return res.rename_columns([id_col, "cluster_id"])
+
+    return bucketed_group_map(labeled, [id_col], [], doc_min)
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
@@ -324,13 +486,27 @@ def embedding_near_dup(
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_buckets: int = 16,
+    num_buckets=None,
     seed: int = 7,
+    target_bucket_rows: int = 1024,
+    max_bucket_rows: int = 65536,
 ):
     """Embedding-cosine near-dup via random-hyperplane LSH: bucket by sign
-    pattern of ``log2(num_buckets)`` random projections, verify cosine within
-    buckets (vectorized matmul), emit (id, cluster_id=min id of near-dups)."""
-    nbits = int(np.log2(num_buckets))
+    pattern of ``nbits`` random projections, verify cosine within buckets
+    (vectorized matmul), emit (id, cluster_id=min id of near-dups).
+
+    SCALE: ``num_buckets=None`` (default) sizes nbits so the EXPECTED bucket
+    holds ~``target_bucket_rows`` rows (nbits grows with the dataset — the
+    round-1 fixed 16 buckets made verification all-pairs in disguise at
+    scale). Verification cost per bucket is O(rows^2 * dim); buckets beyond
+    ``max_bucket_rows`` (hyperplane-skewed data) degrade to exact-equal
+    embedding clustering — identical vectors always share every bucket, so
+    true duplicates are never lost by the cap."""
+    if num_buckets is None:
+        n = ds.count()  # parquet metadata count: no data scan
+        nbits = max(4, int(np.ceil(np.log2(max(n, 1) / target_bucket_rows + 1))))
+    else:
+        nbits = max(1, int(np.log2(num_buckets)))
 
     state: dict = {}
 
@@ -356,6 +532,16 @@ def embedding_near_dup(
         ids = group[id_col].to_numpy()
         order = np.argsort(ids)
         emb, ids = emb[order], ids[order]
+        if len(ids) > max_bucket_rows:
+            # skew cap: exact-equal embeddings only (bytes of the float rows)
+            view = np.ascontiguousarray(emb).view(
+                np.dtype((np.void, emb.dtype.itemsize * emb.shape[1]))
+            ).ravel()
+            _, kinv = np.unique(view, return_inverse=True)
+            big = np.iinfo(np.int64).max
+            min_id = np.full(kinv.max() + 1, big, dtype=np.int64)
+            np.minimum.at(min_id, kinv, ids)
+            return pd.DataFrame({id_col: ids, "cluster_id": min_id[kinv]})
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = emb / norms

@@ -10,10 +10,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-
-from nvtabular_ray.functions.hashing import hash64
 
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)  # BPE-ish: words + punct marks
 _PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
@@ -129,19 +126,32 @@ def detect_language(ds, concurrency: int = 4):
 
 
 def fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
-    """64-bit rolling content fingerprint (winnowing-style: min of rolling
-    8-gram hashes), robust to small local edits."""
+    """60-bit rolling content fingerprint (winnowing-style: min of rolling
+    8-gram hashes), robust to small local edits.
+
+    PUBLIC spec (SQL-replicable — see functions/hashing.py md5_60):
+    fingerprint(s) = min over i of md5_60(s[i:i+8]); md5_60(s) when len<8.
+    All grams of the batch hash in one dictionary-encoded md5_60 call; the
+    per-doc min is one ``np.minimum.reduceat`` over doc boundaries.
+    """
+    from nvtabular_ray.functions.hashing import md5_60
 
     def f(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pylist()
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, s in enumerate(texts):
+        grams: list[list[str]] = []
+        for s in texts:
             s = s or ""
-            if len(s) < 8:
-                out[i] = int(hash64(pd.Series([s]))[0]) & 0x7FFFFFFFFFFFFFFF
-                continue
-            grams = pd.Series([s[j : j + 8] for j in range(len(s) - 7)], dtype=object)
-            out[i] = int(hash64(grams).min()) & 0x7FFFFFFFFFFFFFFF
+            grams.append(
+                [s] if len(s) < 8 else [s[j : j + 8] for j in range(len(s) - 7)]
+            )
+        lens = np.array([len(g) for g in grams], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else np.empty(0, np.int64)
+        flat = [g for doc in grams for g in doc]
+        if flat:
+            h = md5_60(np.array(flat, dtype=object))
+            out = np.minimum.reduceat(h, starts).astype(np.int64)
+        else:
+            out = np.empty(0, dtype=np.int64)
         return t.append_column(out_col, pa.array(out))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

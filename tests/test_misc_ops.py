@@ -119,8 +119,9 @@ def test_embedding_near_dup_and_simhash():
     dup = out[out["vec_id"] >= 20].sort_values("vec_id")
     assert list(dup["cluster_id"]) == [0, 1, 2, 3, 4]
 
-    # simhash needs enough tokens for stable bit votes — use ~60-word docs
-    base_text = " ".join(f"token{i}" for i in range(60))
+    # simhash needs enough tokens for stable bit votes; with ~200 tokens a
+    # one-token edit flips only the few bits whose vote margin is ±1
+    base_text = " ".join(f"token{i}" for i in range(200))
     docs = pd.DataFrame(
         {
             "doc_id": [0, 1, 2],
