@@ -27,6 +27,15 @@ class Node:
         self.op = op
         self.parents: list[Node] = parents or []
         self.kind = kind  # "selection" | "op" | "addition"
+        self.name: Optional[str] = None  # subgraph handle (see alias())
+
+    def alias(self, name: str) -> "Node":
+        """Name this node as a reusable subgraph: ``Workflow.get_subworkflow``
+        extracts it (sharing the fitted op instances) so a branch — e.g. the
+        categorical tower — can run standalone for serving. Reference:
+        get_subworkflow / Subgraph, workflow.py:168-170."""
+        self.name = name
+        return self
 
     # -------------------------------------------------------------- DSL --
     @staticmethod

@@ -63,6 +63,37 @@ class Operator:
     def transform(self, col_selector: ColumnSelector, table: pa.Table) -> pa.Table:
         raise NotImplementedError
 
+    # Declared output dtype shared by every output column, or None when the
+    # dtype is input-dependent (passthrough). Ops with fixed outputs (LogOp
+    # float32, Bucketize int32, ...) override this ONE hook; fancier ops
+    # override compute_output_schema directly. (Reference analog: dtype
+    # propagation + fail-fast validation, workflow.py:125-139.)
+    def output_dtype(self):
+        return None
+
+    def compute_output_schema(
+        self, col_selector: ColumnSelector, input_schema: dict
+    ) -> dict[str, "pa.DataType | None"]:
+        """output column -> pa.DataType (None = unknown/input-dependent).
+
+        Default: the declared ``output_dtype()`` if fixed, else the dtype of
+        the first source column from ``column_mapping`` (passthrough), else
+        None. The workflow compiler folds these through the DAG
+        (``Workflow.output_schema``) and the fused transform validates the
+        first produced batch against the result — a dtype bug raises with
+        the op and column named instead of surfacing as a parquet-write
+        surprise."""
+        fixed = self.output_dtype()
+        out: dict[str, pa.DataType | None] = {}
+        for out_col, sources in self.column_mapping(col_selector).items():
+            if fixed is not None:
+                out[out_col] = fixed
+            elif sources and sources[0] in input_schema:
+                out[out_col] = input_schema[sources[0]]
+            else:
+                out[out_col] = None
+        return out
+
     # Called once before the transform stage ships to Ray workers: ops with
     # large state (vocabularies, stat tables) swap it for ray.put ObjectRefs
     # so it is stored once in the object store and shared zero-copy by every

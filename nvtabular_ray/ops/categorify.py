@@ -120,6 +120,21 @@ class Categorify(StatOperator):
     def num_oov(self) -> int:
         return self.num_buckets if self.num_buckets else 1
 
+    def compute_output_schema(self, col_selector, input_schema):
+        import numpy as _np
+
+        code = pa.from_numpy_dtype(_np.dtype(self.dtype)) if self.dtype else pa.int64()
+        out = {}
+        for out_col, sources in self.column_mapping(col_selector).items():
+            t = input_schema.get(sources[0]) if sources else None
+            if t is not None and pa.types.is_list(t):
+                out[out_col] = pa.list_(code)
+            elif t is not None and pa.types.is_large_list(t):
+                out[out_col] = pa.large_list(code)
+            else:
+                out[out_col] = code
+        return out
+
     @property
     def vocab_base(self) -> int:
         return OOV_OFFSET + self.num_oov

@@ -69,6 +69,9 @@ class ColumnSimilarity(BroadcastTableState, Operator):
     def column_mapping(self, col_selector):
         return {f"{a}_{b}_sim": [a, b] for a, b in self._pairs(col_selector)}
 
+    def output_dtype(self):
+        return pa.float64()
+
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         mat = self._matrix()
         out = {}

@@ -40,6 +40,9 @@ class DifferenceLag(Operator):
     def dependencies(self):
         return self.partition_cols + [c for c in self.sort_cols if c not in self.partition_cols]
 
+    def output_dtype(self):
+        return pa.float32()
+
     def column_mapping(self, col_selector):
         return {
             f"{col}_difference_lag_{shift}": [col]

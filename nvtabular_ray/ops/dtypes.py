@@ -23,6 +23,10 @@ _INT_RANGES = [
 
 
 class ReduceDtypeSize(StatOperator):
+    def compute_output_schema(self, col_selector, input_schema):
+        # target dtype depends on the VALUES (fitted min/max): unknown here
+        return {n: None for n in col_selector.names}
+
     def __init__(self, float_dtype="float32"):
         super().__init__()
         self.ranges: dict[str, tuple] = {}

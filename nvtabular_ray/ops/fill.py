@@ -35,6 +35,13 @@ class FillMedian(StatOperator):
                 mapping[f"{name}_filled"] = [name]
         return mapping
 
+    def compute_output_schema(self, col_selector, input_schema):
+        out = {}
+        for n in col_selector.names:
+            t = input_schema.get(n)
+            out[n] = t if (t is not None and pa.types.is_floating(t)) else pa.float64()
+        return out
+
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         cols = {}
         for name in col_selector.names:

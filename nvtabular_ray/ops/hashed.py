@@ -51,6 +51,18 @@ class HashBucket(Operator):
             return self.num_buckets[col]
         return self.num_buckets
 
+    def compute_output_schema(self, col_selector, input_schema):
+        out = {}
+        for n in col_selector.names:
+            t = input_schema.get(n)
+            if t is not None and pa.types.is_list(t):
+                out[n] = pa.list_(pa.int32())
+            elif t is not None and pa.types.is_large_list(t):
+                out[n] = pa.large_list(pa.int32())
+            else:
+                out[n] = pa.int32()
+        return out
+
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         cols = {}
         hf = _hash_fn(self.spec)
@@ -88,6 +100,9 @@ class HashedCross(Operator):
 
     def column_mapping(self, col_selector):
         return {"_X_".join(cross): list(cross) for cross in self._crosses(col_selector)}
+
+    def output_dtype(self):
+        return pa.int32()
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         cols = {}

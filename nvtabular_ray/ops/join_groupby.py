@@ -338,6 +338,10 @@ class JoinGroupby(BroadcastTableState, StatOperator):
         self._refs = {}
 
     # -------------------------------------------------------- transform --
+    def compute_output_schema(self, col_selector, input_schema):
+        # stat dtype depends on agg + cont dtype combinations: skip validation
+        return {c: None for c in self.column_mapping(col_selector)}
+
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         out_parts = []
         for name, group in self._groups(col_selector):

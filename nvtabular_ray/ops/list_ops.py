@@ -73,9 +73,15 @@ class ListSlice(Operator):
         col_idx = np.arange(total) - np.repeat(cum[:-1], out_len)
         keep = col_idx < m
         out[row_idx[keep], col_idx[keep]] = np.asarray(vals_np)[keep]
-        flat = pa.array(out.reshape(-1))
-        new_offsets = pa.array(np.arange(n + 1, dtype=np.int64) * m)
-        return pa.LargeListArray.from_arrays(new_offsets, flat)
+        flat = pa.array(out.reshape(-1)).cast(arr.type.value_type)
+        # preserve the input list flavor so the output schema is stable
+        if pa.types.is_large_list(arr.type):
+            return pa.LargeListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int64) * m), flat
+            )
+        return pa.ListArray.from_arrays(
+            pa.array((np.arange(n + 1, dtype=np.int64) * m).astype(np.int32), pa.int32()), flat
+        )
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         cols = {}

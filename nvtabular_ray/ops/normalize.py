@@ -36,6 +36,9 @@ class Normalize(StatOperator):
         super().clear()
         self.means, self.stds = {}, {}
 
+    def output_dtype(self):
+        return pa.from_numpy_dtype(self.out_dtype)
+
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         out_type = pa.from_numpy_dtype(self.out_dtype)
         cols = {}
@@ -74,6 +77,9 @@ class NormalizeMinMax(StatOperator):
     def clear(self):
         super().clear()
         self.mins, self.maxs = {}, {}
+
+    def output_dtype(self):
+        return pa.from_numpy_dtype(self.out_dtype)
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         out_type = pa.from_numpy_dtype(self.out_dtype)

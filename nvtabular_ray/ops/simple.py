@@ -36,6 +36,13 @@ class FillMissing(Operator):
                 mapping[f"{name}_filled"] = [name]
         return mapping
 
+    def compute_output_schema(self, col_selector, input_schema):
+        out = {n: input_schema.get(n) for n in col_selector.names}
+        if self.add_binary_cols:
+            for n in col_selector.names:
+                out[f"{n}_filled"] = pa.bool_()
+        return out
+
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         cols = {}
         for name in col_selector.names:
@@ -85,6 +92,9 @@ class LogOp(Operator):
 
     output_tags = ["continuous"]
 
+    def output_dtype(self):
+        return pa.float32()
+
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         def kernel(a):
             # ln at float64 precision, float32 only on the OUTPUT — matches
@@ -112,6 +122,9 @@ class Bucketize(Operator):
 
     def _bounds(self, col):
         return self._lookup.get(col, self._lookup.get(None))
+
+    def output_dtype(self):
+        return pa.int32()
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         cols = {}
@@ -194,6 +207,11 @@ class LambdaOp(Operator):
     ``f`` receives a pandas Series by default (reference parity); pass
     ``backend="pyarrow"`` for a zero-copy Arrow Array kernel.
     """
+
+    def compute_output_schema(self, col_selector, input_schema):
+        # arbitrary user fn: only a declared dtype is trustworthy
+        d = pa.from_numpy_dtype(np.dtype(self.dtype)) if self.dtype is not None else None
+        return {n: d for n in col_selector.names}
 
     def __init__(self, f: Callable, dtype=None, label: Optional[str] = None, backend: str = "pandas"):
         self.f = f

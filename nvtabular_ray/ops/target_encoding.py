@@ -127,6 +127,16 @@ class TargetEncoding(BroadcastTableState, StatOperator):
             mapping[FOLD_NAME] = []
         return mapping
 
+    def compute_output_schema(self, col_selector, input_schema):
+        te_type = pa.from_numpy_dtype(np.dtype(self.out_dtype))
+        out = {
+            self._te_name(name, i): te_type
+            for i, (name, _) in enumerate(self._groups(col_selector))
+        }
+        if self.kfold > 1 and not self.drop_folds:
+            out[FOLD_NAME] = pa.int64()
+        return out
+
     # ------------------------------------------------------------- fold --
     def _fold_np(self, table: pa.Table, input_cols: list[str]) -> np.ndarray:
         # fold_on is guaranteed set whenever kfold>1 (enforced in __init__);

@@ -63,6 +63,9 @@ class Sessionize(Operator):
     def column_mapping(self, col_selector):
         return {self.out_col: [self.ts_col]}
 
+    def output_dtype(self):
+        return pa.int64()
+
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         gid = group_ids_sorted(table, self.partition_cols)
         ts, is_ts = _ts_to_int_us(table.column(self.ts_col))
@@ -106,6 +109,13 @@ class RollingAgg(Operator):
     def column_mapping(self, col_selector):
         return {
             self._out_name(c, a): [c] for c in self._value_cols(col_selector) for a in self.aggs
+        }
+
+    def compute_output_schema(self, col_selector, input_schema):
+        return {
+            self._out_name(c, a): (pa.int64() if a == "count" else pa.float64())
+            for c in self._value_cols(col_selector)
+            for a in self.aggs
         }
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:

@@ -71,12 +71,17 @@ class _FusedTransform:
 
     As an actor, ``__init__`` resolves broadcast state (ray.get of vocab/stat
     ObjectRefs) once per actor — work is amortized across all batches the
-    actor processes.
+    actor processes. When ``expected_schema`` is given, the FIRST batch's
+    output dtypes are validated against it (reference fail-fast dtype check,
+    workflow.py:125-139) — a mis-declared op raises with the column named
+    instead of surfacing as a parquet-write surprise.
     """
 
-    def __init__(self, output_node: Node):
+    def __init__(self, output_node: Node, expected_schema: Optional[dict] = None):
         self.output_node = output_node
+        self.expected_schema = expected_schema
         self._resolved = False
+        self._validated = False
 
     def _resolve(self):
         # Runs on the WORKER (first batch of a task fn / actor): ray.get of
@@ -86,10 +91,27 @@ class _FusedTransform:
                 node.op.resolve_broadcast()
         self._resolved = True
 
+    def _validate_schema(self, out: pa.Table):
+        for name, expect in self.expected_schema.items():
+            if expect is None or name not in out.column_names:
+                continue
+            actual = out.schema.field(name).type
+            if actual != expect:
+                raise RuntimeError(
+                    f"schema mismatch for output column '{name}': the DAG "
+                    f"declares {expect} but the transform produced {actual} "
+                    "(an op's compute_output_schema disagrees with its "
+                    "transform)"
+                )
+        self._validated = True
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self._resolved:
             self._resolve()
-        return _eval_dag(batch, self.output_node)
+        out = _eval_dag(batch, self.output_node)
+        if self.expected_schema is not None and not self._validated and out.num_rows:
+            self._validate_schema(out)
+        return out
 
 
 class Workflow:
@@ -301,6 +323,12 @@ class Workflow:
 
         needs_actor = any(n.op.needs_actor for n in self._op_nodes())
 
+        # compile-time dtype propagation; the fused fn validates batch 1
+        try:
+            expected = self.output_schema(ds, node=body_output)
+        except Exception:
+            expected = None
+
         if spec is not None:
             from nvtabular_ray.pipelines.partitioned import bucketed_group_map
 
@@ -309,7 +337,7 @@ class Workflow:
                 ds,
                 partition_cols,
                 sort_cols,
-                _FusedTransform(_detached(body_output)),
+                _FusedTransform(_detached(body_output), expected),
                 num_buckets=num_buckets,
             )
         else:
@@ -318,12 +346,12 @@ class Workflow:
                 conc = concurrency or 4
                 out = ds.map_batches(
                     _FusedTransform,
-                    fn_constructor_args=(_detached(body_output),),
+                    fn_constructor_args=(_detached(body_output), expected),
                     concurrency=conc,
                     **kwargs,
                 )
             else:
-                fn = _FusedTransform(_detached(body_output))
+                fn = _FusedTransform(_detached(body_output), expected)
                 out = ds.map_batches(fn, zero_copy_batch=True, **kwargs)
 
         if terminal is not None:
@@ -336,6 +364,91 @@ class Workflow:
         return self.fit(ds).transform(ds, **kw)
 
     # ---------------------------------------------------------- schema -- #
+    def output_schema(self, input_schema, node: Optional[Node] = None) -> dict:
+        """Fold per-op ``compute_output_schema`` declarations through the DAG:
+        output column -> pa.DataType (None where an op declares its output
+        input-dependent). ``input_schema`` is a {col: pa.DataType} dict, a
+        pa.Schema, or a Dataset. The fused transform validates its first
+        produced batch against this (reference dtype propagation + fail-fast,
+        workflow.py:125-139)."""
+        if hasattr(input_schema, "schema"):  # Dataset
+            s = input_schema.schema(fetch_if_missing=True)
+            root = dict(zip(s.names, s.types))
+        elif isinstance(input_schema, pa.Schema):
+            root = {f.name: f.type for f in input_schema}
+        else:
+            root = dict(input_schema)
+        memo: dict[int, dict] = {}
+
+        def ev(n: Node) -> dict:
+            if id(n) in memo:
+                return memo[id(n)]
+            if n.kind == "selection":
+                src = ev(n.parents[0]) if n.parents else root
+                out = {c: src.get(c) for c in n.selector.names}
+            elif n.kind == "addition":
+                out = {}
+                for p in n.parents:
+                    out.update(ev(p))
+            else:
+                inp: dict = {}
+                for p in n.parents:
+                    inp.update(ev(p))
+                for d in n.op.dependencies:
+                    if d not in inp and d in root:
+                        inp[d] = root[d]
+                out = n.op.compute_output_schema(n.input_selector, inp)
+            memo[id(n)] = out
+            return out
+
+        return ev(node or self.output_node)
+
+    # ----------------------------------------------------- serving path -- #
+    def transform_batch(self, table) -> pa.Table:
+        """In-process single-batch transform (the serving/inference path —
+        reference LocalExecutor, workflow.py:250-254): fit on a Dataset once,
+        then transform one pa.Table (or pandas DataFrame) with no Ray stage.
+        Output equals the Dataset path row-for-row for batch-local DAGs;
+        ordered (partitioned) ops are applied after an in-memory sort, so the
+        batch must contain each entity's full history for exact lag/window
+        values."""
+        if not isinstance(table, pa.Table):
+            table = pa.Table.from_pandas(table, preserve_index=False)
+        for n in self._op_nodes():
+            op = n.op
+            if isinstance(op, StatOperator) and not op.fitted:
+                raise RuntimeError(f"workflow not fitted: {op.label}; call fit() first")
+            if getattr(op, "distributed", False):
+                raise NotImplementedError(
+                    f"{op.label}(distributed=True) resolves state via a shuffle "
+                    "join and cannot serve single batches; fit with "
+                    "distributed=False for the serving path"
+                )
+            op.resolve_broadcast()
+        if self._terminal_dataset_op() is not None:
+            raise NotImplementedError("dataset-level terminal ops (Groupby) cannot serve single batches")
+        spec = self._partitioned_spec()
+        if spec is not None:
+            sort_keys = list(spec[0]) + [c for c in spec[1] if c not in spec[0]]
+            table = table.sort_by([(k, "ascending") for k in sort_keys])
+        return _eval_dag(table, self.output_node)
+
+    # ------------------------------------------------------- subgraphs -- #
+    def get_subworkflow(self, name: str) -> "Workflow":
+        """Extract the subgraph ``Node.alias(name)``-ed at build time as a
+        standalone Workflow SHARING the fitted op instances — fit once, serve
+        a branch (e.g. only the categorical tower) independently. Reference:
+        get_subworkflow, workflow.py:168-170."""
+        matches = [n for n in self._nodes() if getattr(n, "name", None) == name]
+        if not matches:
+            available = sorted(
+                n.name for n in self._nodes() if getattr(n, "name", None)
+            )
+            raise KeyError(f"no subgraph named {name!r}; available: {available}")
+        if len(matches) > 1:
+            raise KeyError(f"subgraph name {name!r} is ambiguous ({len(matches)} nodes)")
+        return Workflow(matches[0])
+
     def output_columns(self) -> list[str]:
         return self.output_node.output_columns
 
