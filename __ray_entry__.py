@@ -635,6 +635,32 @@ def _q_groupby_list(sf_dir: str):
     return out.map_batches(joinlist, batch_format="pyarrow")
 
 
+def _q_categorify_tokens(sf_dir: str):
+    """LIST (multi-hot) Categorify: tokenize documents (first 5 whitespace
+    tokens), encode each token against the flattened-count vocabulary, emit
+    '|'-joined codes per doc — order-preserving, exactly SQL-checkable."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        toks = pa.array([(s or "").split()[:5] for s in t.column("text").to_pylist()],
+                        pa.list_(pa.string()))
+        return pa.table({"doc_id": t.column("doc_id"), "tokens": toks})
+
+    tok = ds.map_batches(tokenize, batch_format="pyarrow", zero_copy_batch=True)
+    wf = Workflow((["tokens"] >> ops.Categorify()) + ["doc_id"])
+    out = wf.fit(tok).transform(tok)
+
+    def joinlist(t: pa.Table) -> pa.Table:
+        codes = pc.cast(t.column("tokens"), pa.list_(pa.string()))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "token_codes": pc.binary_join(codes, "|")}
+        )
+
+    return out.map_batches(joinlist, batch_format="pyarrow")
+
+
 def _q_categorify_distributed(sf_dir: str):
     """Scale-path Categorify: vocab never materializes on the driver
     (distributed rank sort + sharded parquet), encode via shuffle join.
@@ -726,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup": _q_ngram_dedup,
         "multimodal_meta": _q_multimodal_meta,
         "categorify_distributed": _q_categorify_distributed,
+        "categorify_tokens": _q_categorify_tokens,
         "join_groupby_distributed": _q_join_groupby_distributed,
         "target_encode_distributed": _q_target_encode_distributed,
         "groupby_list": _q_groupby_list,
@@ -862,6 +889,29 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "minhash_dedup": _minhash_oracle_sql(),
+        "categorify_tokens": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')[1:5]) AS w,
+                       generate_subscripts(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')[1:5], 1) AS pos
+                FROM documents
+            ),
+            vocab AS (
+                SELECT w, ROW_NUMBER() OVER (ORDER BY count(*) DESC, w ASC) + 2 AS code
+                FROM toks GROUP BY w
+            ),
+            enc AS (
+                SELECT t.doc_id,
+                       string_agg(CAST(v.code AS VARCHAR), '|' ORDER BY t.pos)
+                           AS token_codes
+                FROM toks t JOIN vocab v USING (w)
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, COALESCE(e.token_codes, '') AS token_codes
+            FROM documents d LEFT JOIN enc e USING (doc_id)
+        """,
         "simhash_dedup": """
             -- SQL replica of the 60-bit md5_60 SimHash (public spec); the
             -- engine's 4x15-bit band filter is exhaustive by pigeonhole for

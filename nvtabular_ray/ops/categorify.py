@@ -56,6 +56,20 @@ def _make_name(*args, sep="_"):
     return sep.join(args)
 
 
+# per-worker-process vocab cache for cat_cache="disk" (one read per process,
+# shared by every actor/task in it — the Ray analog of the reference's
+# worker-level cat_cache LRU, categorify.py:1627-1643)
+_DISK_VOCAB_CACHE: dict = {}
+
+
+def _disk_cache_read(path: str) -> pa.Table:
+    tab = _DISK_VOCAB_CACHE.get(path)
+    if tab is None:
+        tab = pq.read_table(path)
+        _DISK_VOCAB_CACHE[path] = tab
+    return tab
+
+
 class Categorify(StatOperator):
     output_tags = ["categorical"]
 
@@ -72,12 +86,39 @@ class Categorify(StatOperator):
         distributed: bool = False,
         split_out: Optional[int] = None,
         dtype=None,
+        search_sorted: bool = False,
+        single_table: bool = False,
+        cat_cache: str = "broadcast",
     ):
         super().__init__()
         if encode_type not in ("joint", "combo"):
             raise ValueError("encode_type must be 'joint' or 'combo'")
         if num_buckets is not None and num_buckets < 2:
             raise ValueError("num_buckets should be an int > 1, or None")
+        if search_sorted and (freq_threshold or num_buckets):
+            # reference categorify.py:307-309: searchsorted encode requires
+            # the full vocabulary (no threshold drop / OOV hash buckets)
+            raise ValueError(
+                "search_sorted=True cannot be combined with freq_threshold or num_buckets"
+            )
+        if cat_cache not in ("broadcast", "disk"):
+            raise ValueError("cat_cache must be 'broadcast' or 'disk'")
+        # encode via binary search over a sorted vocab instead of a hash
+        # lookup (reference categorify.py:180) — faster for sorted int vocabs
+        self.search_sorted = search_sorted
+        # all encoded columns share ONE contiguous index space: column i's
+        # codes start where column i-1's range ends (reference
+        # categorify.py:219,410-415 single_table)
+        self.single_table = single_table
+        # vocab distribution tier (reference cat_cache, categorify.py:169-173):
+        # "broadcast" = ray.put once, zero-copy object-store reads;
+        # "disk" = vocab parquet on local disk, loaded + cached per worker
+        # PROCESS — the middle tier for 1-50GB vocabs that would crowd the
+        # object store on a 100-TB run
+        self.cat_cache = cat_cache
+        self._single_offsets: dict[str, int] = {}
+        self._ss_cache: dict[int, tuple] = {}
+        self._disk_paths: dict[str, str] = {}
         self.freq_threshold = freq_threshold
         self.out_path = out_path
         self.num_buckets = num_buckets
@@ -280,7 +321,21 @@ class Categorify(StatOperator):
             vocab_df = merged1.drop(columns=["nulls"])
             self._finalize_vocab(name, cols[0] if len(cols) == 1 else name, vocab_df, nulls)
 
+        if self.single_table:
+            self._compute_single_offsets(col_selector)
         self._write_artifacts()
+
+    def _compute_single_offsets(self, col_selector) -> None:
+        """single_table: stack every group's encoding window into one shared
+        index space — group i's window [null, oov, vocab] starts where group
+        i-1's ends (reference categorify.py:410-415, fit_finalize idx_count).
+        Pad index 0 stays global."""
+        if self.distributed_vocabs:
+            raise NotImplementedError("single_table is not supported with distributed=True")
+        running = 0
+        for name, _cols in self._groups(col_selector):
+            self._single_offsets[name] = running
+            running += (self.vocab_base - 1) + self.vocab_tables[name].num_rows
 
     def _fit_combo(self, ds, name: str, cols: list[str]) -> None:
         from nvtabular_ray.functions.aggregates import grouped_reduce
@@ -565,13 +620,34 @@ class Categorify(StatOperator):
         super().clear()
         self.vocab_tables, self.null_counts, self._refs = {}, {}, {}
         self.distributed_vocabs, self.dependencies = {}, []
+        self._single_offsets, self._ss_cache, self._disk_paths = {}, {}, {}
 
     # -------------------------------------------------------- broadcast --
     @property
     def needs_actor(self) -> bool:
-        return sum(t.nbytes for t in self.vocab_tables.values()) > _BROADCAST_BYTES
+        if self._refs or self._disk_paths:
+            return True
+        return (
+            sum(t.nbytes for t in self.vocab_tables.values() if t is not None)
+            > _BROADCAST_BYTES
+        )
 
     def prepare_broadcast(self):
+        if self.cat_cache == "disk":
+            # middle tier: vocab parquet on disk, loaded + LRU-cached per
+            # worker PROCESS (reference cat_cache="disk",
+            # categorify.py:169-173,1627-1643) — keeps 1-50GB vocabs out of
+            # the object store on long runs
+            for name, tab in list(self.vocab_tables.items()):
+                if isinstance(tab, pa.Table) and tab.nbytes > _BROADCAST_BYTES:
+                    if name not in self._disk_paths:
+                        d = self.out_path or tempfile.mkdtemp(prefix="nvtr_catcache_")
+                        os.makedirs(d, exist_ok=True)
+                        path = os.path.join(d, f"cache.{name}.parquet")
+                        pq.write_table(tab, path)
+                        self._disk_paths[name] = path
+                    self.vocab_tables[name] = None
+            return
         import ray
 
         if not ray.is_initialized():
@@ -582,6 +658,11 @@ class Categorify(StatOperator):
                 self.vocab_tables[name] = None
 
     def resolve_broadcast(self):
+        for name, path in self._disk_paths.items():
+            if self.vocab_tables.get(name) is None:
+                self.vocab_tables[name] = _disk_cache_read(path)
+        if not self._refs:
+            return
         import ray
 
         for name, ref in self._refs.items():
@@ -623,6 +704,20 @@ class Categorify(StatOperator):
             else:
                 for c in cols:
                     ordered[c] = out[c]
+        if self.single_table and self._single_offsets:
+            for name, cols in self._groups(col_selector):
+                off = self._single_offsets.get(name, 0)
+                if not off:
+                    continue
+                outs = [name] if (len(cols) > 1 and self.encode_type == "combo") else cols
+                for c in outs:
+                    arr = as_single_chunk(ordered[c])
+                    if is_list_type(arr.type):
+                        ordered[c] = map_list_values(
+                            arr, lambda v, off=off: pc.add(v, off)
+                        )
+                    else:
+                        ordered[c] = pc.add(arr, off)
         if self.dtype is not None:
             target = (
                 self.dtype
@@ -636,6 +731,8 @@ class Categorify(StatOperator):
         """Vectorized code assignment for a flat value array."""
         if len(vocab_values) and values.type != vocab_values.type:
             values = values.cast(vocab_values.type)
+        if self.search_sorted and len(vocab_values):
+            return self._encode_search_sorted(values, vocab_values)
         idx = pc.index_in(values, value_set=vocab_values)
         idx_np = idx.to_numpy(zero_copy_only=False).astype("float64")
         null_mask = pc.is_null(values).to_numpy(zero_copy_only=False)
@@ -649,6 +746,31 @@ class Categorify(StatOperator):
             else:
                 h = hash64(values)[oov_mask]
                 codes[oov_mask] = (h % np.uint64(self.num_oov)).astype(np.int64) + OOV_OFFSET
+        codes[null_mask] = NULL_OFFSET
+        return codes
+
+    def _encode_search_sorted(self, values: pa.Array, vocab_values: pa.Array) -> np.ndarray:
+        """Binary-search encode (reference search_sorted, categorify.py:180):
+        vocab is sorted ONCE per worker (cached), each batch is one
+        np.searchsorted — faster than hash lookup for sorted int vocabs.
+        Codes are identical to the index_in path (guarded in __init__ against
+        freq_threshold/num_buckets, so OOV is the single index 2)."""
+        key = id(vocab_values)
+        cached = self._ss_cache.get(key)
+        if cached is None:
+            v_np = vocab_values.to_numpy(zero_copy_only=False)
+            order = np.argsort(v_np, kind="mergesort")
+            cached = (v_np[order], order.astype(np.int64))
+            self._ss_cache[key] = cached
+        sv, order = cached
+        null_mask = pc.is_null(values).to_numpy(zero_copy_only=False)
+        filled = values.fill_null(vocab_values[0].as_py()) if null_mask.any() else values
+        vals_np = filled.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sv, vals_np)
+        pos_c = np.minimum(pos, len(sv) - 1)
+        found = sv[pos_c] == vals_np
+        codes = np.full(len(vals_np), OOV_OFFSET, dtype=np.int64)
+        codes[found] = order[pos_c[found]] + self.vocab_base
         codes[null_mask] = NULL_OFFSET
         return codes
 

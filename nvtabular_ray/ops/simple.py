@@ -204,8 +204,16 @@ class LambdaOp(Operator):
     """User function applied per selected column — the primary extension
     surface. Reference: /root/reference/nvtabular/ops/lambdaop.py:19-51.
 
-    ``f`` receives a pandas Series by default (reference parity); pass
-    ``backend="pyarrow"`` for a zero-copy Arrow Array kernel.
+    ``backend`` picks what ``f`` receives:
+
+    - ``"auto"`` (default): try the zero-copy pyarrow Array ONCE; if ``f``
+      raises TypeError/AttributeError/NotImplementedError on it (e.g. it
+      uses Series methods or operators Arrow lacks), permanently fall back
+      to a pandas Series for this op. Arrow-friendly fns skip the
+      Arrow->pandas->Arrow round-trip every batch paid under the old
+      pandas-only default.
+    - ``"pyarrow"`` / ``"pandas"``: force one path (reference parity is
+      ``"pandas"`` — ``f`` sees a Series).
     """
 
     def compute_output_schema(self, col_selector, input_schema):
@@ -213,28 +221,47 @@ class LambdaOp(Operator):
         d = pa.from_numpy_dtype(np.dtype(self.dtype)) if self.dtype is not None else None
         return {n: d for n in col_selector.names}
 
-    def __init__(self, f: Callable, dtype=None, label: Optional[str] = None, backend: str = "pandas"):
+    def __init__(self, f: Callable, dtype=None, label: Optional[str] = None, backend: str = "auto"):
+        if backend not in ("auto", "pyarrow", "pandas"):
+            raise ValueError("backend must be 'auto', 'pyarrow' or 'pandas'")
         self.f = f
         self.dtype = dtype
         self._label = label
         self.backend = backend
+        self._resolved_backend = backend if backend != "auto" else None
+
+    def _via_pandas(self, arr: pa.Array):
+        import pandas as pd
+
+        out = self.f(arr.to_pandas())
+        if not isinstance(out, pd.Series):
+            out = pd.Series(out)
+        return pa.Array.from_pandas(out)
+
+    def _apply(self, arr: pa.Array):
+        backend = self._resolved_backend
+        if backend == "pandas":
+            return self._via_pandas(arr)
+        if backend == "pyarrow":
+            out = self.f(arr)
+            return pa.array(out) if isinstance(out, np.ndarray) else out
+        # auto: probe arrow once, remember the verdict for every later batch
+        try:
+            out = self.f(arr)
+            if isinstance(out, np.ndarray):
+                out = pa.array(out)
+            if not isinstance(out, (pa.Array, pa.ChunkedArray)):
+                raise TypeError("fn did not return an array on the arrow path")
+            self._resolved_backend = "pyarrow"
+            return out
+        except (TypeError, AttributeError, NotImplementedError, pa.ArrowInvalid):
+            self._resolved_backend = "pandas"
+            return self._via_pandas(arr)
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         cols = {}
         for name in col_selector.names:
-            arr = as_single_chunk(table.column(name))
-            if self.backend == "pyarrow":
-                out = self.f(arr)
-                if isinstance(out, np.ndarray):
-                    out = pa.array(out)
-            else:
-                import pandas as pd
-
-                series = arr.to_pandas()
-                out = self.f(series)
-                if not isinstance(out, pd.Series):
-                    out = pd.Series(out)
-                out = pa.Array.from_pandas(out)
+            out = self._apply(as_single_chunk(table.column(name)))
             if self.dtype is not None:
                 out = pc.cast(out, pa.from_numpy_dtype(np.dtype(self.dtype)))
             cols[name] = out

@@ -22,7 +22,7 @@ import pyarrow.parquet as pq
 from nvtabular_ray.dag import Node
 from nvtabular_ray.selector import ColumnSelector
 
-_TRANSIENT = {"_refs", "_mat", "_resolved"}
+_TRANSIENT = {"_refs", "_mat", "_resolved", "_ss_cache", "_vocab_cache"}
 
 FORMAT_VERSION = 1
 

@@ -77,9 +77,11 @@ def _op_chain_hash(workflow) -> str:
         return repr(v)
 
     parts = []
+    transient = {"_ss_cache", "_refs", "_vocab_cache"}  # worker-local caches
     for node in workflow._nodes():
         if node.kind == "op":
-            parts.append([type(node.op).__name__, describe(dict(node.op.__dict__))])
+            cfg = {k: v for k, v in node.op.__dict__.items() if k not in transient}
+            parts.append([type(node.op).__name__, describe(cfg)])
         elif node.kind == "selection":
             parts.append(["select", node.selector.grouped_names])
         else:

@@ -30,11 +30,47 @@ class DatasetGen:
         self.profile = profile
         self.seed = seed
         self.distro = distro
+        self._vocab_cache: dict[str, np.ndarray] = {}
+
+    def _vocab(self, name: str, spec: dict) -> np.ndarray:
+        """Categorical vocabulary: user values (``vocab``), a parquet file of
+        values (``vocab_file``, first column — reference data_gen.py vocab
+        files), or ``cardinality`` synthetic tokens."""
+        if name in self._vocab_cache:
+            return self._vocab_cache[name]
+        if spec.get("vocab") is not None:
+            v = np.asarray(spec["vocab"], dtype=object)
+        elif spec.get("vocab_file"):
+            import pyarrow.parquet as pq
+
+            tab = pq.read_table(spec["vocab_file"])
+            v = np.asarray(tab.column(0).to_pylist(), dtype=object)
+        else:
+            card = max(int(spec.get("cardinality", 10)), 1)
+            v = np.array([f"{name}_{i}" for i in range(card)], dtype=object)
+        self._vocab_cache[name] = v
+        return v
 
     def _column(self, rng: np.random.Generator, name: str, spec: dict, n: int) -> pa.Array:
         dtype = spec.get("dtype", "double")
         per_nan = float(spec.get("per_nan", 0.0)) / 100.0
         null_mask = rng.random(n) < per_nan
+
+        if dtype in ("list", "multihot") or spec.get("multi_min") is not None:
+            # multi-hot column (reference data_gen.py:192-218): per-row list
+            # of zipf-weighted vocabulary elements, length uniform in
+            # [multi_min, multi_max]
+            lo_m = max(int(spec.get("multi_min", 1)), 0)
+            hi_m = max(int(spec.get("multi_max", 3)), lo_m)
+            lens = rng.integers(lo_m, hi_m + 1, n)
+            vocab = self._vocab(name, spec)
+            weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.2
+            weights /= weights.sum()
+            codes = rng.choice(len(vocab), size=int(lens.sum()), p=weights)
+            offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            return pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(vocab[codes], pa.string())
+            )
 
         if dtype.startswith(("int", "double", "float")):
             lo = float(spec.get("min", 0.0))
@@ -53,12 +89,11 @@ class DatasetGen:
             else:
                 arr = pa.array(vals, pa.float64(), mask=null_mask)
             return arr
-        # string / categorical: zipf-weighted synthetic vocab
-        card = max(int(spec.get("cardinality", 10)), 1)
-        weights = 1.0 / np.arange(1, card + 1) ** 1.2
+        # string / categorical: zipf-weighted vocab (user/file/synthetic)
+        vocab = self._vocab(name, spec)
+        weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.2
         weights /= weights.sum()
-        codes = rng.choice(card, size=n, p=weights)
-        vocab = np.array([f"{name}_{i}" for i in range(card)], dtype=object)
+        codes = rng.choice(len(vocab), size=n, p=weights)
         return pa.array(vocab[codes], pa.string(), mask=null_mask)
 
     def generate(self, num_rows: int, shard_rows: int = 100_000):

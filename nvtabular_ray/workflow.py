@@ -343,7 +343,11 @@ class Workflow:
         else:
             kwargs = dict(batch_format="pyarrow", batch_size=None)
             if needs_actor:
-                conc = concurrency or 4
+                # autoscaling pool (1, N): a FIXED pool of N reserves N CPUs
+                # up front and can deadlock the upstream read stage on a
+                # small cluster; (1, N) starts with one actor and grows only
+                # while CPUs are free
+                conc = concurrency if isinstance(concurrency, tuple) else (1, concurrency or 4)
                 out = ds.map_batches(
                     _FusedTransform,
                     fn_constructor_args=(_detached(body_output), expected),

@@ -161,3 +161,26 @@ def test_resume_hash_tracks_table_content():
         wf.fit(_ds(df, blocks=1))
         h.append(_op_chain_hash(wf))
     assert h[0] != h[1], "same-cardinality refit must change the op-chain hash"
+
+
+# ----------------------------------------------- LambdaOp auto backend --
+def test_lambdaop_auto_backend_arrow_and_pandas():
+    import pyarrow.compute as pc
+
+    df = pd.DataFrame({"x": np.arange(10, dtype="float64"), "rid": np.arange(10, dtype="int64")})
+    # arrow-friendly fn: stays on the zero-copy path
+    op_arrow = ops.LambdaOp(lambda a: pc.add(a, 1.0))
+    wf = Workflow((["x"] >> op_arrow) + ["rid"])
+    out = wf.fit(_ds(df, 1)).transform(_ds(df, 1)).to_pandas().sort_values("rid")
+    np.testing.assert_allclose(out["x"], df["x"] + 1.0)
+    # pandas-only fn (Series operator): auto falls back, result correct
+    op_pd = ops.LambdaOp(lambda s: s * 2.0)
+    wf2 = Workflow((["x"] >> op_pd) + ["rid"])
+    out2 = wf2.fit(_ds(df, 1)).transform(_ds(df, 1)).to_pandas().sort_values("rid")
+    np.testing.assert_allclose(out2["x"], df["x"] * 2.0)
+    # probe verdict is cached on the op after local (serving-path) use
+    op3 = ops.LambdaOp(lambda s: s * 2.0)
+    wf3 = Workflow((["x"] >> op3) + ["rid"])
+    wf3.fit(_ds(df, 1))
+    wf3.transform_batch(df)
+    assert op3._resolved_backend == "pandas"
