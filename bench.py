@@ -64,6 +64,10 @@ def run_bench() -> dict:
                 "OMP_NUM_THREADS": "1",
                 "OPENBLAS_NUM_THREADS": "1",
                 "MKL_NUM_THREADS": "1",
+                # polars (hash64) spawns its own pool per worker process:
+                # N workers x N threads oversubscribes the pinned cores and
+                # wrecks the 8-core leg (measured 31s -> 47s)
+                "POLARS_MAX_THREADS": "1",
             }
         }
         import pyarrow as _pa
@@ -193,6 +197,7 @@ def run_scaling():
             GRAFT_BENCH_SKIP_QUERIES="1",
             GRAFT_CAP_KERNEL_THREADS="1",
             OMP_NUM_THREADS="1",
+            POLARS_MAX_THREADS="1",
         )
         cmd = [sys.executable, os.path.abspath(__file__)]
         # Pin the WHOLE process tree (driver + raylet + plasma + workers) to

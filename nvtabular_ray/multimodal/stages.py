@@ -56,20 +56,38 @@ class DecodeImageStage:
         # real build: self.codec = load_codec(); self.model = load_model()
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        payloads = t.column(self.column).to_pylist()
         if not self.fake:
             raise NotImplementedError(
                 "image decode requires an image library not present in this "
                 "environment; run with fake=True for the deterministic stand-in"
             )
-        feats = np.zeros((len(payloads), self.out_dim), dtype=np.float32)
-        for i, p in enumerate(payloads):
-            if p:
-                h = np.bincount(np.frombuffer(p, dtype=np.uint8) % self.out_dim, minlength=self.out_dim)
-                feats[i] = h / max(h.sum(), 1)
-        return t.drop_columns([self.column]).append_column(
-            f"{self.column}_features", pa.array(list(feats), pa.list_(pa.float32()))
+        arr = t.column(self.column).combine_chunks()
+        n, D = len(arr), self.out_dim
+        # zero-copy: all payload bytes as ONE uint8 view + per-row offsets
+        # (binary array layout: validity / int32 offsets / data)
+        if arr.offset == 0 and arr.null_count == 0 and len(arr.buffers()) == 3:
+            offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: n + 1].astype(np.int64)
+            flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[: offsets[-1]]
+        else:  # sliced/nullable chunk: concatenate (still batch-vectorized below)
+            payloads = arr.to_pylist()
+            lens = np.array([len(p or b"") for p in payloads], dtype=np.int64)
+            offsets = np.concatenate([[0], np.cumsum(lens)])
+            flat = (
+                np.frombuffer(b"".join(p or b"" for p in payloads), dtype=np.uint8)
+                if offsets[-1]
+                else np.empty(0, np.uint8)
+            )
+        lens = np.diff(offsets)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # one bincount for the whole batch: histogram of byte%D per row
+        h = np.bincount(row_idx * D + (flat % D), minlength=n * D).reshape(n, D)
+        feats = (h / np.maximum(h.sum(axis=1, keepdims=True), 1)).astype(np.float32)
+        flat_feats = pa.array(feats.reshape(-1))
+        col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * D, pa.int32()),
+            flat_feats,
         )
+        return t.drop_columns([self.column]).append_column(f"{self.column}_features", col)
 
 
 class FrameSampleStage:
