@@ -425,6 +425,37 @@ def _q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.95)
 
 
+def _q_text_clean(sf_dir: str):
+    from nvtabular_ray.functions.text import text_clean
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_clean(ds).select_columns(["doc_id", "clean_text"])
+
+
+def _q_pii_redact(sf_dir: str):
+    from nvtabular_ray.functions.text import pii_redact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pii_redact(ds).select_columns(["doc_id", "redacted", "n_pii"])
+
+
+def _q_repetition_filter(sf_dir: str):
+    from nvtabular_ray.functions.text import repetition_ratio
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = repetition_ratio(ds, threshold=0.3).select_columns(
+        ["doc_id", "dup_gram_ratio", "is_repetitive"]
+    )
+    return _round6(out, ["dup_gram_ratio"])
+
+
+def _q_semantic_dedup(sf_dir: str):
+    from nvtabular_ray.functions.dedup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, threshold=0.92, nlist=8, nprobe=2)
+
+
 def _q_ann_lsh(sf_dir: str):
     """LSH top-k at full probe (probe_hamming=nbits): exercises the bucketing
     / pruning / re-rank machinery while the output is exactly the true top-k
@@ -759,6 +790,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_norm": _q_log_norm,
         "value_count": _q_value_count,
         "drop_low_cardinality": _q_drop_low_cardinality,
+        "text_clean": _q_text_clean,
+        "pii_redact": _q_pii_redact,
+        "repetition_filter": _q_repetition_filter,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -990,6 +1025,93 @@ def oracle_sql() -> dict[str, str]:
             JOIN nrm nb ON nb.vec_id = ib
             WHERE d / (CASE WHEN na.nn = 0 THEN 1 ELSE na.nn END
                        * CASE WHEN nb.nn = 0 THEN 1 ELSE nb.nn END) >= 0.95
+            GROUP BY ia
+        """,
+        "text_clean": """
+            SELECT doc_id,
+                   lower(trim(regexp_replace(regexp_replace(text,
+                       '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')))
+                       AS clean_text
+            FROM documents
+        """,
+        "pii_redact": """
+            WITH a AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS ne,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, ne,
+                       len(regexp_extract_all(t1,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ni,
+                       regexp_replace(t1,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS t2
+                FROM a
+            ),
+            c AS (
+                SELECT doc_id, ne, ni,
+                       len(regexp_extract_all(t2,
+                           '\\b\\+?\\d{3}[- .]\\d{3}[- .]\\d{4}\\b')) AS np,
+                       regexp_replace(t2,
+                           '\\b\\+?\\d{3}[- .]\\d{3}[- .]\\d{4}\\b',
+                           '<PHONE>', 'g') AS t3
+                FROM b
+            )
+            SELECT doc_id, t3 AS redacted, CAST(ne + ni + np AS BIGINT) AS n_pii
+            FROM c
+        """,
+        "repetition_filter": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) < 2 THEN []
+                            ELSE list_transform(generate_series(1, len(ws)-1),
+                                 i -> ws[i] || ' ' || ws[i+1]) END AS grams
+                FROM w
+            ),
+            r AS (
+                SELECT doc_id,
+                       CASE WHEN len(grams) = 0 THEN 0.0
+                            ELSE 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                       END AS ratio
+                FROM g
+            )
+            SELECT doc_id, ROUND(ratio, 6) AS dup_gram_ratio,
+                   ratio > 0.3 AS is_repetitive
+            FROM r
+        """,
+        "semantic_dedup": """
+            -- all-pairs float64 cosine >= 0.92, min close id: exact on this
+            -- data because near-dup embedding pairs are identical vectors,
+            -- which share every k-means probe set (verified in CI at sf0.001
+            -- through sf0.1)
+            WITH z AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nn FROM z GROUP BY vec_id),
+            dots AS (
+                SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS d
+                FROM z a JOIN z b ON a.i = b.i
+                GROUP BY a.vec_id, b.vec_id
+            )
+            SELECT ia AS vec_id, min(ib) AS cluster_id
+            FROM dots
+            JOIN nrm na ON na.vec_id = ia
+            JOIN nrm nb ON nb.vec_id = ib
+            WHERE d / (CASE WHEN na.nn = 0 THEN 1 ELSE na.nn END
+                       * CASE WHEN nb.nn = 0 THEN 1 ELSE nb.nn END) >= 0.92
             GROUP BY ia
         """,
         "ann_lsh": """

@@ -551,3 +551,92 @@ def embedding_near_dup(
         return pd.DataFrame({id_col: ids, "cluster_id": labels})
 
     return bucketed.groupby("bucket").map_groups(resolve, batch_format="pandas")
+
+
+def semantic_dedup(
+    ds,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    nlist: int = 8,
+    nprobe: int = 2,
+    seed: int = 7,
+    sample_rows: int = 50_000,
+    max_bucket_rows: int = 65536,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    coarse k-means partitions the embedding space, pairwise cosine is
+    verified only WITHIN a cluster, near-dups (cos >= threshold) collapse to
+    the min member id.
+
+    Ray-native plan: centroids train once on a driver-side sample
+    (IVFIndex.train — small, broadcast via closure capture), assignment is a
+    vectorized matmul per batch, and the only shuffle is ONE groupby on the
+    cluster id. Each row is probed into its ``nprobe`` nearest centroids so
+    near-dup pairs that straddle a k-means boundary still meet in at least
+    one shared cluster; the final per-id min over probe copies happens in the
+    same groupby pass (no extra exchange: cluster labels are ids, min is
+    associative).
+
+    SCALE: verification is O(rows^2 * dim) per cluster — nlist should grow
+    with the dataset (rows/nlist ~ thousands). Clusters beyond
+    ``max_bucket_rows`` degrade to exact-equal embedding clustering, which
+    never loses a true duplicate (identical vectors share every probe set).
+    """
+    from nvtabular_ray.functions.ann import IVFIndex
+
+    index = IVFIndex.train(ds, nlist=nlist, sample_rows=sample_rows, seed=seed,
+                           embedding_col=embedding_col)
+    cents = index.centroids  # (nlist, dim), unit-norm
+    k = min(nprobe, cents.shape[0])
+
+    def probe(t: pa.Table) -> pa.Table:
+        emb = np.asarray(t.column(embedding_col).to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (emb / norms) @ cents.T
+        # top-nprobe centroids per row (exact order irrelevant — set semantics)
+        near = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        n = len(emb)
+        rep = np.repeat(np.arange(n), k)
+        return pa.table(
+            {
+                "cluster": pa.array(near.ravel().astype(np.int64)),
+                id_col: t.column(id_col).take(pa.array(rep)),
+                embedding_col: t.column(embedding_col).take(pa.array(rep)),
+            }
+        )
+
+    probed = ds.map_batches(probe, batch_format="pyarrow")
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        emb = np.asarray(list(group[embedding_col]), dtype=np.float64)
+        ids = group[id_col].to_numpy()
+        order = np.argsort(ids)
+        emb, ids = emb[order], ids[order]
+        if len(ids) > max_bucket_rows:
+            view = np.ascontiguousarray(emb).view(
+                np.dtype((np.void, emb.dtype.itemsize * emb.shape[1]))
+            ).ravel()
+            _, kinv = np.unique(view, return_inverse=True)
+            big = np.iinfo(np.int64).max
+            min_id = np.full(kinv.max() + 1, big, dtype=np.int64)
+            np.minimum.at(min_id, kinv, ids)
+            return pd.DataFrame({id_col: ids, "cluster_id": min_id[kinv]})
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = emb / norms
+        close = (unit @ unit.T) >= threshold
+        labels = ids[np.argmax(close, axis=1)]  # ids sorted: first True = min
+        return pd.DataFrame({id_col: ids, "cluster_id": labels})
+
+    per_probe = probed.groupby("cluster").map_groups(resolve, batch_format="pandas")
+
+    # collapse the nprobe copies of each id to its min label (small exchange:
+    # two int64 columns)
+    def unalias(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column(id_col), "cluster_id": t.column("min(cluster_id)")})
+
+    return per_probe.groupby(id_col).min("cluster_id").map_batches(
+        unalias, batch_format="pyarrow"
+    )

@@ -7,13 +7,8 @@ CLASS (actor pool) so its per-language resources build once per actor."""
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
-
-_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)  # BPE-ish: words + punct marks
-_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
 
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
@@ -23,13 +18,53 @@ _STOPWORDS = {
 }
 
 
+def _count_re(col: pa.ChunkedArray | pa.Array, pattern: str) -> np.ndarray:
+    """Non-overlapping regex match count per row, null -> 0, as int64 numpy.
+    Arrow's RE2 kernel — no Python loop; RE2 is also DuckDB's engine, so SQL
+    oracles replicate these counts exactly. (RE2 has no lookaround — token
+    membership goes through _flat_tokens + is_in instead.)"""
+    import pyarrow.compute as pc
+
+    c = pc.count_substring_regex(col, pattern)
+    return np.asarray(pc.fill_null(c, 0), dtype=np.int64)
+
+
+def _flat_tokens(col, split_pattern: str | None = None):
+    """Tokenize every row in one Arrow kernel call; returns (offsets, values)
+    where offsets is the int64 per-row boundary array over the flat values
+    StringArray. ``split_pattern=None`` = whitespace split (Python s.split());
+    otherwise rows are split BY the regex (complement-class tokenizing — RE2
+    lacks extract-all-to-list, so callers pass the token-class complement and
+    filter empties downstream)."""
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(col, "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if split_pattern is None:
+        words = pc.utf8_split_whitespace(col)
+    else:
+        words = pc.split_pattern_regex(col, split_pattern)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = np.asarray(words.offsets, dtype=np.int64)
+    return offsets, words.values
+
+
+def _hits_per_row(offsets: np.ndarray, flags: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flat 0/1 array under list offsets (empty-row safe)."""
+    c = np.concatenate([[0], np.cumsum(flags, dtype=np.int64)])
+    return c[offsets[1:]] - c[offsets[:-1]]
+
+
 def text_stats(ds, text_col: str = "text"):
     """Appends n_words (whitespace tokens) and n_chars_txt per row."""
+    import pyarrow.compute as pc
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        n_words = np.fromiter((len((s or "").split()) for s in texts), dtype=np.int64, count=len(texts))
-        n_chars = np.fromiter((len(s or "") for s in texts), dtype=np.int64, count=len(texts))
+        col = t.column(text_col)
+        n_words = _count_re(col, r"\S+")
+        n_chars = np.asarray(pc.fill_null(pc.utf8_length(col), 0), dtype=np.int64)
         t = t.append_column("n_words", pa.array(n_words))
         t = t.append_column("n_chars_txt", pa.array(n_chars))
         return t
@@ -41,10 +76,7 @@ def token_count(ds, text_col: str = "text", out_col: str = "n_tokens"):
     """Whitespace + punctuation tokenization (BPE-ish regex) token counts."""
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        n = np.fromiter(
-            (len(_TOKEN_RE.findall(s or "")) for s in texts), dtype=np.int64, count=len(texts)
-        )
+        n = _count_re(t.column(text_col), r"\w+|[^\w\s]")
         return t.append_column(out_col, pa.array(n))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -56,22 +88,27 @@ def quality_score(ds, text_col: str = "text"):
     [0,1] (monotone in 'looks like prose')."""
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        n = len(texts)
-        mean_wl = np.zeros(n)
-        punct_r = np.zeros(n)
-        stop_r = np.zeros(n)
-        upper_r = np.zeros(n)
-        en_stop = _STOPWORDS["en"]
-        for i, s in enumerate(texts):
-            s = s or ""
-            words = s.split()
-            if words:
-                mean_wl[i] = sum(len(w) for w in words) / len(words)
-                stop_r[i] = sum(w.lower() in en_stop for w in words) / len(words)
-            if s:
-                punct_r[i] = len(_PUNCT_RE.findall(s)) / len(s)
-                upper_r[i] = sum(c.isupper() for c in s) / len(s)
+        import pyarrow.compute as pc
+
+        col = t.column(text_col)
+        n_chars = np.asarray(pc.fill_null(pc.utf8_length(col), 0), dtype=np.int64).astype(np.float64)
+        offsets, words = _flat_tokens(col)
+        n_words = np.diff(offsets).astype(np.float64)
+        # sum of word lengths == non-whitespace chars (words are \S+ runs)
+        word_chars = np.asarray(pc.fill_null(pc.utf8_length(col), 0), dtype=np.int64) - _count_re(col, r"\s")
+        word_chars = word_chars.astype(np.float64)
+        stop_flags = np.asarray(
+            pc.is_in(pc.utf8_lower(words), value_set=pa.array(sorted(_STOPWORDS["en"])))
+        )
+        stop_hits = _hits_per_row(offsets, stop_flags).astype(np.float64)
+        punct = _count_re(col, r"[^\w\s]").astype(np.float64)
+        upper = _count_re(col, r"\p{Lu}").astype(np.float64)
+        has_w = n_words > 0
+        has_c = n_chars > 0
+        mean_wl = np.where(has_w, word_chars / np.maximum(n_words, 1), 0.0)
+        stop_r = np.where(has_w, stop_hits / np.maximum(n_words, 1), 0.0)
+        punct_r = np.where(has_c, punct / np.maximum(n_chars, 1), 0.0)
+        upper_r = np.where(has_c, upper / np.maximum(n_chars, 1), 0.0)
         score = (
             np.clip(1 - abs(mean_wl - 5) / 5, 0, 1) * 0.4
             + np.clip(stop_r * 4, 0, 1) * 0.3
@@ -93,31 +130,40 @@ def quality_score(ds, text_col: str = "text"):
 
 class _LangId:
     """Actor-pool language detector: CJK char heuristic + per-language
-    stopword hit-rate. Lexicons are built once per actor (__init__)."""
+    stopword hit-rate. Lexicons (Arrow value-set arrays) build once per actor
+    (__init__); __call__ is Arrow-kernel vectorized — one regex split for
+    word extraction, one is_in per language, per-doc sums via cumsum
+    differences (no per-row Python)."""
+
+    _WORD_CLASS = "a-zA-ZäöüßéèêàâçñáíóúÀ-ÿ"
 
     def __init__(self):
-        self.stop = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
-        self.cjk = re.compile(r"[一-鿿぀-ヿ]")
-        self.word = re.compile(r"[a-zA-ZäöüßéèêàâçñáíóúÀ-ÿ]+")
+        self.langs = list(_STOPWORDS)  # insertion order = tie-break priority
+        self.stop_sets = {lang: pa.array(sorted(ws)) for lang, ws in _STOPWORDS.items()}
+        self.cjk_pattern = r"[一-鿿぀-ヿ]"
+        # RE2 lacks extract-all -> split by the word-class COMPLEMENT and
+        # drop empty tokens (equivalent to findall of [class]+)
+        self.split_pattern = f"[^{self._WORD_CLASS}]+"
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        preds = []
-        for s in texts:
-            s = s or ""
-            if self.cjk.search(s):
-                preds.append("zh")
-                continue
-            words = [w.lower() for w in self.word.findall(s)]
-            if not words:
-                preds.append("unknown")
-                continue
-            best, best_hits = "en", -1
-            for lang, stop in self.stop.items():
-                hits = sum(w in stop for w in words)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best if best_hits > 0 else "unknown")
+        import pyarrow.compute as pc
+
+        col = t.column("text")
+        n = t.num_rows
+        is_cjk = _count_re(col, self.cjk_pattern) > 0
+        offsets, toks = _flat_tokens(col, split_pattern=self.split_pattern)
+        toks_l = pc.utf8_lower(toks)
+        nonempty = np.asarray(pc.greater(pc.utf8_length(toks), 0))
+        nw = _hits_per_row(offsets, nonempty)
+        hits = np.empty((len(self.langs), n), dtype=np.int64)
+        for i, lang in enumerate(self.langs):
+            flags = np.asarray(pc.is_in(toks_l, value_set=self.stop_sets[lang]))
+            hits[i] = _hits_per_row(offsets, flags)
+        best = np.argmax(hits, axis=0)  # first max wins = dict-order priority
+        preds = np.array(self.langs, dtype=object)[best]
+        preds[hits.max(axis=0) <= 0] = "unknown"
+        preds[nw == 0] = "unknown"
+        preds[is_cjk] = "zh"
         return t.append_column("lang_pred", pa.array(preds, pa.string()))
 
 
@@ -153,5 +199,114 @@ def fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
         else:
             out = np.empty(0, dtype=np.int64)
         return t.append_column(out_col, pa.array(out))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- cleaning / redaction / repetition filtering --------------------------
+# RE2 patterns shared verbatim with the DuckDB oracles (same regex engine).
+
+_CTRL = r"[\x00-\x1f\x7f]"
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE = r"\b\+?\d{3}[- .]\d{3}[- .]\d{4}\b"
+
+
+def text_clean(ds, text_col: str = "text", out_col: str = "clean_text"):
+    """Deterministic normalization for web-scale corpora: control chars ->
+    space, whitespace runs collapsed to one space, trimmed, lowercased.
+    Pure Arrow RE2 kernels, zero-copy batches."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        c = pc.fill_null(t.column(text_col), "")
+        c = pc.replace_substring_regex(c, _CTRL, " ")
+        c = pc.replace_substring_regex(c, r"\s+", " ")
+        c = pc.utf8_trim(c, " ")
+        c = pc.utf8_lower(c)
+        return t.append_column(out_col, c)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pii_redact(ds, text_col: str = "text", out_col: str = "redacted"):
+    """Regex PII scrubbing: emails -> <EMAIL>, IPv4 -> <IP>, phone numbers ->
+    <PHONE>, applied in that order; n_pii counts total redactions."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        c = pc.fill_null(t.column(text_col), "")
+        n = _count_re(c, _EMAIL)
+        c = pc.replace_substring_regex(c, _EMAIL, "<EMAIL>")
+        n = n + _count_re(c, _IPV4)
+        c = pc.replace_substring_regex(c, _IPV4, "<IP>")
+        n = n + _count_re(c, _PHONE)
+        c = pc.replace_substring_regex(c, _PHONE, "<PHONE>")
+        t = t.append_column(out_col, c)
+        return t.append_column("n_pii", pa.array(n))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_ratio(
+    ds,
+    text_col: str = "text",
+    threshold: float = 0.3,
+    ngram: int = 2,
+):
+    """Gopher-style within-document repetition score: fraction of word
+    ``ngram``-grams that are duplicates of an earlier gram in the same doc
+    (1 - distinct/total; 0 when the doc has < ngram words). Appends
+    dup_gram_ratio and is_repetitive (ratio > threshold).
+
+    Vectorized across the whole batch: one whitespace split, one xxhash of
+    the flat token array, gram keys by shifted-hash mixing, per-doc distinct
+    via ONE lexsort over (doc, key) — no per-document loop. 64-bit gram-key
+    collisions are the only deviation from exact string semantics
+    (P < 1e-11 per doc at 1e4 grams)."""
+    from nvtabular_ray.functions.hashing import hash64
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(t.column(text_col), "")
+        col = pc.utf8_lower(col)
+        offsets, words = _flat_tokens(col)
+        n_docs = t.num_rows
+        h = hash64(words).astype(np.uint64)
+        # gram key j covers words [j, j+ngram): mix the ngram hashes
+        m = len(h) - (ngram - 1)
+        if m > 0:
+            key = h[:m].copy()
+            for s in range(1, ngram):
+                key = key * np.uint64(0x9E3779B97F4A7C15) + h[s : s + m]
+        else:
+            key = np.empty(0, dtype=np.uint64)
+        # gram j belongs to doc d iff the whole window sits inside d
+        starts = offsets[:-1]
+        ends = offsets[1:]
+        g_starts = np.minimum(starts, m if m > 0 else 0)
+        g_ends = np.maximum(ends - (ngram - 1), g_starts)
+        n_grams = (g_ends - g_starts).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_grams)
+        cum = np.concatenate([[0], np.cumsum(n_grams)])
+        gram_pos = (
+            np.arange(cum[-1], dtype=np.int64)
+            - np.repeat(cum[:-1], n_grams)
+            + np.repeat(g_starts, n_grams)
+        )
+        key = key[gram_pos]
+        order = np.lexsort((key, doc_idx))
+        dk, dd = key[order], doc_idx[order]
+        new_flag = np.ones(len(dk), dtype=np.int64)
+        if len(dk) > 1:
+            same = (dk[1:] == dk[:-1]) & (dd[1:] == dd[:-1])
+            new_flag[1:][same] = 0
+        distinct = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(distinct, dd, new_flag)
+        total = n_grams
+        ratio = np.where(total > 0, 1.0 - distinct / np.maximum(total, 1), 0.0)
+        t = t.append_column("dup_gram_ratio", pa.array(ratio))
+        return t.append_column("is_repetitive", pa.array(ratio > threshold))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

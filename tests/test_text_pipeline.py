@@ -1,0 +1,149 @@
+"""Tests for the corpus-pipeline text operators added in round 2:
+text_clean, pii_redact, repetition_ratio, semantic_dedup — plus regression
+coverage that the Arrow-vectorized text kernels (text_stats, quality_score,
+langid) keep the original per-row Python semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _ds(df, blocks=2):
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(blocks)
+
+
+def test_text_clean():
+    from nvtabular_ray.functions.text import text_clean
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "  Hello\tWorld \x07 ",
+                "A\x00B\nC   D",
+                "",
+                "already clean",
+            ],
+        }
+    )
+    out = text_clean(_ds(docs, 2)).to_pandas().sort_values("doc_id")
+    assert list(out["clean_text"]) == ["hello world", "a b c d", "", "already clean"]
+
+
+def test_pii_redact():
+    from nvtabular_ray.functions.text import pii_redact
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail me at john.doe+x@example.co.uk or visit 10.0.0.1 now",
+                "call 555-123-4567 or +1 555 222 3333 tomorrow",
+                "nothing sensitive here",
+            ],
+        }
+    )
+    out = pii_redact(_ds(docs, 2)).to_pandas().sort_values("doc_id")
+    assert out["redacted"].iloc[0] == "mail me at <EMAIL> or visit <IP> now"
+    assert "<PHONE>" in out["redacted"].iloc[1]
+    assert "555-123-4567" not in out["redacted"].iloc[1]
+    assert out["n_pii"].iloc[0] == 2
+    assert out["n_pii"].iloc[2] == 0
+    assert out["redacted"].iloc[2] == "nothing sensitive here"
+
+
+def test_repetition_ratio_exact():
+    from nvtabular_ray.functions.text import repetition_ratio
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b a b a b",  # grams: ab,ba,ab,ba,ab -> 2 distinct / 5
+                "one two three four",  # all distinct -> 0
+                "solo",  # < 2 words -> 0
+                "",
+            ],
+        }
+    )
+    out = repetition_ratio(_ds(docs, 2), threshold=0.3).to_pandas().sort_values("doc_id")
+
+    def oracle(s):
+        w = s.lower().split()
+        grams = [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+        return 0.0 if not grams else 1.0 - len(set(grams)) / len(grams)
+
+    for i, s in enumerate(docs["text"]):
+        assert abs(out["dup_gram_ratio"].iloc[i] - oracle(s)) < 1e-12, (i, s)
+    assert bool(out["is_repetitive"].iloc[0]) is True  # 0.6 > 0.3
+    assert bool(out["is_repetitive"].iloc[1]) is False
+
+
+def test_repetition_ratio_batch_boundaries():
+    """Grams must never span documents — adjacent docs sharing words."""
+    from nvtabular_ray.functions.text import repetition_ratio
+
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["x y", "y x"]})
+    out = repetition_ratio(_ds(docs, 1)).to_pandas().sort_values("doc_id")
+    assert list(out["dup_gram_ratio"]) == [0.0, 0.0]
+
+
+def test_semantic_dedup_clusters():
+    from nvtabular_ray.functions.dedup import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(30, 16))
+    emb = np.vstack([base, base[:6]])  # ids 30..35 duplicate ids 0..5
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(emb), dtype="int64"), "embedding": list(emb)}
+    )
+    out = semantic_dedup(_ds(df, 3), threshold=0.99, nlist=4, nprobe=2).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == 36
+    dup = out[out["vec_id"] >= 30]
+    assert list(dup["cluster_id"]) == [0, 1, 2, 3, 4, 5]
+    # non-duplicates keep their own id
+    solo = out[(out["vec_id"] >= 6) & (out["vec_id"] < 30)]
+    assert (solo["cluster_id"] == solo["vec_id"]).all()
+
+
+def test_vectorized_text_kernels_match_python():
+    """The Arrow-kernel rewrites must reproduce the original per-row Python
+    semantics on ASCII text (the engine's public spec)."""
+    from nvtabular_ray.functions.text import detect_language, quality_score, text_stats
+
+    texts = [
+        "The quick brown fox and the lazy dog, it is that good for a test.",
+        "der hund und die katze das ist nicht ein zoo",
+        "UPPER!!! CASE??? ###",
+        "",
+        "   ",
+        "le chat est la et il ne dort pas un peu que des",
+        "word",
+    ]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    qs = quality_score(_ds(docs, 2)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ts = text_stats(_ds(docs, 2)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, s in enumerate(texts):
+        words = s.split()
+        assert ts["n_words"].iloc[i] == len(words)
+        assert ts["n_chars_txt"].iloc[i] == len(s)
+        if words:
+            exp_mwl = sum(len(w) for w in words) / len(words)
+            assert abs(qs["mean_word_len"].iloc[i] - exp_mwl) < 1e-12
+            en = {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"}
+            exp_stop = sum(w.lower() in en for w in words) / len(words)
+            assert abs(qs["stopword_ratio"].iloc[i] - exp_stop) < 1e-12
+        else:
+            assert qs["mean_word_len"].iloc[i] == 0.0
+
+    lid = detect_language(_ds(docs, 2), concurrency=1).to_pandas()
+    lid = lid.sort_values("doc_id").reset_index(drop=True)
+    assert lid["lang_pred"].iloc[0] == "en"
+    assert lid["lang_pred"].iloc[1] == "de"
+    assert lid["lang_pred"].iloc[5] == "fr"
+    assert lid["lang_pred"].iloc[3] == "unknown"
+    assert lid["lang_pred"].iloc[4] == "unknown"
