@@ -196,6 +196,42 @@ def _q_join_external(sf_dir: str):
     return out.select_columns(["c_custkey", "c_acctbal", "n_name"])
 
 
+def _q_join_semi(sf_dir: str):
+    """Semi join: customers that placed at least one high-value order.
+    The order keys are a broadcast-small-side existence filter."""
+    import pyarrow.parquet as pq
+
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    import pyarrow.compute as pc
+
+    big = orders.filter(pc.greater(orders.column("o_totalprice"), 150000.0)).select(["o_custkey"])
+    node = ["c_custkey", "c_acctbal"] >> ops.JoinExternal(
+        big, on="c_custkey", on_ext="o_custkey", how="semi"
+    )
+    wf = Workflow(node)
+    return wf.fit(ds).transform(ds).select_columns(["c_custkey", "c_acctbal"])
+
+
+def _q_join_anti(sf_dir: str):
+    """Anti join: customers with no high-value order."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(pc.greater(orders.column("o_totalprice"), 150000.0)).select(["o_custkey"])
+    node = ["c_custkey", "c_acctbal"] >> ops.JoinExternal(
+        big, on="c_custkey", on_ext="o_custkey", how="anti"
+    )
+    wf = Workflow(node)
+    return wf.fit(ds).transform(ds).select_columns(["c_custkey", "c_acctbal"])
+
+
 def _q_groupby_agg(sf_dir: str):
     from nvtabular_ray import Workflow, ops
 
@@ -748,6 +784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode": _q_target_encode,
         "join_groupby": _q_join_groupby,
         "join_external": _q_join_external,
+        "join_semi": _q_join_semi,
+        "join_anti": _q_join_anti,
         "groupby_agg": _q_groupby_agg,
         "tpch_q1": _q_tpch_q1,
         "difference_lag": _q_difference_lag,
@@ -1215,6 +1253,18 @@ def oracle_sql() -> dict[str, str]:
         "join_external": """
             SELECT c.c_custkey, c.c_acctbal, n.n_name
             FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 150000.0)
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 150000.0)
         """,
         "groupby_agg": """
             WITH ranked AS (

@@ -212,19 +212,39 @@ _IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PHONE = r"\b\+?\d{3}[- .]\d{3}[- .]\d{4}\b"
 
 
+def clean_array(col):
+    """The text_clean kernel on one column: control chars -> space,
+    whitespace runs collapsed to one space, trimmed, lowercased."""
+    import pyarrow.compute as pc
+
+    c = pc.fill_null(col, "")
+    c = pc.replace_substring_regex(c, _CTRL, " ")
+    c = pc.replace_substring_regex(c, r"\s+", " ")
+    c = pc.utf8_trim(c, " ")
+    return pc.utf8_lower(c)
+
+
+def redact_array(col):
+    """The pii_redact kernel on one column -> (redacted array, counts)."""
+    import pyarrow.compute as pc
+
+    c = pc.fill_null(col, "")
+    n = _count_re(c, _EMAIL)
+    c = pc.replace_substring_regex(c, _EMAIL, "<EMAIL>")
+    n = n + _count_re(c, _IPV4)
+    c = pc.replace_substring_regex(c, _IPV4, "<IP>")
+    n = n + _count_re(c, _PHONE)
+    c = pc.replace_substring_regex(c, _PHONE, "<PHONE>")
+    return c, n
+
+
 def text_clean(ds, text_col: str = "text", out_col: str = "clean_text"):
     """Deterministic normalization for web-scale corpora: control chars ->
     space, whitespace runs collapsed to one space, trimmed, lowercased.
     Pure Arrow RE2 kernels, zero-copy batches."""
-    import pyarrow.compute as pc
 
     def f(t: pa.Table) -> pa.Table:
-        c = pc.fill_null(t.column(text_col), "")
-        c = pc.replace_substring_regex(c, _CTRL, " ")
-        c = pc.replace_substring_regex(c, r"\s+", " ")
-        c = pc.utf8_trim(c, " ")
-        c = pc.utf8_lower(c)
-        return t.append_column(out_col, c)
+        return t.append_column(out_col, clean_array(t.column(text_col)))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -232,20 +252,64 @@ def text_clean(ds, text_col: str = "text", out_col: str = "clean_text"):
 def pii_redact(ds, text_col: str = "text", out_col: str = "redacted"):
     """Regex PII scrubbing: emails -> <EMAIL>, IPv4 -> <IP>, phone numbers ->
     <PHONE>, applied in that order; n_pii counts total redactions."""
-    import pyarrow.compute as pc
 
     def f(t: pa.Table) -> pa.Table:
-        c = pc.fill_null(t.column(text_col), "")
-        n = _count_re(c, _EMAIL)
-        c = pc.replace_substring_regex(c, _EMAIL, "<EMAIL>")
-        n = n + _count_re(c, _IPV4)
-        c = pc.replace_substring_regex(c, _IPV4, "<IP>")
-        n = n + _count_re(c, _PHONE)
-        c = pc.replace_substring_regex(c, _PHONE, "<PHONE>")
+        c, n = redact_array(t.column(text_col))
         t = t.append_column(out_col, c)
         return t.append_column("n_pii", pa.array(n))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_ratios(col, ngram: int = 2) -> np.ndarray:
+    """Per-row duplicate-``ngram``-gram fraction of one string column.
+
+    Vectorized across the whole batch: one whitespace split, one xxhash of
+    the flat token array, gram keys by shifted-hash mixing, per-doc distinct
+    via ONE lexsort over (doc, key) — no per-document loop. 64-bit gram-key
+    collisions are the only deviation from exact string semantics
+    (P < 1e-11 per doc at 1e4 grams)."""
+    import pyarrow.compute as pc
+
+    from nvtabular_ray.functions.hashing import hash64
+
+    col = pc.fill_null(col, "")
+    col = pc.utf8_lower(col)
+    offsets, words = _flat_tokens(col)
+    n_docs = len(offsets) - 1
+    h = hash64(words).astype(np.uint64)
+    # gram key j covers words [j, j+ngram): mix the ngram hashes
+    m = len(h) - (ngram - 1)
+    if m > 0:
+        key = h[:m].copy()
+        for s in range(1, ngram):
+            key = key * np.uint64(0x9E3779B97F4A7C15) + h[s : s + m]
+    else:
+        key = np.empty(0, dtype=np.uint64)
+    # gram j belongs to doc d iff the whole window sits inside d
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    g_starts = np.minimum(starts, m if m > 0 else 0)
+    g_ends = np.maximum(ends - (ngram - 1), g_starts)
+    n_grams = (g_ends - g_starts).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_grams)
+    cum = np.concatenate([[0], np.cumsum(n_grams)])
+    gram_pos = (
+        np.arange(cum[-1], dtype=np.int64)
+        - np.repeat(cum[:-1], n_grams)
+        + np.repeat(g_starts, n_grams)
+    )
+    key = key[gram_pos]
+    order = np.lexsort((key, doc_idx))
+    dk, dd = key[order], doc_idx[order]
+    new_flag = np.ones(len(dk), dtype=np.int64)
+    if len(dk) > 1:
+        same = (dk[1:] == dk[:-1]) & (dd[1:] == dd[:-1])
+        new_flag[1:][same] = 0
+    distinct = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(distinct, dd, new_flag)
+    total = n_grams
+    return np.where(total > 0, 1.0 - distinct / np.maximum(total, 1), 0.0)
 
 
 def repetition_ratio(
@@ -254,58 +318,12 @@ def repetition_ratio(
     threshold: float = 0.3,
     ngram: int = 2,
 ):
-    """Gopher-style within-document repetition score: fraction of word
-    ``ngram``-grams that are duplicates of an earlier gram in the same doc
-    (1 - distinct/total; 0 when the doc has < ngram words). Appends
-    dup_gram_ratio and is_repetitive (ratio > threshold).
-
-    Vectorized across the whole batch: one whitespace split, one xxhash of
-    the flat token array, gram keys by shifted-hash mixing, per-doc distinct
-    via ONE lexsort over (doc, key) — no per-document loop. 64-bit gram-key
-    collisions are the only deviation from exact string semantics
-    (P < 1e-11 per doc at 1e4 grams)."""
-    from nvtabular_ray.functions.hashing import hash64
+    """Gopher-style within-document repetition filter: appends
+    dup_gram_ratio (see ``repetition_ratios``) and is_repetitive
+    (ratio > threshold)."""
 
     def f(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        col = pc.fill_null(t.column(text_col), "")
-        col = pc.utf8_lower(col)
-        offsets, words = _flat_tokens(col)
-        n_docs = t.num_rows
-        h = hash64(words).astype(np.uint64)
-        # gram key j covers words [j, j+ngram): mix the ngram hashes
-        m = len(h) - (ngram - 1)
-        if m > 0:
-            key = h[:m].copy()
-            for s in range(1, ngram):
-                key = key * np.uint64(0x9E3779B97F4A7C15) + h[s : s + m]
-        else:
-            key = np.empty(0, dtype=np.uint64)
-        # gram j belongs to doc d iff the whole window sits inside d
-        starts = offsets[:-1]
-        ends = offsets[1:]
-        g_starts = np.minimum(starts, m if m > 0 else 0)
-        g_ends = np.maximum(ends - (ngram - 1), g_starts)
-        n_grams = (g_ends - g_starts).astype(np.int64)
-        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_grams)
-        cum = np.concatenate([[0], np.cumsum(n_grams)])
-        gram_pos = (
-            np.arange(cum[-1], dtype=np.int64)
-            - np.repeat(cum[:-1], n_grams)
-            + np.repeat(g_starts, n_grams)
-        )
-        key = key[gram_pos]
-        order = np.lexsort((key, doc_idx))
-        dk, dd = key[order], doc_idx[order]
-        new_flag = np.ones(len(dk), dtype=np.int64)
-        if len(dk) > 1:
-            same = (dk[1:] == dk[:-1]) & (dd[1:] == dd[:-1])
-            new_flag[1:][same] = 0
-        distinct = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(distinct, dd, new_flag)
-        total = n_grams
-        ratio = np.where(total > 0, 1.0 - distinct / np.maximum(total, 1), 0.0)
+        ratio = repetition_ratios(t.column(text_col), ngram=ngram)
         t = t.append_column("dup_gram_ratio", pa.array(ratio))
         return t.append_column("is_repetitive", pa.array(ratio > threshold))
 

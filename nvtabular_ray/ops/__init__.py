@@ -23,6 +23,7 @@ from nvtabular_ray.ops.join_external import JoinExternal
 from nvtabular_ray.ops.join_groupby import JoinGroupby
 from nvtabular_ray.ops.target_encoding import TargetEncoding
 from nvtabular_ray.ops.temporal_ops import RollingAgg, Sessionize
+from nvtabular_ray.ops.text_ops import PIIRedact, RepetitionRatio, TextClean, TokenCount
 from nvtabular_ray.ops.fill import FillMedian
 from nvtabular_ray.ops.hashed import HashBucket, HashedCross
 from nvtabular_ray.ops.normalize import Normalize, NormalizeMinMax
@@ -40,6 +41,10 @@ from nvtabular_ray.ops.simple import (
 __all__ = [
     "Operator",
     "StatOperator",
+    "PIIRedact",
+    "RepetitionRatio",
+    "TextClean",
+    "TokenCount",
     "AddMetadata",
     "AddProperties",
     "AddTags",

@@ -54,8 +54,11 @@ class JoinExternal(BroadcastTableState, Operator):
         columns_ext: Optional[list[str]] = None,
         drop_duplicates_ext: bool = False,
     ):
-        if how not in ("left", "inner"):
-            raise ValueError("Only left/inner joins are supported (reference parity)")
+        if how not in ("left", "inner", "semi", "anti"):
+            raise ValueError(
+                "how must be left/inner (reference parity) or semi/anti "
+                "(new scope: existence filters against the broadcast table)"
+            )
         self.on = [on] if isinstance(on, str) else list(on)
         self.on_ext = (
             self.on if on_ext is None else ([on_ext] if isinstance(on_ext, str) else list(on_ext))
@@ -70,15 +73,28 @@ class JoinExternal(BroadcastTableState, Operator):
         self.state_tables = {"ext": ext}
         self._ext_columns = list(ext.column_names)
 
-    changes_row_count = True  # inner join may drop rows
+    changes_row_count = True  # inner/semi/anti joins may drop rows
 
     def column_mapping(self, col_selector):
+        if self.how in ("semi", "anti"):  # existence filter: left columns only
+            return {c: [c] for c in col_selector.names}
         combined = dict.fromkeys(list(col_selector.names) + self._ext_columns)
         return {c: [c] for c in combined}
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         ext = self.state_tables["ext"].to_pandas()
         left = table.select(col_selector.names).to_pandas()
+        if self.how in ("semi", "anti"):
+            # vectorized existence mask against the (deduplicated) broadcast
+            # keys; left row order and multiplicity preserved
+            keys = ext[self.on_ext].drop_duplicates()
+            keys.columns = self.on
+            probe = left[self.on].merge(
+                keys.assign(__hit__=True), on=self.on, how="left"
+            )
+            mask = probe["__hit__"].notna().to_numpy()
+            out = left[mask if self.how == "semi" else ~mask]
+            return pa.Table.from_pandas(out, preserve_index=False)
         merged = left.merge(
             ext, left_on=self.on, right_on=self.on_ext, how=self.how
         )
