@@ -159,6 +159,14 @@ def run_queries_only() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
+    # warmup: one tiny read->map->materialize so Ray Data worker startup and
+    # module imports are excluded from the first query's timing
+    import ray.data as _rd
+
+    _rd.read_parquet(f"{SF_DIR}/region.parquet").map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).materialize()
+
     timings = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()

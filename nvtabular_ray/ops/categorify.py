@@ -402,7 +402,11 @@ class Categorify(StatOperator):
             return out.append_column("nulls", pa.array(nulls_col, pa.int64()))
 
         parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        counts = parts.groupby("value").aggregate(Sum("count"), Sum("nulls"))
+        # materialize ONCE: both consumers below (null-count sum, rank sort)
+        # would otherwise re-execute the whole scan+groupby pipeline. The
+        # materialized table is the aggregated vocab (bounded by cardinality,
+        # object-store resident, spillable) — not the input.
+        counts = parts.groupby("value").aggregate(Sum("count"), Sum("nulls")).materialize()
         nulls_total = int(counts.sum("sum(nulls)") or 0)
 
         thresh = self.freq_threshold if self.freq_threshold and self.freq_threshold > 1 else None

@@ -212,7 +212,10 @@ class TargetEncoding(BroadcastTableState, StatOperator):
             return res.rename_columns([ren.get(n, n) for n in res.column_names])
 
         parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        merged = parts.groupby([key, FOLD_NAME]).aggregate(Sum("count"), Sum("sum"))
+        # materialize ONCE: the two global sums and the parquet write below
+        # would otherwise each re-execute the whole scan+groupby (3 passes).
+        # The materialized table is (cardinality x folds) rows, not the input.
+        merged = parts.groupby([key, FOLD_NAME]).aggregate(Sum("count"), Sum("sum")).materialize()
         if self.global_mean is None:
             total_cnt = float(merged.sum("sum(count)") or 0.0)
             total_sum = float(merged.sum("sum(sum)") or 0.0)
