@@ -196,6 +196,24 @@ def _q_join_external(sf_dir: str):
     return out.select_columns(["c_custkey", "c_acctbal", "n_name"])
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 10% sample by event_id (public md5_60 bucket spec)."""
+    from nvtabular_ray.functions.sampling import hash_sample
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    return hash_sample(ds, "event_id", 0.10).select_columns(["event_id", "event_type"])
+
+
+def _q_hash_split(sf_dir: str):
+    """Deterministic entity-level train/valid/test split by user_id: every
+    event of one user lands in the same split, reproducibly."""
+    from nvtabular_ray.functions.sampling import hash_split
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    out = hash_split(ds, "user_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    return out.select_columns(["event_id", "split"])
+
+
 def _q_join_semi(sf_dir: str):
     """Semi join: customers that placed at least one high-value order.
     The order keys are a broadcast-small-side existence filter."""
@@ -784,6 +802,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode": _q_target_encode,
         "join_groupby": _q_join_groupby,
         "join_external": _q_join_external,
+        "hash_sample": _q_hash_sample,
+        "hash_split": _q_hash_split,
         "join_semi": _q_join_semi,
         "join_anti": _q_join_anti,
         "groupby_agg": _q_groupby_agg,
@@ -1253,6 +1273,21 @@ def oracle_sql() -> dict[str, str]:
         "join_external": """
             SELECT c.c_custkey, c.c_acctbal, n.n_name
             FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "hash_sample": """
+            SELECT event_id, event_type FROM events
+            WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 10000 < 1000
+        """,
+        "hash_split": """
+            SELECT event_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (SELECT event_id,
+                         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                             % 10000 AS b
+                  FROM events)
         """,
         "join_semi": """
             SELECT c_custkey, c_acctbal FROM customer c

@@ -1,0 +1,67 @@
+"""Deterministic hash-based sampling / dataset splitting.
+
+A corpus pipeline needs splits that are (a) reproducible across runs and
+cluster sizes, (b) stable under data arrival order, and (c) assignable
+per-row with no shuffle or global state. Hashing the row key gives all
+three: membership is a pure function of the key. Uses the PUBLIC md5_60
+spec (functions/hashing.py) so any SQL engine replicates the exact sample:
+
+    DuckDB:  ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % 10000
+
+The reference has no sampling operator (its only RNG is TargetEncoding's
+per-partition fold assignment, /root/reference/nvtabular/ops/
+target_encoding.py:427-439, which is partition-count-DEPENDENT — exactly
+the trap hash sampling avoids)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_DENOM = 10_000  # basis points: fractions are exact to 0.01%
+
+
+def _bp(col) -> np.ndarray:
+    """md5_60(utf8(key)) % 10000 per row — the public bucket number."""
+    import pyarrow.compute as pc
+
+    from nvtabular_ray.functions.hashing import md5_60
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+        col = pc.cast(col, pa.string())
+    return (md5_60(col) % np.uint64(_DENOM)).astype(np.int64)
+
+
+def hash_sample(ds, key_col: str, fraction: float):
+    """Keep rows whose key hashes into the first ``fraction`` of bucket
+    space. Deterministic, order- and partitioning-invariant; all rows of
+    one key are kept or dropped TOGETHER (sample by entity, not by row)."""
+    cut = int(round(fraction * _DENOM))
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(_bp(t.column(key_col)) < cut))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_split(ds, key_col: str, splits: dict[str, float], out_col: str = "split"):
+    """Append a split label ('train'/'valid'/'test'/...) per row from
+    consecutive hash-bucket ranges sized by the given fractions (must sum
+    to 1.0 within basis-point rounding). Label order = dict order."""
+    cuts, acc = [], 0
+    for name, frac in splits.items():
+        acc += int(round(frac * _DENOM))
+        cuts.append((name, acc))
+    if cuts[-1][1] != _DENOM:
+        raise ValueError(f"split fractions must sum to 1.0 (got {cuts[-1][1]/_DENOM})")
+    bounds = np.array([c for _, c in cuts], dtype=np.int64)
+    labels = np.array([n for n, _ in cuts], dtype=object)
+
+    def f(t: pa.Table) -> pa.Table:
+        bp = _bp(t.column(key_col))
+        idx = np.searchsorted(bounds, bp, side="right")
+        return t.append_column(out_col, pa.array(labels[idx], pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -122,6 +122,18 @@ def bucketed_group_map(
             if parts
             else shards[0]
         )
+        # skew guard: a reduce task holds one whole bucket in memory. 2 GiB
+        # per bucket means either num_buckets is too small for the data or
+        # one key is pathologically hot (salt it / raise num_buckets).
+        if t.nbytes > 2 << 30:
+            import warnings
+
+            warnings.warn(
+                f"bucket {b} holds {t.nbytes >> 20} MiB in one reduce task; "
+                "raise num_buckets (or salt the hot key) to keep per-task "
+                "memory bounded",
+                ResourceWarning,
+            )
         t = t.sort_by([(k, "ascending") for k in sort_keys])
         return fn(t, b) if fn_accepts_bucket else fn(t)
 

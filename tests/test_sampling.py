@@ -1,0 +1,43 @@
+"""Deterministic hash sampling/splitting: partitioning invariance, entity
+cohesion, fraction accuracy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from nvtabular_ray.functions.sampling import hash_sample, hash_split
+
+
+def _ds(df, blocks):
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(blocks)
+
+
+def test_hash_sample_partitioning_invariant():
+    df = pd.DataFrame({"k": np.arange(5000, dtype="int64"), "v": np.arange(5000)})
+    a = hash_sample(_ds(df, 1), "k", 0.2).to_pandas().sort_values("k").reset_index(drop=True)
+    b = hash_sample(_ds(df, 7), "k", 0.2).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # fraction within sampling noise of 20%
+    assert 0.17 < len(a) / len(df) < 0.23
+
+
+def test_hash_split_entity_cohesion_and_fractions():
+    rng = np.random.RandomState(3)
+    users = rng.randint(0, 500, size=8000)
+    df = pd.DataFrame({"row": np.arange(8000), "user": users})
+    out = hash_split(_ds(df, 4), "user", {"train": 0.8, "valid": 0.1, "test": 0.1}).to_pandas()
+    # every row of one user gets the same label
+    assert (out.groupby("user")["split"].nunique() == 1).all()
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    assert set(out["split"].unique()) <= {"train", "valid", "test"}
+
+
+def test_hash_split_rejects_bad_fractions():
+    df = pd.DataFrame({"k": [1, 2, 3]})
+    with pytest.raises(ValueError):
+        hash_split(_ds(df, 1), "k", {"a": 0.5, "b": 0.4})
