@@ -42,12 +42,6 @@ def exact_dedup(ds, key_cols: list[str], order_col: str):
 
 
 # ------------------------------------------------------------------ MinHash --
-def _char_shingles(text: str, k: int = 5) -> np.ndarray:
-    if len(text) < k:
-        return np.array([text], dtype=object)
-    return np.array([text[i : i + k] for i in range(len(text) - k + 1)], dtype=object)
-
-
 def minhash_perm_constants(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     """PUBLIC permutation constants: (a_j, b_j) for the universal hashes
     sig_j = min over shingles of ((a_j * h + b_j) mod 2^64). Shared by the
@@ -71,15 +65,12 @@ def minhash_signatures(texts, num_perm: int = 16, shingle_k: int = 5) -> np.ndar
     with ``np.minimum.reduceat`` over doc boundaries. (A (num_perm, total)
     2-D uint64 broadcast is ~100x slower — numpy falls off the fast path;
     keep the per-perm 1-D loop.)"""
-    from nvtabular_ray.functions.hashing import md5_60
+    from nvtabular_ray.functions.hashing import md5_60_char_shingles
 
     a, b = minhash_perm_constants(num_perm)
     if not len(texts):
         return np.empty((0, num_perm), dtype=np.uint64)
-    shingles = [_char_shingles(t or "", shingle_k) for t in texts]
-    lens = np.array([len(s) for s in shingles], dtype=np.int64)
-    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    h = md5_60(np.concatenate(shingles))
+    starts, h = md5_60_char_shingles(texts, shingle_k)
     sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
     for j in range(num_perm):
         sigs[:, j] = np.minimum.reduceat(h * a[j] + b[j], starts)

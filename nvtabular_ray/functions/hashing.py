@@ -120,3 +120,99 @@ def hash64_columns(table, columns: list[str]) -> np.ndarray:
     else:
         df = table[columns]
     return pd.util.hash_pandas_object(df, index=False, hash_key=_HASH_KEY).to_numpy()
+
+
+def md5_60_char_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document rolling k-char-shingle md5_60 hashes, batch-vectorized.
+
+    Returns ``(starts, h)``: ``h`` is the flat uint64 hash array of every
+    shingle of every doc in order, ``starts[i]`` the offset of doc i's first
+    shingle (docs shorter than k chars contribute ONE shingle — the whole
+    string — matching the public spec used by fingerprint/MinHash oracles).
+
+    Fast path (pure-ASCII, NUL-free batch): shingles come from ONE numpy
+    sliding-window view over the flat UTF-8 buffer and dedup via np.unique
+    on fixed-width |S{k} bytes — md5 runs once per DISTINCT shingle and no
+    per-document Python executes. Mixed-unicode (char != byte) or
+    NUL-containing batches fall back to per-doc slicing (np.bytes_ would
+    silently strip trailing NULs; multi-byte chars break byte windows).
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array(["" if t is None else t for t in texts], pa.string())
+    texts = pc.fill_null(texts, "")
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+
+    off_dtype = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    off = np.frombuffer(texts.buffers()[1], dtype=off_dtype)[
+        texts.offset : texts.offset + n + 1
+    ].astype(np.int64)
+    flat = np.frombuffer(texts.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+    off = off - off[0]
+    lens = np.diff(off)
+    n_sh = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+
+    ascii_ok = bool(pc.all(pc.string_is_ascii(texts)).as_py() if n else True)
+    if ascii_ok and not (len(flat) and (flat == 0).any()):
+        long_mask = lens >= k
+        # positions of every full window, doc-boundary aware (vectorized)
+        w_starts = off[:-1][long_mask]
+        w_counts = (lens[long_mask] - k + 1)
+        cum = np.concatenate([[0], np.cumsum(w_counts)])
+        pos = (
+            np.arange(cum[-1], dtype=np.int64)
+            - np.repeat(cum[:-1], w_counts)
+            + np.repeat(w_starts, w_counts)
+        )
+        if len(flat) >= k:
+            wins = np.lib.stride_tricks.sliding_window_view(flat, k)[pos]
+        else:
+            wins = np.empty((0, k), np.uint8)
+        grams_long = np.ascontiguousarray(wins).view(f"|S{k}").ravel()
+        # short docs: the whole string is the single shingle
+        short_idx = np.flatnonzero(~long_mask)
+        uniq, inv = np.unique(grams_long, return_inverse=True)
+        hs = np.fromiter(
+            (int(hashlib.md5(g).hexdigest()[:15], 16) for g in uniq.tolist()),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        h = np.empty(cum[-1] + len(short_idx), dtype=np.uint64)
+        # scatter long-doc hashes into their flat slots
+        long_slots = (
+            np.arange(cum[-1], dtype=np.int64)
+            - np.repeat(cum[:-1], w_counts)
+            + np.repeat(starts[long_mask], w_counts)
+        )
+        h_all = np.empty(int(n_sh.sum()), dtype=np.uint64)
+        h_all[long_slots] = hs[inv]
+        if len(short_idx):
+            sb = [
+                flat[off[i] : off[i + 1]].tobytes() for i in short_idx
+            ]  # true bytes, NUL-free by branch guard
+            h_all[starts[short_idx]] = np.fromiter(
+                (int(hashlib.md5(b).hexdigest()[:15], 16) for b in sb),
+                dtype=np.uint64,
+                count=len(sb),
+            )
+        return starts, h_all
+
+    # unicode/NUL fallback: per-doc CHAR slicing (exact spec semantics —
+    # note starts must use char counts here, not the byte-length n_sh above)
+    pys = texts.to_pylist()
+    grams: list[list[str]] = [
+        [s] if len(s) < k else [s[i : i + k] for i in range(len(s) - k + 1)]
+        for s in (t or "" for t in pys)
+    ]
+    n_sh = np.array([len(g) for g in grams], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+    flat_grams = np.array([g for doc in grams for g in doc], dtype=object)
+    return starts, md5_60(flat_grams)

@@ -177,27 +177,19 @@ def fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
 
     PUBLIC spec (SQL-replicable — see functions/hashing.py md5_60):
     fingerprint(s) = min over i of md5_60(s[i:i+8]); md5_60(s) when len<8.
-    All grams of the batch hash in one dictionary-encoded md5_60 call; the
-    per-doc min is one ``np.minimum.reduceat`` over doc boundaries.
+    Shingling + hashing are batch-vectorized (md5_60_char_shingles: numpy
+    sliding windows, md5 once per distinct gram); the per-doc min is one
+    ``np.minimum.reduceat`` over doc boundaries.
     """
-    from nvtabular_ray.functions.hashing import md5_60
+    from nvtabular_ray.functions.hashing import md5_60_char_shingles
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        grams: list[list[str]] = []
-        for s in texts:
-            s = s or ""
-            grams.append(
-                [s] if len(s) < 8 else [s[j : j + 8] for j in range(len(s) - 7)]
-            )
-        lens = np.array([len(g) for g in grams], dtype=np.int64)
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else np.empty(0, np.int64)
-        flat = [g for doc in grams for g in doc]
-        if flat:
-            h = md5_60(np.array(flat, dtype=object))
-            out = np.minimum.reduceat(h, starts).astype(np.int64)
-        else:
-            out = np.empty(0, dtype=np.int64)
+        starts, h = md5_60_char_shingles(t.column(text_col), 8)
+        out = (
+            np.minimum.reduceat(h, starts).astype(np.int64)
+            if len(h)
+            else np.empty(0, dtype=np.int64)
+        )
         return t.append_column(out_col, pa.array(out))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

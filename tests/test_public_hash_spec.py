@@ -150,3 +150,41 @@ def test_minhash_distributed_propagation():
     assert out["cluster_id"].iloc[0] == 0
     assert out["cluster_id"].iloc[1] == 0
     assert out["cluster_id"].iloc[3] == 3
+
+
+def test_md5_60_char_shingles_matches_python_spec():
+    """Vectorized shingle hasher == per-doc char-slicing spec on ASCII,
+    unicode (multi-byte chars), NUL bytes, None, and sliced arrays."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from nvtabular_ray.functions.hashing import md5_60_char_shingles
+
+    def oracle(texts, k):
+        starts, hs, pos = [], [], 0
+        for s in texts:
+            s = s or ""
+            grams = [s] if len(s) < k else [s[i : i + k] for i in range(len(s) - k + 1)]
+            starts.append(pos)
+            pos += len(grams)
+            hs += [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        return np.array(starts, np.int64), np.array(hs, np.uint64)
+
+    cases = [
+        (["hello world", "", "ab", "xxxxxxxxxyyy", "hello world"], 5),
+        (["abcdefgh", "short"], 8),
+        (["日本語のテキストです長い文字列", "ascii only here", ""], 5),
+        (["with\x00nul bytes inside here"], 5),
+        ([None, "abc", None], 2),
+    ]
+    for texts, k in cases:
+        s1, h1 = md5_60_char_shingles(pa.array(texts, pa.string()), k)
+        s2, h2 = oracle(texts, k)
+        assert np.array_equal(s1, s2) and np.array_equal(h1, h2), (texts, k)
+
+    sliced = pa.array(["aaa bbb ccc", "dddddd", "ee"], pa.string()).slice(1, 2)
+    s1, h1 = md5_60_char_shingles(sliced, 3)
+    s2, h2 = oracle(["dddddd", "ee"], 3)
+    assert np.array_equal(s1, s2) and np.array_equal(h1, h2)
