@@ -196,6 +196,28 @@ def _q_join_external(sf_dir: str):
     return out.select_columns(["c_custkey", "c_acctbal", "n_name"])
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Token-budget sequence packing over documents (FFD per block).
+    No SQL oracle: bin packing is not SQL-expressible; invariants
+    (capacity, density, determinism) are pytest-pinned in
+    tests/test_packing.py."""
+    from nvtabular_ray.functions.packing import pack_sequences
+    from nvtabular_ray.functions.text import token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    with_tokens = token_count(ds).select_columns(["doc_id", "n_tokens"])
+    out = pack_sequences(with_tokens, "n_tokens", "doc_id", capacity=1024)
+    return out.select_columns(["doc_id", "bin_id", "bin_fill"])
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Fixed-size overlapping char chunks (500/50) per document."""
+    from nvtabular_ray.functions.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_size=500, overlap=50)
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic 10% sample by event_id (public md5_60 bucket spec)."""
     from nvtabular_ray.functions.sampling import hash_sample
@@ -802,6 +824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode": _q_target_encode,
         "join_groupby": _q_join_groupby,
         "join_external": _q_join_external,
+        "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
         "hash_sample": _q_hash_sample,
         "hash_split": _q_hash_split,
         "join_semi": _q_join_semi,
@@ -1273,6 +1297,21 @@ def oracle_sql() -> dict[str, str]:
         "join_external": """
             SELECT c.c_custkey, c.c_acctbal, n.n_name
             FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "chunk_documents": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       CASE WHEN length(text) <= 500 THEN 1
+                            ELSE CAST(ceil((length(text) - 500) / 450.0) AS BIGINT) + 1
+                       END AS nc
+                FROM documents
+            )
+            , e AS (
+                SELECT doc_id, text, unnest(generate_series(1, nc)) AS i FROM d
+            )
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+                   substr(text, (i - 1) * 450 + 1, 500) AS chunk_text
+            FROM e
         """,
         "hash_sample": """
             SELECT event_id, event_type FROM events

@@ -320,3 +320,82 @@ def repetition_ratio(
         return t.append_column("is_repetitive", pa.array(ratio > threshold))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 500,
+    overlap: int = 50,
+):
+    """Split each document into overlapping fixed-size character chunks —
+    the standard pre-tokenization step for embedding/training pipelines.
+    One input row yields ceil((len-size)/stride)+1 rows (min 1; stride =
+    size - overlap): (id, chunk_idx, chunk_text).
+
+    Batch-vectorized for ASCII batches: chunk bytes are ONE numpy gather
+    from the flat utf8 buffer (no per-chunk Python slicing); the output
+    StringArray is built directly from the gathered buffer + offsets.
+    Unicode batches fall back to per-doc char slicing (same spec).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(t.column(text_col), "")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        ids = t.column(id_col)
+        if bool(pc.all(pc.string_is_ascii(col)).as_py() if n else True):
+            off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+            off = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+                col.offset : col.offset + n + 1
+            ].astype(np.int64)
+            flat = np.frombuffer(col.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+            off = off - off[0]
+            L = np.diff(off)
+            nc = np.where(L <= chunk_size, 1, np.ceil((L - chunk_size) / stride).astype(np.int64) + 1)
+            total = int(nc.sum())
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), nc)
+            cum = np.concatenate([[0], np.cumsum(nc)])
+            chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], nc)
+            c_start = off[:-1][doc_of] + chunk_idx * stride
+            c_len = np.minimum(c_start + chunk_size, off[1:][doc_of]) - c_start
+            out_off = np.concatenate([[0], np.cumsum(c_len)])
+            gather = (
+                np.arange(out_off[-1], dtype=np.int64)
+                - np.repeat(out_off[:-1], c_len)
+                + np.repeat(c_start, c_len)
+            )
+            chunks = pa.StringArray.from_buffers(
+                total,
+                pa.py_buffer(out_off.astype(np.int32).tobytes()),
+                pa.py_buffer(flat[gather].tobytes()),
+            )
+        else:  # unicode: char-based slicing per doc (exact same spec)
+            texts = col.to_pylist()
+            rows, doc_list = [], []
+            for i, s in enumerate(texts):
+                m = 1 if len(s) <= chunk_size else -(-(len(s) - chunk_size) // stride) + 1
+                for c in range(m):
+                    rows.append(s[c * stride : c * stride + chunk_size])
+                    doc_list.append(i)
+            doc_of = np.array(doc_list, dtype=np.int64)
+            nc = np.bincount(doc_of, minlength=n).astype(np.int64)
+            cum = np.concatenate([[0], np.cumsum(nc)])
+            chunk_idx = np.arange(len(rows), dtype=np.int64) - np.repeat(cum[:-1], nc)
+            chunks = pa.array(rows, pa.string())
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_of)),
+                "chunk_idx": pa.array(chunk_idx),
+                "chunk_text": chunks,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

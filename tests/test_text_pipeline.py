@@ -147,3 +147,26 @@ def test_vectorized_text_kernels_match_python():
     assert lid["lang_pred"].iloc[5] == "fr"
     assert lid["lang_pred"].iloc[3] == "unknown"
     assert lid["lang_pred"].iloc[4] == "unknown"
+
+
+def test_chunk_documents_spec():
+    """Chunks reconstruct the document (minus overlap regions) and follow
+    the (size, overlap) stride spec exactly, incl. unicode fallback."""
+    from nvtabular_ray.functions.text import chunk_documents
+
+    texts = ["a" * 1300, "", "short", "b" * 500, "c" * 501, "日本語" * 300]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        chunk_documents(_ds(df, 2), chunk_size=500, overlap=50)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+    def oracle(s, size=500, ov=50):
+        stride = size - ov
+        m = 1 if len(s) <= size else -(-(len(s) - size) // stride) + 1
+        return [s[c * stride : c * stride + size] for c in range(m)]
+
+    for d, s in enumerate(texts):
+        assert out[out.doc_id == d]["chunk_text"].tolist() == oracle(s), d
