@@ -104,19 +104,50 @@ class FrameSampleStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         if not self.fake:
             raise NotImplementedError("video decode requires a codec not in this environment")
-        ids, frames, frame_idx = [], [], []
-        payloads = t.column(self.column).to_pylist()
-        for row in range(t.num_rows):
-            p = payloads[row] or b""
-            n_frames = len(p) // self.frame_bytes
-            for f in range(0, n_frames, self.every_k):
-                ids.append(row)
-                frame_idx.append(f)
-                frames.append(p[f * self.frame_bytes : (f + 1) * self.frame_bytes])
+        fb, k = self.frame_bytes, self.every_k
+        arr = t.column(self.column)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        # flat payload bytes + per-row offsets (binary layout: validity /
+        # int32 offsets / data); sliced or nullable chunks rebuild the pair
+        if arr.offset == 0 and arr.null_count == 0 and len(arr.buffers()) == 3:
+            off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: n + 1].astype(np.int64)
+            flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[: off[-1]]
+        else:
+            payloads = arr.to_pylist()
+            lens0 = np.array([len(p or b"") for p in payloads], dtype=np.int64)
+            off = np.concatenate([[0], np.cumsum(lens0)])
+            flat = (
+                np.frombuffer(b"".join(p or b"" for p in payloads), dtype=np.uint8)
+                if off[-1]
+                else np.empty(0, np.uint8)
+            )
+        lens = np.diff(off)
+        n_frames = lens // fb
+        m = -(-n_frames // k)  # sampled frames per row (every k-th)
+        total = int(m.sum())
+        row_of = np.repeat(np.arange(n, dtype=np.int64), m)
+        cum = np.concatenate([[0], np.cumsum(m)])
+        j = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], m)
+        frame_idx = j * k
+        starts = off[:-1][row_of] + frame_idx * fb
+        # ONE gather builds every frame: indices are starts broadcast + lane
+        gather = starts[:, None] + np.arange(fb, dtype=np.int64)[None, :]
+        frame_bytes = flat[gather.ravel()] if total else np.empty(0, np.uint8)
+        frames = pa.BinaryArray.from_buffers(
+            pa.binary(),
+            total,
+            [
+                None,
+                pa.py_buffer((np.arange(total + 1, dtype=np.int32) * fb).tobytes()),
+                pa.py_buffer(frame_bytes.tobytes()),
+            ],
+        )
         base = t.drop_columns([self.column])
-        gathered = base.take(pa.array(ids, pa.int64())) if ids else base.slice(0, 0)
-        gathered = gathered.append_column("frame_idx", pa.array(frame_idx, pa.int32()))
-        gathered = gathered.append_column("frame", pa.array(frames, pa.binary()))
+        gathered = base.take(pa.array(row_of)) if total else base.slice(0, 0)
+        gathered = gathered.append_column("frame_idx", pa.array(frame_idx.astype(np.int32)))
+        gathered = gathered.append_column("frame", frames)
         return gathered
 
 

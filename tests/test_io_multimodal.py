@@ -69,3 +69,28 @@ def test_frame_sampler():
     assert len(out) == 12
     assert set(out["frame_idx"]) == {0, 2, 4, 6}
     assert all(len(f) == 16 for f in out["frame"])
+
+
+def test_frame_sampler_vectorized_matches_slicing():
+    """Vectorized gather must equal naive per-row slicing for ragged
+    payloads, empty payloads, and trailing partial frames."""
+    import numpy as np
+
+    payloads = [
+        bytes(range(100)),          # 6 full 16B frames + 4B tail
+        b"",                        # no frames
+        bytes(range(16)),           # exactly one frame
+        bytes(range(256)) * 2,      # 32 frames
+        bytes(range(15)),           # sub-frame tail only
+    ]
+    df = pd.DataFrame({"i": np.arange(len(payloads), dtype="int64")})
+    t = pa.Table.from_pandas(df, preserve_index=False).append_column(
+        "video", pa.array(payloads, pa.binary())
+    )
+    out = FrameSampleStage("video", frame_bytes=16, every_k=3)(t)
+    exp = []
+    for i, p in enumerate(payloads):
+        for f in range(0, len(p) // 16, 3):
+            exp.append((i, f, p[f * 16 : (f + 1) * 16]))
+    got = list(zip(out["i"].to_pylist(), out["frame_idx"].to_pylist(), out["frame"].to_pylist()))
+    assert got == exp
