@@ -218,6 +218,16 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, chunk_size=500, overlap=50)
 
 
+def _q_corpus_mix(sf_dir: str):
+    """Deterministic source re-weighting over documents (by md5 bucket)."""
+    from nvtabular_ray.functions.sampling import corpus_mix
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = corpus_mix(ds, "source", "doc_id",
+                     {f"src{i}": w for i, w in enumerate([1.0, 0.5, 0.3] * 7)})
+    return out.select_columns(["doc_id", "source"])
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic 10% sample by event_id (public md5_60 bucket spec)."""
     from nvtabular_ray.functions.sampling import hash_sample
@@ -826,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_external": _q_join_external,
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
+        "corpus_mix": _q_corpus_mix,
         "hash_sample": _q_hash_sample,
         "hash_split": _q_hash_split,
         "join_semi": _q_join_semi,
@@ -1312,6 +1323,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
                    substr(text, (i - 1) * 450 + 1, 500) AS chunk_text
             FROM e
+        """,
+        "corpus_mix": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+                  < CASE CAST(substr(source, 4) AS INT) % 3
+                        WHEN 0 THEN 10000 WHEN 1 THEN 5000 ELSE 3000 END
         """,
         "hash_sample": """
             SELECT event_id, event_type FROM events

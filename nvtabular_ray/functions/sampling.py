@@ -65,3 +65,26 @@ def hash_split(ds, key_col: str, splits: dict[str, float], out_col: str = "split
         return t.append_column(out_col, pa.array(labels[idx], pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def corpus_mix(ds, source_col: str, key_col: str, weights: dict[str, float]):
+    """Deterministic corpus re-weighting: keep each row with the
+    per-source retention fraction ``weights[source]`` (sources absent from
+    the dict are dropped; fraction 1.0 keeps everything). Membership is a
+    pure function of (source, key) via the public md5 bucket — the standard
+    'mix 30% web / 100% books / 10% logs' step of a training-data pipeline,
+    reproducible across runs and cluster shapes, no shuffle."""
+    cuts = {s: int(round(f * _DENOM)) for s, f in weights.items()}
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bp = _bp(t.column(key_col))
+        src = t.column(source_col)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for s, cut in cuts.items():
+            m = np.asarray(pc.equal(pc.fill_null(src, ""), s))
+            keep |= m & (bp < cut)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -41,3 +41,26 @@ def test_hash_split_rejects_bad_fractions():
     df = pd.DataFrame({"k": [1, 2, 3]})
     with pytest.raises(ValueError):
         hash_split(_ds(df, 1), "k", {"a": 0.5, "b": 0.4})
+
+
+def test_corpus_mix_weights_and_determinism():
+    from nvtabular_ray.functions.sampling import corpus_mix
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "k": np.arange(9000, dtype="int64"),
+            "src": rng.choice(["a", "b", "c"], size=9000),
+        }
+    )
+    w = {"a": 1.0, "b": 0.3}  # c absent -> dropped
+    out = corpus_mix(_ds(df, 3), "src", "k", w).to_pandas()
+    frac = out["src"].value_counts() / df["src"].value_counts()
+    assert frac["a"] == 1.0
+    assert 0.25 < frac["b"] < 0.35
+    assert "c" not in set(out["src"])
+    out2 = corpus_mix(_ds(df, 8), "src", "k", w).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("k").reset_index(drop=True),
+        out2.sort_values("k").reset_index(drop=True),
+    )
