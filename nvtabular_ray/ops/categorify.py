@@ -381,8 +381,6 @@ class Categorify(StatOperator):
                     "distributed Categorify does not support list columns"
                 )
 
-        from ray.data.aggregate import Sum
-
         def partial(t: pa.Table, cols=tuple(cols)) -> pa.Table:
             vals, cnts, nulls = [], [], 0
             for c in cols:
@@ -402,11 +400,13 @@ class Categorify(StatOperator):
             return out.append_column("nulls", pa.array(nulls_col, pa.int64()))
 
         parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        # materialize ONCE: both consumers below (null-count sum, rank sort)
-        # would otherwise re-execute the whole scan+groupby pipeline. The
-        # materialized table is the aggregated vocab (bounded by cardinality,
-        # object-store resident, spillable) — not the input.
-        counts = parts.groupby("value").aggregate(Sum("count"), Sum("nulls")).materialize()
+        # task-based hash exchange (not Ray's sort groupby); the exchange
+        # materializes its buckets, so the null-count sum and the rank sort
+        # below read the same aggregated-vocab refs instead of re-executing
+        # the scan.
+        from nvtabular_ray.functions.aggregates import bucketed_aggregate
+
+        counts = bucketed_aggregate(parts, ["value"], {"count": "sum", "nulls": "sum"})
         nulls_total = int(counts.sum("sum(nulls)") or 0)
 
         thresh = self.freq_threshold if self.freq_threshold and self.freq_threshold > 1 else None

@@ -195,7 +195,7 @@ class JoinGroupby(BroadcastTableState, StatOperator):
                 "distributed JoinGroupby supports single-column groups only"
             )
         key = group[0]
-        from ray.data.aggregate import Max, Min, Sum
+        from nvtabular_ray.functions.aggregates import bucketed_aggregate
 
         cont_cols, stats_list, name_sep = self.cont_cols, self.stats, self.name_sep
 
@@ -205,15 +205,19 @@ class JoinGroupby(BroadcastTableState, StatOperator):
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        aggs = [Sum("__count__")]
+        agg_spec = {"__count__": "sum"}
         for c in cont_cols:
-            aggs += [
-                Sum(f"__{c}_sum__"),
-                Sum(f"__{c}_sumsq__"),
-                Min(f"__{c}_min__"),
-                Max(f"__{c}_max__"),
-            ]
-        merged = parts.groupby(key).aggregate(*aggs)
+            agg_spec.update(
+                {
+                    f"__{c}_sum__": "sum",
+                    f"__{c}_sumsq__": "sum",
+                    f"__{c}_min__": "min",
+                    f"__{c}_max__": "max",
+                }
+            )
+        # task-based hash exchange, not Ray's sort-based groupby (fixed
+        # ~4.5s/job overhead the partials don't justify)
+        merged = bucketed_aggregate(parts, [key], agg_spec)
 
         def finalize(t: pa.Table) -> pa.Table:
             df = t.to_pandas()

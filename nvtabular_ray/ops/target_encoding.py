@@ -200,7 +200,6 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         if self.kfold > 1 and not self.fold_on:
             raise ValueError("distributed TargetEncoding with kfold>1 requires fold_on=[...]")
         key = group[0]
-        from ray.data.aggregate import Sum
 
         def partial(t: pa.Table) -> pa.Table:
             sel = t.select([key, self.target])
@@ -212,10 +211,13 @@ class TargetEncoding(BroadcastTableState, StatOperator):
             return res.rename_columns([ren.get(n, n) for n in res.column_names])
 
         parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        # materialize ONCE: the two global sums and the parquet write below
-        # would otherwise each re-execute the whole scan+groupby (3 passes).
-        # The materialized table is (cardinality x folds) rows, not the input.
-        merged = parts.groupby([key, FOLD_NAME]).aggregate(Sum("count"), Sum("sum")).materialize()
+        # task-based hash exchange (not Ray's sort groupby); the exchange
+        # materializes its buckets, so the two global sums and the parquet
+        # write below all read the same (cardinality x folds)-row refs
+        # instead of re-executing the scan.
+        from nvtabular_ray.functions.aggregates import bucketed_aggregate
+
+        merged = bucketed_aggregate(parts, [key, FOLD_NAME], {"count": "sum", "sum": "sum"})
         if self.global_mean is None:
             total_cnt = float(merged.sum("sum(count)") or 0.0)
             total_sum = float(merged.sum("sum(sum)") or 0.0)
