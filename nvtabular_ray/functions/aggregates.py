@@ -71,21 +71,27 @@ def grouped_reduce(
     return out.to_pandas()
 
 
-def bucketed_aggregate(partials_ds, keys: list[str], agg_spec: dict[str, str], num_buckets=None):
+def bucketed_aggregate(
+    partials_ds, keys: list[str], agg_spec: dict[str, str], num_buckets=None, names: str = "ray"
+):
     """Distributed merge of per-block partials that must STAY a Dataset
     (vocab/stat tables too big for the driver): ONE task-based hash exchange
     on the group keys + arrow group_by per bucket. Output columns are named
     "{agg}({col})" — drop-in for Ray's ``groupby().aggregate()`` at the
     task-exchange price (measured 4.4x cheaper than the sort-based shuffle
     for the flagship's conv_id exchange; same win applies to stat merges).
+    ``names="ray"`` -> "{agg}({col})" (groupby().aggregate() parity);
+    ``names="keep"`` -> the input column names (partial-merge in place).
     Use ``grouped_reduce`` instead when the result is driver-small."""
     from nvtabular_ray.pipelines.partitioned import bucketed_group_map
 
     spec = [(c, a) for c, a in agg_spec.items()]
+    ren = {
+        f"{c}_{a}": (f"{a}({c})" if names == "ray" else c) for c, a in spec
+    }
 
     def combine(t: pa.Table) -> pa.Table:
         res = t.group_by(keys, use_threads=False).aggregate(spec)
-        ren = {f"{c}_{a}": f"{a}({c})" for c, a in spec}
         return res.rename_columns([ren.get(n, n) for n in res.column_names])
 
     return bucketed_group_map(partials_ds, keys, [], combine, num_buckets=num_buckets)

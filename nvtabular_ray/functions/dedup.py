@@ -25,20 +25,26 @@ def exact_dedup(ds, key_cols: list[str], order_col: str):
     Shuffle key is the 64-bit hash of the key columns (narrow), not the
     payload; true key equality is re-checked within each hash group."""
 
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
     def add_hash(t: pa.Table) -> pa.Table:
         return t.append_column(_H, pa.array(hash64_columns(t, key_cols).astype(np.int64)))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pick_first(group: pd.DataFrame) -> pd.DataFrame:
+    # task-based hash exchange on _H (not Ray's sort groupby); all rows of a
+    # key share a bucket, so one vectorized sort+drop_duplicates over the
+    # whole bucket resolves every key at once
+    def pick_first(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         out = (
-            group.sort_values(order_col, kind="mergesort")
+            df.sort_values(order_col, kind="mergesort")
             .drop_duplicates(subset=key_cols, keep="first")
             .drop(columns=[_H])
         )
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return hashed.groupby(_H).map_groups(pick_first, batch_format="pandas")
+    return bucketed_group_map(hashed, [_H], [], pick_first)
 
 
 # ------------------------------------------------------------------ MinHash --
@@ -541,7 +547,20 @@ def embedding_near_dup(
         labels = ids[np.argmax(close, axis=1)]
         return pd.DataFrame({id_col: ids, "cluster_id": labels})
 
-    return bucketed.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+    # task-based hash exchange on the LSH bucket id (not Ray's sort groupby);
+    # the per-group loop inside one exchange bucket is over LSH buckets, each
+    # resolved by one matmul (the matmul dominates, not the loop)
+    def resolve_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        outs = [resolve(g) for _, g in df.groupby("bucket", sort=False)]
+        if not outs:
+            return empty
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+
+    return bucketed_group_map(bucketed, ["bucket"], [], resolve_bucket)
 
 
 def semantic_dedup(
@@ -621,13 +640,27 @@ def semantic_dedup(
         labels = ids[np.argmax(close, axis=1)]  # ids sorted: first True = min
         return pd.DataFrame({id_col: ids, "cluster_id": labels})
 
-    per_probe = probed.groupby("cluster").map_groups(resolve, batch_format="pandas")
+    from nvtabular_ray.functions.aggregates import bucketed_aggregate
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+    # task-based hash exchange on the k-means cluster id; per-group loop
+    # inside an exchange bucket runs over (at most nlist) clusters, each a
+    # single matmul
+    def resolve_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        outs = [resolve(g) for _, g in df.groupby("cluster", sort=False)]
+        if not outs:
+            return empty
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+
+    per_probe = bucketed_group_map(probed, ["cluster"], [], resolve_bucket)
 
     # collapse the nprobe copies of each id to its min label (small exchange:
     # two int64 columns)
     def unalias(t: pa.Table) -> pa.Table:
         return pa.table({id_col: t.column(id_col), "cluster_id": t.column("min(cluster_id)")})
 
-    return per_probe.groupby(id_col).min("cluster_id").map_batches(
+    return bucketed_aggregate(per_probe, [id_col], {"cluster_id": "min"}).map_batches(
         unalias, batch_format="pyarrow"
     )

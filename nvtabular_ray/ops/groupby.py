@@ -113,7 +113,6 @@ class Groupby(Operator):
 
     def _apply_algebraic(self, agg_dict, ds):
         import pyarrow.compute as pc
-        from ray.data.aggregate import Max, Min, Sum
 
         keys = self.groupby_cols
         name_sep = self.name_sep
@@ -146,19 +145,26 @@ class Groupby(Operator):
             res = sel.group_by(keys, use_threads=False).aggregate(batch_aggs)
             return res.rename_columns([ren.get(n, n) for n in res.column_names])
 
-        aggs = []
+        from nvtabular_ray.functions.aggregates import bucketed_aggregate
+
+        agg_spec = {}
         for col in agg_dict:
-            aggs += [
-                Sum(f"__{col}_cnt__", alias_name=f"__{col}_cnt__"),
-                Sum(f"__{col}_sum__", alias_name=f"__{col}_sum__"),
-                Sum(f"__{col}_sumsq__", alias_name=f"__{col}_sumsq__"),
-                Min(f"__{col}_min__", alias_name=f"__{col}_min__"),
-                Max(f"__{col}_max__", alias_name=f"__{col}_max__"),
-            ]
-        merged = (
-            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(keys)
-            .aggregate(*aggs)
+            agg_spec.update(
+                {
+                    f"__{col}_cnt__": "sum",
+                    f"__{col}_sum__": "sum",
+                    f"__{col}_sumsq__": "sum",
+                    f"__{col}_min__": "min",
+                    f"__{col}_max__": "max",
+                }
+            )
+        # task-based hash exchange merge of the per-block partials (not
+        # Ray's sort groupby; see aggregates.bucketed_aggregate)
+        merged = bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            keys,
+            agg_spec,
+            names="keep",
         )
 
         def finalize(t: pa.Table) -> pa.Table:
