@@ -359,9 +359,18 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         self._refs = {}
 
     # -------------------------------------------------------- transform --
+    @property
+    def optional_dependencies(self):
+        # reference serving semantics (target_encoding.py:359-368): when the
+        # target column is ABSENT from the transform input (inference
+        # traffic has no label), encode with the global per-category stats —
+        # no fold subtraction. Only optional once fitted; fit needs it.
+        return [self.target] if getattr(self, "fitted", False) else []
+
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         input_cols = list(col_selector.names) + self.dependencies
-        fold = self._fold_np(table, input_cols) if self.kfold > 1 else None
+        has_target = self.target in table.column_names
+        fold = self._fold_np(table, input_cols) if (self.kfold > 1 and has_target) else None
         out = {}
         for i, (name, group) in enumerate(self._groups(col_selector)):
             if name in self.distributed_stats:
@@ -375,7 +384,7 @@ class TargetEncoding(BroadcastTableState, StatOperator):
                 sa = sum_all_s.to_numpy(dtype="float64", na_value=0.0)
                 cf = cnt_f.to_numpy(dtype="float64", na_value=0.0)
                 sf = sum_f_s.to_numpy(dtype="float64", na_value=0.0)
-                if self.kfold <= 1:
+                if self.kfold <= 1 or not has_target:
                     cf = np.zeros(len(ca))
                     sf = np.zeros(len(ca))
                 gmean = self.global_mean
@@ -390,7 +399,7 @@ class TargetEncoding(BroadcastTableState, StatOperator):
             merged = left.merge(all_stats, on=group, how="left")
             cnt_all = merged["count_y_all"].to_numpy(dtype="float64", na_value=0.0)
             sum_all = merged["sum_y_all"].to_numpy(dtype="float64", na_value=0.0)
-            if self.kfold > 1:
+            if self.kfold > 1 and has_target:
                 left[FOLD_NAME] = fold
                 fold_stats = self.state_tables[f"{name}__folds"].to_pandas()
                 mf = left.merge(fold_stats, on=list(group) + [FOLD_NAME], how="left")

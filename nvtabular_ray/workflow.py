@@ -51,6 +51,12 @@ def _eval_dag(root_table: pa.Table, output_node: Node) -> pa.Table:
             parent_tables = [ev(p) for p in node.parents]
             inp = hstack(parent_tables)
             deps = [c for c in node.op.dependencies if c not in inp.column_names]
+            # optional deps (e.g. TargetEncoding's target at serving time)
+            # may be absent: the op switches behavior on column presence
+            optional = set(getattr(node.op, "optional_dependencies", []) or [])
+            deps = [
+                c for c in deps if c in root_table.column_names or c not in optional
+            ]
             if deps:
                 dep_tab = root_table.select(deps)
                 if dep_tab.num_rows != inp.num_rows:
@@ -300,10 +306,15 @@ class Workflow:
         avail = _existing_columns(ds)
         # __catcode_* / __jgb_* deps are synthetic: produced by the
         # pre_transform_stage shuffles below, never expected in the input
+        optional = set()
+        for n in self._op_nodes():
+            optional.update(getattr(n.op, "optional_dependencies", []) or [])
         missing = [
             c
             for c in root_cols
-            if c not in avail and not c.startswith(("__catcode_", "__jgb_", "__te_"))
+            if c not in avail
+            and c not in optional
+            and not c.startswith(("__catcode_", "__jgb_", "__te_"))
         ]
         if missing:
             raise ValueError(f"input dataset missing columns {missing}")
@@ -452,6 +463,82 @@ class Workflow:
         if len(matches) > 1:
             raise KeyError(f"subgraph name {name!r} is ambiguous ({len(matches)} nodes)")
         return Workflow(matches[0])
+
+    def remove_inputs(self, input_cols) -> "Workflow":
+        """New Workflow with the given ROOT input columns removed (reference
+        workflow.py:172-193) — the serving story: strip the training-only
+        columns (e.g. the label) and transform inference traffic. Root
+        selections lose the columns; branches that become empty are pruned;
+        fitted op state is SHARED with this workflow (ops whose removed
+        column was a declared-optional dependency, like TargetEncoding's
+        target, switch to their serving behavior)."""
+        drop = {input_cols} if isinstance(input_cols, str) else set(input_cols)
+        memo: dict[int, Optional[Node]] = {}
+
+        def clone(node: Node) -> Optional[Node]:
+            if id(node) in memo:
+                return memo[id(node)]
+            parents = [p2 for p in node.parents if (p2 := clone(p)) is not None]
+            new: Optional[Node]
+            if node.kind == "selection" and not node.parents:
+                keep = [
+                    g
+                    for g in node.selector.grouped_names
+                    if not (set([g] if isinstance(g, str) else list(g)) & drop)
+                ]
+                new = Node(selector=ColumnSelector(keep), kind="selection") if keep else None
+            elif node.kind == "selection":
+                new = (
+                    Node(selector=node.selector, parents=parents, kind="selection")
+                    if parents
+                    else None
+                )
+            elif node.kind == "addition":
+                if not parents:
+                    new = None
+                elif len(parents) == 1:
+                    new = parents[0]
+                else:
+                    new = Node(parents=parents, kind="addition")
+            else:  # op — share the fitted instance
+                new = Node(op=node.op, parents=parents, kind="op") if parents else None
+            if new is not None and new is not node:
+                new.name = node.name
+            memo[id(node)] = new
+            return new
+
+        root = clone(self.output_node)
+        if root is None:
+            raise ValueError(f"removing {sorted(drop)} leaves an empty workflow")
+        return Workflow(root, artifact_path=self.artifact_path)
+
+    # ------------------------------------------------ schema properties --
+    def fit_schema(self, input_schema: dict) -> "Workflow":
+        """Metadata-only schema pass (reference workflow.py:125-139): record
+        the input schema and propagate dtypes to every node; no data read.
+        ``input_schema``: {column: pa.DataType}."""
+        self._input_schema = dict(input_schema)
+        self._fitted_output_schema = self.output_schema(self._input_schema)
+        return self
+
+    @property
+    def input_schema(self) -> dict:
+        """{column: pa.DataType} of the root columns this DAG consumes
+        (available after fit_schema; reference workflow.py:150-152)."""
+        if getattr(self, "_input_schema", None) is None:
+            raise RuntimeError("call fit_schema(input_schema) or fit() first")
+        need = set(self.output_node.root_columns())
+        return {c: t for c, t in self._input_schema.items() if c in need}
+
+    @property
+    def input_dtypes(self) -> dict:
+        return self.input_schema
+
+    @property
+    def output_dtypes(self) -> dict:
+        if getattr(self, "_fitted_output_schema", None) is None:
+            raise RuntimeError("call fit_schema(input_schema) or fit() first")
+        return dict(self._fitted_output_schema)
 
     def output_columns(self) -> list[str]:
         return self.output_node.output_columns

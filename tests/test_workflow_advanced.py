@@ -106,3 +106,76 @@ def test_hot_key_skew():
         oracle.to_numpy(dtype="float64", na_value=np.nan),
         rtol=1e-4, equal_nan=True,
     )
+
+
+def test_remove_inputs_and_te_serving(mixed_df=None):
+    """remove_inputs strips the label; TargetEncoding then encodes with
+    GLOBAL per-category stats (reference serving semantics,
+    target_encoding.py:359-368)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nvtabular_ray import Workflow, ops
+
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(600, dtype="int64"),
+            "cat": rng.choice(["a", "b", "c"], size=600),
+            "y": rng.rand(600),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3)
+    te = ops.TargetEncoding("y", kfold=3, fold_on=["rid"], p_smooth=10)
+    wf = Workflow((["cat"] >> te) + ["rid"])
+    wf.fit(ds)
+
+    serving = wf.remove_inputs(["y"])
+    infer_df = df.drop(columns=["y"])
+    ids = rd.from_arrow(pa.Table.from_pandas(infer_df, preserve_index=False)).repartition(2)
+    out = serving.transform(ids).to_pandas().sort_values("rid").reset_index(drop=True)
+
+    gmean = df["y"].mean()
+    stats = df.groupby("cat")["y"].agg(["count", "sum"])
+    exp = df["cat"].map(
+        (stats["sum"] + 10 * gmean) / (stats["count"] + 10)
+    ).to_numpy(dtype="float32")
+    np.testing.assert_allclose(out["TE_cat_y"].to_numpy(), exp, rtol=1e-5)
+
+    # training path (target present) still out-of-fold: differs from global
+    train_out = wf.transform(ds).to_pandas().sort_values("rid").reset_index(drop=True)
+    assert not np.allclose(train_out["TE_cat_y"].to_numpy(), exp, rtol=1e-6)
+
+
+def test_remove_inputs_prunes_branches():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nvtabular_ray import Workflow, ops
+
+    df = pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0], "id": [0, 1]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    wf = Workflow((["a"] >> ops.LogOp()) + (["b"] >> ops.LogOp()) + ["id"])
+    wf.fit(ds)
+    pruned = wf.remove_inputs(["b"])
+    out = pruned.transform(ds).to_pandas()
+    assert sorted(out.columns) == ["a", "id"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        wf.remove_inputs(["a", "b", "id"])
+
+
+def test_fit_schema_properties():
+    import pyarrow as pa
+
+    from nvtabular_ray import Workflow, ops
+
+    wf = Workflow((["x"] >> ops.LogOp()) + ["id"])
+    wf.fit_schema({"x": pa.float64(), "id": pa.int64(), "unused": pa.string()})
+    assert wf.input_schema == {"x": pa.float64(), "id": pa.int64()}
+    assert wf.output_dtypes["x"] == pa.float32()
