@@ -196,6 +196,37 @@ def _q_join_external(sf_dir: str):
     return out.select_columns(["c_custkey", "c_acctbal", "n_name"])
 
 
+def _q_corpus_pipeline(sf_dir: str):
+    """End-to-end corpus pipeline: clean -> quality-score (on the cleaned
+    text) -> filter low quality -> MinHash near-dup clustering -> mark
+    representatives. One streaming DAG; the only shuffles are the MinHash
+    label exchanges."""
+    from nvtabular_ray.functions.dedup import minhash_lsh_dedup
+    from nvtabular_ray.functions.text import text_clean, text_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = text_clean(ds)
+    ds = text_stats(ds, text_col="clean_text")
+
+    def keep(t: pa.Table) -> pa.Table:
+        # Gopher-style minimum-length gate; INTEGER comparison so the SQL
+        # oracle's row set is exactly reproducible (float thresholds sit
+        # 1 ulp from the data at sf0.1)
+        return t.filter(pc.greater_equal(t.column("n_words"), 40)).select(
+            ["doc_id", "clean_text"]
+        )
+
+    kept = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    clusters = minhash_lsh_dedup(kept, text_col="clean_text")
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_representative", pc.equal(t.column("cluster_id"), t.column("doc_id"))
+        )
+
+    return clusters.map_batches(flag, batch_format="pyarrow")
+
+
 def _q_pack_sequences(sf_dir: str):
     """Token-budget sequence packing over documents (FFD per block).
     No SQL oracle: bin packing is not SQL-expressible; invariants
@@ -836,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_external": _q_join_external,
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
+        "corpus_pipeline": _q_corpus_pipeline,
         "corpus_mix": _q_corpus_mix,
         "hash_sample": _q_hash_sample,
         "hash_split": _q_hash_split,
@@ -890,7 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _minhash_oracle_sql(num_perm: int = 16, bands: int = 4, shingle_k: int = 5) -> str:
+def _minhash_oracle_sql(num_perm: int = 16, bands: int = 4, shingle_k: int = 5, source: str = "documents") -> str:
     """SQL replica of minhash_lsh_dedup's PUBLIC spec: md5_60 shingle hash,
     (a_j*h+b_j) mod 2^64 permutations (constants shared with the engine via
     minhash_perm_constants), per-band tuple buckets, 2 rounds of min-label."""
@@ -912,7 +944,7 @@ def _minhash_oracle_sql(num_perm: int = 16, bands: int = 4, shingle_k: int = 5) 
             SELECT doc_id, unnest(CASE WHEN length(text) < {shingle_k} THEN [text]
                 ELSE list_transform(generate_series(1, length(text)-{shingle_k - 1}),
                                     i -> substr(text, i, {shingle_k})) END) AS g
-            FROM documents
+            FROM {source}
         ),
         hh AS (SELECT doc_id, (('0x' || substr(md5(g), 1, 15))::BIGINT)::HUGEINT AS h FROM sh),
         sig AS (SELECT doc_id, {sig_exprs} FROM hh GROUP BY doc_id),
@@ -923,6 +955,37 @@ def _minhash_oracle_sql(num_perm: int = 16, bands: int = 4, shingle_k: int = 5) 
         )
         SELECT a.doc_id, b.lbl AS cluster_id FROM l1 a JOIN l1 b ON b.doc_id = a.lbl
     """
+
+
+
+def _corpus_pipeline_oracle_sql() -> str:
+    clean_expr = ("lower(trim(regexp_replace(regexp_replace(text, "
+                  "'[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')))")
+    prefix = f"""
+        WITH cleaned AS (
+            SELECT doc_id, {clean_expr} AS text FROM documents
+        ),
+        qc AS (
+            SELECT doc_id, text,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                       AS n_words
+            FROM cleaned
+        ),
+        kept AS (
+            SELECT doc_id, text FROM qc WHERE n_words >= 40
+        )"""
+    mh = _minhash_oracle_sql(source="kept")
+    # splice: the minhash SQL starts with "WITH sh AS (... FROM kept)"; turn
+    # its WITH into a continuation of ours
+    mh_body = mh.strip()
+    assert mh_body.startswith("WITH ")
+    return (
+        prefix + ",\n        " + mh_body[len("WITH "):].replace(
+            "SELECT a.doc_id, b.lbl AS cluster_id FROM l1 a JOIN l1 b ON b.doc_id = a.lbl",
+            "SELECT a.doc_id, b.lbl AS cluster_id, b.lbl = a.doc_id AS is_representative "
+            "FROM l1 a JOIN l1 b ON b.doc_id = a.lbl",
+        )
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1017,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "minhash_dedup": _minhash_oracle_sql(),
+        "corpus_pipeline": _corpus_pipeline_oracle_sql(),
         "categorify_tokens": """
             WITH toks AS (
                 SELECT doc_id,
