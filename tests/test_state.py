@@ -106,3 +106,28 @@ def test_resume_invalidates_on_config_change(tmp_path):
     ).fit(ds)
     m2 = wf2.transform_resumable(ds, out_dir, ["conv_id"], num_buckets=4)
     assert m2["op_chain_hash"] != m1["op_chain_hash"]  # fresh run, not resumed
+
+
+def test_save_load_text_ops(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nvtabular_ray import Workflow, ops
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["  A  B ", "x y x y x y"]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    wf = Workflow(
+        (["text"] >> ops.TextClean() >> ops.TokenCount())
+        + (["text"] >> ops.RepetitionRatio(ngram=2))
+        + ["doc_id"]
+    )
+    wf.fit(ds)
+    p = str(tmp_path / "wf")
+    wf.save(p)
+    from nvtabular_ray.state.artifacts import load_workflow
+
+    wf2 = load_workflow(p)
+    a = wf.transform(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = wf2.transform(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
