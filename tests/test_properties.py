@@ -298,3 +298,63 @@ def test_backfill_matches_pandas_ffill(seed):
     np.testing.assert_allclose(
         out["v_filled"].to_numpy(), oracle.to_numpy(), rtol=1e-9, equal_nan=True
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=300),
+        min_size=1,
+        max_size=12,
+    ),
+    size=st.integers(min_value=5, max_value=64),
+    overlap=st.integers(min_value=0, max_value=4),
+)
+def test_chunk_documents_property(texts, size, overlap):
+    """chunk_documents == per-doc Python slicing spec for arbitrary ASCII
+    text and (size, overlap)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from nvtabular_ray.functions.text import chunk_documents
+
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(2)
+    out = (
+        chunk_documents(ds, chunk_size=size, overlap=overlap)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    stride = size - overlap
+    for d, s in enumerate(texts):
+        m = 1 if len(s) <= size else -(-(len(s) - size) // stride) + 1
+        exp = [s[c * stride : c * stride + size] for c in range(m)]
+        assert out[out.doc_id == d]["chunk_text"].tolist() == exp
+
+
+@settings(**_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=400),
+    cap=st.integers(min_value=1, max_value=2048),
+)
+def test_pack_bins_property(sizes, cap):
+    """FFD invariants for arbitrary sizes incl. zero and oversize items:
+    within-capacity bins (except oversize singletons), all items assigned,
+    deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from nvtabular_ray.functions.packing import pack_bins_ffd
+
+    arr = np.array(sizes, dtype=np.int64)
+    bins = pack_bins_ffd(arr, cap)
+    assert len(bins) == len(arr) and (bins >= 0).all()
+    sums = pd.Series(arr).groupby(bins).sum()
+    maxes = pd.Series(arr).groupby(bins).max()
+    for b in sums.index:
+        # a bin exceeds capacity ONLY because of a single oversize item
+        # (zero-size items may legally ride along in any bin)
+        assert sums[b] <= cap or maxes[b] > cap
+        if maxes[b] > cap:
+            assert sums[b] == maxes[b]  # nothing non-zero shares an oversize bin
+    assert np.array_equal(bins, pack_bins_ffd(arr, cap))
