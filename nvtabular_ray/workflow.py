@@ -284,7 +284,18 @@ class Workflow:
 
     # ------------------------------------------------------- transform -- #
     def transform(self, ds, num_buckets: Optional[int] = None, concurrency=None):
-        """Compile + launch the (lazy) transform pipeline; returns a Dataset."""
+        """Compile + launch the (lazy) transform pipeline; returns a Dataset.
+
+        Dispatches on input type (reference workflow.py:77-122): a pandas
+        DataFrame or pa.Table runs in-process via ``transform_batch`` and
+        returns the same type; a Ray Dataset runs the distributed pipeline.
+        """
+        import pandas as _pd
+
+        if isinstance(ds, _pd.DataFrame):
+            return self.transform_batch(ds).to_pandas()
+        if isinstance(ds, pa.Table):
+            return self.transform_batch(ds)
         for n in self._op_nodes():
             op = n.op
             if isinstance(op, StatOperator) and not op.fitted:

@@ -159,3 +159,27 @@ def test_dtype_override(mixed_ds):
     out = wf.fit(mixed_ds).transform(mixed_ds)
     schema = out.schema()
     assert dict(zip(schema.names, schema.types))["name_cat"] == pa.int32()
+
+
+def test_joint_scalar_and_list_column():
+    """Shared vocab spans a scalar col and a multi-hot list col (reference
+    tests/unit/ops/test_categorify.py test_categorify_joint_list)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nvtabular_ray import Workflow, ops
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "y", "x", "z"]),
+            "b": pa.array([["x", "w"], ["y"], [], ["w", "w", "z"]], pa.list_(pa.string())),
+            "id": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    wf = Workflow(([["a", "b"]] >> ops.Categorify(encode_type="joint")) + ["id"])
+    out = wf.fit(ds).transform(ds).to_pandas().sort_values("id").reset_index(drop=True)
+    # counts: w=2 x=2 (tie -> value asc), y=1 z=1 -> codes w=3 x=4 y=5 z=6
+    assert list(out["a"]) == [4, 5, 4, 6]
+    assert [list(v) for v in out["b"]] == [[4, 3], [5], [], [3, 3, 6]]

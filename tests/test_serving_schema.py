@@ -118,3 +118,24 @@ def test_list_column_schema(df):
     ds = _ds(emb, 1)
     out = wf.fit(ds).transform(ds)
     assert out.count() == 4  # validation passes on the real run
+
+
+def test_transform_dispatches_on_dataframe():
+    """workflow.transform(df) == in-process path, same values as Dataset path
+    (reference workflow.py:77-122 singledispatch)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nvtabular_ray import Workflow, ops
+
+    df = pd.DataFrame({"x": [1.0, 2.0, 3.0], "c": ["a", "b", "a"], "id": [0, 1, 2]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    wf = Workflow((["c"] >> ops.Categorify()) + (["x"] >> ops.LogOp()) + ["id"])
+    wf.fit(ds)
+    via_df = wf.transform(df).sort_values("id").reset_index(drop=True)
+    via_ds = wf.transform(ds).to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(via_df[sorted(via_df.columns)], via_ds[sorted(via_ds.columns)])
+    via_tab = wf.transform(pa.Table.from_pandas(df, preserve_index=False))
+    assert isinstance(via_tab, pa.Table)
