@@ -21,8 +21,13 @@ from nvtabular_ray.ops.base import StatOperator
 
 
 class DataStats(StatOperator):
-    def __init__(self):
+    def __init__(self, approx_distinct: bool = False):
         super().__init__()
+        # approx_distinct=True swaps exact hash-distinct for a HyperLogLog
+        # sketch (functions/hll.py): reduced state drops from O(distinct)
+        # to 2^14 registers per column — the right mode when an id-like
+        # column has 10^9 cardinality on a 100-TB run (~0.8% std error)
+        self.approx_distinct = approx_distinct
         self.output: dict[str, dict] = {}
 
     def fit(self, col_selector, ds) -> None:
@@ -59,11 +64,54 @@ class DataStats(StatOperator):
                 }
             )
 
-        parts = ds.map_batches(distinct_partial, batch_format="pyarrow", zero_copy_batch=True)
-        merged = grouped_reduce(parts, ["col", "h"], {"nulls": "sum", "rows": "sum"})
-        per_col = merged.groupby("col").agg(
-            cardinality=("h", "nunique"), nulls=("nulls", "sum"), rows=("rows", "sum")
-        )
+        def hll_partial_tbl(t: pa.Table) -> pa.Table:
+            from nvtabular_ray.functions.hll import hll_partial
+
+            names, idxs, rhos, nulls, counts = [], [], [], [], []
+            for c in cols:
+                arr = as_single_chunk(t.column(c))
+                if is_list_type(arr.type):
+                    arr = arr.flatten()
+                nn = arr.null_count
+                idx, rho = hll_partial(hash64(arr.drop_null()))
+                k = len(idx)
+                names.append(pa.array([c] * k, pa.string()))
+                idxs.append(pa.array(idx))
+                rhos.append(pa.array(rho))
+                nulls.append(pa.array(([nn] + [0] * (k - 1)) if k else [], pa.int64()))
+                counts.append(pa.array(([len(arr)] + [0] * (k - 1)) if k else [], pa.int64()))
+            return pa.table(
+                {
+                    "col": pa.concat_arrays(names),
+                    "h": pa.concat_arrays(idxs),
+                    "rho": pa.concat_arrays(rhos),
+                    "nulls": pa.concat_arrays(nulls),
+                    "rows": pa.concat_arrays(counts),
+                }
+            )
+
+        if self.approx_distinct:
+            from nvtabular_ray.functions.hll import hll_estimate
+
+            parts = ds.map_batches(hll_partial_tbl, batch_format="pyarrow", zero_copy_batch=True)
+            merged = grouped_reduce(
+                parts, ["col", "h"], {"rho": "max", "nulls": "sum", "rows": "sum"}
+            )
+            rows = {
+                c: {
+                    "cardinality": int(round(hll_estimate(g["h"].to_numpy(), g["rho"].to_numpy()))),
+                    "nulls": int(g["nulls"].sum()),
+                    "rows": int(g["rows"].sum()),
+                }
+                for c, g in merged.groupby("col")
+            }
+            per_col = pd.DataFrame.from_dict(rows, orient="index")
+        else:
+            parts = ds.map_batches(distinct_partial, batch_format="pyarrow", zero_copy_batch=True)
+            merged = grouped_reduce(parts, ["col", "h"], {"nulls": "sum", "rows": "sum"})
+            per_col = merged.groupby("col").agg(
+                cardinality=("h", "nunique"), nulls=("nulls", "sum"), rows=("rows", "sum")
+            )
 
         moments = column_moments(ds, num_cols) if num_cols else {}
 

@@ -246,3 +246,25 @@ def test_column_similarity_tfidf():
     w = counts * idf
     w = w / np.linalg.norm(w, axis=1, keepdims=True)
     np.testing.assert_allclose(out["a_b_sim"], [w[0] @ w[1], w[0] @ w[2]], rtol=1e-9)
+
+
+def test_datastats_hll_approx_distinct():
+    """HLL mode: cardinality within ~3% of exact; driver state bounded."""
+    rng = np.random.RandomState(2)
+    n_true = 40_000
+    df = pd.DataFrame(
+        {
+            "uid": rng.permutation(np.repeat(np.arange(n_true, dtype="int64"), 3)),
+            "low": rng.randint(0, 50, size=3 * n_true),
+        }
+    )
+    ds = _ds(df, 6)
+    from nvtabular_ray import Workflow, ops as _ops
+
+    wf = Workflow(["uid", "low"] >> _ops.DataStats(approx_distinct=True))
+    wf.fit(ds)
+    st = wf.output_node.op.output
+    assert abs(st["uid"]["cardinality"] - n_true) / n_true < 0.03
+    # low-cardinality columns hit HLL's exact linear-counting range
+    assert abs(st["low"]["cardinality"] - 50) <= 1
+    assert st["uid"]["per_nan"] == 0.0
