@@ -372,10 +372,16 @@ def chunk_documents(
                 - np.repeat(out_off[:-1], c_len)
                 + np.repeat(c_start, c_len)
             )
-            chunks = pa.StringArray.from_buffers(
+            # large_string (int64 offsets): overlap expansion can push one
+            # batch's chunk bytes past the 2 GiB int32-offset ceiling
+            chunks = pa.Array.from_buffers(
+                pa.large_string(),
                 total,
-                pa.py_buffer(out_off.astype(np.int32).tobytes()),
-                pa.py_buffer(flat[gather].tobytes()),
+                [
+                    None,
+                    pa.py_buffer(out_off.tobytes()),
+                    pa.py_buffer(flat[gather].tobytes()),
+                ],
             )
         else:  # unicode: char-based slicing per doc (exact same spec)
             texts = col.to_pylist()
@@ -389,7 +395,7 @@ def chunk_documents(
             nc = np.bincount(doc_of, minlength=n).astype(np.int64)
             cum = np.concatenate([[0], np.cumsum(nc)])
             chunk_idx = np.arange(len(rows), dtype=np.int64) - np.repeat(cum[:-1], nc)
-            chunks = pa.array(rows, pa.string())
+            chunks = pa.array(rows, pa.large_string())
         return pa.table(
             {
                 id_col: ids.take(pa.array(doc_of)),
