@@ -144,14 +144,23 @@ def minhash_lsh_dedup(
     buckets = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     # exchange 1: co-locate each (band, band_hash) group; label each row with
-    # the group's min doc id (vectorized arrow group_by + merge per bucket)
+    # the group's min doc id (pure numpy change-point kernel: one lexsort,
+    # group min = first id of each run — no pandas copy, dtypes preserved)
     def bucket_min(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        lab = df.groupby(["band", "band_hash"], observed=True, sort=False)[id_col].transform(
-            "min"
-        )
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({id_col: t.column(id_col), "label": t.column(id_col)})
+        order = np.lexsort((ids, bh, band))
+        band_s, bh_s, ids_s = band[order], bh[order], ids[order]
+        change = np.r_[True, (band_s[1:] != band_s[:-1]) | (bh_s[1:] != bh_s[:-1])]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.r_[starts, len(ids_s)])
+        labels = np.repeat(ids_s[starts], sizes)  # ids asc within group -> first = min
+        id_type = t.column(id_col).type
         return pa.table(
-            {id_col: pa.Array.from_pandas(df[id_col]), "label": pa.Array.from_pandas(lab)}
+            {id_col: pa.array(ids_s, id_type), "label": pa.array(labels, id_type)}
         )
 
     per_row = bucketed_group_map(
@@ -204,13 +213,27 @@ def _label_lookup_join(result, id_col: str, num_buckets=None):
     )
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        ref = df[df["__side__"] == 1][["__key__", "__lbl__"]]
-        data = df[df["__side__"] == 0][["__key__", id_col]]
-        m = data.merge(ref, on="__key__", how="left")
-        lbl = m["__lbl__"].fillna(m["__key__"]).astype("int64")
+        # arrow-native hash-join replacement: the old pandas merge promoted
+        # int64 ids to float64 through the null-padded union (a silent dtype
+        # drift the driver's value-hash caught) — searchsorted lookup keeps
+        # every dtype exact and skips two full-table copies
+        import pyarrow.compute as pc
+
+        is_ref = pc.equal(t.column("__side__"), 1)
+        ref = t.filter(is_ref)
+        data = t.filter(pc.invert(is_ref))
+        rkeys = ref.column("__key__").to_numpy(zero_copy_only=False)
+        rlbls = ref.column("__lbl__").to_numpy(zero_copy_only=False)
+        dkeys = data.column("__key__").to_numpy(zero_copy_only=False)
+        if len(rkeys):
+            order = np.argsort(rkeys, kind="mergesort")  # doc ids are unique
+            rk, rl = rkeys[order], rlbls[order]
+            pos = np.minimum(np.searchsorted(rk, dkeys), len(rk) - 1)
+            lbl = np.where(rk[pos] == dkeys, rl[pos], dkeys)
+        else:
+            lbl = dkeys
         return pa.table(
-            {id_col: pa.Array.from_pandas(m[id_col]), "cluster_id": pa.Array.from_pandas(lbl)}
+            {id_col: data.column(id_col), "cluster_id": pa.array(lbl, pa.int64())}
         )
 
     return bucketed_group_map(both, ["__key__"], [], per_bucket, num_buckets=num_buckets)

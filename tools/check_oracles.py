@@ -45,6 +45,15 @@ def compare(name: str, ours: pd.DataFrame, oracle: pd.DataFrame) -> str:
     a, b = canon(ours), canon(oracle)
     for c in a.columns:
         x, y = a[c], b[c]
+        # dtype-KIND strict: the driver's value-hash distinguishes int64 from
+        # float64 (331 vs 331.0) even when np.allclose passes — an int column
+        # on one side and float on the other is a driver hash_match failure
+        xi = np.issubdtype(x.dtype, np.integer)
+        yi = np.issubdtype(y.dtype, np.integer)
+        xf = np.issubdtype(x.dtype, np.floating)
+        yf = np.issubdtype(y.dtype, np.floating)
+        if (xi and yf) or (xf and yi):
+            return f"DTYPE col={c} ours={x.dtype} oracle={y.dtype} (int/float kind mismatch)"
         if np.issubdtype(x.dtype, np.floating) or np.issubdtype(y.dtype, np.floating):
             xa = x.to_numpy(dtype="float64", na_value=np.nan)
             ya = y.to_numpy(dtype="float64", na_value=np.nan)
