@@ -63,6 +63,29 @@ def hash64(values) -> np.ndarray:
     return pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY).to_numpy()
 
 
+def hash64_stable(values) -> np.ndarray:
+    """Version-stable uint64 hash for anything that feeds PERSISTED or
+    SERVING state (Categorify OOV bucket codes, TargetEncoding fold
+    assignment): pandas' SipHash-1-3 with a fixed key — a published, frozen
+    spec, independent of whether/which polars is installed. ``hash64`` above
+    (polars xxhash) is faster but polars does not guarantee cross-version
+    stability, so a saved workflow served in another environment would
+    silently re-bucket. Use ``hash64`` ONLY for within-run shuffle/exchange
+    keys, where just equality-within-the-run matters."""
+    s = _to_series(values)
+    return pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY).to_numpy()
+
+
+def hash64_columns_stable(table, columns: list[str]) -> np.ndarray:
+    """Row-wise version-stable uint64 hash over several columns (see
+    ``hash64_stable``); pandas' multi-column SipHash mix, order-sensitive."""
+    if isinstance(table, pa.Table):
+        df = table.select(columns).to_pandas()
+    else:
+        df = table[columns]
+    return pd.util.hash_pandas_object(df, index=False, hash_key=_HASH_KEY).to_numpy()
+
+
 def md5_60(values) -> np.ndarray:
     """PUBLIC 60-bit hash spec, exactly replicable in SQL engines:
 

@@ -39,9 +39,14 @@ def hll_partial(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def hll_estimate(reg_idx: np.ndarray, reg_rho: np.ndarray) -> float:
-    """Cardinality estimate from merged nonzero registers (idx unique)."""
+    """Cardinality estimate from merged nonzero registers (idx unique).
+    Register index -1 is the all-null-batch sentinel (carries null/row
+    counts through the reduction) — not a register; drop it here."""
+    reg_idx = np.asarray(reg_idx, dtype=np.int64)
+    reg_rho = np.asarray(reg_rho, dtype=np.float64)
+    real = reg_idx >= 0
     reg = np.zeros(M, dtype=np.float64)
-    reg[np.asarray(reg_idx, dtype=np.int64)] = np.asarray(reg_rho, dtype=np.float64)
+    reg[reg_idx[real]] = reg_rho[real]
     alpha = 0.7213 / (1 + 1.079 / M)
     e = alpha * M * M / np.sum(np.power(2.0, -reg))
     zeros = M - np.count_nonzero(reg)

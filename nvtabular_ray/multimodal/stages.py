@@ -16,6 +16,32 @@ import numpy as np
 import pyarrow as pa
 
 
+def _flat_binary(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(per-row int64 offsets rebased to 0, flat uint8 payload view) for a
+    binary OR large_binary array — zero-copy and slice-offset-aware. The
+    offsets buffer dtype follows the TYPE (large_binary = int64, binary =
+    int32): reading int32 unconditionally would silently misparse a
+    large_binary column into garbage. Only nullable arrays fall back to a
+    concatenation (nulls read as b"")."""
+    n = len(arr)
+    if arr.null_count == 0 and len(arr.buffers()) == 3:
+        off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+        return off - off[0], flat
+    payloads = arr.to_pylist()
+    lens = np.array([len(p or b"") for p in payloads], dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    flat = (
+        np.frombuffer(b"".join(p or b"" for p in payloads), dtype=np.uint8)
+        if off[-1]
+        else np.empty(0, np.uint8)
+    )
+    return off, flat
+
+
 def attach_binary_column(ds, name: str, payload_fn=None, mime: str = "application/octet-stream"):
     """Attach a binary modality column (+metadata) to a Dataset. With no
     payload_fn a small deterministic fake payload is generated per row —
@@ -64,19 +90,8 @@ class DecodeImageStage:
         arr = t.column(self.column).combine_chunks()
         n, D = len(arr), self.out_dim
         # zero-copy: all payload bytes as ONE uint8 view + per-row offsets
-        # (binary array layout: validity / int32 offsets / data)
-        if arr.offset == 0 and arr.null_count == 0 and len(arr.buffers()) == 3:
-            offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: n + 1].astype(np.int64)
-            flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[: offsets[-1]]
-        else:  # sliced/nullable chunk: concatenate (still batch-vectorized below)
-            payloads = arr.to_pylist()
-            lens = np.array([len(p or b"") for p in payloads], dtype=np.int64)
-            offsets = np.concatenate([[0], np.cumsum(lens)])
-            flat = (
-                np.frombuffer(b"".join(p or b"" for p in payloads), dtype=np.uint8)
-                if offsets[-1]
-                else np.empty(0, np.uint8)
-            )
+        # (dtype-aware for binary vs large_binary, slice-offset-aware)
+        offsets, flat = _flat_binary(arr)
         lens = np.diff(offsets)
         row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
         # one bincount for the whole batch: histogram of byte%D per row
@@ -109,20 +124,9 @@ class FrameSampleStage:
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         n = len(arr)
-        # flat payload bytes + per-row offsets (binary layout: validity /
-        # int32 offsets / data); sliced or nullable chunks rebuild the pair
-        if arr.offset == 0 and arr.null_count == 0 and len(arr.buffers()) == 3:
-            off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: n + 1].astype(np.int64)
-            flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[: off[-1]]
-        else:
-            payloads = arr.to_pylist()
-            lens0 = np.array([len(p or b"") for p in payloads], dtype=np.int64)
-            off = np.concatenate([[0], np.cumsum(lens0)])
-            flat = (
-                np.frombuffer(b"".join(p or b"" for p in payloads), dtype=np.uint8)
-                if off[-1]
-                else np.empty(0, np.uint8)
-            )
+        # flat payload bytes + per-row offsets (dtype-aware for binary vs
+        # large_binary, slice-offset-aware)
+        off, flat = _flat_binary(arr)
         lens = np.diff(off)
         n_frames = lens // fb
         m = -(-n_frames // k)  # sampled frames per row (every k-th)

@@ -42,7 +42,12 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from nvtabular_ray.arrow_utils import as_single_chunk, is_list_type, map_list_values
-from nvtabular_ray.functions.hashing import hash64, hash64_columns
+from nvtabular_ray.functions.hashing import (
+    hash64,
+    hash64_columns,
+    hash64_columns_stable,
+    hash64_stable,
+)
 from nvtabular_ray.ops.base import StatOperator
 
 PAD_OFFSET = 0
@@ -117,7 +122,7 @@ class Categorify(StatOperator):
         # object store on a 100-TB run
         self.cat_cache = cat_cache
         self._single_offsets: dict[str, int] = {}
-        self._ss_cache: dict[int, tuple] = {}
+        self._ss_cache: dict[str, tuple] = {}
         self._disk_paths: dict[str, str] = {}
         self.freq_threshold = freq_threshold
         self.out_path = out_path
@@ -552,7 +557,8 @@ class Categorify(StatOperator):
                 if num_oov == 1:
                     codes[oov] = OOV_OFFSET
                 else:
-                    hh = hash64(values)[oov]
+                    # persisted codes: version-stable hash (see hashing.py)
+                    hh = hash64_stable(values)[oov]
                     codes[oov] = (hh % np.uint64(num_oov)).astype(np.int64) + OOV_OFFSET
             codes[nulls] = NULL_OFFSET
             out = dtab.drop_columns(["__vbkt__", "__vcode__", "__vside__"])
@@ -662,6 +668,9 @@ class Categorify(StatOperator):
                 self.vocab_tables[name] = None
 
     def resolve_broadcast(self):
+        # vocab tables may be (re)loaded here — drop any sorted-vocab cache
+        # built against the previous table objects
+        self._ss_cache = {}
         for name, path in self._disk_paths.items():
             if self.vocab_tables.get(name) is None:
                 self.vocab_tables[name] = _disk_cache_read(path)
@@ -699,7 +708,7 @@ class Categorify(StatOperator):
                 value_col = cols[0] if len(cols) == 1 else name
                 vocab_values = as_single_chunk(vocab.column(vocab.column_names[0]))
                 for c in cols:
-                    out[c] = self._encode_column(table.column(c), vocab_values)
+                    out[c] = self._encode_column(table.column(c), vocab_values, cache_key=name)
         # preserve selector order for 1-to-1 outputs
         ordered = {}
         for name, cols in self._groups(col_selector):
@@ -731,12 +740,14 @@ class Categorify(StatOperator):
             ordered = {k: pc.cast(v, target) for k, v in ordered.items()}
         return pa.table(ordered)
 
-    def _encode_values(self, values: pa.Array, vocab_values: pa.Array) -> np.ndarray:
+    def _encode_values(
+        self, values: pa.Array, vocab_values: pa.Array, cache_key: str = ""
+    ) -> np.ndarray:
         """Vectorized code assignment for a flat value array."""
         if len(vocab_values) and values.type != vocab_values.type:
             values = values.cast(vocab_values.type)
         if self.search_sorted and len(vocab_values):
-            return self._encode_search_sorted(values, vocab_values)
+            return self._encode_search_sorted(values, vocab_values, cache_key)
         idx = pc.index_in(values, value_set=vocab_values)
         idx_np = idx.to_numpy(zero_copy_only=False).astype("float64")
         null_mask = pc.is_null(values).to_numpy(zero_copy_only=False)
@@ -748,24 +759,31 @@ class Categorify(StatOperator):
             if self.num_oov == 1:
                 codes[oov_mask] = OOV_OFFSET
             else:
-                h = hash64(values)[oov_mask]
+                # persisted codes: version-stable hash (see hashing.py)
+                h = hash64_stable(values)[oov_mask]
                 codes[oov_mask] = (h % np.uint64(self.num_oov)).astype(np.int64) + OOV_OFFSET
         codes[null_mask] = NULL_OFFSET
         return codes
 
-    def _encode_search_sorted(self, values: pa.Array, vocab_values: pa.Array) -> np.ndarray:
+    def _encode_search_sorted(
+        self, values: pa.Array, vocab_values: pa.Array, cache_key: str
+    ) -> np.ndarray:
         """Binary-search encode (reference search_sorted, categorify.py:180):
         vocab is sorted ONCE per worker (cached), each batch is one
         np.searchsorted — faster than hash lookup for sorted int vocabs.
         Codes are identical to the index_in path (guarded in __init__ against
-        freq_threshold/num_buckets, so OOV is the single index 2)."""
-        key = id(vocab_values)
-        cached = self._ss_cache.get(key)
+        freq_threshold/num_buckets, so OOV is the single index 2).
+
+        The cache is keyed by the GROUP NAME (stable across batches) — an
+        id()-based key can alias a freed wrapper from another column and
+        silently encode against the wrong sorted vocab, and never hits across
+        batches because transform rebuilds the Array wrapper per batch."""
+        cached = self._ss_cache.get(cache_key)
         if cached is None:
             v_np = vocab_values.to_numpy(zero_copy_only=False)
             order = np.argsort(v_np, kind="mergesort")
             cached = (v_np[order], order.astype(np.int64))
-            self._ss_cache[key] = cached
+            self._ss_cache[cache_key] = cached
         sv, order = cached
         null_mask = pc.is_null(values).to_numpy(zero_copy_only=False)
         filled = values.fill_null(vocab_values[0].as_py()) if null_mask.any() else values
@@ -778,13 +796,14 @@ class Categorify(StatOperator):
         codes[null_mask] = NULL_OFFSET
         return codes
 
-    def _encode_column(self, arr, vocab_values: pa.Array):
+    def _encode_column(self, arr, vocab_values: pa.Array, cache_key: str = ""):
         arr = as_single_chunk(arr)
         if is_list_type(arr.type):
             return map_list_values(
-                arr, lambda v: pa.array(self._encode_values(v, vocab_values), pa.int64())
+                arr,
+                lambda v: pa.array(self._encode_values(v, vocab_values, cache_key), pa.int64()),
             )
-        return pa.array(self._encode_values(arr, vocab_values), pa.int64())
+        return pa.array(self._encode_values(arr, vocab_values, cache_key), pa.int64())
 
     def _encode_combo(self, name: str, cols: list[str], table: pa.Table) -> pa.Array:
         vocab = self.vocab_tables[name]
@@ -799,7 +818,8 @@ class Categorify(StatOperator):
         null_mask = left[cols].isna().any(axis=1).to_numpy()
         oov_mask = (~found) & (~null_mask)
         if oov_mask.any():
-            h = hash64_columns(table, cols)[oov_mask]
+            # persisted codes: version-stable hash (see hashing.py)
+            h = hash64_columns_stable(table, cols)[oov_mask]
             out[oov_mask] = (h % np.uint64(self.num_oov)).astype(np.int64) + OOV_OFFSET
         out[null_mask] = NULL_OFFSET
         return pa.array(out, pa.int64())

@@ -74,6 +74,12 @@ class DataStats(StatOperator):
                     arr = arr.flatten()
                 nn = arr.null_count
                 idx, rho = hll_partial(hash64(arr.drop_null()))
+                if len(idx) == 0 and (nn or len(arr)):
+                    # all-null / empty batch: a sentinel row (register -1,
+                    # rho 0 — hll_estimate ignores it) carries the null and
+                    # row counts instead of silently dropping them
+                    idx = np.array([-1], dtype=np.int64)
+                    rho = np.array([0], dtype=np.int64)
                 k = len(idx)
                 names.append(pa.array([c] * k, pa.string()))
                 idxs.append(pa.array(idx))

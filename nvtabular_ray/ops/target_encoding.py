@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from nvtabular_ray.functions.hashing import hash64_columns
+from nvtabular_ray.functions.hashing import hash64_columns, hash64_columns_stable
 from nvtabular_ray.ops.base import BroadcastTableState, StatOperator
 
 FOLD_NAME = "__fold__"
@@ -142,7 +142,8 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         # fold_on is guaranteed set whenever kfold>1 (enforced in __init__);
         # it never includes the target, so fold ⊥ target given the row key.
         cols = self.fold_on or [c for c in input_cols if c in table.column_names and c != self.target]
-        h = hash64_columns(table, cols)
+        # folds feed persisted stats + label-free serving: version-stable hash
+        h = hash64_columns_stable(table, cols)
         # mix in the seed so different seeds give different (still stable) folds
         h = h ^ np.uint64(self.fold_seed * 0x9E3779B97F4A7C15 % (1 << 64))
         return (h % np.uint64(self.kfold)).astype(np.int64)

@@ -514,7 +514,12 @@ class Workflow:
             else:  # op — share the fitted instance
                 new = Node(op=node.op, parents=parents, kind="op") if parents else None
             if new is not None and new is not node:
-                new.name = node.name
+                # when an addition collapses to its single surviving parent,
+                # don't clobber that parent clone's own subgraph alias with
+                # this node's (usually-None) name — get_subworkflow on the
+                # pruned workflow would lose the named branch
+                if node.name is not None and new.name is None:
+                    new.name = node.name
             memo[id(node)] = new
             return new
 

@@ -70,10 +70,10 @@ def test_target_encoding_formula(session_df):
 
     # oracle: leave-one-fold-out with the same hash-derived folds
     from nvtabular_ray.ops.target_encoding import FOLD_NAME
-    from nvtabular_ray.functions.hashing import hash64_columns
+    from nvtabular_ray.functions.hashing import hash64_columns_stable
 
     df = session_df.sort_values("row_id").reset_index(drop=True)
-    h = hash64_columns(pa.Table.from_pandas(df, preserve_index=False), ["row_id"])
+    h = hash64_columns_stable(pa.Table.from_pandas(df, preserve_index=False), ["row_id"])
     h = h ^ np.uint64(42 * 0x9E3779B97F4A7C15 % (1 << 64))
     df[FOLD_NAME] = (h % np.uint64(3)).astype("int64")
     stats = df.groupby(["user", FOLD_NAME])["label"].agg(["count", "sum"]).reset_index()

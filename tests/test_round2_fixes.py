@@ -55,9 +55,9 @@ def test_te_no_target_leakage():
     corr = np.corrcoef(out["te"], out["label"])[0, 1]
     assert abs(corr) < 0.5, f"TE suspiciously target-correlated: corr={corr}"
     # and it must match the leave-one-fold-out oracle computed in pandas
-    from nvtabular_ray.functions.hashing import hash64_columns
+    from nvtabular_ray.functions.hashing import hash64_columns_stable
 
-    fold = hash64_columns(pa.Table.from_pandas(df[["rid"]]), ["rid"])
+    fold = hash64_columns_stable(pa.Table.from_pandas(df[["rid"]]), ["rid"])
     fold = (fold ^ np.uint64(42 * 0x9E3779B97F4A7C15 % (1 << 64))) % np.uint64(3)
     df2 = df.assign(fold=fold.astype("int64"))
     stats = df2.groupby(["cat", "fold"])["label"].agg(["count", "sum"]).reset_index()

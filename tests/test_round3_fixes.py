@@ -1,0 +1,127 @@
+"""Round-3 ADVICE regression pins:
+
+1. search_sorted vocab cache is keyed by the stable group name, so two
+   columns with different vocabs can never alias through id() reuse.
+2. HLL DataStats keeps null/row counts from all-null batches (sentinel row).
+3. DecodeImageStage / FrameSampleStage parse large_binary (int64 offsets)
+   correctly instead of misreading them as int32.
+4. Workflow.remove_inputs keeps a parent's subgraph alias when an addition
+   node collapses onto it.
+5. MinHash label propagation preserves the id column dtype exactly (the
+   driver's value-hash distinguishes int64 from float64).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from nvtabular_ray import Workflow, ops
+
+
+def _ds(df: pd.DataFrame, blocks: int = 2):
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def test_search_sorted_cache_keyed_by_group_name():
+    # two int columns with DISJOINT vocabs; an id()-keyed cache could serve
+    # column a's sorted vocab for column b after wrapper reuse
+    df = pd.DataFrame(
+        {
+            "a": [10, 20, 30, 10, 20] * 40,
+            "b": [7, 8, 9, 7, 9] * 40,
+            "rid": range(200),
+        }
+    )
+    wf = Workflow((["a", "b"] >> ops.Categorify(search_sorted=True)) + ["rid"])
+    out = wf.fit(_ds(df, 4)).transform(_ds(df, 4)).to_pandas().sort_values("rid")
+    ref = Workflow((["a", "b"] >> ops.Categorify()) + ["rid"])
+    exp = ref.fit(_ds(df, 4)).transform(_ds(df, 4)).to_pandas().sort_values("rid")
+    assert (out["a"].to_numpy() == exp["a"].to_numpy()).all()
+    assert (out["b"].to_numpy() == exp["b"].to_numpy()).all()
+    op = wf._op_nodes()[0].op
+    # cache keys are the group names (strings), not object ids
+    assert all(isinstance(k, str) for k in op._ss_cache)
+
+
+def test_hll_all_null_batch_keeps_null_and_row_counts():
+    # one block entirely null: its null/row counts must survive the reduce
+    df = pd.DataFrame({"v": [None] * 50 + list(range(950))})
+    ds = rd.from_pandas(df.iloc[:50]).union(rd.from_pandas(df.iloc[50:]))
+    wf = Workflow(["v"] >> ops.DataStats(approx_distinct=True))
+    wf.fit(ds)
+    st = wf._op_nodes()[0].op.output["v"]
+    assert st["per_nan"] == pytest.approx(5.0)  # 50 / 1000
+    assert abs(st["cardinality"] - 950) / 950 < 0.05
+
+
+def test_hll_estimate_ignores_sentinel_register():
+    from nvtabular_ray.functions.hashing import hash64
+    from nvtabular_ray.functions.hll import hll_estimate, hll_partial
+
+    idx, rho = hll_partial(hash64(pa.array(list(range(1000)))))
+    base = hll_estimate(idx, rho)
+    with_sentinel = hll_estimate(
+        np.concatenate([idx, [-1]]), np.concatenate([rho, [0]])
+    )
+    assert with_sentinel == base
+
+
+@pytest.mark.parametrize("bin_type", [pa.binary(), pa.large_binary()])
+def test_decode_image_stage_large_binary_offsets(bin_type):
+    from nvtabular_ray.multimodal.stages import DecodeImageStage
+
+    payloads = [bytes([i % 256]) * (8 + i) for i in range(6)]
+    t = pa.table({"image": pa.array(payloads, bin_type), "rid": list(range(6))})
+    out_small = DecodeImageStage(out_dim=4)(
+        pa.table({"image": pa.array(payloads, pa.binary()), "rid": list(range(6))})
+    )
+    out = DecodeImageStage(out_dim=4)(t)
+    a = np.asarray(out.column("image_features").to_pylist())
+    b = np.asarray(out_small.column("image_features").to_pylist())
+    np.testing.assert_allclose(a, b)
+
+
+@pytest.mark.parametrize("bin_type", [pa.binary(), pa.large_binary()])
+def test_frame_sample_stage_large_binary_offsets(bin_type):
+    from nvtabular_ray.multimodal.stages import FrameSampleStage
+
+    payloads = [bytes(range(64)), bytes(range(32)), b""]
+    t = pa.table({"video": pa.array(payloads, bin_type), "rid": [0, 1, 2]})
+    out = FrameSampleStage(frame_bytes=16, every_k=2)(t)
+    # row 0: 4 frames -> sampled 0,2 ; row 1: 2 frames -> sampled 0 ; row 2: none
+    assert out.column("rid").to_pylist() == [0, 0, 1]
+    assert out.column("frame_idx").to_pylist() == [0, 2, 0]
+    assert out.column("frame").to_pylist()[0] == bytes(range(16))
+    assert out.column("frame").to_pylist()[1] == bytes(range(32, 48))
+
+
+def test_remove_inputs_keeps_subgraph_alias():
+    named = (["x"] >> ops.FillMissing(0.0)).alias("contin")
+    other = ["y"] >> ops.FillMissing(0.0)
+    wf = Workflow(named + other + ["rid"])
+    df = pd.DataFrame({"x": [1.0, None], "y": [2.0, 3.0], "rid": [0, 1]})
+    wf.fit(_ds(df, 1))
+    pruned = wf.remove_inputs(["y"])
+    sub = pruned.get_subworkflow("contin")
+    assert sub is not None
+
+
+def test_minhash_output_dtypes_exact():
+    from nvtabular_ray.functions.dedup import minhash_lsh_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": (["the quick brown fox jumps over the lazy dog"] * 20
+                     + [f"unique document number {i} with words" for i in range(20)]),
+        }
+    )
+    out = minhash_lsh_dedup(_ds(df, 3), text_col="text", id_col="doc_id")
+    tab = out.to_pandas()
+    assert str(tab["doc_id"].dtype) == "int64"
+    assert str(tab["cluster_id"].dtype) == "int64"
+    # the 20 identical docs collapse to doc 0
+    m = tab.set_index("doc_id")["cluster_id"]
+    assert (m.loc[list(range(20))] == 0).all()
