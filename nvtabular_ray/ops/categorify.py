@@ -375,21 +375,20 @@ class Categorify(StatOperator):
         value asc) sort -> block-wise global rank assignment from block
         METADATA (row counts only; no vocab rows ever reach the driver) ->
         sharded vocab parquet written by remote tasks. Encoding is a shuffle
-        join (``join_encode``). List columns are not supported here."""
+        join (``join_encode``). List (multi-hot) columns fit over their
+        FLATTENED element values (reference categorify.py:1695-1705) and
+        encode through ``_join_encode_list_col``."""
         import ray
 
         schema = ds.schema(fetch_if_missing=True)
         types = dict(zip(schema.names, schema.types))
-        for c in cols:
-            if pa.types.is_list(types[c]) or pa.types.is_large_list(types[c]):
-                raise NotImplementedError(
-                    "distributed Categorify does not support list columns"
-                )
 
         def partial(t: pa.Table, cols=tuple(cols)) -> pa.Table:
             vals, cnts, nulls = [], [], 0
             for c in cols:
                 arr = as_single_chunk(t.column(c))
+                if is_list_type(arr.type):
+                    arr = arr.flatten()
                 nulls += arr.null_count
                 vc = pc.value_counts(arr.drop_null())
                 vals.append(vc.field("values"))
@@ -468,11 +467,12 @@ class Categorify(StatOperator):
                 offset += n
                 i += 1
         ray.get(futures)
+        t0 = types[cols[0]]
         self.distributed_vocabs[name] = {
             "path": path,
             "cols": list(cols),
             "num_rows": offset,
-            "value_type": str(types[cols[0]]),
+            "value_type": str(t0.value_type if is_list_type(t0) else t0),
         }
         self.null_counts[name] = nulls_total
         for c in cols:
@@ -488,10 +488,16 @@ class Categorify(StatOperator):
         shuffle per column co-partitions data rows and vocab shards by
         hash(value); codes resolve per bucket with ``index_in``. Appends an
         int64 ``__catcode_{col}__`` column per encoded column; ``transform``
-        then just projects it (via the op ``dependencies`` mechanism)."""
+        then just projects it (via the op ``dependencies`` mechanism).
+        List columns route through the explode/encode/reassemble path."""
         for name, info in self.distributed_vocabs.items():
             for col in info["cols"]:
-                ds = self._join_encode_col(ds, col, name, info)
+                schema = ds.schema(fetch_if_missing=True)
+                ctype = dict(zip(schema.names, schema.types))[col]
+                if is_list_type(ctype):
+                    ds = self._join_encode_list_col(ds, col, name, info)
+                else:
+                    ds = self._join_encode_col(ds, col, name, info)
         return ds
 
     def _join_encode_col(self, ds, col: str, name: str, info: dict):
@@ -570,6 +576,199 @@ class Categorify(StatOperator):
         # __vbkt__ preserves data-row/vocab-row co-location (both sides carry
         # the same bucket id for the same value)
         return bucketed_group_map(both, ["__vbkt__"], [], per_bucket, num_buckets=num_buckets)
+
+    def _join_encode_list_col(self, ds, col: str, name: str, info: dict):
+        """Distributed encode for LIST (multi-hot) columns — the reference
+        encodes list columns through every path (categorify.py:1695-1705,
+        exact codes pinned by tests/unit/ops/test_categorify.py:154-157).
+
+        Three bucketed exchanges, all but the last over NARROW tables:
+
+          1. uid stamp + explode: every row gets a run-unique ``__uid__``
+             (stamped on a materialized snapshot — uids are drawn per batch,
+             so lazy re-execution of the two downstream consumers would
+             otherwise re-draw them differently); list elements flatten to
+             (uid, pos, value) rows.
+          2. vocab join: hash(value) exchange unions the exploded rows with
+             the sharded vocab, ``index_in`` resolves codes per bucket ->
+             (uid, pos, code). Same machinery as the scalar path.
+          3. reassemble: codes bucket-join back to the stamped rows by uid;
+             lists rebuild in element order and attach as list<int64>
+             ``__catcode_{col}__``. Full rows ride this exchange once.
+        """
+        import os as _os
+
+        import ray.data as rd
+
+        from nvtabular_ray.pipelines.partitioned import (
+            _default_num_buckets,
+            bucketed_group_map,
+        )
+
+        dep = f"__catcode_{col}__"
+        vocab = rd.read_parquet(info["path"])
+        num_buckets = self.split_out or _default_num_buckets()
+        num_oov = self.num_oov
+        data_schema = ds.schema(fetch_if_missing=True)
+        data_names = list(data_schema.names)
+        vtype = dict(zip(data_schema.names, data_schema.types))[col].value_type
+
+        def add_uid(t: pa.Table) -> pa.Table:
+            base = np.frombuffer(_os.urandom(8), dtype=np.uint64)[0]
+            uid = (base + np.arange(t.num_rows, dtype=np.uint64)).astype(np.int64)
+            return t.append_column("__uid__", pa.array(uid))
+
+        stamped = ds.map_batches(
+            add_uid, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+        # ---- exchange 2 input: exploded elements + vocab shards ----------
+        def explode(t: pa.Table) -> pa.Table:
+            arr = as_single_chunk(t.column(col))
+            uid = t.column("__uid__").to_numpy(zero_copy_only=False)
+            off = np.asarray(arr.offsets, dtype=np.int64)
+            lens = np.diff(off)
+            values = arr.flatten()
+            total = int(lens.sum())
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            h = hash64(values)
+            return pa.table(
+                {
+                    "__vbkt__": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+                    col: values,
+                    "__uid__": pa.array(np.repeat(uid, lens)),
+                    "__pos__": pa.array(pos),
+                    "__vcode__": pa.nulls(total, pa.int64()),
+                    "__vside__": pa.array(np.zeros(total, np.int8)),
+                }
+            )
+
+        def pad_vocab(t: pa.Table) -> pa.Table:
+            vals = as_single_chunk(t.column("value").cast(vtype))
+            h = hash64(vals)
+            n = t.num_rows
+            return pa.table(
+                {
+                    "__vbkt__": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+                    col: vals,
+                    "__uid__": pa.nulls(n, pa.int64()),
+                    "__pos__": pa.nulls(n, pa.int64()),
+                    "__vcode__": t.column("__code__").cast(pa.int64()),
+                    "__vside__": pa.array(np.ones(n, np.int8)),
+                }
+            )
+
+        both = stamped.map_batches(
+            explode, batch_format="pyarrow", zero_copy_batch=True
+        ).union(vocab.map_batches(pad_vocab, batch_format="pyarrow"))
+
+        def encode_bucket(t: pa.Table) -> pa.Table:
+            side = t.column("__vside__").to_numpy(zero_copy_only=False)
+            vtab = t.filter(pa.array(side == 1))
+            dtab = t.filter(pa.array(side == 0))
+            vocab_vals = as_single_chunk(vtab.column(col))
+            vocab_codes = vtab.column("__vcode__").to_numpy(zero_copy_only=False)
+            values = as_single_chunk(dtab.column(col))
+            idx = (
+                pc.index_in(values, value_set=vocab_vals)
+                .to_numpy(zero_copy_only=False)
+                .astype("float64")
+            )
+            found = ~np.isnan(idx)
+            nulls = pc.is_null(values).to_numpy(zero_copy_only=False)
+            codes = np.empty(len(values), dtype=np.int64)
+            codes[found] = vocab_codes[idx[found].astype(np.int64)].astype(np.int64)
+            oov = (~found) & (~nulls)
+            if oov.any():
+                if num_oov == 1:
+                    codes[oov] = OOV_OFFSET
+                else:
+                    # persisted codes: version-stable hash (see hashing.py)
+                    codes[oov] = (
+                        hash64_stable(values)[oov] % np.uint64(num_oov)
+                    ).astype(np.int64) + OOV_OFFSET
+            codes[nulls] = NULL_OFFSET
+            return pa.table(
+                {
+                    "__uid__": dtab.column("__uid__"),
+                    "__pos__": dtab.column("__pos__"),
+                    "__code__": pa.array(codes, pa.int64()),
+                }
+            )
+
+        codes_ds = bucketed_group_map(
+            both, ["__vbkt__"], [], encode_bucket, num_buckets=num_buckets
+        )
+
+        # ---- exchange 3 input: stamped rows + per-element codes ----------
+        row_names = data_names + ["__uid__"]
+
+        def pad_rows(t: pa.Table) -> pa.Table:
+            t = t.append_column("__pos__", pa.nulls(t.num_rows, pa.int64()))
+            t = t.append_column("__code__", pa.nulls(t.num_rows, pa.int64()))
+            return t.append_column("__rside__", pa.array(np.zeros(t.num_rows, np.int8)))
+
+        data_types = dict(zip(data_schema.names, data_schema.types))
+
+        def pad_codes(t: pa.Table) -> pa.Table:
+            out = {c: pa.nulls(t.num_rows, data_types[c]) for c in data_names}
+            out["__uid__"] = t.column("__uid__")
+            out["__pos__"] = t.column("__pos__")
+            out["__code__"] = t.column("__code__")
+            out["__rside__"] = pa.array(np.ones(t.num_rows, np.int8))
+            return pa.table(out)
+
+        order = row_names + ["__pos__", "__code__", "__rside__"]
+        both2 = (
+            stamped.map_batches(pad_rows, batch_format="pyarrow", zero_copy_batch=True)
+            .select_columns(order)
+            .union(codes_ds.map_batches(pad_codes, batch_format="pyarrow").select_columns(order))
+        )
+
+        use_large = pa.types.is_large_list(data_types[col])
+
+        def assemble_bucket(t: pa.Table) -> pa.Table:
+            side = t.column("__rside__").to_numpy(zero_copy_only=False)
+            ctab = t.filter(pa.array(side == 1))
+            dtab = t.filter(pa.array(side == 0))
+            uid_c = ctab.column("__uid__").to_numpy(zero_copy_only=False)
+            pos_c = ctab.column("__pos__").to_numpy(zero_copy_only=False)
+            code_c = ctab.column("__code__").to_numpy(zero_copy_only=False)
+            sorder = np.lexsort((pos_c, uid_c))
+            uid_s, code_s = uid_c[sorder], code_c[sorder]
+            change = (
+                np.r_[True, uid_s[1:] != uid_s[:-1]] if len(uid_s) else np.empty(0, bool)
+            )
+            gstarts = np.flatnonzero(change)
+            gcounts = np.diff(np.r_[gstarts, len(uid_s)])
+            guids = uid_s[gstarts]
+            duid = dtab.column("__uid__").to_numpy(zero_copy_only=False)
+            posm = (
+                np.minimum(np.searchsorted(guids, duid), max(len(guids) - 1, 0))
+                if len(guids)
+                else np.zeros(len(duid), np.int64)
+            )
+            hasc = (guids[posm] == duid) if len(guids) else np.zeros(len(duid), bool)
+            row_lens = np.where(hasc, gcounts[posm] if len(guids) else 0, 0).astype(np.int64)
+            out_off = np.concatenate([[0], np.cumsum(row_lens)])
+            total = int(out_off[-1])
+            gather = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(out_off[:-1], row_lens)
+                + (np.repeat(gstarts[posm], row_lens) if total else np.empty(0, np.int64))
+            )
+            child = pa.array(code_s[gather] if total else np.empty(0, np.int64), pa.int64())
+            if use_large:
+                lst = pa.LargeListArray.from_arrays(pa.array(out_off, pa.int64()), child)
+            else:
+                lst = pa.ListArray.from_arrays(pa.array(out_off, pa.int32()), child)
+            out = dtab.drop_columns(["__uid__", "__pos__", "__code__", "__rside__"])
+            return out.append_column(dep, lst)
+
+        return bucketed_group_map(
+            both2, ["__uid__"], [], assemble_bucket, num_buckets=num_buckets
+        )
 
     def _check_vocab_size(self, name, vocab_df):
         nbytes = int(vocab_df.memory_usage(deep=True).sum())

@@ -187,21 +187,19 @@ class JoinGroupby(BroadcastTableState, StatOperator):
 
     def _fit_distributed(self, ds, name: str, group: list[str]) -> None:
         """Stat-table-bigger-than-memory path: partial grouped stats ->
-        ``groupby(key)`` shuffle (stays a Dataset) -> elementwise finalize
+        ``groupby(keys)`` shuffle (stays a Dataset) -> elementwise finalize
         -> sharded parquet; the join back is a bucketed shuffle
-        (``pre_transform_stage``). Single-column groups only."""
-        if len(group) != 1:
-            raise NotImplementedError(
-                "distributed JoinGroupby supports single-column groups only"
-            )
-        key = group[0]
+        (``pre_transform_stage``). Multi-column groups hash the whole key
+        TUPLE as the exchange key (reference supports multi-column cat
+        groups here, /root/reference/nvtabular/ops/join_groupby.py:154-169)."""
+        keys = list(group)
         from nvtabular_ray.functions.aggregates import bucketed_aggregate
 
         cont_cols, stats_list, name_sep = self.cont_cols, self.stats, self.name_sep
 
         # same arrow-group_by partial as the broadcast path's grouped_stats
         parts = ds.map_batches(
-            lambda t: _grouped_stats_partial(t, [key], cont_cols),
+            lambda t: _grouped_stats_partial(t, keys, cont_cols),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -217,11 +215,11 @@ class JoinGroupby(BroadcastTableState, StatOperator):
             )
         # task-based hash exchange, not Ray's sort-based groupby (fixed
         # ~4.5s/job overhead the partials don't justify)
-        merged = bucketed_aggregate(parts, [key], agg_spec)
+        merged = bucketed_aggregate(parts, keys, agg_spec)
 
         def finalize(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
-            out = pd.DataFrame({key: df[key]})
+            out = pd.DataFrame({k: df[k] for k in keys})
             cnt = df["sum(__count__)"].astype("float64")
             if "count" in stats_list:
                 out[f"{name}_count"] = df["sum(__count__)"].astype("int64")
@@ -258,7 +256,7 @@ class JoinGroupby(BroadcastTableState, StatOperator):
         stat_ds.write_parquet(path)
         self.distributed_stats[name] = {
             "path": path,
-            "key": key,
+            "keys": keys,
             "out_cols": self._group_out_cols(name, group),
         }
 
@@ -269,45 +267,49 @@ class JoinGroupby(BroadcastTableState, StatOperator):
 
     def _join_stats(self, ds, info: dict):
         """ONE bucketed shuffle co-partitions data rows and stat shards by
-        hash(key); per bucket a pandas left-merge resolves the stat columns
-        into __jgb_* dependency slots consumed by ``transform``."""
+        hash(key tuple); per bucket a pandas left-merge resolves the stat
+        columns into __jgb_* dependency slots consumed by ``transform``."""
         import ray.data as rd
 
-        from nvtabular_ray.functions.hashing import hash64
+        from nvtabular_ray.functions.hashing import hash64_columns
         from nvtabular_ray.arrow_utils import as_single_chunk
         from nvtabular_ray.pipelines.partitioned import (
             _default_num_buckets,
             bucketed_group_map,
         )
 
-        key, out_cols = info["key"], info["out_cols"]
+        keys = list(info.get("keys") or [info["key"]])
+        out_cols = info["out_cols"]
         dep_names = [f"__jgb_{c}__" for c in out_cols]
         stat = rd.read_parquet(info["path"])
         num_buckets = self.split_out or _default_num_buckets()
         schema = ds.schema(fetch_if_missing=True)
         data_names = list(schema.names)
         data_types = dict(zip(schema.names, schema.types))
-        ktype = data_types[key]
         stat_schema = stat.schema(fetch_if_missing=True)
         stat_types = dict(zip(stat_schema.names, stat_schema.types))
 
-        def bucket_of(vals):
-            return (hash64(as_single_chunk(vals)) % np.uint64(num_buckets)).astype(np.int32)
+        def bucket_of(tbl: pa.Table) -> np.ndarray:
+            # whole key TUPLE hashed as the exchange key (hash64_columns is
+            # row-wise over the selected columns)
+            return (hash64_columns(tbl, keys) % np.uint64(num_buckets)).astype(np.int32)
 
         def pad_data(t: pa.Table) -> pa.Table:
-            t = t.append_column("__vbkt__", pa.array(bucket_of(t.column(key))))
+            t = t.append_column("__vbkt__", pa.array(bucket_of(t)))
             for c, dep in zip(out_cols, dep_names):
                 t = t.append_column(dep, pa.nulls(t.num_rows, stat_types[c]))
             t = t.append_column("__vside__", pa.array(np.zeros(t.num_rows, np.int8)))
             return t
 
         def pad_stat(t: pa.Table) -> pa.Table:
-            kvals = as_single_chunk(t.column(key).cast(ktype))
+            kvals = {
+                k: as_single_chunk(t.column(k).cast(data_types[k])) for k in keys
+            }
             out = {
-                c: (kvals if c == key else pa.nulls(t.num_rows, data_types[c]))
+                c: (kvals[c] if c in kvals else pa.nulls(t.num_rows, data_types[c]))
                 for c in data_names
             }
-            out["__vbkt__"] = pa.array(bucket_of(kvals))
+            out["__vbkt__"] = pa.array(bucket_of(pa.table(kvals)))
             for c, dep in zip(out_cols, dep_names):
                 out[dep] = t.column(c)
             out["__vside__"] = pa.array(np.ones(t.num_rows, np.int8))
@@ -322,10 +324,10 @@ class JoinGroupby(BroadcastTableState, StatOperator):
 
         def per_bucket(t: pa.Table) -> pa.Table:
             side = t.column("__vside__").to_numpy(zero_copy_only=False)
-            stat_df = t.filter(pa.array(side == 1)).select([key] + dep_names).to_pandas()
+            stat_df = t.filter(pa.array(side == 1)).select(keys + dep_names).to_pandas()
             dtab = t.filter(pa.array(side == 0))
-            left = dtab.select([key]).to_pandas()
-            mg = left.merge(stat_df, on=key, how="left")
+            left = dtab.select(keys).to_pandas()
+            mg = left.merge(stat_df, on=keys, how="left")
             out = dtab.drop_columns(["__vbkt__", "__vside__"] + dep_names)
             for c, dep in zip(out_cols, dep_names):
                 out = out.append_column(

@@ -195,17 +195,17 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         stays a Dataset (one groupby shuffle), written as sharded parquet;
         the join back happens in ``pre_transform_stage``. Requires an
         explicit ``fold_on`` when kfold>1 so fold assignment can't depend on
-        which columns happen to ride a batch."""
-        if len(group) != 1:
-            raise NotImplementedError("distributed TargetEncoding: single-column groups only")
+        which columns happen to ride a batch. Multi-column groups hash the
+        whole key tuple as the exchange key (reference ``cat_groups`` of
+        lists, /root/reference/nvtabular/ops/target_encoding.py:35-61)."""
         if self.kfold > 1 and not self.fold_on:
             raise ValueError("distributed TargetEncoding with kfold>1 requires fold_on=[...]")
-        key = group[0]
+        keys = list(group)
 
         def partial(t: pa.Table) -> pa.Table:
-            sel = t.select([key, self.target])
+            sel = t.select(keys + [self.target])
             sel = sel.append_column(FOLD_NAME, pa.array(self._fold_np(t, input_cols)))
-            res = sel.group_by([key, FOLD_NAME], use_threads=False).aggregate(
+            res = sel.group_by(keys + [FOLD_NAME], use_threads=False).aggregate(
                 [(self.target, "count"), (self.target, "sum")]
             )
             ren = {f"{self.target}_count": "count", f"{self.target}_sum": "sum"}
@@ -218,7 +218,7 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         # instead of re-executing the scan.
         from nvtabular_ray.functions.aggregates import bucketed_aggregate
 
-        merged = bucketed_aggregate(parts, [key, FOLD_NAME], {"count": "sum", "sum": "sum"})
+        merged = bucketed_aggregate(parts, keys + [FOLD_NAME], {"count": "sum", "sum": "sum"})
         if self.global_mean is None:
             total_cnt = float(merged.sum("sum(count)") or 0.0)
             total_sum = float(merged.sum("sum(sum)") or 0.0)
@@ -230,20 +230,17 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         import pyarrow.compute as _pc
 
         def tidy(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    key: t.column(key),
-                    FOLD_NAME: t.column(FOLD_NAME),
-                    "count_y": _pc.cast(t.column("sum(count)"), pa.float64()),
-                    "sum_y": _pc.cast(t.column("sum(sum)"), pa.float64()),
-                }
-            )
+            out = {k: t.column(k) for k in keys}
+            out[FOLD_NAME] = t.column(FOLD_NAME)
+            out["count_y"] = _pc.cast(t.column("sum(count)"), pa.float64())
+            out["sum_y"] = _pc.cast(t.column("sum(sum)"), pa.float64())
+            return pa.table(out)
 
         stat_ds = merged.map_batches(tidy, batch_format="pyarrow")
         path = os.path.join(tempfile.mkdtemp(prefix="nvtr_te_"), f"te_stats.{name}")
         os.makedirs(path, exist_ok=True)
         stat_ds.write_parquet(path)
-        self.distributed_stats[name] = {"path": path, "key": key}
+        self.distributed_stats[name] = {"path": path, "keys": keys}
 
     def pre_transform_stage(self, ds):
         for name, info in self.distributed_stats.items():
@@ -258,13 +255,13 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         import ray.data as rd
 
         from nvtabular_ray.arrow_utils import as_single_chunk
-        from nvtabular_ray.functions.hashing import hash64
+        from nvtabular_ray.functions.hashing import hash64_columns
         from nvtabular_ray.pipelines.partitioned import (
             _default_num_buckets,
             bucketed_group_map,
         )
 
-        key = info["key"]
+        keys = list(info.get("keys") or [info["key"]])
         deps = [
             f"__te_{name}_cnt_all__",
             f"__te_{name}_sum_all__",
@@ -276,14 +273,14 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         schema = ds.schema(fetch_if_missing=True)
         data_names = list(schema.names)
         data_types = dict(zip(schema.names, schema.types))
-        ktype = data_types[key]
         input_cols = data_names
 
-        def bucket_of(vals):
-            return (hash64(as_single_chunk(vals)) % np.uint64(num_buckets)).astype(np.int32)
+        def bucket_of(tbl: pa.Table) -> np.ndarray:
+            # whole key tuple hashed as the exchange key
+            return (hash64_columns(tbl, keys) % np.uint64(num_buckets)).astype(np.int32)
 
         def pad_data(t: pa.Table) -> pa.Table:
-            t = t.append_column("__vbkt__", pa.array(bucket_of(t.column(key))))
+            t = t.append_column("__vbkt__", pa.array(bucket_of(t)))
             t = t.append_column(
                 "__te_fold__",
                 pa.array(
@@ -298,12 +295,14 @@ class TargetEncoding(BroadcastTableState, StatOperator):
             return t
 
         def pad_stat(t: pa.Table) -> pa.Table:
-            kvals = as_single_chunk(t.column(key).cast(ktype))
+            kvals = {
+                k: as_single_chunk(t.column(k).cast(data_types[k])) for k in keys
+            }
             out = {
-                c: (kvals if c == key else pa.nulls(t.num_rows, data_types[c]))
+                c: (kvals[c] if c in kvals else pa.nulls(t.num_rows, data_types[c]))
                 for c in data_names
             }
-            out["__vbkt__"] = pa.array(bucket_of(kvals))
+            out["__vbkt__"] = pa.array(bucket_of(pa.table(kvals)))
             out["__te_fold__"] = t.column(FOLD_NAME).cast(pa.int64())
             for d in deps:
                 out[d] = pa.nulls(t.num_rows, pa.float64())
@@ -325,19 +324,19 @@ class TargetEncoding(BroadcastTableState, StatOperator):
             side = t.column("__vside__").to_numpy(zero_copy_only=False)
             sdf = (
                 t.filter(pa.array(side == 1))
-                .select([key, "__te_fold__", "__te_cnt__", "__te_sum__"])
+                .select(keys + ["__te_fold__", "__te_cnt__", "__te_sum__"])
                 .to_pandas()
             )
             all_df = (
-                sdf.groupby([key], dropna=False, observed=True)[["__te_cnt__", "__te_sum__"]]
+                sdf.groupby(keys, dropna=False, observed=True)[["__te_cnt__", "__te_sum__"]]
                 .sum()
                 .reset_index()
                 .rename(columns={"__te_cnt__": "__a_cnt__", "__te_sum__": "__a_sum__"})
             )
             dtab = t.filter(pa.array(side == 0))
-            left = dtab.select([key, "__te_fold__"]).to_pandas()
-            m_all = left.merge(all_df, on=key, how="left")
-            m_f = left.merge(sdf, on=[key, "__te_fold__"], how="left")
+            left = dtab.select(keys + ["__te_fold__"]).to_pandas()
+            m_all = left.merge(all_df, on=keys, how="left")
+            m_f = left.merge(sdf, on=keys + ["__te_fold__"], how="left")
             drop = ["__vbkt__", "__te_fold__", "__te_cnt__", "__te_sum__", "__vside__"] + deps
             out = dtab.drop_columns(drop)
             cols = {

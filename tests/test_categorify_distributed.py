@@ -204,3 +204,52 @@ def test_distributed_target_encoding_matches_broadcast():
 
     a1, b1 = run1(False), run1(True)
     np.testing.assert_allclose(a1["TE_user_id_value"], b1["TE_user_id_value"], rtol=1e-6)
+
+
+def test_distributed_list_column_exact_codes():
+    # reference exact list codes fixture
+    # (/root/reference/tests/unit/ops/test_categorify.py:154-157):
+    # vocab (count desc, value asc): User_A=3, User_C=4, User_B=5, User_E=6
+    import pyarrow as pa
+
+    tab = pa.table(
+        {
+            "Authors": pa.array(
+                [["User_A"], ["User_A", "User_E"], ["User_B", "User_C"], ["User_C"]],
+                pa.list_(pa.string()),
+            ),
+            "Post": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(2)
+    wf = Workflow((["Authors"] >> ops.Categorify(distributed=True)) + ["Post"])
+    out = wf.fit(ds).transform(ds).to_pandas().sort_values("Post")
+    got = [list(x) for x in out["Authors"]]
+    assert got == [[3], [3, 6], [5, 4], [4]]
+
+
+def test_distributed_list_column_matches_in_memory():
+    rng = np.random.RandomState(11)
+    n = 400
+    words = np.array([f"w{i}" for i in range(30)])
+    lists = [list(words[rng.randint(0, 30, rng.randint(0, 6))]) for _ in range(n)]
+    import pyarrow as pa
+
+    tab = pa.table(
+        {
+            "tokens": pa.array(lists, pa.list_(pa.string())),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(4)
+    a = (
+        Workflow((["tokens"] >> ops.Categorify()) + ["event_id"])
+        .fit(ds).transform(ds).to_pandas().sort_values("event_id")
+    )
+    b = (
+        Workflow((["tokens"] >> ops.Categorify(distributed=True)) + ["event_id"])
+        .fit(ds).transform(ds).to_pandas().sort_values("event_id")
+    )
+    ga = [list(x) for x in a["tokens"]]
+    gb = [list(x) for x in b["tokens"]]
+    assert ga == gb

@@ -21,7 +21,7 @@ from nvtabular_ray import Workflow, ops
 
 
 def _ds(df: pd.DataFrame, blocks: int = 2):
-    return rd.from_pandas(df).repartition(blocks)
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(blocks)
 
 
 def test_search_sorted_cache_keyed_by_group_name():
@@ -125,3 +125,82 @@ def test_minhash_output_dtypes_exact():
     # the 20 identical docs collapse to doc 0
     m = tab.set_index("doc_id")["cluster_id"]
     assert (m.loc[list(range(20))] == 0).all()
+
+
+def test_distributed_multicol_joingroupby_matches_broadcast():
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "user": rng.randint(0, 7, 300),
+            "region": rng.choice(["eu", "us", "ap"], 300),
+            "x": rng.normal(size=300),
+            "rid": np.arange(300),
+        }
+    )
+    outs = {}
+    for dist in (False, True):
+        node = [["user", "region"]] >> ops.JoinGroupby(
+            cont_cols=["x"], stats=["count", "sum", "mean"], distributed=dist
+        )
+        wf = Workflow(node + ["rid"])
+        outs[dist] = (
+            wf.fit(_ds(df, 3)).transform(_ds(df, 3)).to_pandas()
+            .sort_values("rid").reset_index(drop=True)
+        )
+    a, b = outs[False], outs[True]
+    assert sorted(a.columns) == sorted(b.columns)
+    np.testing.assert_array_equal(a["user_region_count"], b["user_region_count"])
+    np.testing.assert_allclose(a["user_region_x_sum"], b["user_region_x_sum"], rtol=1e-12)
+    np.testing.assert_allclose(a["user_region_x_mean"], b["user_region_x_mean"], rtol=1e-6)
+
+
+def test_distributed_multicol_target_encode_matches_broadcast():
+    # reference joint multi-column cat group equivalence
+    # (/root/reference/tests/unit/ops/test_target_encode.py:142-145)
+    rng = np.random.RandomState(6)
+    df = pd.DataFrame(
+        {
+            "cat": rng.choice(list("ABCD"), 400),
+            "cat2": rng.choice(list("xy"), 400),
+            "y": rng.normal(size=400),
+            "rid": np.arange(400),
+        }
+    )
+    outs = {}
+    for dist in (False, True):
+        node = [["cat", "cat2"]] >> ops.TargetEncoding(
+            "y", kfold=3, fold_on=["rid"], p_smooth=10,
+            out_col="te", out_dtype="float64", distributed=dist,
+        )
+        wf = Workflow(node + ["rid"])
+        outs[dist] = (
+            wf.fit(_ds(df, 3)).transform(_ds(df, 3)).to_pandas()
+            .sort_values("rid").reset_index(drop=True)
+        )
+    np.testing.assert_allclose(outs[False]["te"], outs[True]["te"], rtol=1e-9)
+
+
+def test_te_joint_group_constant_col_equivalence():
+    # TE over [cat, const] must equal TE over [cat] alone — the reference's
+    # TE_cat2 == TE_cat_cat2 joint-group identity when the extra column adds
+    # no information (test_target_encode.py:142-145)
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "cat": rng.choice(list("ABC"), 200),
+            "const": ["k"] * 200,
+            "y": rng.normal(size=200),
+            "rid": np.arange(200),
+        }
+    )
+    single = Workflow(
+        (["cat"] >> ops.TargetEncoding("y", kfold=1, p_smooth=5, out_col="te", out_dtype="float64"))
+        + ["rid"]
+    )
+    joint = Workflow(
+        ([["cat", "const"]] >> ops.TargetEncoding("y", kfold=1, p_smooth=5, out_col="te", out_dtype="float64"))
+        + ["rid"]
+    )
+    a = single.fit(_ds(df, 2)).transform(_ds(df, 2)).to_pandas().sort_values("rid")
+    b = joint.fit(_ds(df, 2)).transform(_ds(df, 2)).to_pandas().sort_values("rid")
+    np.testing.assert_allclose(a["te"].to_numpy(), b["te"].to_numpy(), rtol=1e-12)
