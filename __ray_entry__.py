@@ -497,7 +497,9 @@ def _q_column_similarity(sf_dir: str):
 
     emb_tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     n = emb_tab.num_rows
-    feats = np.asarray(emb_tab.column("embedding").to_pylist(), dtype=np.float64)
+    from nvtabular_ray.arrow_utils import list_to_numpy_2d
+
+    feats = list_to_numpy_2d(emb_tab.column("embedding"))
     ds = _read(sf_dir, "embeddings", columns=["vec_id"])
 
     def add_partner(t: pa.Table) -> pa.Table:

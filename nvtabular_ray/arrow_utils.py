@@ -57,6 +57,29 @@ def map_list_values(arr, fn) -> pa.Array:
     return cls.from_arrays(offsets, new_values)
 
 
+def list_to_numpy_2d(arr, dtype=np.float64) -> np.ndarray:
+    """(n, d) matrix from a fixed-width list<numeric> column WITHOUT a
+    Python-object round trip: one flatten + one buffer-backed to_numpy +
+    reshape. ``to_pylist()`` on a 1M x 64 embedding column allocates 64M
+    Python floats — this is the per-row loop the scale rules forbid.
+
+    Offsets are verified uniform (embedding columns are fixed-width by
+    construction); ragged or null-bearing input falls back to the safe
+    object path so correctness never depends on the fast layout."""
+    arr = as_single_chunk(arr)
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if arr.null_count == 0:
+        offs = np.asarray(arr.offsets, dtype=np.int64)
+        lens = np.diff(offs)
+        d = int(lens[0])
+        if (lens == d).all():
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(flat).astype(dtype, copy=False).reshape(n, d)
+    return np.asarray(arr.to_pylist(), dtype=dtype)
+
+
 def apply_unary(arr, fn) -> pa.Array:
     """Apply an Array->Array kernel, transparently recursing into list columns."""
     arr = as_single_chunk(arr)

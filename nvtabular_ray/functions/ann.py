@@ -18,9 +18,11 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+from nvtabular_ray.arrow_utils import list_to_numpy_2d
+
 
 def _batch_cosine(t: pa.Table, qvec: np.ndarray, embedding_col: str) -> np.ndarray:
-    emb = np.asarray(t.column(embedding_col).to_pylist(), dtype=np.float64)
+    emb = list_to_numpy_2d(t.column(embedding_col))
     norms = np.linalg.norm(emb, axis=1)
     norms[norms == 0] = 1.0
     q = qvec / (np.linalg.norm(qvec) or 1.0)
@@ -64,8 +66,15 @@ class IVFIndex:
     @classmethod
     def train(cls, ds, nlist: int = 16, sample_rows: int = 50_000,
               embedding_col: str = "embedding", iters: int = 5, seed: int = 11):
-        sample = ds.limit(sample_rows).take_all()
-        x = np.asarray([r[embedding_col] for r in sample], dtype=np.float64)
+        sample = ds.limit(sample_rows).select_columns([embedding_col]).to_arrow_refs()
+        import ray as _ray
+
+        tabs = [t for t in _ray.get(sample) if t.num_rows]
+        x = (
+            np.concatenate([list_to_numpy_2d(t.column(embedding_col)) for t in tabs])
+            if tabs
+            else np.empty((0, 0))
+        )
         norms = np.linalg.norm(x, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         x = x / norms
@@ -111,7 +120,7 @@ def ivf_topk(
 
     def prune_and_score(t: pa.Table) -> pa.Table:
         ix = ray.get(idx_ref) if ray.is_initialized() else idx_ref
-        emb = np.asarray(t.column(embedding_col).to_pylist(), dtype=np.float64)
+        emb = list_to_numpy_2d(t.column(embedding_col))
         mask = np.isin(ix.assign(emb), list(probe))
         if not mask.any():
             return pa.table(
@@ -165,7 +174,7 @@ def lsh_topk(
             near.add(qbucket ^ sum(1 << b for b in bits))
 
     def prune_and_score(t: pa.Table) -> pa.Table:
-        emb = np.asarray(t.column(embedding_col).to_pylist(), dtype=np.float64)
+        emb = list_to_numpy_2d(t.column(embedding_col))
         buckets = ((emb @ planes) > 0) @ (1 << np.arange(nbits))
         mask = np.isin(buckets, list(near))
         if not mask.any():

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from nvtabular_ray.arrow_utils import list_to_numpy_2d
 from nvtabular_ray.functions.hashing import hash64, hash64_columns
 
 _H = "__h__"
@@ -501,6 +502,32 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(ga & gb) / max(len(ga | gb), 1)
 
 
+def _cosine_min_label(
+    ids: np.ndarray, emb: np.ndarray, threshold: float, max_bucket_rows: int
+) -> np.ndarray:
+    """min-id cosine-near-dup labels for ONE candidate group (ids sorted
+    asc — first True column of the close-matrix IS the min id). Groups
+    beyond ``max_bucket_rows`` degrade to exact-equal embedding clustering
+    (identical vectors always share every bucket, so true duplicates are
+    never lost by the cap)."""
+    if len(ids) <= 1:
+        return ids.astype(np.int64, copy=True)
+    if len(ids) > max_bucket_rows:
+        view = np.ascontiguousarray(emb).view(
+            np.dtype((np.void, emb.dtype.itemsize * emb.shape[1]))
+        ).ravel()
+        _, kinv = np.unique(view, return_inverse=True)
+        big = np.iinfo(np.int64).max
+        min_id = np.full(kinv.max() + 1, big, dtype=np.int64)
+        np.minimum.at(min_id, kinv, ids)
+        return min_id[kinv]
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = emb / norms
+    close = (unit @ unit.T) >= threshold
+    return ids[np.argmax(close, axis=1)].astype(np.int64)
+
+
 def embedding_near_dup(
     ds,
     embedding_col: str = "embedding",
@@ -531,7 +558,7 @@ def embedding_near_dup(
     state: dict = {}
 
     def bucketize(t: pa.Table) -> pa.Table:
-        emb = np.asarray(t.column(embedding_col).to_pylist(), dtype=np.float64)
+        emb = list_to_numpy_2d(t.column(embedding_col))
         if "planes" not in state:
             rng = np.random.RandomState(seed)
             state["planes"] = rng.normal(size=(emb.shape[1], nbits))
@@ -547,41 +574,29 @@ def embedding_near_dup(
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        emb = np.asarray(list(group[embedding_col]), dtype=np.float64)
-        ids = group[id_col].to_numpy()
-        order = np.argsort(ids)
-        emb, ids = emb[order], ids[order]
-        if len(ids) > max_bucket_rows:
-            # skew cap: exact-equal embeddings only (bytes of the float rows)
-            view = np.ascontiguousarray(emb).view(
-                np.dtype((np.void, emb.dtype.itemsize * emb.shape[1]))
-            ).ravel()
-            _, kinv = np.unique(view, return_inverse=True)
-            big = np.iinfo(np.int64).max
-            min_id = np.full(kinv.max() + 1, big, dtype=np.int64)
-            np.minimum.at(min_id, kinv, ids)
-            return pd.DataFrame({id_col: ids, "cluster_id": min_id[kinv]})
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = emb / norms
-        cos = unit @ unit.T
-        close = cos >= threshold
-        labels = ids[np.argmax(close, axis=1)]
-        return pd.DataFrame({id_col: ids, "cluster_id": labels})
-
     from nvtabular_ray.pipelines.partitioned import bucketed_group_map
 
     # task-based hash exchange on the LSH bucket id (not Ray's sort groupby);
     # the per-group loop inside one exchange bucket is over LSH buckets, each
-    # resolved by one matmul (the matmul dominates, not the loop)
+    # resolved by one matmul (the matmul dominates, not the loop). Embeddings
+    # decode ONCE per exchange bucket via the flat-buffer reshape — no
+    # per-row Python objects.
     def resolve_bucket(t: pa.Table) -> pa.Table:
-        empty = pa.table({id_col: pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
-        df = t.to_pandas()
-        outs = [resolve(g) for _, g in df.groupby("bucket", sort=False)]
-        if not outs:
-            return empty
-        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        emb = list_to_numpy_2d(t.column(embedding_col))
+        order = np.lexsort((ids, bucket))
+        bucket, ids, emb = bucket[order], ids[order], emb[order]
+        labels = np.empty(len(ids), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]]) if len(ids) else []
+        bounds = np.r_[starts, len(ids)] if len(ids) else np.array([0])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            labels[s:e] = _cosine_min_label(
+                ids[s:e], emb[s:e], threshold, max_bucket_rows
+            )
+        return pa.table(
+            {id_col: pa.array(ids), "cluster_id": pa.array(labels, pa.int64())}
+        )
 
     return bucketed_group_map(bucketed, ["bucket"], [], resolve_bucket)
 
@@ -624,7 +639,7 @@ def semantic_dedup(
     k = min(nprobe, cents.shape[0])
 
     def probe(t: pa.Table) -> pa.Table:
-        emb = np.asarray(t.column(embedding_col).to_pylist(), dtype=np.float64)
+        emb = list_to_numpy_2d(t.column(embedding_col))
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (emb / norms) @ cents.T
@@ -642,40 +657,28 @@ def semantic_dedup(
 
     probed = ds.map_batches(probe, batch_format="pyarrow")
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        emb = np.asarray(list(group[embedding_col]), dtype=np.float64)
-        ids = group[id_col].to_numpy()
-        order = np.argsort(ids)
-        emb, ids = emb[order], ids[order]
-        if len(ids) > max_bucket_rows:
-            view = np.ascontiguousarray(emb).view(
-                np.dtype((np.void, emb.dtype.itemsize * emb.shape[1]))
-            ).ravel()
-            _, kinv = np.unique(view, return_inverse=True)
-            big = np.iinfo(np.int64).max
-            min_id = np.full(kinv.max() + 1, big, dtype=np.int64)
-            np.minimum.at(min_id, kinv, ids)
-            return pd.DataFrame({id_col: ids, "cluster_id": min_id[kinv]})
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = emb / norms
-        close = (unit @ unit.T) >= threshold
-        labels = ids[np.argmax(close, axis=1)]  # ids sorted: first True = min
-        return pd.DataFrame({id_col: ids, "cluster_id": labels})
-
     from nvtabular_ray.functions.aggregates import bucketed_aggregate
     from nvtabular_ray.pipelines.partitioned import bucketed_group_map
 
     # task-based hash exchange on the k-means cluster id; per-group loop
     # inside an exchange bucket runs over (at most nlist) clusters, each a
-    # single matmul
+    # single matmul. Embeddings decode once per bucket (flat-buffer reshape).
     def resolve_bucket(t: pa.Table) -> pa.Table:
-        empty = pa.table({id_col: pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
-        df = t.to_pandas()
-        outs = [resolve(g) for _, g in df.groupby("cluster", sort=False)]
-        if not outs:
-            return empty
-        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+        cluster = t.column("cluster").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        emb = list_to_numpy_2d(t.column(embedding_col))
+        order = np.lexsort((ids, cluster))
+        cluster, ids, emb = cluster[order], ids[order], emb[order]
+        labels = np.empty(len(ids), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, cluster[1:] != cluster[:-1]]) if len(ids) else []
+        bounds = np.r_[starts, len(ids)] if len(ids) else np.array([0])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            labels[s:e] = _cosine_min_label(
+                ids[s:e], emb[s:e], threshold, max_bucket_rows
+            )
+        return pa.table(
+            {id_col: pa.array(ids), "cluster_id": pa.array(labels, pa.int64())}
+        )
 
     per_probe = bucketed_group_map(probed, ["cluster"], [], resolve_bucket)
 

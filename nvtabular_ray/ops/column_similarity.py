@@ -20,6 +20,7 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+from nvtabular_ray.arrow_utils import list_to_numpy_2d
 from nvtabular_ray.ops.base import BroadcastTableState, Operator
 
 
@@ -31,7 +32,7 @@ class ColumnSimilarity(BroadcastTableState, Operator):
             raise ValueError("metric must be cosine, inner or tfidf")
         self.metric = metric
         if isinstance(features, pa.Table):
-            mat = np.asarray(features.column(features.column_names[-1]).to_pylist(), dtype=np.float64)
+            mat = list_to_numpy_2d(features.column(features.column_names[-1]))
         else:
             mat = np.asarray(features, dtype=np.float64)
         # store as an arrow table for broadcast plumbing
@@ -43,7 +44,7 @@ class ColumnSimilarity(BroadcastTableState, Operator):
     def _matrix(self) -> np.ndarray:
         if getattr(self, "_mat", None) is None:
             tab = self.state_tables["features"]
-            self._mat = np.asarray(tab.column("vec").to_pylist(), dtype=np.float64)
+            self._mat = list_to_numpy_2d(tab.column("vec"))
             if self.metric == "tfidf":
                 # reference column_similarity.py:274-277: idf = log(N / df_j)
                 # over NONZERO entries, weight, then row-normalize (:263-264)
