@@ -102,9 +102,10 @@ def run_bench() -> dict:
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
+    project = os.environ.get("GRAFT_PROJECT_EXCHANGE", "") == "1"
     t0 = time.perf_counter()
     ds = rd.read_parquet(CACHE)
-    feats, wf = transcript_features(ds)
+    feats, wf = transcript_features(ds, project_exchange=project)
     feats.write_parquet(out_dir)
     headline = time.perf_counter() - t0
 

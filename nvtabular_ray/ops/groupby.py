@@ -199,64 +199,80 @@ class Groupby(Operator):
 
         return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
-    def _apply_bucketed(self, agg_dict, ds):
-        from nvtabular_ray.pipelines.partitioned import bucketed_group_map
-
+    def _aggregate_table(self, agg_dict, t: pa.Table) -> pa.Table:
+        """Key-complete single-table aggregate: sorts, then one vectorized
+        pandas groupby across all entities in the table. Shared by the
+        bucketed Dataset stage (one call per exchange bucket) and the
+        in-process serving path (``apply_batch``)."""
         keys = self.groupby_cols
         sort_keys = self.sort_cols
         name_sep = self.name_sep
         ascending = self.ascending
+        df = t.to_pandas()
+        # keys ascending (stable group output order), sort_cols honor the
+        # user's `ascending` — only IN-GROUP order is semantic
+        df = df.sort_values(
+            keys + sort_keys,
+            ascending=[True] * len(keys) + [ascending] * len(sort_keys),
+            kind="mergesort",
+            ignore_index=True,
+        )
+        # pandas dropna=True groupby semantics: drop null-key rows
+        df = df[~df[keys].isna().any(axis=1)].reset_index(drop=True)
+        # change-point int gid over the SORTED keys — NUL-exact, unlike
+        # pandas' StringHashTable groupby (see functions/aggregates.py)
+        change = np.zeros(len(df), dtype=bool)
+        if len(df):
+            change[0] = True
+        for k in keys:
+            col = df[k]
+            change[1:] |= ~col.iloc[1:].reset_index(drop=True).eq(
+                col.iloc[:-1].reset_index(drop=True)
+            ).to_numpy()
+        gid = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(df)] if len(starts) else starts
+        g = df.groupby(gid, sort=False)
+        # literal first/last row per group (reference takes list[0]/[-1],
+        # groupby.py:290-319 — NOT pandas' null-skipping first/last)
+        firsts = df.iloc[starts].reset_index(drop=True)
+        lasts = df.iloc[ends - 1].reset_index(drop=True)
+        pieces = {k: firsts[k] for k in keys}
+        for col, col_aggs in agg_dict.items():
+            for a in col_aggs:
+                out_name = f"{col}{name_sep}{a}"
+                if a == "list":
+                    pieces[out_name] = g[col].agg(list).reset_index(drop=True)
+                elif a == "first":
+                    pieces[out_name] = firsts[col]
+                elif a == "last":
+                    pieces[out_name] = lasts[col]
+                else:
+                    pieces[out_name] = g[col].agg(a).reset_index(drop=True)
+        out = pd.DataFrame(pieces)
+        for c in out.columns:
+            if any(c.endswith(f"{name_sep}{a}") for a in _INT32_RE):
+                out[c] = out[c].astype(np.int32)
+            elif any(c.endswith(f"{name_sep}{a}") for a in _F32_RE):
+                out[c] = out[c].astype(np.float32)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-        def per_bucket(t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            # keys ascending (stable group output order), sort_cols honor the
-            # user's `ascending` — only IN-GROUP order is semantic
-            df = df.sort_values(
-                keys + sort_keys,
-                ascending=[True] * len(keys) + [ascending] * len(sort_keys),
-                kind="mergesort",
-                ignore_index=True,
-            )
-            # pandas dropna=True groupby semantics: drop null-key rows
-            df = df[~df[keys].isna().any(axis=1)].reset_index(drop=True)
-            # change-point int gid over the SORTED keys — NUL-exact, unlike
-            # pandas' StringHashTable groupby (see functions/aggregates.py)
-            change = np.zeros(len(df), dtype=bool)
-            if len(df):
-                change[0] = True
-            for k in keys:
-                col = df[k]
-                change[1:] |= ~col.iloc[1:].reset_index(drop=True).eq(
-                    col.iloc[:-1].reset_index(drop=True)
-                ).to_numpy()
-            gid = np.cumsum(change) - 1
-            starts = np.flatnonzero(change)
-            ends = np.r_[starts[1:], len(df)] if len(starts) else starts
-            g = df.groupby(gid, sort=False)
-            # literal first/last row per group (reference takes list[0]/[-1],
-            # groupby.py:290-319 — NOT pandas' null-skipping first/last)
-            firsts = df.iloc[starts].reset_index(drop=True)
-            lasts = df.iloc[ends - 1].reset_index(drop=True)
-            pieces = {k: firsts[k] for k in keys}
-            for col, col_aggs in agg_dict.items():
-                for a in col_aggs:
-                    out_name = f"{col}{name_sep}{a}"
-                    if a == "list":
-                        pieces[out_name] = g[col].agg(list).reset_index(drop=True)
-                    elif a == "first":
-                        pieces[out_name] = firsts[col]
-                    elif a == "last":
-                        pieces[out_name] = lasts[col]
-                    else:
-                        pieces[out_name] = g[col].agg(a).reset_index(drop=True)
-            out = pd.DataFrame(pieces)
-            for c in out.columns:
-                if any(c.endswith(f"{name_sep}{a}") for a in _INT32_RE):
-                    out[c] = out[c].astype(np.int32)
-                elif any(c.endswith(f"{name_sep}{a}") for a in _F32_RE):
-                    out[c] = out[c].astype(np.float32)
-            return pa.Table.from_pandas(out, preserve_index=False)
+    def apply_batch(self, col_selector, table: pa.Table) -> pa.Table:
+        """In-process single-batch aggregate (the reference LocalExecutor
+        path, /root/reference/nvtabular/workflow/workflow.py:250-254): the
+        batch must contain each key's complete rows; output equals the
+        Dataset path restricted to those keys."""
+        return self._aggregate_table(self._agg_dict(col_selector), table)
 
-        # sorting happens inside per_bucket (ascending may be False there),
+    def _apply_bucketed(self, agg_dict, ds):
+        from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+        # sorting happens inside _aggregate_table (ascending may be False),
         # so the runner itself does not sort
-        return bucketed_group_map(ds, keys, [], per_bucket, num_buckets=self.num_buckets)
+        return bucketed_group_map(
+            ds,
+            self.groupby_cols,
+            [],
+            lambda t: self._aggregate_table(agg_dict, t),
+            num_buckets=self.num_buckets,
+        )

@@ -62,6 +62,7 @@ def bucketed_group_map(
     exchange: str = "task",
     fn_accepts_bucket: bool = False,
     skip_buckets: Optional[set] = None,
+    presort: bool = True,
 ):
     """Apply ``fn`` to entity-complete, (partition_cols+sort_cols)-sorted
     Arrow tables; one call per hash bucket. ``fn`` output rows are free-form
@@ -94,7 +95,8 @@ def bucketed_group_map(
         def per_bucket(group: pa.Table) -> pa.Table:
             b = int(group.column(BUCKET_COL)[0].as_py())
             group = group.drop_columns([BUCKET_COL])
-            group = group.sort_by([(k, "ascending") for k in sort_keys])
+            if presort:
+                group = group.sort_by([(k, "ascending") for k in sort_keys])
             return fn(group, b) if fn_accepts_bucket else fn(group)
 
         return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
@@ -134,20 +136,25 @@ def bucketed_group_map(
                 "memory bounded",
                 ResourceWarning,
             )
-        t = t.sort_by([(k, "ascending") for k in sort_keys])
+        if presort:
+            t = t.sort_by([(k, "ascending") for k in sort_keys])
         return fn(t, b) if fn_accepts_bucket else fn(t)
 
-    mat = ds.materialize()
-    # skip empty blocks (upstream map_groups emits schema-less empties)
-    block_refs = [
-        ref
-        for bundle in mat.iter_internal_ref_bundles()
-        for ref, m in bundle.blocks
-        if m.num_rows is None or m.num_rows > 0
-    ]
-    if not block_refs:
-        return mat
-    splits = [split_block.options(num_returns=num_buckets).remote(r, num_buckets) for r in block_refs]
+    # STREAMING map side: consume the upstream pipeline block-by-block and
+    # launch each split task as its block arrives — no ds.materialize(), so
+    # the upstream map overlaps with the split stage and input blocks are
+    # released as soon as their split shards exist (materialize pinned input
+    # AND shards simultaneously: ~2x peak object-store footprint). The reduce
+    # barrier is inherent to a hash exchange; only the map side streams.
+    splits = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, m in bundle.blocks:
+            if m.num_rows is not None and m.num_rows == 0:
+                continue  # upstream map_groups emits schema-less empties
+            splits.append(split_block.options(num_returns=num_buckets).remote(ref, num_buckets))
+    if not splits:
+        # nothing to exchange: an empty (schema-preserving) result
+        return ds.materialize()
     todo = [b for b in range(num_buckets) if not (skip_buckets and b in skip_buckets)]
     if not todo:
         return rd.from_arrow(pa.table({}))
@@ -159,3 +166,47 @@ def shuffle_by_keys(ds, keys: list[str], sort_cols: Optional[list[str]] = None, 
     """Ray analog of the reference's ``Dataset.shuffle_by_keys`` escape hatch:
     co-locate all rows of each key in one block, optionally sorted."""
     return bucketed_group_map(ds, keys, sort_cols or [], lambda t: t, num_buckets=num_buckets)
+
+
+def rejoin_by_key(left, right, keys: list[str], num_buckets: Optional[int] = None):
+    """1:1 left join of two Datasets on a unique key tuple with ONE
+    co-bucketed exchange and an Arrow (acero) hash join per bucket — no
+    bucket presort, so wide payload rows are never gather-copied by a sort
+    (SURVEY §7.4.7: project shuffle payloads; wide columns bypass the
+    ORDERED exchange and re-attach here)."""
+    import pyarrow.compute as pc
+
+    lschema = left.schema(fetch_if_missing=True)
+    rschema = right.schema(fetch_if_missing=True)
+    lnames = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    rextra = [c for c in rschema.names if c not in keys]
+    order = lnames + rextra + ["__jside__"]
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        for c in rextra:
+            t = t.append_column(c, pa.nulls(t.num_rows, rtypes[c]))
+        return t.append_column("__jside__", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        out = {
+            c: (t.column(c) if (c in keys or c in rextra) else pa.nulls(t.num_rows, ltypes[c]))
+            for c in lnames + rextra
+        }
+        out["__jside__"] = pa.array(np.ones(t.num_rows, np.int8))
+        return pa.table(out)
+
+    both = (
+        left.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(order)
+        .union(right.map_batches(pad_right, batch_format="pyarrow").select_columns(order))
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        is_r = pc.equal(t.column("__jside__"), 1)
+        rtab = t.filter(is_r).select(keys + rextra)
+        ltab = t.filter(pc.invert(is_r)).select(lnames)
+        return ltab.join(rtab, keys=keys, join_type="left outer")
+
+    return bucketed_group_map(both, keys, [], join_bucket, num_buckets=num_buckets, presort=False)

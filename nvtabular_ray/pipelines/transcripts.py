@@ -24,7 +24,7 @@ from nvtabular_ray.workflow import Workflow
 PASSTHROUGH = ["conv_id", "turn_idx", "ts", "text"]
 
 
-def transcript_feature_workflow() -> Workflow:
+def transcript_feature_workflow(passthrough=PASSTHROUGH) -> Workflow:
     cats = ["role", "tool"] >> ops.Categorify()
     te = ["role"] >> ops.TargetEncoding(
         "text_len", kfold=3, fold_on=["conv_id", "turn_idx"]
@@ -37,11 +37,31 @@ def transcript_feature_workflow() -> Workflow:
     roll = ["text_len"] >> ops.RollingAgg(
         partition_cols="conv_id", ts_col="ts", window_seconds=600, aggs=("count", "mean")
     )
-    return Workflow(cats + te + conts + lag + sess + roll + PASSTHROUGH)
+    return Workflow(cats + te + conts + lag + sess + roll + list(passthrough))
 
 
-def transcript_features(ds, num_buckets=None):
-    """fit + transform; returns (feature Dataset, fitted Workflow)."""
-    wf = transcript_feature_workflow()
+def transcript_features(ds, num_buckets=None, project_exchange: bool = False):
+    """fit + transform; returns (feature Dataset, fitted Workflow).
+
+    ``project_exchange=True`` is the SURVEY §7.4.7 payload-projection
+    variant: the wide ``text`` column bypasses the SORTING conv_id exchange
+    (only the consumed narrow columns ride it) and re-attaches afterwards
+    with a non-sorting co-bucketed 1:1 join on the unique (conv_id,
+    turn_idx) key — ordered-exchange payload drops to the narrow columns
+    and the bucket sort never gather-copies text. Total bytes moved stay
+    the same (text crosses the wire once either way), so whether it wins
+    wall-clock depends on text width; see BASELINE.md for the measured
+    comparison on the bench table (~200-char texts)."""
+    if not project_exchange:
+        wf = transcript_feature_workflow()
+        wf.fit(ds)
+        return wf.transform(ds, num_buckets=num_buckets), wf
+
+    from nvtabular_ray.pipelines.partitioned import rejoin_by_key
+
+    wf = transcript_feature_workflow(passthrough=["conv_id", "turn_idx", "ts"])
     wf.fit(ds)
-    return wf.transform(ds, num_buckets=num_buckets), wf
+    feats = wf.transform(ds, num_buckets=num_buckets)
+    wide = ds.select_columns(["conv_id", "turn_idx", "text"])
+    out = rejoin_by_key(feats, wide, keys=["conv_id", "turn_idx"], num_buckets=num_buckets)
+    return out, wf

@@ -451,12 +451,26 @@ class Workflow:
                     "distributed=False for the serving path"
                 )
             op.resolve_broadcast()
-        if self._terminal_dataset_op() is not None:
-            raise NotImplementedError("dataset-level terminal ops (Groupby) cannot serve single batches")
         spec = self._partitioned_spec()
         if spec is not None:
             sort_keys = list(spec[0]) + [c for c in spec[1] if c not in spec[0]]
             table = table.sort_by([(k, "ascending") for k in sort_keys])
+        terminal = self._terminal_dataset_op()
+        if terminal is not None:
+            # reference LocalExecutor runs dataset-level terminal ops on the
+            # single batch (workflow.py:250-254): evaluate the body DAG, then
+            # the partition-local aggregate — exact when the batch holds each
+            # key's complete rows (same contract as the ordered ops above)
+            body_output = terminal.parents[0]
+            dep_cols = [
+                c for c in terminal.op.dependencies if c not in body_output.output_columns
+            ]
+            if dep_cols:
+                body_output = body_output + Node.from_selection(dep_cols)
+            body = _eval_dag(table, body_output)
+            return terminal.op.apply_batch(
+                ColumnSelector(body_output.output_columns), body
+            )
         return _eval_dag(table, self.output_node)
 
     # ------------------------------------------------------- subgraphs -- #

@@ -204,3 +204,37 @@ def test_te_joint_group_constant_col_equivalence():
     a = single.fit(_ds(df, 2)).transform(_ds(df, 2)).to_pandas().sort_values("rid")
     b = joint.fit(_ds(df, 2)).transform(_ds(df, 2)).to_pandas().sort_values("rid")
     np.testing.assert_allclose(a["te"].to_numpy(), b["te"].to_numpy(), rtol=1e-12)
+
+
+def test_terminal_groupby_serves_in_process():
+    # fit on a Dataset; transform_batch with a terminal Groupby must equal
+    # the Dataset path (reference LocalExecutor,
+    # /root/reference/nvtabular/workflow/workflow.py:250-254)
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame(
+        {
+            "user": rng.randint(0, 5, 120),
+            "ts": np.arange(120),
+            "x": rng.normal(size=120),
+            "kind": rng.choice(list("abc"), 120),
+        }
+    )
+    node = ["user", "ts", "x", "kind"] >> ops.Groupby(
+        groupby_cols="user", sort_cols="ts",
+        aggs={"x": ["sum", "mean"], "kind": ["first", "last", "list"]},
+    )
+    wf = Workflow(node)
+    wf.fit(_ds(df, 3))
+    via_ds = wf.transform(_ds(df, 3)).to_pandas().sort_values("user").reset_index(drop=True)
+    via_batch = wf.transform_batch(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).to_pandas().sort_values("user").reset_index(drop=True)
+    assert sorted(via_ds.columns) == sorted(via_batch.columns)
+    for c in sorted(via_ds.columns):
+        a, b = via_ds[c], via_batch[c]
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=1e-6)
+        elif c.endswith("_list"):
+            assert [list(x) for x in a] == [list(x) for x in b], c
+        else:
+            assert list(a) == list(b), c

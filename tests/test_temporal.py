@@ -173,3 +173,32 @@ def test_zero_temporal_leakage(tdf):
     np.testing.assert_allclose(
         past_rows["text_len_w600s_mean_a"], past_rows["text_len_w600s_mean_b"], rtol=1e-12
     )
+
+
+def test_transcript_features_projected_exchange_matches_default():
+    # SURVEY §7.4.7: text bypassing the sorting exchange + rejoin on
+    # (conv_id, turn_idx) must be value-identical to the passthrough path
+    from nvtabular_ray.pipelines.transcripts import transcript_features
+    from nvtabular_ray.transcripts import generate_transcripts
+
+    ds = generate_transcripts(60, seed=5).repartition(4)
+    a, _ = transcript_features(ds, num_buckets=8, project_exchange=False)
+    b, _ = transcript_features(ds, num_buckets=8, project_exchange=True)
+    pa_ = __import__("pandas")
+    ka = a.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    kb = b.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert sorted(ka.columns) == sorted(kb.columns)
+    for c in sorted(ka.columns):
+        x, y = ka[c], kb[c]
+        if x.dtype.kind == "f":
+            import numpy as _np
+
+            _np.testing.assert_allclose(
+                x.to_numpy(dtype="float64", na_value=_np.nan),
+                y.to_numpy(dtype="float64", na_value=_np.nan),
+                rtol=1e-6, equal_nan=True,
+            )
+        else:
+            assert x.equals(y), c
+    # the per-turn text-equality invariant survives the rejoin
+    assert (kb["text"] == ka["text"]).all()
