@@ -200,10 +200,102 @@ class Groupby(Operator):
         return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
     def _aggregate_table(self, agg_dict, t: pa.Table) -> pa.Table:
-        """Key-complete single-table aggregate: sorts, then one vectorized
-        pandas groupby across all entities in the table. Shared by the
-        bucketed Dataset stage (one call per exchange bucket) and the
-        in-process serving path (``apply_batch``)."""
+        """Key-complete single-table aggregate. Shared by the bucketed
+        Dataset stage (one call per exchange bucket) and the in-process
+        serving path (``apply_batch``). Dispatches to the Arrow/numpy
+        change-point kernel; only exact ``median`` (no Arrow kernel — only
+        approximate_median exists) falls back to the pandas path."""
+        has_median = any("median" in aggs for aggs in agg_dict.values())
+        if not has_median:
+            return self._aggregate_table_arrow(agg_dict, t)
+        return self._aggregate_table_pandas(agg_dict, t)
+
+    def _aggregate_table_arrow(self, agg_dict, t: pa.Table) -> pa.Table:
+        """Arrow-native aggregate: one sort_by, change-point group ids from
+        dictionary indices (NUL-exact string equality), list/first/last as
+        zero-copy offset slices / takes, conventional aggs via ONE arrow
+        group_by on the int gid — no pandas round-trip of the bucket."""
+        import pyarrow.compute as pc
+
+        keys = self.groupby_cols
+        sort_keys = self.sort_cols
+        name_sep = self.name_sep
+        # pandas dropna=True groupby semantics: drop null-key rows
+        mask = None
+        for k in keys:
+            valid = pc.is_valid(t.column(k))
+            mask = valid if mask is None else pc.and_(mask, valid)
+        t = t.filter(mask)
+        order = [(k, "ascending") for k in keys] + [
+            (c, "ascending" if self.ascending else "descending") for c in sort_keys
+        ]
+        t = t.combine_chunks().sort_by(order)
+        n = t.num_rows
+        change = np.zeros(n, dtype=bool)
+        if n:
+            change[0] = True
+        for k in keys:
+            arr = t.column(k).combine_chunks()
+            if not pa.types.is_dictionary(arr.type):
+                arr = pc.dictionary_encode(arr)
+            idx = arr.indices.to_numpy(zero_copy_only=False)
+            change[1:] |= idx[1:] != idx[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], n] if len(starts) else starts
+        gid = np.cumsum(change) - 1
+        starts_pa = pa.array(starts)
+        pieces = {k: t.column(k).combine_chunks().take(starts_pa) for k in keys}
+        conv: list[tuple] = []
+        for col, col_aggs in agg_dict.items():
+            arr = t.column(col).combine_chunks()
+            for a in col_aggs:
+                out_name = f"{col}{name_sep}{a}"
+                if a == "list":
+                    # group offsets ARE the list offsets over the sorted rows
+                    pieces[out_name] = pa.ListArray.from_arrays(
+                        pa.array(np.r_[starts, n], pa.int32()), arr
+                    )
+                elif a == "first":
+                    # literal first/last row per group (reference takes
+                    # list[0]/[-1], groupby.py:290-319 — not null-skipping)
+                    pieces[out_name] = arr.take(starts_pa)
+                elif a == "last":
+                    pieces[out_name] = arr.take(pa.array(ends - 1))
+                else:
+                    conv.append((col, a, out_name))
+        if conv:
+            gt_cols = {"__gid__": pa.array(gid)}
+            for col in {c for c, _, _ in conv}:
+                gt_cols[col] = t.column(col)
+            gt = pa.table(gt_cols)
+            _ARROW_AGG = {
+                "sum": ("sum", pc.ScalarAggregateOptions(min_count=0)),
+                "count": ("count", None),
+                "mean": ("mean", None),
+                "min": ("min", None),
+                "max": ("max", None),
+                "nunique": ("count_distinct", None),
+                "std": ("stddev", pc.VarianceOptions(ddof=1)),
+                "var": ("variance", pc.VarianceOptions(ddof=1)),
+            }
+            spec, ren = [], {}
+            for col, a, out_name in conv:
+                fn, opt = _ARROW_AGG[a]
+                spec.append((col, fn, opt) if opt is not None else (col, fn))
+                ren[f"{col}_{fn}"] = out_name
+            res = gt.group_by(["__gid__"], use_threads=False).aggregate(spec)
+            res = res.sort_by("__gid__")  # first-occurrence gid order
+            for name_in, out_name in ren.items():
+                pieces[out_name] = res.column(name_in)
+        out = pa.table(pieces)
+        for i, c in enumerate(out.column_names):
+            if any(c.endswith(f"{name_sep}{a}") for a in _INT32_RE):
+                out = out.set_column(i, c, pc.cast(out.column(c), pa.int32()))
+            elif any(c.endswith(f"{name_sep}{a}") for a in _F32_RE):
+                out = out.set_column(i, c, pc.cast(out.column(c), pa.float32()))
+        return out
+
+    def _aggregate_table_pandas(self, agg_dict, t: pa.Table) -> pa.Table:
         keys = self.groupby_cols
         sort_keys = self.sort_cols
         name_sep = self.name_sep
