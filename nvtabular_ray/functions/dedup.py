@@ -118,7 +118,9 @@ def minhash_lsh_dedup(
     rows_per_band = num_perm // bands
 
     def sig_rows(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
+        # pass the Arrow array straight through — md5_60_char_shingles reads
+        # the flat UTF-8 buffer zero-copy on its ASCII fast path
+        texts = t.column(text_col).combine_chunks()
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         sigs = minhash_signatures(texts, num_perm, shingle_k)
         band_ids = np.repeat(np.arange(bands, dtype=np.int32), len(ids))
@@ -463,7 +465,12 @@ def ngram_jaccard_dedup(
         band = t.column("band").to_numpy(zero_copy_only=False)
         key = t.column("key").to_numpy(zero_copy_only=False)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        grams = t.column("__grams__").to_pylist()
+        # gram sets as numpy views over the list column's flat child buffer
+        # (a to_pylist here allocated one Python list per row)
+        garr = t.column("__grams__").combine_chunks()
+        goff = np.asarray(garr.offsets, dtype=np.int64)
+        goff = goff - goff[0]
+        gvals = garr.flatten().to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, key, band))
         band, key, ids = band[order], key[order], ids[order]
         n = len(ids)
@@ -473,9 +480,8 @@ def ngram_jaccard_dedup(
             starts = np.flatnonzero(change)
             sizes = np.diff(np.r_[starts, n])
             for s, c in zip(starts[sizes > 1], sizes[sizes > 1]):
-                gsets = [
-                    np.asarray(grams[order[s + i]], dtype=np.int64) for i in range(c)
-                ]
+                rows = order[s : s + c]
+                gsets = [gvals[goff[r] : goff[r + 1]] for r in rows]
                 labels[s : s + c] = _resolve_group(ids[s : s + c], gsets)
         return pa.table({id_col: pa.array(ids), "label": pa.array(labels)})
 

@@ -63,6 +63,7 @@ def write_parquet(
     shuffle: Optional[Shuffle] = None,
     out_files_per_proc: Optional[int] = None,
     seed: int = 42,
+    num_threads: Optional[int] = None,
     **kw,
 ):
     """Write with optional shuffle-on-write.
@@ -70,7 +71,11 @@ def write_parquet(
     PER_PARTITION permutes rows within each Arrow block in a final
     map_batches (cheap, no data movement — the reference default for
     training-order randomness); FULL is a global random_shuffle (all-to-all).
-    ``out_files_per_proc`` ~ output file count via repartition."""
+    ``out_files_per_proc`` ~ output file count via repartition.
+    ``num_threads`` ≙ the reference writer's IO threading knob
+    (bench/examples/dask-nvtabular-criteo-benchmark.py:226-232): maps to
+    per-write-task CPU slots (Ray schedules ceil(num_threads) cores per
+    write task; parquet encoding inside the task uses Arrow's thread pool)."""
     if shuffle in (Shuffle.PER_PARTITION, Shuffle.PER_WORKER):
 
         def permute(t: pa.Table) -> pa.Table:
@@ -82,5 +87,7 @@ def write_parquet(
         ds = ds.random_shuffle(seed=seed)
     if out_files_per_proc:
         ds = ds.repartition(out_files_per_proc)
+    if num_threads:
+        kw.setdefault("ray_remote_args", {"num_cpus": float(num_threads)})
     ds.write_parquet(path, **kw)
     return path
