@@ -37,13 +37,17 @@ def exact_dedup(ds, key_cols: list[str], order_col: str):
     # key share a bucket, so one vectorized sort+drop_duplicates over the
     # whole bucket resolves every key at once
     def pick_first(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        out = (
-            df.sort_values(order_col, kind="mergesort")
-            .drop_duplicates(subset=key_cols, keep="first")
-            .drop(columns=[_H])
+        t = t.drop_columns([_H])
+        # arrow-native: stable sort by order_col, then ordered group_by
+        # "first" (single-threaded group_by preserves table order) — no
+        # pandas round-trip, dtypes exact
+        srt = t.sort_by([(order_col, "ascending")])
+        others = [c for c in t.column_names if c not in key_cols]
+        agg = srt.group_by(key_cols, use_threads=False).aggregate(
+            [(c, "first") for c in others]
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        agg = agg.rename_columns(key_cols + others)
+        return agg.select(t.column_names)
 
     return bucketed_group_map(hashed, [_H], [], pick_first)
 

@@ -126,22 +126,48 @@ def asof_join(
     ]
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        left = df[df[_SIDE] == 0]
-        right = df[df[_SIDE] == 1]
-        left = left.sort_values("__ts__", kind="mergesort")
-        right = right.sort_values("__ts__", kind="mergesort")
-        merged = pd.merge_asof(
-            left.drop(columns=val_cols + [_SIDE]),
-            right[keys + ["__ts__"] + val_cols],
-            on="__ts__",
-            by=keys,
-            direction="backward",
-            allow_exact_matches=not strict,
-        )
-        return pa.table(
-            {name: pa.Array.from_pandas(merged[name], type=typ) for name, typ in out_fields}
-        )
+        # vectorized last-seen-right scan (replaces a pandas merge_asof
+        # round-trip): sort the UNION by (key, ts, side) — at equal ts the
+        # right row sorts before the left row iff exact matches are allowed —
+        # then one maximum.accumulate carries each right row's index forward,
+        # reset at key-group boundaries, and a single take gathers the
+        # matched right values. No pandas copy; dtypes exact by construction.
+        from nvtabular_ray.functions.hashing import hash64_columns
+
+        side = t.column(_SIDE).to_numpy(zero_copy_only=False)
+        ts = t.column("__ts__").to_numpy(zero_copy_only=False)
+        # keys may be strings: group identity via the same 64-bit hash the
+        # exchange used (collision within one bucket is negligible and the
+        # bucket already holds only whole key groups)
+        kh = hash64_columns(t, keys).astype(np.int64)
+        # tie-break: allow_exact -> right (1) before left (0) at equal ts
+        tie = -side if not strict else side
+        order = np.lexsort((tie, ts, kh))
+        n = len(order)
+        side_s, kh_s = side[order], kh[order]
+        grp_start = np.zeros(n, dtype=np.int64)
+        if n:
+            change = np.r_[True, kh_s[1:] != kh_s[:-1]]
+            starts = np.flatnonzero(change)
+            grp_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        src = np.where(side_s == 1, np.arange(n), -1)
+        last_right = np.maximum.accumulate(src) if n else src
+        matched = last_right >= grp_start
+        is_left = side_s == 0
+        left_pos = order[is_left]  # original row index of each left row
+        m_left = matched[is_left]
+        r_sorted_idx = last_right[is_left]
+        # map matched right rows back to original row indices; null -> null take
+        r_orig = order[np.maximum(r_sorted_idx, 0)]
+        take_left = pa.array(left_pos)
+        take_right = pa.array(r_orig, pa.int64(), mask=~m_left)
+        cols = {}
+        for name, typ in out_fields:
+            if name in val_cols:
+                cols[name] = t.column(name).take(take_right).combine_chunks().cast(typ)
+            else:
+                cols[name] = t.column(name).take(take_left)
+        return pa.table(cols)
 
     return bucketed_group_map(both, keys, [], per_bucket, num_buckets=num_buckets)
 
