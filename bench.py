@@ -103,11 +103,21 @@ def run_bench() -> dict:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     project = os.environ.get("GRAFT_PROJECT_EXCHANGE", "") == "1"
+    from nvtabular_ray.pipelines.transcripts import transcript_feature_workflow
+
     t0 = time.perf_counter()
     ds = rd.read_parquet(CACHE)
-    feats, wf = transcript_features(ds, project_exchange=project)
+    if project:
+        feats, wf = transcript_features(ds, project_exchange=True)
+        t_fit = time.perf_counter()
+    else:
+        wf = transcript_feature_workflow()
+        wf.fit(ds)
+        t_fit = time.perf_counter()
+        feats = wf.transform(ds)
     feats.write_parquet(out_dir)
-    headline = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    headline = t1 - t0
 
     result = {
         "metric": "flagship_fit_transform_write_sec",
@@ -117,6 +127,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1),
+        "fit_sec": round(t_fit - t0, 3),
+        "transform_write_sec": round(t1 - t_fit, 3),
         "queries": {},
     }
 

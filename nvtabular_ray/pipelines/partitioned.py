@@ -147,11 +147,21 @@ def bucketed_group_map(
     # AND shards simultaneously: ~2x peak object-store footprint). The reduce
     # barrier is inherent to a hash exchange; only the map side streams.
     splits = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for ref, m in bundle.blocks:
-            if m.num_rows is not None and m.num_rows == 0:
-                continue  # upstream map_groups emits schema-less empties
-            splits.append(split_block.options(num_returns=num_buckets).remote(ref, num_buckets))
+    import os as _os
+
+    if _os.environ.get("GRAFT_EXCHANGE_MATERIALIZE"):  # A/B probe
+        mat = ds.materialize()
+        for bundle in mat.iter_internal_ref_bundles():
+            for ref, m in bundle.blocks:
+                if m.num_rows is not None and m.num_rows == 0:
+                    continue
+                splits.append(split_block.options(num_returns=num_buckets).remote(ref, num_buckets))
+    else:
+        for bundle in ds.iter_internal_ref_bundles():
+            for ref, m in bundle.blocks:
+                if m.num_rows is not None and m.num_rows == 0:
+                    continue  # upstream map_groups emits schema-less empties
+                splits.append(split_block.options(num_returns=num_buckets).remote(ref, num_buckets))
     if not splits:
         # nothing to exchange: an empty (schema-preserving) result
         return ds.materialize()
