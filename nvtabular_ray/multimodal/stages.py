@@ -67,28 +67,51 @@ def attach_binary_column(ds, name: str, payload_fn=None, mime: str = "applicatio
 class DecodeImageStage:
     """Actor-pool image decode / resize / feature-extract stage.
 
-    ``__init__`` (once per actor) is where a real build would load the codec
-    / model; ``__call__`` decodes each payload to a fixed-size feature
-    vector. With ``fake=True`` a deterministic stand-in (byte-histogram,
-    normalized) is produced; with ``fake=False`` it raises
-    NotImplementedError(no image libraries in this environment) — the
-    documented stub point.
+    ``__init__`` (once per actor) is where codec/model state lives;
+    ``__call__`` decodes each payload to a fixed-size feature vector.
+
+    Two paths:
+
+    - ``fake=True`` (default): deterministic byte-histogram stand-in —
+      exercises the batch/actor plumbing on arbitrary payloads.
+    - ``fake=False``: REAL decode via ``codecs.sniff_decode_image`` —
+      pure stdlib+numpy PNG / BMP / PPM / PGM decoders (no external image
+      library needed), then grayscale-resample features
+      (``codecs.image_features``). Compressed formats beyond PNG (JPEG,
+      WebP...) raise ValueError — stdlib has no DCT codec.
     """
 
     def __init__(self, column: str = "image", out_dim: int = 32, fake: bool = True):
         self.column = column
         self.out_dim = out_dim
         self.fake = fake
-        # real build: self.codec = load_codec(); self.model = load_model()
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decode requires an image library not present in this "
-                "environment; run with fake=True for the deterministic stand-in"
-            )
         arr = t.column(self.column).combine_chunks()
         n, D = len(arr), self.out_dim
+        if not self.fake:
+            from nvtabular_ray.multimodal.codecs import (
+                image_features,
+                sniff_decode_image,
+            )
+
+            # decode is inherently per-payload; pixel math inside each call
+            # is numpy, and the stage runs in an actor pool over small
+            # batches (decode_images wiring).
+            offsets, flat = _flat_binary(arr)
+            feats = np.zeros((n, D), np.float32)
+            fbytes = flat.tobytes()
+            for i in range(n):
+                payload = fbytes[offsets[i] : offsets[i + 1]]
+                feats[i] = image_features(sniff_decode_image(payload), D)
+            flat_feats = pa.array(feats.reshape(-1))
+            col = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * D, pa.int32()),
+                flat_feats,
+            )
+            return t.drop_columns([self.column]).append_column(
+                f"{self.column}_features", col
+            )
         # zero-copy: all payload bytes as ONE uint8 view + per-row offsets
         # (dtype-aware for binary vs large_binary, slice-offset-aware)
         offsets, flat = _flat_binary(arr)
@@ -106,9 +129,17 @@ class DecodeImageStage:
 
 
 class FrameSampleStage:
-    """Actor-pool video frame sampler: emits every k-th 'frame' (fixed-size
-    slice) of the binary payload as its own row (flat_map shape). Real codec
-    stubbed the same way as DecodeImageStage."""
+    """Actor-pool video frame sampler: emits every k-th frame of the binary
+    payload as its own row (flat_map shape).
+
+    - ``fake=True`` (default): frames are fixed ``frame_bytes`` slices —
+      plumbing exercise over arbitrary payloads.
+    - ``fake=False``: REAL raw-video path — the payload is concatenated
+      uncompressed frames (the standard decoded-tensor layout, e.g. rawvideo
+      RGB24) whose geometry comes from the ``{column}_meta`` JSON column
+      (``{"width": W, "height": H, "channels": C}``); frame size = W*H*C.
+      Compressed containers (H.264 etc.) raise ValueError — no stdlib codec.
+    """
 
     def __init__(self, column: str = "video", frame_bytes: int = 16, every_k: int = 4, fake: bool = True):
         self.column = column
@@ -117,9 +148,27 @@ class FrameSampleStage:
         self.fake = fake
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("video decode requires a codec not in this environment")
         fb, k = self.frame_bytes, self.every_k
+        if not self.fake:
+            meta_col = f"{self.column}_meta"
+            if meta_col not in t.column_names:
+                raise ValueError(
+                    f"real frame sampling needs a '{meta_col}' JSON column "
+                    "with width/height/channels (raw concatenated frames); "
+                    "compressed video would need a codec not in stdlib"
+                )
+            metas = [json.loads(m) for m in t.column(meta_col).to_pylist()]
+            sizes = {
+                (m["width"], m["height"], m.get("channels", 3)) for m in metas
+            }
+            if len(sizes) > 1:
+                raise ValueError(
+                    f"heterogeneous frame geometry in one batch: {sizes}; "
+                    "partition by geometry upstream"
+                )
+            if sizes:
+                w, h, c = next(iter(sizes))
+                fb = w * h * c
         arr = t.column(self.column)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
@@ -153,6 +202,35 @@ class FrameSampleStage:
         gathered = gathered.append_column("frame_idx", pa.array(frame_idx.astype(np.int32)))
         gathered = gathered.append_column("frame", frames)
         return gathered
+
+
+class DecodeAudioStage:
+    """Actor-pool audio feature stage: decodes PCM WAV payloads (stdlib
+    ``wave`` — REAL decode, no external library) into an ``out_dim``-frame
+    windowed RMS-energy envelope. Non-WAV/compressed audio raises
+    ValueError (no stdlib mp3/ogg codec)."""
+
+    def __init__(self, column: str = "audio", out_dim: int = 16):
+        self.column = column
+        self.out_dim = out_dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from nvtabular_ray.multimodal.codecs import audio_features
+
+        arr = t.column(self.column).combine_chunks()
+        n, D = len(arr), self.out_dim
+        offsets, flat = _flat_binary(arr)
+        fbytes = flat.tobytes()
+        feats = np.zeros((n, D), np.float32)
+        for i in range(n):
+            feats[i] = audio_features(fbytes[offsets[i] : offsets[i + 1]], D)
+        col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * D, pa.int32()),
+            pa.array(feats.reshape(-1)),
+        )
+        return t.drop_columns([self.column]).append_column(
+            f"{self.column}_features", col
+        )
 
 
 def decode_images(ds, column: str = "image", concurrency: int = 4, batch_size: int = 256, **kw):

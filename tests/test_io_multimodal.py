@@ -51,12 +51,15 @@ def test_multimodal_decode_pipeline():
     )
 
 
-def test_multimodal_real_decode_is_stubbed():
+def test_multimodal_real_decode_rejects_unknown_format():
+    """fake=False is a REAL decode path now (PNG/BMP/PPM via stdlib+numpy,
+    tests/test_multimodal_codecs.py); formats with no stdlib codec fail
+    loudly instead of being silently faked."""
     from nvtabular_ray.multimodal import DecodeImageStage
 
     stage = DecodeImageStage(fake=False)
     t = pa.table({"image": pa.array([b"xx"], pa.binary())})
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="unrecognized image format"):
         stage(t)
 
 
