@@ -455,6 +455,54 @@ def _q_asof_join(sf_dir: str):
     return out.select_columns(["o_orderkey", "event_id"])
 
 
+def _q_asof_join_forward(sf_dir: str):
+    """Forward as-of: for each event, the NEXT strictly-later snapshot
+    (every-5th event) of the same user."""
+    from nvtabular_ray.pipelines.temporal import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    left = events.select_columns(["event_id", "user_id", "ts"])
+
+    def snap(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 5 == 0))
+        return pa.table(
+            {"user_id": t.column("user_id"), "ts": t.column("ts"),
+             "snap_val": t.column("value")}
+        )
+
+    right = events.map_batches(snap, batch_format="pyarrow")
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts",
+        direction="forward", strict=True,
+    )
+    return out.select_columns(["event_id", "snap_val"])
+
+
+def _q_asof_join_tolerance(sf_dir: str):
+    """Backward as-of with a 6-hour tolerance window: stale snapshots
+    (older than the window) must NOT match."""
+    from nvtabular_ray.pipelines.temporal import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    left = events.select_columns(["event_id", "user_id", "ts"])
+
+    def snap(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 5 == 0))
+        return pa.table(
+            {"user_id": t.column("user_id"), "ts": t.column("ts"),
+             "snap_val": t.column("value")}
+        )
+
+    right = events.map_batches(snap, batch_format="pyarrow")
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts",
+        direction="backward", strict=True, tolerance="6h",
+    )
+    return out.select_columns(["event_id", "snap_val"])
+
+
 def _q_dedup_exact(sf_dir: str):
     from nvtabular_ray.functions.dedup import exact_dedup
 
@@ -1056,6 +1104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_lambda": _q_filter_lambda,
         "hashed_cross": _q_hashed_cross,
         "embedding_sizes": _q_embedding_sizes,
+        "asof_join_forward": _q_asof_join_forward,
+        "asof_join_tolerance": _q_asof_join_tolerance,
     }
 
 
@@ -1801,6 +1851,23 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blob_bytes
             FROM documents
+        """,
+        "asof_join_forward": """
+            SELECT l.event_id,
+                   (SELECT r.value FROM events r
+                    WHERE r.user_id = l.user_id AND r.event_id % 5 = 0
+                      AND r.ts > l.ts
+                    ORDER BY r.ts ASC LIMIT 1) AS snap_val
+            FROM events l
+        """,
+        "asof_join_tolerance": """
+            SELECT l.event_id,
+                   (SELECT r.value FROM events r
+                    WHERE r.user_id = l.user_id AND r.event_id % 5 = 0
+                      AND r.ts < l.ts
+                      AND l.ts - r.ts <= INTERVAL 6 HOUR
+                    ORDER BY r.ts DESC LIMIT 1) AS snap_val
+            FROM events l
         """,
         "target_encode_distributed": """
             WITH stats AS (

@@ -61,18 +61,33 @@ def asof_join(
     strict: bool = False,
     suffix: str = "_asof",
     num_buckets: Optional[int] = None,
+    direction: str = "backward",
+    tolerance=None,
 ):
-    """Point-in-time as-of join: for every left row, attach the LATEST right
-    row of the same key with ``right_ts <= left_ts`` (``<`` when
-    ``strict=True`` — use strict for feature tables derived from the same
-    events to exclude the current instant). Left rows keep all columns;
-    unmatched rows get nulls. Rough SQL analog: DuckDB ``ASOF LEFT JOIN``.
+    """Point-in-time as-of join: for every left row, attach one right row of
+    the same key selected by ``direction`` (pandas ``merge_asof`` parity):
+
+    - ``"backward"`` (default): LATEST right with ``right_ts <= left_ts``
+      (``<`` when ``strict=True`` — use strict for feature tables derived
+      from the same events to exclude the current instant);
+    - ``"forward"``: EARLIEST right with ``right_ts >= left_ts`` (``>``
+      when strict);
+    - ``"nearest"``: smaller ``|left_ts - right_ts|`` of the two
+      candidates, ties resolved backward.
+
+    ``tolerance`` (a ``pd.Timedelta``-convertible for timestamp keys, a
+    number for numeric keys) drops matches farther than that from the left
+    timestamp. Left rows keep all columns; unmatched rows get nulls. Rough
+    SQL analog: DuckDB ``ASOF LEFT JOIN`` (backward; other directions /
+    tolerance need a correlated subquery).
 
     Physical plan: pad both sides to a common schema with a side tag, union,
     hash-bucket by key (ONE shuffle moves both sides together), then per
-    bucket a vectorized ``pd.merge_asof`` over key-sorted time-sorted rows.
+    bucket a vectorized last/next-seen-right scan over key/time-sorted rows.
     No driver materialization; both sides stream.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     keys = [key] if isinstance(key, str) else list(key)
     right_ts = right_ts or left_ts
 
@@ -131,36 +146,79 @@ def asof_join(
         # right row sorts before the left row iff exact matches are allowed —
         # then one maximum.accumulate carries each right row's index forward,
         # reset at key-group boundaries, and a single take gathers the
-        # matched right values. No pandas copy; dtypes exact by construction.
+        # matched right values. Forward direction is the same scan on
+        # negated time; nearest combines both by |delta|. No pandas copy;
+        # dtypes exact by construction.
         from nvtabular_ray.functions.hashing import hash64_columns
 
         side = t.column(_SIDE).to_numpy(zero_copy_only=False)
         ts = t.column("__ts__").to_numpy(zero_copy_only=False)
+        ts_num = ts.view("i8") if ts.dtype.kind in "mM" else ts
+        if tolerance is None:
+            tol_num = None
+        elif ts.dtype.kind == "M":
+            unit = np.datetime_data(ts.dtype)[0]
+            tol_num = float(
+                pd.Timedelta(tolerance)
+                .to_timedelta64()
+                .astype(f"timedelta64[{unit}]")
+                .view("i8")
+            )
+        else:
+            tol_num = float(tolerance)
         # keys may be strings: group identity via the same 64-bit hash the
         # exchange used (collision within one bucket is negligible and the
         # bucket already holds only whole key groups)
         kh = hash64_columns(t, keys).astype(np.int64)
-        # tie-break: allow_exact -> right (1) before left (0) at equal ts
-        tie = -side if not strict else side
-        order = np.lexsort((tie, ts, kh))
-        n = len(order)
-        side_s, kh_s = side[order], kh[order]
-        grp_start = np.zeros(n, dtype=np.int64)
-        if n:
+        n = t.num_rows
+
+        def scan(sign: int) -> tuple[np.ndarray, np.ndarray]:
+            """(match, ok) in ORIGINAL row coordinates: for each row, the
+            original index of its backward (sign=+1) / forward (sign=-1)
+            right match and whether one exists in its key group."""
+            if n == 0:
+                return np.full(0, -1, np.int64), np.zeros(0, bool)
+            # tie-break: allow_exact -> right (1) before left (0) at equal ts
+            tie = side if strict else -side
+            order = np.lexsort((tie, sign * ts_num, kh))
+            side_s, kh_s = side[order], kh[order]
             change = np.r_[True, kh_s[1:] != kh_s[:-1]]
             starts = np.flatnonzero(change)
             grp_start = np.repeat(starts, np.diff(np.r_[starts, n]))
-        src = np.where(side_s == 1, np.arange(n), -1)
-        last_right = np.maximum.accumulate(src) if n else src
-        matched = last_right >= grp_start
-        is_left = side_s == 0
-        left_pos = order[is_left]  # original row index of each left row
-        m_left = matched[is_left]
-        r_sorted_idx = last_right[is_left]
-        # map matched right rows back to original row indices; null -> null take
-        r_orig = order[np.maximum(r_sorted_idx, 0)]
-        take_left = pa.array(left_pos)
-        take_right = pa.array(r_orig, pa.int64(), mask=~m_left)
+            src = np.where(side_s == 1, np.arange(n), -1)
+            last_right = np.maximum.accumulate(src)
+            matched_s = last_right >= grp_start
+            r_orig_s = order[np.maximum(last_right, 0)]
+            match = np.full(n, -1, np.int64)
+            ok = np.zeros(n, bool)
+            match[order] = r_orig_s
+            ok[order] = matched_s
+            return match, ok
+
+        if direction == "backward":
+            match, ok = scan(+1)
+        elif direction == "forward":
+            match, ok = scan(-1)
+        else:  # nearest: strictly-smaller forward delta wins, ties backward
+            b_match, b_ok = scan(+1)
+            f_match, f_ok = scan(-1)
+            bd = np.full(n, np.inf)
+            fd = np.full(n, np.inf)
+            bd[b_ok] = np.abs(ts_num[b_ok] - ts_num[b_match[b_ok]]).astype(np.float64)
+            fd[f_ok] = np.abs(ts_num[f_ok] - ts_num[f_match[f_ok]]).astype(np.float64)
+            use_f = fd < bd
+            match = np.where(use_f, f_match, b_match)
+            ok = b_ok | f_ok
+        if tol_num is not None and n:
+            safe = np.maximum(match, 0)
+            delta = np.abs(ts_num - ts_num[safe]).astype(np.float64)
+            ok = ok & (delta <= tol_num)
+
+        is_left = side == 0
+        take_left = pa.array(np.flatnonzero(is_left))
+        take_right = pa.array(
+            match[is_left], pa.int64(), mask=~ok[is_left]
+        )
         cols = {}
         for name, typ in out_fields:
             if name in val_cols:

@@ -77,6 +77,89 @@ def test_asof_join_oracle(tdf):
     assert len(out) == len(left)
 
 
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_join_directions_match_pandas(tdf, direction):
+    right = tdf[tdf["turn_idx"] % 5 == 0][["conv_id", "ts", "text_len"]].rename(
+        columns={"text_len": "feat"}
+    )
+    left = tdf[["conv_id", "turn_idx", "ts"]]
+    out = (
+        asof_join(
+            _ds(left), _ds(right), key="conv_id", left_ts="ts",
+            direction=direction, num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    oracle = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="conv_id",
+        direction=direction,
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    np.testing.assert_array_equal(
+        out["feat"].to_numpy(dtype="float64", na_value=np.nan),
+        oracle["feat"].to_numpy(dtype="float64", na_value=np.nan),
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_tolerance_matches_pandas(tdf, direction):
+    right = tdf[tdf["turn_idx"] % 7 == 0][["conv_id", "ts", "text_len"]].rename(
+        columns={"text_len": "feat"}
+    )
+    left = tdf[["conv_id", "turn_idx", "ts"]]
+    tol = pd.Timedelta(seconds=90)
+    out = (
+        asof_join(
+            _ds(left), _ds(right), key="conv_id", left_ts="ts",
+            direction=direction, tolerance=tol, num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    oracle = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="conv_id",
+        direction=direction,
+        tolerance=tol,
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    np.testing.assert_array_equal(
+        out["feat"].to_numpy(dtype="float64", na_value=np.nan),
+        oracle["feat"].to_numpy(dtype="float64", na_value=np.nan),
+    )
+
+
+def test_asof_join_numeric_ts_tolerance():
+    left = pd.DataFrame(
+        {"k": ["a"] * 4 + ["b"] * 2, "t": [1.0, 5.0, 9.0, 20.0, 2.0, 8.0], "i": range(6)}
+    )
+    right = pd.DataFrame({"k": ["a", "a", "b"], "t": [4.0, 10.0, 7.0], "v": [1, 2, 3]})
+    out = (
+        asof_join(_ds(left, 2), _ds(right, 2), key="k", left_ts="t",
+                  direction="nearest", tolerance=2.0, num_buckets=4)
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    oracle = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"), on="t", by="k",
+        direction="nearest", tolerance=2.0,
+    ).sort_values("i").reset_index(drop=True)
+    np.testing.assert_array_equal(
+        out["v"].to_numpy(dtype="float64", na_value=np.nan),
+        oracle["v"].to_numpy(dtype="float64", na_value=np.nan),
+    )
+
+
+def test_asof_join_rejects_bad_direction(tdf):
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(_ds(tdf), _ds(tdf), key="conv_id", left_ts="ts", direction="sideways")
+
+
 def test_asof_strict_excludes_current_instant(tdf):
     right = tdf[["conv_id", "ts", "text_len"]].rename(columns={"text_len": "feat"})
     left = tdf[["conv_id", "turn_idx", "ts"]]
