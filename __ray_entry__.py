@@ -503,6 +503,29 @@ def _q_asof_join_tolerance(sf_dir: str):
     return out.select_columns(["event_id", "snap_val"])
 
 
+def _q_range_join(sf_dir: str):
+    """Interval join: every (event, snapshot) pair of the same user with the
+    snapshot in the event's trailing 6-hour window."""
+    from nvtabular_ray.pipelines.temporal import range_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    left = events.select_columns(["event_id", "user_id", "ts"])
+
+    def snap(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 5 == 0))
+        return pa.table(
+            {"user_id": t.column("user_id"), "ts": t.column("ts"),
+             "snap_val": t.column("value")}
+        )
+
+    right = events.map_batches(snap, batch_format="pyarrow")
+    out = range_join(
+        left, right, key="user_id", left_ts="ts", lower="-6h", upper="0h",
+    )
+    return out.select_columns(["event_id", "snap_val"])
+
+
 def _q_dedup_exact(sf_dir: str):
     from nvtabular_ray.functions.dedup import exact_dedup
 
@@ -1106,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_sizes": _q_embedding_sizes,
         "asof_join_forward": _q_asof_join_forward,
         "asof_join_tolerance": _q_asof_join_tolerance,
+        "range_join": _q_range_join,
     }
 
 
@@ -1868,6 +1892,12 @@ def oracle_sql() -> dict[str, str]:
                       AND l.ts - r.ts <= INTERVAL 6 HOUR
                     ORDER BY r.ts DESC LIMIT 1) AS snap_val
             FROM events l
+        """,
+        "range_join": """
+            SELECT l.event_id, r.value AS snap_val
+            FROM events l JOIN events r
+              ON r.user_id = l.user_id AND r.event_id % 5 = 0
+             AND r.ts BETWEEN l.ts - INTERVAL 6 HOUR AND l.ts
         """,
         "target_encode_distributed": """
             WITH stats AS (

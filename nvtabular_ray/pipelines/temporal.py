@@ -51,6 +51,59 @@ def sessionize(
     return bucketed_group_map(ds, keys, [ts_col], per_bucket, num_buckets=num_buckets)
 
 
+def _union_sides(left_ds, right_ds, keys, left_ts, right_ts, right_cols, suffix):
+    """Shared two-sided join plumbing (asof_join / range_join): pad both
+    sides to one schema with a side tag + common ``__ts__`` axis, union them
+    so ONE hash-bucket shuffle moves both sides together.
+
+    Returns ``(both, out_fields, val_cols)``: the union Dataset, the fixed
+    output (name, arrow_type) list, and the right-value output names.
+    Output schema is fixed up front so unmatched right values stay their
+    Arrow type (nulls), never drifting to float64."""
+    left_schema = left_ds.schema(fetch_if_missing=True)
+    right_schema = right_ds.schema(fetch_if_missing=True)
+    left_cols = list(left_schema.names)
+    r_cols = right_cols or [c for c in right_schema.names if c not in keys and c != right_ts]
+
+    # resolve output names for right value columns (suffix on collision)
+    out_name = {c: (c + suffix if c in left_cols else c) for c in r_cols}
+
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    ts_type = left_types[left_ts]
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        t = t.append_column(_SIDE, pa.array(np.zeros(t.num_rows, np.int8)))
+        t = t.append_column("__ts__", t.column(left_ts).cast(ts_type))
+        for c in r_cols:
+            t = t.append_column(out_name[c], pa.nulls(t.num_rows, right_types[c]))
+        return t
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in keys}
+        cols["__ts__"] = t.column(right_ts).cast(ts_type)
+        for c in r_cols:
+            cols[out_name[c]] = t.column(c)
+        out = pa.table(cols)
+        out = out.append_column(_SIDE, pa.array(np.ones(out.num_rows, np.int8)))
+        for c in left_cols:
+            if c not in out.column_names:
+                out = out.append_column(c, pa.nulls(out.num_rows, left_types[c]))
+        return out
+
+    l_pad = left_ds.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
+    r_pad = right_ds.map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True)
+    # align column order for union
+    order = left_cols + ["__ts__", _SIDE] + [out_name[c] for c in r_cols]
+    both = l_pad.select_columns(order).union(r_pad.select_columns(order))
+
+    val_cols = [out_name[c] for c in r_cols]
+    out_fields = [(c, left_types[c]) for c in left_cols] + [
+        (out_name[c], right_types[c]) for c in r_cols
+    ]
+    return both, out_fields, val_cols
+
+
 def asof_join(
     left_ds,
     right_ds,
@@ -90,55 +143,9 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     keys = [key] if isinstance(key, str) else list(key)
     right_ts = right_ts or left_ts
-
-    left_schema = left_ds.schema(fetch_if_missing=True)
-    right_schema = right_ds.schema(fetch_if_missing=True)
-    left_cols = list(left_schema.names)
-    r_cols = right_cols or [c for c in right_schema.names if c not in keys and c != right_ts]
-    right_keep = keys + [right_ts] + [c for c in r_cols if c not in keys and c != right_ts]
-
-    # resolve output names for right value columns (suffix on collision)
-    out_name = {}
-    for c in r_cols:
-        out_name[c] = c + suffix if c in left_cols else c
-
-    right_types = dict(zip(right_schema.names, right_schema.types))
-    left_types = dict(zip(left_schema.names, left_schema.types))
-    ts_type = left_types[left_ts]
-
-    def pad_left(t: pa.Table) -> pa.Table:
-        t = t.append_column(_SIDE, pa.array(np.zeros(t.num_rows, np.int8)))
-        t = t.append_column("__ts__", t.column(left_ts).cast(ts_type))
-        for c in r_cols:
-            t = t.append_column(out_name[c], pa.nulls(t.num_rows, right_types[c]))
-        return t
-
-    def pad_right(t: pa.Table) -> pa.Table:
-        cols = {k: t.column(k) for k in keys}
-        cols["__ts__"] = t.column(right_ts).cast(ts_type)
-        for c in r_cols:
-            cols[out_name[c]] = t.column(c)
-        out = pa.table(cols)
-        out = out.append_column(_SIDE, pa.array(np.ones(out.num_rows, np.int8)))
-        for c in left_cols:
-            if c not in out.column_names:
-                out = out.append_column(c, pa.nulls(out.num_rows, left_types[c]))
-        return out
-
-    l_pad = left_ds.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
-    r_pad = right_ds.map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True)
-    # align column order for union
-    order = left_cols + ["__ts__", _SIDE] + [out_name[c] for c in r_cols]
-    l_pad = l_pad.select_columns(order)
-    r_pad = r_pad.select_columns(order)
-    both = l_pad.union(r_pad)
-
-    val_cols = [out_name[c] for c in r_cols]
-    # fixed output schema: unmatched right values must stay their Arrow type
-    # (nulls), not drift to float64 when pandas injects NaN in some buckets
-    out_fields = [(c, left_types[c]) for c in left_cols] + [
-        (out_name[c], right_types[c]) for c in r_cols
-    ]
+    both, out_fields, val_cols = _union_sides(
+        left_ds, right_ds, keys, left_ts, right_ts, right_cols, suffix
+    )
 
     def per_bucket(t: pa.Table) -> pa.Table:
         # vectorized last-seen-right scan (replaces a pandas merge_asof
@@ -219,6 +226,140 @@ def asof_join(
         take_right = pa.array(
             match[is_left], pa.int64(), mask=~ok[is_left]
         )
+        cols = {}
+        for name, typ in out_fields:
+            if name in val_cols:
+                cols[name] = t.column(name).take(take_right).combine_chunks().cast(typ)
+            else:
+                cols[name] = t.column(name).take(take_left)
+        return pa.table(cols)
+
+    return bucketed_group_map(both, keys, [], per_bucket, num_buckets=num_buckets)
+
+
+def range_join(
+    left_ds,
+    right_ds,
+    key: Union[str, list[str]],
+    left_ts: str,
+    lower,
+    upper,
+    right_ts: Optional[str] = None,
+    right_cols: Optional[list[str]] = None,
+    how: str = "inner",
+    suffix: str = "_range",
+    num_buckets: Optional[int] = None,
+):
+    """Range (interval) join: every left row pairs with EVERY right row of
+    the same key whose ``right_ts`` lies in ``[left_ts + lower, left_ts +
+    upper]`` (bounds inclusive; either may be negative — e.g. ``lower=-1h,
+    upper=0`` joins the trailing hour). One output row per match;
+    ``how="left"`` additionally keeps unmatched left rows with null right
+    values. SQL analog: an inequality join ``ON r.key = l.key AND r.ts
+    BETWEEN l.ts + lower AND l.ts + upper``.
+
+    New scope beyond the reference (SURVEY.md §2.3 lists no range join);
+    the nearest sibling is RollingAgg's trailing window, which aggregates
+    instead of enumerating matches.
+
+    Physical plan: same single-shuffle union as :func:`asof_join`, then per
+    bucket both bounds resolve with TWO global searchsorteds over a
+    per-key-rebased time axis (each key's right rows occupy a disjoint
+    band, so probes cannot cross key boundaries) and one repeat/gather
+    emits all pairs — no per-row or per-key Python loop.
+
+    Skew note: a hot key with R right rows and L left rows emits O(L·R)
+    pairs by definition; bound ``upper - lower`` to bound the blowup.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    keys = [key] if isinstance(key, str) else list(key)
+    right_ts = right_ts or left_ts
+    both, out_fields, val_cols = _union_sides(
+        left_ds, right_ds, keys, left_ts, right_ts, right_cols, suffix
+    )
+
+    def _bound_num(bound, ts_arr):
+        if ts_arr.dtype.kind == "M":
+            unit = np.datetime_data(ts_arr.dtype)[0]
+            return int(
+                pd.Timedelta(bound).to_timedelta64().astype(f"timedelta64[{unit}]").view("i8")
+            )
+        return bound
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        from nvtabular_ray.functions.hashing import hash64_columns
+
+        n = t.num_rows
+        side = t.column(_SIDE).to_numpy(zero_copy_only=False)
+        ts = t.column("__ts__").to_numpy(zero_copy_only=False)
+        ts_num = ts.view("i8") if ts.dtype.kind in "mM" else ts
+        kh = hash64_columns(t, keys).astype(np.int64)
+        lo_off, hi_off = _bound_num(lower, ts), _bound_num(upper, ts)
+
+        is_r = side == 1
+        r_idx = np.flatnonzero(is_r)
+        l_idx = np.flatnonzero(~is_r)
+        kh_r, ts_r = kh[r_idx], ts_num[r_idx]
+        order_r = np.lexsort((ts_r, kh_r))
+        kh_rs, ts_rs = kh_r[order_r], ts_r[order_r]
+        r_orig = r_idx[order_r]  # sorted-right position -> original row
+
+        # dense group ids over sorted right rows + per-group min ts
+        nr = len(r_orig)
+        if nr:
+            change = np.r_[True, kh_rs[1:] != kh_rs[:-1]]
+            gstarts = np.flatnonzero(change)
+            gid_r = np.cumsum(change) - 1
+            uniq_kh = kh_rs[gstarts]
+            gmin = ts_rs[gstarts]
+            rel_r = ts_rs - gmin[gid_r]
+            # band stride: probes are clamped to [-1, max_rel + 1]
+            max_rel = int(rel_r.max())
+        else:
+            uniq_kh = np.empty(0, np.int64)
+
+        # left probes
+        lt = ts_num[l_idx]
+        if nr and len(l_idx):
+            gi = np.searchsorted(uniq_kh, kh[l_idx])
+            gi_c = np.minimum(gi, len(uniq_kh) - 1)
+            has_key = uniq_kh[gi_c] == kh[l_idx]
+            stride = max_rel + 3
+            if len(uniq_kh) * stride < 2**62:
+                axis = rel_r + gid_r * stride
+                rel_lo = np.clip(lt + lo_off - gmin[gi_c], -1, max_rel + 1)
+                rel_hi = np.clip(lt + hi_off - gmin[gi_c], -1, max_rel + 1)
+                lo_pos = np.searchsorted(axis, rel_lo + gi_c * stride, side="left")
+                hi_pos = np.searchsorted(axis, rel_hi + gi_c * stride, side="right")
+            else:  # rebased axis would overflow: per-key loop (gigantic bucket)
+                gends = np.r_[gstarts[1:], nr]
+                lo_pos = np.empty(len(l_idx), np.int64)
+                hi_pos = np.empty(len(l_idx), np.int64)
+                for j in range(len(l_idx)):
+                    g0, g1 = gstarts[gi_c[j]], gends[gi_c[j]]
+                    lo_pos[j] = g0 + np.searchsorted(ts_rs[g0:g1], lt[j] + lo_off, "left")
+                    hi_pos[j] = g0 + np.searchsorted(ts_rs[g0:g1], lt[j] + hi_off, "right")
+            counts = np.where(has_key, np.maximum(hi_pos - lo_pos, 0), 0)
+        else:
+            counts = np.zeros(len(l_idx), np.int64)
+            lo_pos = np.zeros(len(l_idx), np.int64)
+
+        total = int(counts.sum())
+        # enumerate all (left, right) pairs with one repeat + arange gather
+        out_l = np.repeat(l_idx, counts)
+        offs = np.cumsum(counts) - counts
+        j = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+        out_r = r_orig[np.repeat(lo_pos, counts) + j] if total else np.empty(0, np.int64)
+        mask = np.zeros(total, dtype=bool)
+        if how == "left":
+            miss = l_idx[counts == 0]
+            out_l = np.concatenate([out_l, miss])
+            out_r = np.concatenate([out_r, np.zeros(len(miss), np.int64)])
+            mask = np.concatenate([mask, np.ones(len(miss), dtype=bool)])
+
+        take_left = pa.array(out_l)
+        take_right = pa.array(out_r, pa.int64(), mask=mask)
         cols = {}
         for name, typ in out_fields:
             if name in val_cols:

@@ -7,7 +7,13 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from nvtabular_ray.pipelines.temporal import asof_join, backfill, sessionize, windowed_agg
+from nvtabular_ray.pipelines.temporal import (
+    asof_join,
+    backfill,
+    range_join,
+    sessionize,
+    windowed_agg,
+)
 from nvtabular_ray.pipelines.transcripts import transcript_features
 from nvtabular_ray.transcripts import generate_transcripts, generate_transcripts_pandas
 
@@ -153,6 +159,72 @@ def test_asof_join_numeric_ts_tolerance():
         out["v"].to_numpy(dtype="float64", na_value=np.nan),
         oracle["v"].to_numpy(dtype="float64", na_value=np.nan),
     )
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_range_join_matches_pandas(tdf, how):
+    right = tdf[tdf["turn_idx"] % 4 == 0][["conv_id", "ts", "text_len"]].rename(
+        columns={"text_len": "feat"}
+    )
+    left = tdf[["conv_id", "turn_idx", "ts"]]
+    lower, upper = pd.Timedelta(seconds=-120), pd.Timedelta(seconds=120)
+    out = (
+        range_join(_ds(left), _ds(right), key="conv_id", left_ts="ts",
+                   lower=lower, upper=upper, how=how, num_buckets=8)
+        .to_pandas()
+    )
+    # oracle: explicit cartesian merge + interval filter, compared as
+    # per-left-row (count, sum) of matched values
+    m = left.merge(right.rename(columns={"ts": "rts"}), on="conv_id")
+    m = m[(m["rts"] >= m["ts"] + lower) & (m["rts"] <= m["ts"] + upper)]
+    exp = m.groupby(["conv_id", "turn_idx"])["feat"].agg(["count", "sum"])
+    if how == "left":
+        base = left.set_index(["conv_id", "turn_idx"])
+        exp = exp.reindex(base.index, fill_value=0)
+        # unmatched left rows appear exactly once (null feat)
+        assert len(out) == int(exp["count"].clip(lower=1).sum())
+    else:
+        assert len(out) == int(exp["count"].sum())
+    got = out.groupby(["conv_id", "turn_idx"])["feat"].agg(["count", "sum"])
+    got = got.reindex(exp.index, fill_value=0)
+    np.testing.assert_array_equal(got["count"].to_numpy(), exp["count"].to_numpy())
+    np.testing.assert_allclose(
+        got["sum"].to_numpy(dtype="float64"), exp["sum"].to_numpy(dtype="float64")
+    )
+
+
+def test_range_join_numeric_and_partition_invariance():
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({
+        "conv_id": rng.integers(0, 9, 300).astype(str),
+        "ts": rng.uniform(0, 100, 300),
+        "i": np.arange(300),
+    })
+    right = pd.DataFrame({
+        "conv_id": rng.integers(0, 9, 120).astype(str),
+        "ts": rng.uniform(0, 100, 120),
+        "v": rng.integers(0, 1000, 120),
+    })
+    outs = []
+    for blocks, buckets in [(2, 4), (7, 16)]:
+        out = (
+            range_join(_ds(left, blocks), _ds(right, blocks), key="conv_id",
+                       left_ts="ts", lower=-5.0, upper=5.0, num_buckets=buckets)
+            .to_pandas().sort_values(["i", "v"]).reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    m = left.merge(right.rename(columns={"ts": "rts"}), on="conv_id")
+    m = m[(m["rts"] >= m["ts"] - 5.0) & (m["rts"] <= m["ts"] + 5.0)]
+    exp = m.sort_values(["i", "v"]).reset_index(drop=True)
+    np.testing.assert_array_equal(outs[0]["i"], exp["i"])
+    np.testing.assert_array_equal(outs[0]["v"], exp["v"])
+
+
+def test_range_join_rejects_bad_how(tdf):
+    with pytest.raises(ValueError, match="how"):
+        range_join(_ds(tdf), _ds(tdf), key="conv_id", left_ts="ts",
+                   lower=0, upper=1, how="outer")
 
 
 def test_asof_join_rejects_bad_direction(tdf):
