@@ -433,6 +433,18 @@ def _q_rolling_count(sf_dir: str):
     return out.select_columns(["event_id", "w24h_count"])
 
 
+def _q_rolling_leading(sf_dir: str):
+    """Leading (label) window: events in the NEXT 24h per user."""
+    from nvtabular_ray.pipelines.temporal import windowed_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = windowed_agg(
+        ds, "user_id", "ts", "value", 86400, ["count"],
+        prefix="next24h_", direction="leading",
+    )
+    return out.select_columns(["event_id", "next24h_count"])
+
+
 def _q_backfill(sf_dir: str):
     from nvtabular_ray.pipelines.temporal import backfill
 
@@ -1130,6 +1142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_forward": _q_asof_join_forward,
         "asof_join_tolerance": _q_asof_join_tolerance,
         "range_join": _q_range_join,
+        "rolling_leading": _q_rolling_leading,
     }
 
 
@@ -1898,6 +1911,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events l JOIN events r
               ON r.user_id = l.user_id AND r.event_id % 5 = 0
              AND r.ts BETWEEN l.ts - INTERVAL 6 HOUR AND l.ts
+        """,
+        "rolling_leading": """
+            SELECT event_id,
+                   CAST(count(value) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN CURRENT ROW AND INTERVAL 24 HOUR FOLLOWING)
+                        AS BIGINT) AS next24h_count
+            FROM events
         """,
         "target_encode_distributed": """
             WITH stats AS (

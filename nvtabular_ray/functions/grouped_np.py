@@ -130,18 +130,58 @@ def grouped_window_bounds(ts_us: np.ndarray, gid: np.ndarray, window_us: int):
     return start, end
 
 
+def grouped_window_bounds_leading(ts_us: np.ndarray, gid: np.ndarray, window_us: int):
+    """(start, end) index pair per row for the LEADING window [t, t + W]:
+    start = first row with the same timestamp (peers included), end = one
+    past the last row with ts <= t + W — the SQL ``RANGE BETWEEN CURRENT
+    ROW AND W FOLLOWING`` semantics. Future-looking BY DESIGN (label
+    construction); never feed its outputs back as features of the same
+    instant."""
+    n = len(ts_us)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    starts = group_starts(gid)
+    counts = np.diff(np.r_[starts, n])
+    rel = ts_us - np.repeat(ts_us[starts], counts)
+    max_rel = int(rel.max()) if n else 0
+    stride = max_rel + window_us + 2
+    n_groups = int(gid[-1]) + 1
+    if stride > 0 and n_groups < (2**62) // stride:
+        axis = rel + gid * stride
+        start = np.searchsorted(axis, axis, side="left")
+        end = np.searchsorted(axis, axis + window_us, side="right")
+        return start, end
+    start = np.empty(n, dtype=np.int64)
+    end = np.empty(n, dtype=np.int64)
+    for s, c in zip(starts, counts):
+        seg = ts_us[s : s + c]
+        start[s : s + c] = s + np.searchsorted(seg, seg, side="left")
+        end[s : s + c] = s + np.searchsorted(seg, seg + window_us, side="right")
+    return start, end
+
+
 def rolling_aggregate(
-    values: np.ndarray, ts_us: np.ndarray, gid: np.ndarray, window_us: int, aggs: list[str]
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    gid: np.ndarray,
+    window_us: int,
+    aggs: list[str],
+    direction: str = "trailing",
 ) -> dict[str, np.ndarray]:
-    """Trailing-window aggregates per row via prefix sums + window starts.
+    """Windowed aggregates per row via prefix sums + window bounds.
     Supports count/sum/mean/min/max (min/max via per-row slice fallback).
+    ``direction="trailing"`` aggregates (t - W, t] (past-only, leakage-
+    free); ``"leading"`` aggregates [t, t + W] (SQL ``CURRENT ROW AND W
+    FOLLOWING`` — for label windows, deliberately future-looking).
 
     Null/NaN handling is SQL/pandas skipna: NaN values are excluded from
     count/sum/mean/min/max (a raw cumsum would poison every later window of
     the entity). count = number of VALID values in the window (SQL
     ``count(value)``); sum/mean/min/max are NaN when the window holds no
     valid value (SQL NULL)."""
-    w, end = grouped_window_bounds(ts_us, gid, window_us)
+    bounds = grouped_window_bounds if direction == "trailing" else grouped_window_bounds_leading
+    w, end = bounds(ts_us, gid, window_us)
     out: dict[str, np.ndarray] = {}
     valid = ~np.isnan(values)
     cv = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])

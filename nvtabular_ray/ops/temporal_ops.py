@@ -75,9 +75,12 @@ class Sessionize(Operator):
 
 
 class RollingAgg(Operator):
-    """Trailing time-window aggregates per entity: for each row, aggregate
-    the selected columns over rows of the same entity in (ts - window, ts].
-    Past-only (zero temporal leakage). Output ``{col}_w{window}s_{agg}``."""
+    """Time-window aggregates per entity. ``direction="trailing"``
+    (default): aggregate rows of the same entity in (ts - window, ts] —
+    past-only, zero temporal leakage; output ``{col}_w{window}s_{agg}``.
+    ``direction="leading"``: [ts, ts + window] (SQL ``CURRENT ROW AND W
+    FOLLOWING``) — future-looking for LABEL windows (e.g. "events in the
+    next 10 min"); output ``{col}_lead{window}s_{agg}``."""
 
     def __init__(
         self,
@@ -85,13 +88,17 @@ class RollingAgg(Operator):
         ts_col: str,
         window_seconds: float,
         aggs=("count", "sum", "mean"),
+        direction: str = "trailing",
     ):
+        if direction not in ("trailing", "leading"):
+            raise ValueError(f"direction must be trailing|leading, got {direction!r}")
         self.partition_cols = (
             [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
         )
         self.ts_col = ts_col
         self.window_seconds = window_seconds
         self.aggs = list(aggs)
+        self.direction = direction
         self.sort_cols = [ts_col]
 
     @property
@@ -104,7 +111,8 @@ class RollingAgg(Operator):
         ]
 
     def _out_name(self, col: str, agg: str) -> str:
-        return f"{col}_w{int(self.window_seconds)}s_{agg}"
+        tag = "w" if self.direction == "trailing" else "lead"
+        return f"{col}_{tag}{int(self.window_seconds)}s_{agg}"
 
     def column_mapping(self, col_selector):
         return {
@@ -127,7 +135,7 @@ class RollingAgg(Operator):
             vals = (
                 table.column(c).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
             )
-            res = rolling_aggregate(vals, ts, gid, window, self.aggs)
+            res = rolling_aggregate(vals, ts, gid, window, self.aggs, self.direction)
             for a in self.aggs:
                 arr = res[a]
                 out[self._out_name(c, a)] = pa.array(

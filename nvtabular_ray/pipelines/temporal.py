@@ -380,18 +380,21 @@ def windowed_agg(
     aggs: list[str] = ("count", "sum", "mean"),
     prefix: Optional[str] = None,
     num_buckets: Optional[int] = None,
+    direction: str = "trailing",
 ):
-    """Per-row trailing-window aggregates: for each row, aggregate
-    ``value_col`` over the same entity's rows in (ts - window, ts]
-    — inclusive of the current row, past-only (zero leakage).
-    Output columns ``{prefix}{agg}`` appended to the input row.
+    """Per-row window aggregates: for each row, aggregate ``value_col``
+    over the same entity's rows in (ts - window, ts] (``direction=
+    "trailing"``, default — past-only, zero leakage) or [ts, ts + window]
+    (``"leading"`` — SQL ``CURRENT ROW AND W FOLLOWING``, for label
+    windows). Output columns ``{prefix}{agg}`` appended to the input row.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    prefix = prefix or f"{value_col}_w{int(window_seconds)}s_"
+    tag = "w" if direction == "trailing" else "lead"
+    prefix = prefix or f"{value_col}_{tag}{int(window_seconds)}s_"
 
     from nvtabular_ray.ops.temporal_ops import RollingAgg
 
-    op = RollingAgg(keys, ts_col, window_seconds, aggs=list(aggs))
+    op = RollingAgg(keys, ts_col, window_seconds, aggs=list(aggs), direction=direction)
 
     def per_bucket(t: pa.Table) -> pa.Table:
         from nvtabular_ray.selector import ColumnSelector

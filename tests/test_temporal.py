@@ -227,6 +227,34 @@ def test_range_join_rejects_bad_how(tdf):
                    lower=0, upper=1, how="outer")
 
 
+def test_windowed_agg_leading_matches_bruteforce(tdf):
+    ds = _ds(tdf[["conv_id", "turn_idx", "ts", "text_len"]])
+    out = (
+        windowed_agg(ds, "conv_id", "ts", "text_len", 600,
+                     ["count", "sum"], direction="leading", num_buckets=8)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    o = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    W = pd.Timedelta(seconds=600)
+    exp_count = np.empty(len(o), np.int64)
+    exp_sum = np.empty(len(o), np.float64)
+    for i, r in o.iterrows():
+        seg = o[(o["conv_id"] == r["conv_id"]) & (o["ts"] >= r["ts"]) & (o["ts"] <= r["ts"] + W)]
+        exp_count[i] = seg["text_len"].notna().sum()
+        exp_sum[i] = seg["text_len"].sum()
+    np.testing.assert_array_equal(out["text_len_lead600s_count"], exp_count)
+    np.testing.assert_allclose(out["text_len_lead600s_sum"], exp_sum)
+
+
+def test_rolling_agg_rejects_bad_direction():
+    from nvtabular_ray.ops.temporal_ops import RollingAgg
+
+    with pytest.raises(ValueError, match="direction"):
+        RollingAgg("conv_id", "ts", 600, direction="sideways")
+
+
 def test_asof_join_rejects_bad_direction(tdf):
     with pytest.raises(ValueError, match="direction"):
         asof_join(_ds(tdf), _ds(tdf), key="conv_id", left_ts="ts", direction="sideways")
