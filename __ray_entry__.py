@@ -143,6 +143,14 @@ def _q_fillmedian(sf_dir: str):
     return _round6(wf.fit(ds).transform(ds), ["value2"])
 
 
+def _q_quantile_bucketize(sf_dir: str):
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    wf = Workflow((["value"] >> ops.QuantileBucketize(num_buckets=4)) + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
 def _q_bucketize(sf_dir: str):
     from nvtabular_ray import Workflow, ops
 
@@ -1143,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_tolerance": _q_asof_join_tolerance,
         "range_join": _q_range_join,
         "rolling_leading": _q_rolling_leading,
+        "quantile_bucketize": _q_quantile_bucketize,
     }
 
 
@@ -1918,6 +1927,20 @@ def oracle_sql() -> dict[str, str]:
                         RANGE BETWEEN CURRENT ROW AND INTERVAL 24 HOUR FOLLOWING)
                         AS BIGINT) AS next24h_count
             FROM events
+        """,
+        "quantile_bucketize": """
+            -- equal-frequency bins: value >= cut goes to the higher bin
+            -- (np.digitize right=False parity)
+            WITH b AS (
+                SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS qs FROM events
+            )
+            SELECT e.event_id,
+                   CASE WHEN e.value IS NULL THEN NULL ELSE
+                        CAST(CASE WHEN e.value >= b.qs[3] THEN 3
+                                  WHEN e.value >= b.qs[2] THEN 2
+                                  WHEN e.value >= b.qs[1] THEN 1
+                                  ELSE 0 END AS INTEGER) END AS value
+            FROM events e, b
         """,
         "target_encode_distributed": """
             WITH stats AS (

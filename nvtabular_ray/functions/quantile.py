@@ -3,12 +3,17 @@
 The reference computes medians with Dask's approximate quantile
 (/root/reference/nvtabular/ops/fill.py:116-119). We do better while staying
 fully streaming: each round is one ``map_batches`` pass producing a
-fixed-width histogram of the current candidate interval per column (a few KB
-per batch), merged on the driver; the interval containing the target rank
-narrows ~4096x per round, so 2-3 rounds pinpoint the quantile even at
-10^12 rows. A final pass collects only the handful of values left in the
-interval and interpolates exactly (pandas/DuckDB 'linear' semantics).
-Nothing but O(buckets) state ever leaves the workers.
+fixed-width histogram of the current candidate interval per (column, q)
+target (a few KB per batch), merged on the driver; the interval containing
+the target rank narrows ~4096x per round, so 2-3 rounds pinpoint the
+quantile even at 10^12 rows. A final pass collects only the handful of
+values left in the interval and interpolates exactly (pandas/DuckDB
+'linear' semantics). Nothing but O(buckets) state ever leaves the workers.
+
+Multiple q targets per column (``distributed_quantiles_multi``, used by
+QuantileBucketize) share the same passes: every round histograms ALL active
+(column, q) pairs at once, so k cut points cost the same number of dataset
+scans as one.
 """
 
 from __future__ import annotations
@@ -33,24 +38,26 @@ def _clean_np(table: pa.Table, col: str) -> np.ndarray:
     return vals[~np.isnan(vals)]
 
 
-def distributed_quantiles(
+def _quantiles_pairs(
     ds,
-    cols: list[str],
-    q: float = 0.5,
+    pairs: list[tuple[str, float]],
     collect_threshold: int = 100_000,
     max_rounds: int = 8,
-) -> dict[str, float]:
-    """Exact q-quantile (linear interpolation) per column of a Dataset."""
+) -> dict[tuple[str, float], float]:
+    """Exact linear-interpolation quantile per (column, q) pair. All pairs
+    refine simultaneously: one histogram pass per round covers every active
+    pair (the per-batch cleaned column is computed once per column)."""
+    cols = list(dict.fromkeys(c for c, _ in pairs))
     stats = column_moments(ds, cols)
-    state = {}
-    for c in cols:
+    state: dict[tuple[str, float], dict | None] = {}
+    for c, q in pairs:
         st = stats[c]
         n = st["count"]
         if n == 0:
-            state[c] = None
+            state[(c, q)] = None
             continue
         pos = (n - 1) * q
-        state[c] = {
+        state[(c, q)] = {
             "lo": st["min"],
             "hi": st["max"],
             "below": 0,
@@ -62,36 +69,48 @@ def distributed_quantiles(
             "value": st["min"] if st["min"] == st["max"] else None,
         }
 
-    results: dict[str, float] = {c: s["value"] for c, s in state.items() if s is None or s.get("done")}
+    results: dict[tuple[str, float], float] = {
+        p: s["value"] for p, s in state.items() if s is None or s.get("done")
+    }
+    idx_of = {p: i for i, p in enumerate(pairs)}
 
     for _ in range(max_rounds):
         active = [
-            c
-            for c, s in state.items()
+            p
+            for p, s in state.items()
             if s is not None and not s["done"] and s["n_range"] > collect_threshold
         ]
         if not active:
             break
-        bounds = {c: (state[c]["lo"], state[c]["hi"]) for c in active}
+        bounds = {p: (state[p]["lo"], state[p]["hi"]) for p in active}
 
         def hist_batch(t: pa.Table, bounds=bounds, active=tuple(active)) -> pa.Table:
-            names, hists = [], []
-            for c in active:
-                lo, hi = bounds[c]
-                v = _clean_np(t, c)
+            clean: dict[str, np.ndarray] = {}
+            ids, hists = [], []
+            for p in active:
+                c, _q = p
+                if c not in clean:
+                    clean[c] = _clean_np(t, c)
+                lo, hi = bounds[p]
+                v = clean[c]
                 v = v[(v >= lo) & (v <= hi)]
                 h, _ = np.histogram(v, bins=_NBUCKETS, range=(lo, hi))
-                names.append(c)
+                ids.append(idx_of[p])
                 hists.append(h.astype(np.int64))
-            return pa.table({"col": pa.array(names), "hist": pa.array(list(hists), pa.list_(pa.int64()))})
+            return pa.table(
+                {"pair": pa.array(ids, pa.int64()),
+                 "hist": pa.array(list(hists), pa.list_(pa.int64()))}
+            )
 
-        merged: dict[str, np.ndarray] = {c: np.zeros(_NBUCKETS, np.int64) for c in active}
+        merged: dict[tuple[str, float], np.ndarray] = {
+            p: np.zeros(_NBUCKETS, np.int64) for p in active
+        }
         for row in ds.map_batches(hist_batch, batch_format="pyarrow", zero_copy_batch=True).take_all():
-            merged[row["col"]] += np.asarray(row["hist"], dtype=np.int64)
+            merged[pairs[row["pair"]]] += np.asarray(row["hist"], dtype=np.int64)
 
-        for c in active:
-            s = state[c]
-            h = merged[c]
+        for p in active:
+            s = state[p]
+            h = merged[p]
             edges = np.linspace(s["lo"], s["hi"], _NBUCKETS + 1)
             cum = np.cumsum(h)
             k0 = s["r0"] - s["below"]
@@ -107,42 +126,72 @@ def distributed_quantiles(
             if new_lo == new_hi or s["n_range"] <= 0:
                 s["done"] = True
                 s["value"] = new_lo
-        for c in active:
-            if state[c]["done"]:
-                results[c] = state[c]["value"]
+        for p in active:
+            if state[p]["done"]:
+                results[p] = state[p]["value"]
 
     # final exact collect of the (small) remaining candidate intervals
-    active = [c for c, s in state.items() if s is not None and not s["done"]]
+    active = [p for p, s in state.items() if s is not None and not s["done"]]
     if active:
-        bounds = {c: (state[c]["lo"], state[c]["hi"]) for c in active}
+        bounds = {p: (state[p]["lo"], state[p]["hi"]) for p in active}
 
         def collect_batch(t: pa.Table, bounds=bounds, active=tuple(active)) -> pa.Table:
-            names, vals = [], []
-            for c in active:
-                lo, hi = bounds[c]
-                v = _clean_np(t, c)
+            clean: dict[str, np.ndarray] = {}
+            ids, vals = [], []
+            for p in active:
+                c, _q = p
+                if c not in clean:
+                    clean[c] = _clean_np(t, c)
+                lo, hi = bounds[p]
+                v = clean[c]
                 v = v[(v >= lo) & (v <= hi)]
-                names.extend([c] * len(v))
+                ids.extend([idx_of[p]] * len(v))
                 vals.append(v)
             return pa.table(
-                {"col": pa.array(names, pa.string()),
+                {"pair": pa.array(ids, pa.int64()),
                  "val": pa.array(np.concatenate(vals) if vals else np.array([], np.float64))}
             )
 
         rows = ds.map_batches(collect_batch, batch_format="pyarrow", zero_copy_batch=True).take_all()
-        by_col: dict[str, list] = {c: [] for c in active}
+        by_pair: dict[tuple[str, float], list] = {p: [] for p in active}
         for r in rows:
-            by_col[r["col"]].append(r["val"])
-        for c in active:
-            s = state[c]
-            v = np.sort(np.asarray(by_col[c], dtype=np.float64))
+            by_pair[pairs[r["pair"]]].append(r["val"])
+        for p in active:
+            s = state[p]
+            v = np.sort(np.asarray(by_pair[p], dtype=np.float64))
             i0 = min(max(s["r0"] - s["below"], 0), len(v) - 1)
             i1 = min(max(s["r1"] - s["below"], 0), len(v) - 1)
             v0, v1 = float(v[i0]), float(v[i1])
-            results[c] = v0 + (v1 - v0) * s["frac"]
+            results[p] = v0 + (v1 - v0) * s["frac"]
 
-    # interpolation for columns finished during refinement (r0==r1 or collapsed)
-    for c, s in state.items():
-        if s is not None and s.get("done") and c not in results:
-            results[c] = s["value"]
+    # interpolation for pairs finished during refinement (r0==r1 or collapsed)
+    for p, s in state.items():
+        if s is not None and s.get("done") and p not in results:
+            results[p] = s["value"]
     return results
+
+
+def distributed_quantiles(
+    ds,
+    cols: list[str],
+    q: float = 0.5,
+    collect_threshold: int = 100_000,
+    max_rounds: int = 8,
+) -> dict[str, float]:
+    """Exact q-quantile (linear interpolation) per column of a Dataset."""
+    res = _quantiles_pairs(ds, [(c, q) for c in cols], collect_threshold, max_rounds)
+    return {c: res[(c, q)] for c in cols}
+
+
+def distributed_quantiles_multi(
+    ds,
+    cols: list[str],
+    qs: list[float],
+    collect_threshold: int = 100_000,
+    max_rounds: int = 8,
+) -> dict[str, list[float]]:
+    """Exact quantiles at every q in ``qs`` per column — all targets refined
+    in the SAME dataset passes (cost ~ one-quantile cost, not len(qs)x)."""
+    pairs = [(c, q) for c in cols for q in qs]
+    res = _quantiles_pairs(ds, pairs, collect_threshold, max_rounds)
+    return {c: [res[(c, q)] for q in qs] for c in cols}

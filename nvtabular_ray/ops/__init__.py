@@ -24,7 +24,7 @@ from nvtabular_ray.ops.join_groupby import JoinGroupby
 from nvtabular_ray.ops.target_encoding import TargetEncoding
 from nvtabular_ray.ops.temporal_ops import RollingAgg, Sessionize
 from nvtabular_ray.ops.text_ops import PIIRedact, RepetitionRatio, TextClean, TokenCount
-from nvtabular_ray.ops.fill import FillMedian
+from nvtabular_ray.ops.fill import FillMedian, QuantileBucketize
 from nvtabular_ray.ops.hashed import HashBucket, HashedCross
 from nvtabular_ray.ops.normalize import Normalize, NormalizeMinMax
 from nvtabular_ray.ops.simple import (
@@ -68,6 +68,7 @@ __all__ = [
     "JoinGroupby",
     "TargetEncoding",
     "FillMedian",
+    "QuantileBucketize",
     "FillMissing",
     "Filter",
     "HashBucket",

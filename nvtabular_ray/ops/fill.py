@@ -11,7 +11,13 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from nvtabular_ray.functions.quantile import distributed_quantiles
+import numpy as np
+
+from nvtabular_ray.arrow_utils import as_single_chunk
+from nvtabular_ray.functions.quantile import (
+    distributed_quantiles,
+    distributed_quantiles_multi,
+)
 from nvtabular_ray.ops.base import StatOperator
 
 
@@ -59,3 +65,42 @@ class FillMedian(StatOperator):
             if self.add_binary_cols:
                 ordered[f"{name}_filled"] = cols[f"{name}_filled"]
         return pa.table(ordered)
+
+
+class QuantileBucketize(StatOperator):
+    """Equal-frequency discretizer: fit EXACT interpolated quantile cut
+    points at q = 1/k .. (k-1)/k (one shared streaming histogram-refine
+    pass for all cut points, functions/quantile.py), then bin with
+    ``np.digitize(right=False)`` — value == boundary goes to the higher
+    bin, matching a ``value >= cut`` SQL CASE. Output int32 in [0, k-1];
+    nulls/NaN stay null. The reference's Bucketize takes explicit
+    boundaries only (/root/reference/nvtabular/ops/bucketize.py:24-104);
+    fitted quantile binning is new scope."""
+
+    def __init__(self, num_buckets: int = 4):
+        super().__init__()
+        if num_buckets < 2:
+            raise ValueError("num_buckets must be >= 2")
+        self.num_buckets = int(num_buckets)
+        self.boundaries: dict[str, list[float]] = {}
+
+    def fit(self, col_selector, ds) -> None:
+        qs = [i / self.num_buckets for i in range(1, self.num_buckets)]
+        self.boundaries = distributed_quantiles_multi(ds, col_selector.names, qs)
+
+    def clear(self):
+        super().clear()
+        self.boundaries = {}
+
+    def output_dtype(self):
+        return pa.int32()
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        cols = {}
+        for name in col_selector.names:
+            arr = as_single_chunk(table.column(name))
+            null_mask = pc.is_null(arr, nan_is_null=True).to_numpy(zero_copy_only=False)
+            vals = pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False)
+            binned = np.digitize(vals, np.asarray(self.boundaries[name]), right=False)
+            cols[name] = pa.array(binned.astype(np.int32), mask=null_mask)
+        return pa.table(cols)

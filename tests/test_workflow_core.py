@@ -61,6 +61,23 @@ def test_fill_median_exact(mixed_ds, mixed_df):
         assert op.medians[c] == pytest.approx(mixed_df[c].median(), rel=1e-12), c
 
 
+def test_quantile_bucketize(mixed_ds, mixed_df):
+    wf = Workflow(["x", "y"] >> ops.QuantileBucketize(num_buckets=4))
+    out = wf.fit(mixed_ds).transform(mixed_ds).to_pandas()
+    op = wf._op_nodes()[0].op
+    for c in ("x", "y"):
+        cuts = np.quantile(mixed_df[c].dropna(), [0.25, 0.5, 0.75])
+        np.testing.assert_allclose(op.boundaries[c], cuts, rtol=1e-12)
+        exp = np.digitize(mixed_df[c].to_numpy(dtype=np.float64), cuts, right=False)
+        got = out[c].to_numpy(dtype="float64", na_value=np.nan)
+        mask = mixed_df[c].notna().to_numpy()
+        np.testing.assert_array_equal(got[mask], exp[mask].astype(np.float64))
+        assert np.isnan(got[~mask]).all()  # nulls stay null
+    # every non-empty bucket roughly equal frequency
+    counts = out["y"].value_counts()
+    assert counts.max() - counts.min() <= max(2, len(mixed_df) // 10)
+
+
 def test_fill_missing_indicator(mixed_ds, mixed_df):
     wf = Workflow(["x"] >> ops.FillMissing(fill_val=-1, add_binary_cols=True))
     out = wf.fit(mixed_ds).transform(mixed_ds).to_pandas()
