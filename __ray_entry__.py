@@ -322,6 +322,17 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample(ds, "event_id", 0.10).select_columns(["event_id", "event_type"])
 
 
+def _q_top_k_per_group(sf_dir: str):
+    """Corpus selection: the 5 longest documents of every (lang, source)
+    cell, ties broken by doc_id."""
+    from nvtabular_ray.functions.sampling import top_k_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    return top_k_per_group(
+        ds, ["lang", "source"], "n_chars", 5, tie_cols="doc_id"
+    )
+
+
 def _q_hash_split(sf_dir: str):
     """Deterministic entity-level train/valid/test split by user_id: every
     event of one user lands in the same split, reproducibly."""
@@ -1152,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "rolling_leading": _q_rolling_leading,
         "quantile_bucketize": _q_quantile_bucketize,
+        "top_k_per_group": _q_top_k_per_group,
     }
 
 
@@ -1927,6 +1939,14 @@ def oracle_sql() -> dict[str, str]:
                         RANGE BETWEEN CURRENT ROW AND INTERVAL 24 HOUR FOLLOWING)
                         AS BIGINT) AS next24h_count
             FROM events
+        """,
+        "top_k_per_group": """
+            SELECT doc_id, lang, source, n_chars FROM (
+                SELECT doc_id, lang, source, n_chars,
+                       row_number() OVER (PARTITION BY lang, source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 5
         """,
         "quantile_bucketize": """
             -- equal-frequency bins: value >= cut goes to the higher bin

@@ -88,3 +88,66 @@ def corpus_mix(ds, source_col: str, key_col: str, weights: dict[str, float]):
         return t.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_k_per_group(
+    ds,
+    keys,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_cols=None,
+    num_buckets=None,
+):
+    """Keep the top-``k`` rows of every key group ordered by ``order_col``
+    (numeric/timestamp), ties broken by ``tie_cols`` ascending — the
+    "best N documents per domain/language" selection step of a corpus
+    pipeline. Deterministic when (order_col, *tie_cols) is unique per
+    group; SQL analog ``row_number() OVER (PARTITION BY keys ORDER BY
+    order_col [DESC], tie_cols) <= k``.
+
+    Scale plan: a PARTIAL top-k inside map_batches first caps every batch
+    at k rows per key (the classic combiner — a hot key contributes at
+    most k rows per block to the exchange), then ONE bucketed shuffle and
+    the same kernel finalizes per entity-complete bucket.
+    """
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    tie_cols = [tie_cols] if isinstance(tie_cols, str) else list(tie_cols or [])
+
+    def topk_table(t: pa.Table) -> pa.Table:
+        from nvtabular_ray.functions.hashing import hash64_columns
+
+        n = t.num_rows
+        if n == 0:
+            return t
+        kh = hash64_columns(t, keys).astype(np.int64)
+        v = t.column(order_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vv = v.to_numpy(zero_copy_only=False)
+        if vv.dtype.kind in "mM":
+            vv = vv.view("i8")
+        if descending:
+            vv = -vv
+        ties = []
+        for c in reversed(tie_cols):
+            ta = t.column(c)
+            if isinstance(ta, pa.ChunkedArray):
+                ta = ta.combine_chunks()
+            tv = ta.to_numpy(zero_copy_only=False)
+            ties.append(tv.view("i8") if tv.dtype.kind in "mM" else tv)
+        order = np.lexsort((*ties, vv, kh))
+        kh_s = kh[order]
+        change = np.r_[True, kh_s[1:] != kh_s[:-1]]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.r_[starts, n])
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        return t.take(pa.array(order[rank < k]))
+
+    # partial top-k per block (combiner), then entity-complete final top-k
+    pre = ds.map_batches(topk_table, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_map(
+        pre, keys, [], topk_table, num_buckets=num_buckets, presort=False
+    )

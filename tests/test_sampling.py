@@ -64,3 +64,47 @@ def test_corpus_mix_weights_and_determinism():
         out.sort_values("k").reset_index(drop=True),
         out2.sort_values("k").reset_index(drop=True),
     )
+
+
+def test_top_k_per_group_matches_pandas():
+    from nvtabular_ray.functions.sampling import top_k_per_group
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z", "w"], size=500),
+            "score": rng.permutation(500).astype("float64"),
+            "i": np.arange(500, dtype="int64"),
+        }
+    )
+    for blocks in (3, 9):
+        out = (
+            top_k_per_group(_ds(df, blocks), "g", "score", 7, tie_cols="i")
+            .to_pandas()
+            .sort_values(["g", "i"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            df.sort_values(["g", "score", "i"], ascending=[True, False, True])
+            .groupby("g")
+            .head(7)
+            .sort_values(["g", "i"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, exp)
+
+
+def test_top_k_per_group_ascending_and_small_groups():
+    from nvtabular_ray.functions.sampling import top_k_per_group
+
+    df = pd.DataFrame(
+        {"g": ["a", "a", "b"], "score": [3.0, 1.0, 2.0], "i": [0, 1, 2]}
+    )
+    out = (
+        top_k_per_group(_ds(df, 2), "g", "score", 2, descending=False, tie_cols="i")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    # group b has 1 row < k -> kept whole; ascending keeps the smallest
+    pd.testing.assert_frame_equal(out, df)
