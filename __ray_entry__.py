@@ -1083,9 +1083,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     operator that has not yet earned a green CORRECTNESS row: the 14 queries
     the r2 driver never evaluated come first, then the two r2 hash-failures
     (now fixed: the int->float dtype drift in MinHash label propagation),
-    then pack_sequences (new SQL-checkable invariant output) and the three
-    round-3 additions; long-green basics from r1/r2 fill the remainder, with
-    the most trivial ones last (their green r1/r2 rows stand)."""
+    then pack_sequences (new SQL-checkable invariant output) and the nine
+    round-3 additions; long-green basics from r1/r2 fill the remainder, and
+    ops unchanged since their green r2 row sit past the window (those rows
+    stand)."""
     return {
         # --- never driver-checked before round 3 -------------------------
         "ngram_dedup": _q_ngram_dedup,
@@ -1109,6 +1110,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "categorify_tokens_distributed": _q_categorify_tokens_distributed,
         "join_groupby_multi_distributed": _q_join_groupby_multi_distributed,
         "target_encode_multi_distributed": _q_target_encode_multi_distributed,
+        "asof_join_forward": _q_asof_join_forward,
+        "asof_join_tolerance": _q_asof_join_tolerance,
+        "range_join": _q_range_join,
+        "rolling_leading": _q_rolling_leading,
+        "quantile_bucketize": _q_quantile_bucketize,
+        "top_k_per_group": _q_top_k_per_group,
         # --- long-green (complex ones inside the window) ------------------
         "categorify_event_type": _q_categorify_event_type,
         "categorify_combo": _q_categorify_combo,
@@ -1120,9 +1127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "groupby_stats": _q_groupby_stats,
         "tpch_q1": _q_tpch_q1,
         "difference_lag": _q_difference_lag,
-        "difference_lead": _q_difference_lead,
         "sessionize": _q_sessionize,
-        "rolling_count": _q_rolling_count,
         "rolling_mean": _q_rolling_mean,
         "backfill": _q_backfill,
         "asof_join": _q_asof_join,
@@ -1136,11 +1141,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
+        # --- past the driver's 50-query window (r1/r2 green, unchanged) ---
+        "difference_lead": _q_difference_lead,
+        "rolling_count": _q_rolling_count,
         "chunk_documents": _q_chunk_documents,
         "hash_split": _q_hash_split,
         "fingerprint": _q_fingerprint,
         "langid": _q_langid,
-        # --- past the driver's 50-query window (trivial, r1/r2 green) -----
         "minmax_logclip": _q_minmax_logclip,
         "fillmissing": _q_fillmissing,
         "bucketize": _q_bucketize,
@@ -1158,12 +1165,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_lambda": _q_filter_lambda,
         "hashed_cross": _q_hashed_cross,
         "embedding_sizes": _q_embedding_sizes,
-        "asof_join_forward": _q_asof_join_forward,
-        "asof_join_tolerance": _q_asof_join_tolerance,
-        "range_join": _q_range_join,
-        "rolling_leading": _q_rolling_leading,
-        "quantile_bucketize": _q_quantile_bucketize,
-        "top_k_per_group": _q_top_k_per_group,
     }
 
 
