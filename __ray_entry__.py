@@ -464,6 +464,16 @@ def _q_rolling_leading(sf_dir: str):
     return out.select_columns(["event_id", "next24h_count"])
 
 
+def _q_expanding_agg(sf_dir: str):
+    """Expanding (unbounded past-only) per-entity aggregates; equal-ts
+    peers excluded (SQL EXCLUDE GROUP) — deterministic under ts ties."""
+    from nvtabular_ray.pipelines.temporal import expanding_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = expanding_agg(ds, "user_id", "ts", "value", ["count", "mean"], prefix="cum_")
+    return _round6(out.select_columns(["event_id", "cum_count", "cum_mean"]), ["cum_mean"])
+
+
 def _q_backfill(sf_dir: str):
     from nvtabular_ray.pipelines.temporal import backfill
 
@@ -1114,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_tolerance": _q_asof_join_tolerance,
         "range_join": _q_range_join,
         "rolling_leading": _q_rolling_leading,
+        "expanding_agg": _q_expanding_agg,
         "quantile_bucketize": _q_quantile_bucketize,
         "top_k_per_group": _q_top_k_per_group,
         # --- long-green (complex ones inside the window) ------------------
@@ -1940,6 +1951,15 @@ def oracle_sql() -> dict[str, str]:
                         RANGE BETWEEN CURRENT ROW AND INTERVAL 24 HOUR FOLLOWING)
                         AS BIGINT) AS next24h_count
             FROM events
+        """,
+        "expanding_agg": """
+            SELECT event_id,
+                   CAST(count(value) OVER w AS BIGINT) AS cum_count,
+                   ROUND(avg(value) OVER w, 6) AS cum_mean
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                         EXCLUDE GROUP)
         """,
         "top_k_per_group": """
             SELECT doc_id, lang, source, n_chars FROM (

@@ -161,6 +161,72 @@ def grouped_window_bounds_leading(ts_us: np.ndarray, gid: np.ndarray, window_us:
     return start, end
 
 
+def range_min_max(values: np.ndarray, w: np.ndarray, end: np.ndarray, agg: str) -> np.ndarray:
+    """min/max of ``values[w[i]:end[i]]`` per row, NaN for empty or all-NaN
+    ranges. Vectorized sparse-table RMQ: L = log2(max range length) doubling
+    levels built with np.fmin/np.fmax (NaN-ignoring), then every query is
+    the combine of two overlapping power-of-two blocks — O(n log W) total,
+    no Python per row."""
+    n = len(values)
+    out = np.full(n, np.nan, dtype=np.float64)
+    if n == 0:
+        return out
+    length = end - w
+    m = int(length.max())
+    if m <= 0:
+        return out
+    fn = np.fmin if agg == "min" else np.fmax
+    tables = [values.astype(np.float64, copy=False)]
+    k = 1
+    while (1 << k) <= m:
+        prev = tables[-1]
+        half = 1 << (k - 1)
+        size = n - (1 << k) + 1
+        tables.append(fn(prev[:size], prev[half : half + size]))
+        k += 1
+    pos = length > 0
+    lev = np.zeros(n, dtype=np.int64)
+    lev[pos] = np.floor(np.log2(length[pos])).astype(np.int64)
+    for j in range(len(tables)):
+        mask = pos & (lev == j)
+        if not mask.any():
+            continue
+        t = tables[j]
+        out[mask] = fn(t[w[mask]], t[end[mask] - (1 << j)])
+    return out
+
+
+def _agg_over_bounds(
+    values: np.ndarray, w: np.ndarray, end: np.ndarray, aggs: list[str]
+) -> dict[str, np.ndarray]:
+    """count/sum/mean via prefix sums + min/max via RMQ over per-row
+    [w, end) ranges. SQL/pandas skipna semantics: NaN values are excluded
+    (a raw cumsum would poison every later window of the entity); count =
+    number of VALID values (SQL ``count(value)``); sum/mean/min/max are NaN
+    when the range holds no valid value (SQL NULL)."""
+    out: dict[str, np.ndarray] = {}
+    valid = ~np.isnan(values)
+    cv = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])
+    count = cv[end] - cv[w]
+    if "count" in aggs:
+        out["count"] = count
+    if "sum" in aggs or "mean" in aggs:
+        cs = np.concatenate([[0.0], np.cumsum(np.where(valid, values, 0.0), dtype=np.float64)])
+        s = cs[end] - cs[w]
+        if "sum" in aggs:
+            out["sum"] = np.where(count > 0, s, np.nan)
+        if "mean" in aggs:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out["mean"] = np.where(count > 0, s / count, np.nan)
+    for a in aggs:
+        if a in ("count", "sum", "mean"):
+            continue
+        if a not in ("min", "max"):
+            raise ValueError(f"unsupported agg {a!r}")
+        out[a] = range_min_max(values, w, end, a)
+    return out
+
+
 def rolling_aggregate(
     values: np.ndarray,
     ts_us: np.ndarray,
@@ -169,45 +235,59 @@ def rolling_aggregate(
     aggs: list[str],
     direction: str = "trailing",
 ) -> dict[str, np.ndarray]:
-    """Windowed aggregates per row via prefix sums + window bounds.
-    Supports count/sum/mean/min/max (min/max via per-row slice fallback).
-    ``direction="trailing"`` aggregates (t - W, t] (past-only, leakage-
-    free); ``"leading"`` aggregates [t, t + W] (SQL ``CURRENT ROW AND W
-    FOLLOWING`` — for label windows, deliberately future-looking).
-
-    Null/NaN handling is SQL/pandas skipna: NaN values are excluded from
-    count/sum/mean/min/max (a raw cumsum would poison every later window of
-    the entity). count = number of VALID values in the window (SQL
-    ``count(value)``); sum/mean/min/max are NaN when the window holds no
-    valid value (SQL NULL)."""
+    """Windowed aggregates per row (count/sum/mean/min/max) via prefix sums
+    + sparse-table RMQ over window bounds. ``direction="trailing"``
+    aggregates (t - W, t] (past-only, leakage-free); ``"leading"``
+    aggregates [t, t + W] (SQL ``CURRENT ROW AND W FOLLOWING`` — for label
+    windows, deliberately future-looking). RANGE tie semantics: equal-ts
+    rows are window peers (pandas rolling ends at the row POSITION, which
+    would disagree on duplicate timestamps)."""
     bounds = grouped_window_bounds if direction == "trailing" else grouped_window_bounds_leading
     w, end = bounds(ts_us, gid, window_us)
-    out: dict[str, np.ndarray] = {}
-    valid = ~np.isnan(values)
-    cv = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])
-    count = cv[end] - cv[w]
-    if "count" in aggs:
-        out["count"] = count
-    if "sum" in aggs or "mean" in aggs:
-        cs = np.concatenate(
-            [[0.0], np.cumsum(np.where(valid, values, 0.0), dtype=np.float64)]
-        )
-        s = cs[end] - cs[w]
-        if "sum" in aggs:
-            out["sum"] = np.where(count > 0, s, np.nan)
-        if "mean" in aggs:
-            with np.errstate(invalid="ignore", divide="ignore"):
-                out["mean"] = np.where(count > 0, s / count, np.nan)
-    unsupported = [a for a in aggs if a not in ("count", "sum", "mean")]
-    if unsupported:
-        # min/max: per-row slice over the (start, end) bounds — same RANGE
-        # tie semantics as above (pandas rolling ends at the row POSITION,
-        # which would disagree on duplicate timestamps)
-        for a in unsupported:
-            res = np.empty(len(values), dtype=np.float64)
-            fn = np.nanmin if a == "min" else np.nanmax
-            for i in range(len(values)):
-                seg = values[w[i] : end[i]]
-                res[i] = fn(seg) if end[i] > w[i] and valid[w[i] : end[i]].any() else np.nan
-            out[a] = res
-    return out
+    return _agg_over_bounds(values, w, end, aggs)
+
+
+def grouped_expanding_bounds(ts_us: np.ndarray, gid: np.ndarray):
+    """(start, end) index pair per row for the EXPANDING past-only window:
+    start = the group's first row, end = the first row with the current
+    row's timestamp — i.e. every same-entity row with ts STRICTLY earlier
+    than the current instant. Peers (equal-ts rows) are excluded: rows at
+    the same instant are simultaneous, not "known before", so including
+    them would leak (SQL ``RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT
+    ROW EXCLUDE GROUP``), and exclusion makes the result deterministic
+    under ties without a secondary sort key."""
+    n = len(ts_us)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    starts = group_starts(gid)
+    counts = np.diff(np.r_[starts, n])
+    w = np.repeat(starts, counts)
+    rel = ts_us - ts_us[w]  # >= 0, monotone per group
+    max_rel = int(rel.max()) if n else 0
+    stride = max_rel + 2
+    n_groups = int(gid[-1]) + 1
+    if stride > 0 and n_groups < (2**62) // stride:
+        axis = rel + gid * stride
+        end = np.searchsorted(axis, axis, side="left")
+        return w, end
+    end = np.empty(n, dtype=np.int64)
+    for s, c in zip(starts, counts):
+        seg = ts_us[s : s + c]
+        end[s : s + c] = s + np.searchsorted(seg, seg, side="left")
+    return w, end
+
+
+def expanding_aggregate(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    gid: np.ndarray,
+    aggs: list[str],
+) -> dict[str, np.ndarray]:
+    """Cumulative per-entity aggregates over all STRICTLY-earlier rows of
+    the entity ("everything known before this instant") — the unbounded
+    trailing window. First row of each entity (and every peer of its first
+    instant) gets count 0 / NaN. Same skipna semantics as
+    rolling_aggregate."""
+    w, end = grouped_expanding_bounds(ts_us, gid)
+    return _agg_over_bounds(values, w, end, aggs)

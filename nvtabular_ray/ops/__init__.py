@@ -22,7 +22,7 @@ from nvtabular_ray.ops.groupby import Groupby
 from nvtabular_ray.ops.join_external import JoinExternal
 from nvtabular_ray.ops.join_groupby import JoinGroupby
 from nvtabular_ray.ops.target_encoding import TargetEncoding
-from nvtabular_ray.ops.temporal_ops import RollingAgg, Sessionize
+from nvtabular_ray.ops.temporal_ops import ExpandingAgg, RollingAgg, Sessionize
 from nvtabular_ray.ops.text_ops import PIIRedact, RepetitionRatio, TextClean, TokenCount
 from nvtabular_ray.ops.fill import FillMedian, QuantileBucketize
 from nvtabular_ray.ops.hashed import HashBucket, HashedCross
@@ -77,6 +77,7 @@ __all__ = [
     "LogOp",
     "Normalize",
     "NormalizeMinMax",
+    "ExpandingAgg",
     "RollingAgg",
     "Sessionize",
     "ReduceDtypeSize",

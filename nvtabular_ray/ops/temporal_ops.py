@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from nvtabular_ray.functions.grouped_np import (
+    expanding_aggregate,
     group_ids_sorted,
     grouped_sessionize,
     rolling_aggregate,
@@ -136,6 +137,76 @@ class RollingAgg(Operator):
                 table.column(c).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
             )
             res = rolling_aggregate(vals, ts, gid, window, self.aggs, self.direction)
+            for a in self.aggs:
+                arr = res[a]
+                out[self._out_name(c, a)] = pa.array(
+                    arr.astype(np.int64) if a == "count" else arr.astype(np.float64)
+                )
+        return pa.table(out)
+
+
+class ExpandingAgg(Operator):
+    """Cumulative per-entity aggregates over all STRICTLY-earlier rows of
+    the entity — the unbounded trailing window ("everything known before
+    this instant"). Equal-ts peers are EXCLUDED: rows at the same instant
+    are simultaneous, not "known before", so including them would leak,
+    and exclusion makes the result deterministic under timestamp ties
+    without a secondary sort key (SQL ``RANGE BETWEEN UNBOUNDED PRECEDING
+    AND CURRENT ROW EXCLUDE GROUP``). The first instant of each entity
+    gets count 0 / NULL. Output ``{col}_cum_{agg}``.
+
+    The point-in-time complement of RollingAgg's bounded windows; fuses
+    into the same single bucketed (entity, ts) shuffle."""
+
+    def __init__(
+        self,
+        partition_cols: Union[str, list[str]],
+        ts_col: str,
+        aggs=("count", "sum", "mean"),
+    ):
+        bad = [a for a in aggs if a not in ("count", "sum", "mean", "min", "max")]
+        if bad:
+            raise ValueError(f"unsupported aggs {bad}; use count/sum/mean/min/max")
+        self.partition_cols = (
+            [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+        )
+        self.ts_col = ts_col
+        self.aggs = list(aggs)
+        self.sort_cols = [ts_col]
+
+    @property
+    def dependencies(self):
+        return self.partition_cols + [self.ts_col]
+
+    def _value_cols(self, col_selector):
+        return [
+            c for c in col_selector.names if c not in self.partition_cols and c != self.ts_col
+        ]
+
+    def _out_name(self, col: str, agg: str) -> str:
+        return f"{col}_cum_{agg}"
+
+    def column_mapping(self, col_selector):
+        return {
+            self._out_name(c, a): [c] for c in self._value_cols(col_selector) for a in self.aggs
+        }
+
+    def compute_output_schema(self, col_selector, input_schema):
+        return {
+            self._out_name(c, a): (pa.int64() if a == "count" else pa.float64())
+            for c in self._value_cols(col_selector)
+            for a in self.aggs
+        }
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        gid = group_ids_sorted(table, self.partition_cols)
+        ts, _ = _ts_to_int_us(table.column(self.ts_col))
+        out = {}
+        for c in self._value_cols(col_selector):
+            vals = (
+                table.column(c).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            )
+            res = expanding_aggregate(vals, ts, gid, self.aggs)
             for a in self.aggs:
                 arr = res[a]
                 out[self._out_name(c, a)] = pa.array(

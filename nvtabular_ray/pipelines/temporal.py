@@ -407,6 +407,38 @@ def windowed_agg(
     return bucketed_group_map(ds, keys, [ts_col], per_bucket, num_buckets=num_buckets)
 
 
+def expanding_agg(
+    ds,
+    key: Union[str, list[str]],
+    ts_col: str,
+    value_col: str,
+    aggs: list[str] = ("count", "sum", "mean"),
+    prefix: Optional[str] = None,
+    num_buckets: Optional[int] = None,
+):
+    """Per-row cumulative aggregates of ``value_col`` over all same-entity
+    rows with STRICTLY earlier ts (unbounded past-only window, equal-ts
+    peers excluded — SQL ``RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT
+    ROW EXCLUDE GROUP``). Output columns ``{prefix}{agg}`` appended to the
+    input row."""
+    keys = [key] if isinstance(key, str) else list(key)
+    prefix = prefix or f"{value_col}_cum_"
+
+    from nvtabular_ray.ops.temporal_ops import ExpandingAgg
+
+    op = ExpandingAgg(keys, ts_col, aggs=list(aggs))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        from nvtabular_ray.selector import ColumnSelector
+
+        res = op.transform(ColumnSelector([value_col]), t)
+        for a in aggs:
+            t = t.append_column(f"{prefix}{a}", res.column(op._out_name(value_col, a)))
+        return t
+
+    return bucketed_group_map(ds, keys, [ts_col], per_bucket, num_buckets=num_buckets)
+
+
 def backfill(
     ds,
     key: Union[str, list[str]],

@@ -385,3 +385,108 @@ def test_transcript_features_projected_exchange_matches_default():
             assert x.equals(y), c
     # the per-turn text-equality invariant survives the rejoin
     assert (kb["text"] == ka["text"]).all()
+
+
+def test_expanding_agg_matches_duckdb_exclude_group(tdf):
+    """Expanding = all strictly-earlier same-entity rows (peers excluded):
+    SQL RANGE UNBOUNDED PRECEDING .. CURRENT ROW EXCLUDE GROUP."""
+    import duckdb
+
+    from nvtabular_ray.pipelines.temporal import expanding_agg
+
+    out = (
+        expanding_agg(_ds(tdf), "conv_id", "ts", "text_len",
+                      ["count", "sum", "mean", "min", "max"], num_buckets=8)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    o = duckdb.sql(
+        """
+        SELECT conv_id, turn_idx,
+               count(text_len) OVER w AS c, sum(text_len) OVER w AS s,
+               avg(text_len) OVER w AS m, min(text_len) OVER w AS mn,
+               max(text_len) OVER w AS mx
+        FROM tdf
+        WINDOW w AS (PARTITION BY conv_id ORDER BY ts
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     EXCLUDE GROUP)
+        ORDER BY conv_id, turn_idx
+        """
+    ).df()
+    np.testing.assert_array_equal(out["text_len_cum_count"], o["c"].astype("int64"))
+    for col, ocol in [("sum", "s"), ("mean", "m"), ("min", "mn"), ("max", "mx")]:
+        np.testing.assert_allclose(
+            out[f"text_len_cum_{col}"], o[ocol].astype(float), rtol=1e-12, equal_nan=True
+        )
+    # first turn of every conversation sees nothing
+    first = out.groupby("conv_id").head(1)
+    assert (first["text_len_cum_count"] == 0).all()
+    assert first["text_len_cum_mean"].isna().all()
+
+
+def test_expanding_agg_ties_and_nans():
+    """Equal-ts peers excluded; NaN values skipped, not poisoning."""
+    from nvtabular_ray.functions.grouped_np import expanding_aggregate
+
+    gid = np.array([0, 0, 0, 0, 1, 1])
+    ts = np.array([1, 5, 5, 9, 2, 2], dtype=np.int64)
+    v = np.array([10.0, np.nan, 30.0, 40.0, 7.0, 8.0])
+    res = expanding_aggregate(v, ts, gid, ["count", "sum", "min", "max"])
+    np.testing.assert_array_equal(res["count"], [0, 1, 1, 2, 0, 0])
+    np.testing.assert_allclose(res["sum"], [np.nan, 10, 10, 40, np.nan, np.nan])
+    np.testing.assert_allclose(res["min"], [np.nan, 10, 10, 10, np.nan, np.nan])
+    np.testing.assert_allclose(res["max"], [np.nan, 10, 10, 30, np.nan, np.nan])
+
+
+def test_rolling_min_max_rmq_matches_bruteforce():
+    """Sparse-table RMQ rolling min/max == per-row brute force (with ties,
+    NaNs, single-row groups, and windows spanning whole groups)."""
+    from nvtabular_ray.functions.grouped_np import (
+        grouped_window_bounds,
+        rolling_aggregate,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    gid = np.sort(rng.integers(0, 150, n))
+    ts = np.empty(n, np.int64)
+    s = 0
+    for g in np.unique(gid):
+        c = int((gid == g).sum())
+        ts[s : s + c] = np.sort(rng.integers(0, 40, c))
+        s += c
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.2] = np.nan
+    for w_us in (1, 7, 100):
+        res = rolling_aggregate(v, ts, gid, w_us, ["min", "max"])
+        lo, hi = grouped_window_bounds(ts, gid, w_us)
+        for i in range(n):
+            seg = v[lo[i] : hi[i]]
+            ok = seg[~np.isnan(seg)]
+            for a, fn in (("min", np.min), ("max", np.max)):
+                exp = fn(ok) if len(ok) else np.nan
+                got = res[a][i]
+                assert (np.isnan(exp) and np.isnan(got)) or got == exp
+
+
+def test_expanding_agg_workflow_op_fuses(tdf):
+    """ExpandingAgg as a Workflow op shares the single bucketed shuffle."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _ds(tdf)
+    node = ["text_len"] >> ops.ExpandingAgg("conv_id", "ts", aggs=["count", "mean"])
+    wf = Workflow(node + ["conv_id", "turn_idx"])
+    out = (
+        wf.fit(ds).transform(ds).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    o = tdf.sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    grp = o.groupby("conv_id")["text_len"]
+    expect_c = grp.transform(lambda x: x.expanding().count().shift(1).fillna(0))
+    # ties: tdf timestamps are strictly increasing per conv (generator
+    # invariant), so shift(1) == strictly-earlier here
+    key = o.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    np.testing.assert_array_equal(
+        out["text_len_cum_count"], expect_c[key.index].astype("int64")
+    )
