@@ -210,7 +210,7 @@ def _agg_over_bounds(
     count = cv[end] - cv[w]
     if "count" in aggs:
         out["count"] = count
-    if "sum" in aggs or "mean" in aggs:
+    if "sum" in aggs or "mean" in aggs or "std" in aggs or "var" in aggs:
         cs = np.concatenate([[0.0], np.cumsum(np.where(valid, values, 0.0), dtype=np.float64)])
         s = cs[end] - cs[w]
         if "sum" in aggs:
@@ -218,8 +218,25 @@ def _agg_over_bounds(
         if "mean" in aggs:
             with np.errstate(invalid="ignore", divide="ignore"):
                 out["mean"] = np.where(count > 0, s / count, np.nan)
+    if "std" in aggs or "var" in aggs:
+        # sample variance (ddof=1) from prefix sums of squares; values are
+        # centered on the batch's global mean first — variance is shift-
+        # invariant and the shift removes most catastrophic cancellation
+        shift = np.nanmean(values) if valid.any() else 0.0
+        vc = np.where(valid, values - shift, 0.0)
+        cs1 = np.concatenate([[0.0], np.cumsum(vc, dtype=np.float64)])
+        cs2 = np.concatenate([[0.0], np.cumsum(vc * vc, dtype=np.float64)])
+        s1 = cs1[end] - cs1[w]
+        s2 = cs2[end] - cs2[w]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = np.where(count > 1, (s2 - s1 * s1 / count) / (count - 1), np.nan)
+        var = np.where(var < 0, 0.0, var)  # rounding guard
+        if "var" in aggs:
+            out["var"] = var
+        if "std" in aggs:
+            out["std"] = np.sqrt(var)
     for a in aggs:
-        if a in ("count", "sum", "mean"):
+        if a in ("count", "sum", "mean", "std", "var"):
             continue
         if a not in ("min", "max"):
             raise ValueError(f"unsupported agg {a!r}")

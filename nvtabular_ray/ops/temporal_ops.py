@@ -164,9 +164,9 @@ class ExpandingAgg(Operator):
         ts_col: str,
         aggs=("count", "sum", "mean"),
     ):
-        bad = [a for a in aggs if a not in ("count", "sum", "mean", "min", "max")]
+        bad = [a for a in aggs if a not in ("count", "sum", "mean", "min", "max", "std", "var")]
         if bad:
-            raise ValueError(f"unsupported aggs {bad}; use count/sum/mean/min/max")
+            raise ValueError(f"unsupported aggs {bad}; use count/sum/mean/min/max/std/var")
         self.partition_cols = (
             [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
         )

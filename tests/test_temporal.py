@@ -490,3 +490,42 @@ def test_expanding_agg_workflow_op_fuses(tdf):
     np.testing.assert_array_equal(
         out["text_len_cum_count"], expect_c[key.index].astype("int64")
     )
+
+
+def test_window_std_var_matches_duckdb(tdf):
+    """std/var window aggs (prefix sums of mean-shifted squares, ddof=1)."""
+    import duckdb
+
+    from nvtabular_ray.functions.grouped_np import (
+        expanding_aggregate,
+        group_ids_sorted,
+        rolling_aggregate,
+    )
+
+    o = tdf.sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    t = pa.Table.from_pandas(o, preserve_index=False)
+    gid = group_ids_sorted(t, ["conv_id"])
+    ts = o["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    v = o["text_len"].astype(float).to_numpy()
+    r = rolling_aggregate(v, ts, gid, 600 * 10**6, ["std", "var"])
+    e = expanding_aggregate(v, ts, gid, ["std"])
+    q = duckdb.sql(
+        """
+        SELECT stddev_samp(text_len) OVER wr AS rsd,
+               var_samp(text_len) OVER wr AS rvr,
+               stddev_samp(text_len) OVER we AS esd
+        FROM o
+        WINDOW wr AS (PARTITION BY conv_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 600 SECOND PRECEDING AND CURRENT ROW),
+               we AS (PARTITION BY conv_id ORDER BY ts
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)
+        ORDER BY conv_id, ts
+        """
+    ).df()
+    for got, col in [(r["std"], "rsd"), (r["var"], "rvr"), (e["std"], "esd")]:
+        np.testing.assert_allclose(
+            np.nan_to_num(got, nan=-1),
+            np.nan_to_num(q[col].astype(float), nan=-1),
+            rtol=1e-9,
+            atol=1e-6,
+        )
