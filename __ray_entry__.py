@@ -474,6 +474,31 @@ def _q_expanding_agg(sf_dir: str):
     return _round6(out.select_columns(["event_id", "cum_count", "cum_mean"]), ["cum_mean"])
 
 
+def _q_hot_split_features(sf_dir: str):
+    """Ordered features with HOT-ENTITY SPLITTING exercised end-to-end: a
+    low hot_threshold forces every user onto the halo+carry path (time
+    segments of ~20 rows), so the driver's value hash pins split == unsplit
+    semantics (lag / sessionize / rolling / expanding in one pass)."""
+    from nvtabular_ray.pipelines.hot_split import ordered_features
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    specs = [
+        {"kind": "lag", "col": "value", "shift": 1},
+        {"kind": "sessionize", "gap": 6 * 3600, "out": "session_id"},
+        {"kind": "rolling", "col": "value", "window": 86400, "aggs": ["count", "mean"]},
+        {"kind": "expanding", "col": "value", "aggs": ["count", "sum"]},
+    ]
+    out = ordered_features(
+        ds, "user_id", "ts", specs, hot_threshold=30, target_seg_rows=20, num_buckets=8
+    )
+    out = out.select_columns(
+        ["event_id", "value_difference_lag_1", "session_id",
+         "value_w86400s_count", "value_w86400s_mean",
+         "value_cum_count", "value_cum_sum"]
+    )
+    return _round6(out, ["value_w86400s_mean", "value_cum_sum"])
+
+
 def _q_backfill(sf_dir: str):
     from nvtabular_ray.pipelines.temporal import backfill
 
@@ -1127,6 +1152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expanding_agg": _q_expanding_agg,
         "quantile_bucketize": _q_quantile_bucketize,
         "top_k_per_group": _q_top_k_per_group,
+        "hot_split_features": _q_hot_split_features,
         # --- long-green (complex ones inside the window) ------------------
         "categorify_event_type": _q_categorify_event_type,
         "categorify_combo": _q_categorify_combo,
@@ -1960,6 +1986,31 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                          EXCLUDE GROUP)
+        """,
+        "hot_split_features": """
+            WITH d AS (
+                SELECT event_id, user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 6 HOUR
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(value - lag(value) OVER w0 AS REAL) AS value_difference_lag_1,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id,
+                   CAST(count(value) OVER wr AS BIGINT) AS value_w86400s_count,
+                   ROUND(avg(value) OVER wr, 6) AS value_w86400s_mean,
+                   CAST(count(value) OVER we AS BIGINT) AS value_cum_count,
+                   ROUND(sum(value) OVER we, 6) AS value_cum_sum
+            FROM d
+            WINDOW w0 AS (PARTITION BY user_id ORDER BY ts),
+                   wr AS (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW),
+                   we AS (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                          EXCLUDE GROUP)
         """,
         "top_k_per_group": """
             SELECT doc_id, lang, source, n_chars FROM (

@@ -1,0 +1,630 @@
+"""Hot-entity splitting for ordered features (skew mitigation, north rule).
+
+`bucketed_group_map` keeps every entity in ONE bucket — exact, but a
+pathologically hot entity (a conversation with 10^8 turns at the 10^12-turn
+target) lands in one reduce task: unbounded per-task memory and a straggler
+that caps scaling. Salting (ops/groupby.py) fixes this for *algebraic*
+aggregations only; ordered features (lag, sessions, windows, cumulative)
+need the entity's timeline, which a plain salt would tear apart.
+
+This module splits hot entities into TIME-CONTIGUOUS segments and keeps the
+ordered features exact with two classic mechanisms:
+
+- **halo replication** for bounded windows: a row within `W` of a segment
+  cut is sent to both its own segment and the neighbor that needs it for
+  (t-W, t] / [t, t+W] windows (flagged `__halo__`, its own outputs dropped).
+  Cut spacing is enforced >= max window, so windows never reach more than
+  one segment over.
+- **carry folding** (a distributed prefix scan) for unbounded state: each
+  segment emits a tiny summary (first/last ts, internal session breaks,
+  tail/head rows for lag/lead, raw count/sum/sumsq/min/max for expanding
+  aggregates); the driver folds summaries per entity in time order into
+  per-segment carries (sum of breaks before, last-K values before, prefix
+  aggregates before, first-K values after) and broadcasts them — O(hot
+  entities x segments) state, independent of row count.
+
+Physical plan (raw Ray tasks — the Dataset API has no hash-repartition-by-
+key, same justification as partitioned.py):
+
+    analyze:  per-entity row counts (map partials -> grouped_reduce, tiny)
+              + deterministic hash-sample of hot entities' ts -> cut points
+    exchange: split tasks route cold rows to hash buckets, hot rows to
+              (entity, time-segment) buckets, replicating halos; one reduce
+              task per bucket concats + sorts
+    cold buckets: feature pass immediately (multi-entity numpy kernels)
+    hot buckets:  summary pass -> driver fold -> feature pass with carries
+
+Everything is deterministic (cuts from a stable hash sample; fold order is
+(entity, segment)); split output == unsplit output exactly (pytest-pinned).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from nvtabular_ray.functions.grouped_np import (
+    _agg_over_bounds,
+    group_ids_sorted,
+    grouped_diff,
+    grouped_expanding_bounds,
+    grouped_sessionize,
+    rolling_aggregate,
+)
+from nvtabular_ray.functions.hashing import hash64_columns
+
+HALO_COL = "__halo__"
+_US = 1_000_000
+
+
+# --------------------------------------------------------------------------
+# spec handling
+# --------------------------------------------------------------------------
+
+
+def _spec_out_names(spec: dict) -> list[str]:
+    k = spec["kind"]
+    if k == "lag":
+        return [spec.get("out") or f"{spec['col']}_difference_lag_{spec['shift']}"]
+    if k == "sessionize":
+        return [spec.get("out") or "session_id"]
+    if k == "rolling":
+        tag = "w" if spec.get("direction", "trailing") == "trailing" else "lead"
+        return [f"{spec['col']}_{tag}{int(spec['window'])}s_{a}" for a in spec["aggs"]]
+    if k == "expanding":
+        return [f"{spec['col']}_cum_{a}" for a in spec["aggs"]]
+    raise ValueError(f"unknown spec kind {k!r}")
+
+
+def _validate_specs(specs: list[dict]):
+    for s in specs:
+        names = _spec_out_names(s)  # raises on unknown kind
+        if s["kind"] in ("rolling", "expanding"):
+            bad = [a for a in s["aggs"] if a not in ("count", "sum", "mean", "min", "max", "std", "var")]
+            if bad:
+                raise ValueError(f"unsupported aggs {bad} in {s}")
+        del names
+
+
+def _max_windows_us(specs: list[dict], is_ts: bool) -> tuple[int, int]:
+    """(max trailing window, max leading window) in ts units."""
+    scale = _US if is_ts else 1
+    wt = wl = 0
+    for s in specs:
+        if s["kind"] == "rolling":
+            w = int(s["window"] * scale)
+            if s.get("direction", "trailing") == "trailing":
+                wt = max(wt, w)
+            else:
+                wl = max(wl, w)
+    return wt, wl
+
+
+def _lag_cols(specs: list[dict]) -> tuple[dict, dict]:
+    """({col: max positive shift}, {col: max lead depth})."""
+    tail: dict[str, int] = {}
+    head: dict[str, int] = {}
+    for s in specs:
+        if s["kind"] == "lag":
+            k = int(s["shift"])
+            if k > 0:
+                tail[s["col"]] = max(tail.get(s["col"], 0), k)
+            elif k < 0:
+                head[s["col"]] = max(head.get(s["col"], 0), -k)
+    return tail, head
+
+
+def _exp_cols(specs: list[dict]) -> list[str]:
+    return sorted({s["col"] for s in specs if s["kind"] == "expanding"})
+
+
+# --------------------------------------------------------------------------
+# analyze: entity counts + cut points for hot entities
+# --------------------------------------------------------------------------
+
+
+def _entity_counts(ds, key: str):
+    from nvtabular_ray.functions.aggregates import grouped_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        res = t.select([key]).group_by([key], use_threads=False).aggregate([(key, "count")])
+        return res.rename_columns([key, "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_reduce(partials, [key], {"n": "sum"})
+
+
+def _ts_to_us_np(arr: pa.ChunkedArray) -> tuple[np.ndarray, bool]:
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_timestamp(a.type):
+        return pc.cast(a, pa.timestamp("us")).cast(pa.int64()).to_numpy(), True
+    return pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False), False
+
+
+def _sample_hot_ts(ds, key: str, ts_col: str, hot_counts, keys_arr: pa.Array,
+                   sample_per_entity: int = 2048):
+    """Deterministic per-entity ts sample: keep a row iff
+    hash64(key, ts) % 2^20 < rate * 2^20 with rate sized from the entity's
+    known row count. Output is driver-small by construction.
+
+    ``keys_arr`` must carry the key column's exact Arrow type (index_in is
+    type-strict for e.g. int32 keys)."""
+    rates = {
+        k: min(1.0, sample_per_entity / max(1, int(n)))
+        for k, n in zip(hot_counts[key].tolist(), hot_counts["n"].tolist())
+    }
+    rate_arr = pa.array([rates[k] for k in hot_counts[key].tolist()], pa.float64())
+
+    def thin(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column(key).combine_chunks(), keys_arr)
+        present = pc.is_valid(idx)
+        if not pc.any(present).as_py():
+            return pa.table({key: pa.array([], t.schema.field(key).type),
+                             ts_col: pa.array([], t.schema.field(ts_col).type)})
+        t2 = t.filter(present).select([key, ts_col])
+        idx2 = pc.index_in(t2.column(key).combine_chunks(), keys_arr)
+        rate = pc.take(rate_arr, idx2).to_numpy(zero_copy_only=False)
+        h = hash64_columns(t2, [key, ts_col]) % np.uint64(1 << 20)
+        keep = h.astype(np.float64) < rate * float(1 << 20)
+        return t2.filter(pa.array(keep))
+
+    sampled = ds.map_batches(thin, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        [b for b in sampled.iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="default",
+    )
+
+
+def _choose_cuts(sample_ts_us: np.ndarray, n_rows: int, target_seg_rows: int, min_spacing: int):
+    """Cut points from sample quantiles; enforce >= min_spacing (max window)
+    between cuts so windows never span two cuts. Returns int64 array
+    (possibly empty -> entity stays unsplit)."""
+    m = int(np.ceil(n_rows / max(1, target_seg_rows)))
+    if m < 2 or len(sample_ts_us) < 2:
+        return np.empty(0, np.int64)
+    qs = np.quantile(np.sort(sample_ts_us), np.linspace(0, 1, m + 1)[1:-1]).astype(np.int64)
+    out = []
+    lo = int(sample_ts_us.min())
+    for c in qs:
+        c = int(c)
+        if c - (out[-1] if out else lo) >= min_spacing:
+            out.append(c)
+    return np.asarray(out, np.int64)
+
+
+# --------------------------------------------------------------------------
+# exchange
+# --------------------------------------------------------------------------
+
+
+def _split_one(block: pa.Table, key: str, ts_col: str, B: int, total: int, hot: dict):
+    """Route rows: cold -> hash bucket in [0, B); hot -> B + base + segment;
+    replicate halo rows to the neighbor segment that needs them for bounded
+    windows. Returns `total` table shards."""
+    n = block.num_rows
+    h = (hash64_columns(block, [key]) % np.uint64(B)).astype(np.int64)
+    bucket = h
+    halo = np.zeros(n, dtype=np.int8)
+    extra_rows: list[np.ndarray] = []
+    extra_buckets: list[np.ndarray] = []
+
+    if hot["keys"] is not None and len(hot["keys"]):
+        kidx = pc.index_in(block.column(key).combine_chunks(), hot["keys"])
+        kn = kidx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us, _ = _ts_to_us_np(block.column(ts_col))
+        for i in np.unique(kn):
+            if i < 0:
+                continue
+            rows = np.flatnonzero(kn == i)
+            cuts = hot["cuts"][i]
+            base = B + int(hot["base"][i])
+            seg = np.searchsorted(cuts, ts_us[rows], side="right")
+            bucket[rows] = base + seg
+            if len(cuts):
+                wt, wl = hot["wt"], hot["wl"]
+                if wt > 0:
+                    has_next = seg < len(cuts)
+                    nxt = cuts[np.minimum(seg, len(cuts) - 1)]
+                    m = has_next & (ts_us[rows] >= nxt - wt)
+                    extra_rows.append(rows[m])
+                    extra_buckets.append(base + seg[m] + 1)
+                if wl > 0:
+                    has_prev = seg > 0
+                    prv = cuts[np.maximum(seg, 1) - 1]
+                    m = has_prev & (ts_us[rows] <= prv + wl)
+                    extra_rows.append(rows[m])
+                    extra_buckets.append(base + seg[m] - 1)
+
+    body = block.append_column(HALO_COL, pa.array(halo, pa.int8()))
+    tables = [body]
+    buckets = [bucket]
+    if extra_rows:
+        er = np.concatenate(extra_rows)
+        eb = np.concatenate(extra_buckets)
+        rep = block.take(pa.array(er)).append_column(
+            HALO_COL, pa.array(np.ones(len(er), np.int8))
+        )
+        tables.append(rep)
+        buckets.append(eb)
+    allt = pa.concat_tables(tables, promote_options="default")
+    allb = np.concatenate(buckets)
+    order = np.argsort(allb, kind="stable")
+    srt = allt.take(pa.array(order))
+    bounds = np.searchsorted(allb[order], np.arange(total + 1))
+    return tuple(srt.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(total))
+
+
+# --------------------------------------------------------------------------
+# per-bucket compute
+# --------------------------------------------------------------------------
+
+
+def _compute_cold(t: pa.Table, cfg: dict) -> pa.Table:
+    """Multi-entity bucket: the plain kernels over (key, ts)-sorted rows."""
+    t = t.drop_columns([HALO_COL])
+    gid = group_ids_sorted(t, [cfg["key"]])
+    ts_us, is_ts = _ts_to_us_np(t.column(cfg["ts_col"]))
+    scale = _US if is_ts else 1
+    vals_cache: dict[str, np.ndarray] = {}
+
+    def vals(col: str) -> np.ndarray:
+        if col not in vals_cache:
+            vals_cache[col] = (
+                t.column(col).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            )
+        return vals_cache[col]
+
+    for s in cfg["specs"]:
+        names = _spec_out_names(s)
+        if s["kind"] == "lag":
+            d = grouped_diff(vals(s["col"]), gid, int(s["shift"])).astype(np.float32)
+            t = t.append_column(names[0], pa.array(d, pa.float32(), mask=np.isnan(d)))
+        elif s["kind"] == "sessionize":
+            sid = grouped_sessionize(ts_us, gid, int(s["gap"] * scale))
+            t = t.append_column(names[0], pa.array(sid, pa.int64()))
+        elif s["kind"] == "rolling":
+            res = rolling_aggregate(
+                vals(s["col"]), ts_us, gid, int(s["window"] * scale), s["aggs"],
+                s.get("direction", "trailing"),
+            )
+            for name, a in zip(names, s["aggs"]):
+                arr = res[a]
+                t = t.append_column(
+                    name, pa.array(arr.astype(np.int64) if a == "count" else arr)
+                )
+        elif s["kind"] == "expanding":
+            w, end = grouped_expanding_bounds(ts_us, gid)
+            res = _agg_over_bounds(vals(s["col"]), w, end, s["aggs"])
+            for name, a in zip(names, s["aggs"]):
+                arr = res[a]
+                t = t.append_column(
+                    name, pa.array(arr.astype(np.int64) if a == "count" else arr)
+                )
+    return t
+
+
+def _summarize_segment(t: pa.Table, cfg: dict) -> dict:
+    """Tiny summary of a hot segment's NON-halo rows (sorted by ts)."""
+    body = t.filter(pc.equal(t.column(HALO_COL), 0))
+    ts_us, is_ts = _ts_to_us_np(body.column(cfg["ts_col"]))
+    scale = _US if is_ts else 1
+    out = {"n": body.num_rows, "first_ts": None, "last_ts": None,
+           "breaks": {}, "tail": {}, "head": {}, "exp": {}}
+    if body.num_rows == 0:
+        return out
+    out["first_ts"] = int(ts_us[0])
+    out["last_ts"] = int(ts_us[-1])
+    for i, s in enumerate(cfg["specs"]):
+        if s["kind"] == "sessionize":
+            gap = int(s["gap"] * scale)
+            out["breaks"][i] = int(np.count_nonzero(np.diff(ts_us) > gap))
+    tail, head = _lag_cols(cfg["specs"])
+    for col, k in tail.items():
+        v = body.column(col).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        out["tail"][col] = v[-k:].copy()
+    for col, k in head.items():
+        v = body.column(col).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        out["head"][col] = v[:k].copy()
+    for col in _exp_cols(cfg["specs"]):
+        v = body.column(col).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ok = v[~np.isnan(v)]
+        out["exp"][col] = (
+            int(len(ok)),
+            float(ok.sum()) if len(ok) else 0.0,
+            float((ok * ok).sum()) if len(ok) else 0.0,
+            float(ok.min()) if len(ok) else np.nan,
+            float(ok.max()) if len(ok) else np.nan,
+        )
+    return out
+
+
+def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
+    """Per-entity fold of segment summaries (in segment order) into
+    per-segment carry-in state. O(segments); runs on the driver."""
+    tail_cols, head_cols = _lag_cols(cfg["specs"])
+    exp_cols = _exp_cols(cfg["specs"])
+    m = len(summaries)
+    carries = [dict() for _ in range(m)]
+
+    # forward state
+    breaks_before = {i: 0 for i, s in enumerate(cfg["specs"]) if s["kind"] == "sessionize"}
+    prev_last_ts = None
+    run_tail = {c: np.empty(0, np.float64) for c in tail_cols}
+    run_exp = {c: (0, 0.0, 0.0, np.nan, np.nan) for c in exp_cols}
+    ts_scale = _US if cfg["is_ts"] else 1
+    for j, sm in enumerate(summaries):
+        carries[j]["prev_last_ts"] = prev_last_ts
+        carries[j]["breaks_before"] = dict(breaks_before)
+        carries[j]["tail"] = {c: run_tail[c][-k:].copy() for c, k in tail_cols.items()}
+        carries[j]["exp"] = dict(run_exp)
+        if sm["n"] == 0:
+            continue
+        # advance
+        for i, s in enumerate(cfg["specs"]):
+            if s["kind"] != "sessionize":
+                continue
+            gap = int(s["gap"] * ts_scale)
+            first_flag = 1 if prev_last_ts is None else int(sm["first_ts"] - prev_last_ts > gap)
+            breaks_before[i] += first_flag + sm["breaks"].get(i, 0)
+        prev_last_ts = sm["last_ts"]
+        for c in tail_cols:
+            run_tail[c] = np.concatenate([run_tail[c], sm["tail"].get(c, [])])[-tail_cols[c]:]
+        for c in exp_cols:
+            c0, s0, ss0, mn0, mx0 = run_exp[c]
+            c1, s1, ss1, mn1, mx1 = sm["exp"][c]
+            run_exp[c] = (
+                c0 + c1, s0 + s1, ss0 + ss1,
+                np.fmin(mn0, mn1), np.fmax(mx0, mx1),
+            )
+
+    # backward state for leads
+    run_head = {c: np.empty(0, np.float64) for c in head_cols}
+    for j in range(m - 1, -1, -1):
+        carries[j]["head"] = {c: run_head[c][:k].copy() for c, k in head_cols.items()}
+        sm = summaries[j]
+        if sm["n"] == 0:
+            continue
+        for c in head_cols:
+            run_head[c] = np.concatenate([sm["head"].get(c, []), run_head[c]])[: head_cols[c]]
+    return carries
+
+
+def _combine_expanding(local: dict, count_l, sum_l, sumsq_l, min_l, max_l, carry, aggs):
+    """Combine a segment's local exclusive prefix stats with the carried
+    prefix over all previous segments (raw-moment algebra)."""
+    c0, s0, ss0, mn0, mx0 = carry
+    count = count_l + c0
+    out = {}
+    if "count" in aggs:
+        out["count"] = count
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = sum_l + s0
+        if "sum" in aggs:
+            out["sum"] = np.where(count > 0, s, np.nan)
+        if "mean" in aggs:
+            out["mean"] = np.where(count > 0, s / count, np.nan)
+        if "std" in aggs or "var" in aggs:
+            ss = sumsq_l + ss0
+            var = np.where(count > 1, (ss - s * s / count) / (count - 1), np.nan)
+            var = np.where(var < 0, 0.0, var)
+            if "var" in aggs:
+                out["var"] = var
+            if "std" in aggs:
+                out["std"] = np.sqrt(var)
+    if "min" in aggs:
+        out["min"] = np.fmin(min_l, mn0)
+    if "max" in aggs:
+        out["max"] = np.fmax(max_l, mx0)
+    return out
+
+
+def _compute_hot(t: pa.Table, cfg: dict, carry: dict) -> pa.Table:
+    """Single-entity time segment (sorted by ts, halo rows interleaved at
+    the edges): bounded windows read the halos; unbounded state reads the
+    carry; halo rows are dropped from the output."""
+    ts_us, is_ts = _ts_to_us_np(t.column(cfg["ts_col"]))
+    scale = _US if is_ts else 1
+    halo = t.column(HALO_COL).to_numpy(zero_copy_only=False).astype(bool)
+    idx = np.flatnonzero(~halo)
+    body = t.filter(pa.array(~halo)).drop_columns([HALO_COL])
+    seg_ts = ts_us[idx]
+    gid_all = np.zeros(len(ts_us), np.int64)
+    gid_seg = np.zeros(len(idx), np.int64)
+    vals_cache: dict[str, np.ndarray] = {}
+
+    def vals(col: str) -> np.ndarray:
+        if col not in vals_cache:
+            vals_cache[col] = (
+                t.column(col).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            )
+        return vals_cache[col]
+
+    for spec_i, s in enumerate(cfg["specs"]):
+        names = _spec_out_names(s)
+        if s["kind"] == "lag":
+            k = int(s["shift"])
+            v = vals(s["col"])[idx]
+            n = len(v)
+            if k > 0:
+                pad = carry["tail"].get(s["col"], np.empty(0, np.float64))
+                p = np.full(k, np.nan)
+                if len(pad):
+                    p[k - len(pad):] = pad[-k:]
+                ext = np.concatenate([p, v])
+                d = (v - ext[:n]).astype(np.float32)
+            else:
+                kk = -k
+                nxt = carry["head"].get(s["col"], np.empty(0, np.float64))
+                p = np.full(kk, np.nan)
+                p[: len(nxt)] = nxt[:kk]
+                ext = np.concatenate([v, p])
+                d = (v - ext[kk:]).astype(np.float32)
+            body = body.append_column(names[0], pa.array(d, pa.float32(), mask=np.isnan(d)))
+        elif s["kind"] == "sessionize":
+            gap = int(s["gap"] * scale)
+            new_s = np.ones(len(idx), dtype=np.int64)
+            if len(idx):
+                new_s[1:] = (np.diff(seg_ts) > gap).astype(np.int64)
+                prev = carry["prev_last_ts"]
+                if prev is not None:
+                    new_s[0] = int(seg_ts[0] - prev > gap)
+            base = carry["breaks_before"].get(spec_i, 0)
+            sid = base + np.cumsum(new_s) - 1
+            body = body.append_column(names[0], pa.array(sid, pa.int64()))
+        elif s["kind"] == "rolling":
+            res = rolling_aggregate(
+                vals(s["col"]), ts_us, gid_all, int(s["window"] * scale), s["aggs"],
+                s.get("direction", "trailing"),
+            )
+            for name, a in zip(names, s["aggs"]):
+                arr = res[a][idx]
+                body = body.append_column(
+                    name, pa.array(arr.astype(np.int64) if a == "count" else arr)
+                )
+        elif s["kind"] == "expanding":
+            v = vals(s["col"])[idx]
+            w, end = grouped_expanding_bounds(seg_ts, gid_seg)
+            valid = ~np.isnan(v)
+            cv = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])
+            count_l = cv[end] - cv[w]
+            cs = np.concatenate([[0.0], np.cumsum(np.where(valid, v, 0.0))])
+            sum_l = cs[end] - cs[w]
+            css = np.concatenate([[0.0], np.cumsum(np.where(valid, v * v, 0.0))])
+            sumsq_l = css[end] - css[w]
+            from nvtabular_ray.functions.grouped_np import range_min_max
+
+            min_l = range_min_max(v, w, end, "min")
+            max_l = range_min_max(v, w, end, "max")
+            res = _combine_expanding(
+                {}, count_l, sum_l, sumsq_l, min_l, max_l, carry["exp"][s["col"]], s["aggs"]
+            )
+            for name, a in zip(names, s["aggs"]):
+                arr = res[a]
+                body = body.append_column(
+                    name, pa.array(arr.astype(np.int64) if a == "count" else arr)
+                )
+    return body
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+
+def ordered_features(
+    ds,
+    key: str,
+    ts_col: str,
+    specs: list[dict],
+    hot_threshold: int = 1_000_000,
+    target_seg_rows: int = 250_000,
+    num_buckets: Optional[int] = None,
+    sort_cols: Optional[list[str]] = None,
+):
+    """Input rows + ordered feature columns, with entities above
+    ``hot_threshold`` rows split into time segments of ~``target_seg_rows``
+    (exactness preserved via halos + carries, see module docstring).
+
+    specs (dicts):
+      {"kind": "lag", "col", "shift": ±k}                     -> {col}_difference_lag_{k} (float32)
+      {"kind": "sessionize", "gap": sec, "out": "session_id"} -> int64
+      {"kind": "rolling", "col", "window": sec, "aggs": [...],
+       "direction": "trailing"|"leading"}                     -> {col}_w{W}s_{agg}
+      {"kind": "expanding", "col", "aggs": [...]}             -> {col}_cum_{agg}
+
+    ``sort_cols``: extra tie-breakers after ts (needed only when ts has
+    duplicates within an entity AND a lag/lead spec is used)."""
+    import ray
+    import ray.data as rd
+
+    from nvtabular_ray.pipelines.partitioned import _default_num_buckets
+
+    _validate_specs(specs)
+    B = num_buckets or _default_num_buckets()
+
+    schema = ds.schema(fetch_if_missing=True)
+    schema = getattr(schema, "base_schema", schema)  # ray Schema -> pa.Schema
+    is_ts = pa.types.is_timestamp(schema.field(ts_col).type)
+    wt, wl = _max_windows_us(specs, is_ts)
+    min_spacing = max(wt, wl, 1) + 1
+
+    counts = _entity_counts(ds, key)
+    hot_counts = counts[counts["n"] > hot_threshold].sort_values(key).reset_index(drop=True)
+    keys_arr = (
+        pa.array(hot_counts[key].tolist(), schema.field(key).type) if len(hot_counts) else None
+    )
+
+    cuts_list: list[np.ndarray] = []
+    if len(hot_counts):
+        sample = _sample_hot_ts(ds, key, ts_col, hot_counts, keys_arr)
+        s_ts, _ = _ts_to_us_np(sample.column(ts_col))
+        s_key = sample.column(key).to_pandas()
+        for k_val, n in zip(hot_counts[key].tolist(), hot_counts["n"].tolist()):
+            cuts_list.append(
+                _choose_cuts(s_ts[(s_key == k_val).to_numpy()], int(n), target_seg_rows, min_spacing)
+            )
+    n_segs = np.array([len(c) + 1 for c in cuts_list], dtype=np.int64)
+    base = np.concatenate([[0], np.cumsum(n_segs)])[:-1] if len(n_segs) else np.empty(0, np.int64)
+    total = B + int(n_segs.sum())
+
+    hot = {
+        "keys": keys_arr,
+        "base": base,
+        "cuts": cuts_list,
+        "wt": wt,
+        "wl": wl,
+    }
+    cfg = {"key": key, "ts_col": ts_col, "specs": specs, "is_ts": is_ts}
+    sort_keys = [ts_col] + [c for c in (sort_cols or []) if c != ts_col]
+
+    @ray.remote
+    def split_block(block, hot_, cfg_):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        return _split_one(block, cfg_["key"], cfg_["ts_col"], B, total, hot_)
+
+    @ray.remote
+    def reduce_sort(b, cold: bool, *shards):
+        parts = [s for s in shards if s.num_rows]
+        t = pa.concat_tables(parts, promote_options="default") if parts else shards[0]
+        keys = ([cfg["key"]] if cold else []) + sort_keys
+        return t.sort_by([(k, "ascending") for k in keys])
+
+    @ray.remote
+    def cold_pass(t):
+        return _compute_cold(t, cfg)
+
+    @ray.remote
+    def summarize(t):
+        return _summarize_segment(t, cfg)
+
+    @ray.remote
+    def hot_pass(t, carry):
+        return _compute_hot(t, cfg, carry)
+
+    hot_ref = ray.put(hot)
+    splits = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, m in bundle.blocks:
+            if m.num_rows is not None and m.num_rows == 0:
+                continue
+            splits.append(split_block.options(num_returns=total).remote(ref, hot_ref, cfg))
+    if not splits:
+        return ds.materialize()
+
+    sorted_refs = [
+        reduce_sort.remote(b, b < B, *[s[b] for s in splits]) for b in range(total)
+    ]
+    out_refs = [cold_pass.remote(sorted_refs[b]) for b in range(B)]
+
+    if total > B:
+        summaries = ray.get([summarize.remote(sorted_refs[b]) for b in range(B, total)])
+        for e in range(len(n_segs)):
+            lo, hi = int(base[e]), int(base[e] + n_segs[e])
+            carries = _fold_carries(summaries[lo:hi], cfg)
+            for j, carry in enumerate(carries):
+                out_refs.append(hot_pass.remote(sorted_refs[B + lo + j], carry))
+    return rd.from_arrow_refs(out_refs)

@@ -1,0 +1,164 @@
+"""hot_split.ordered_features: split output must EXACTLY match the plain
+(one-entity-one-bucket) kernels on skewed data.
+
+The reference semantics are the repo's own ordered-feature kernels
+(`_compute_cold` = the same grouped_np kernels the flagship uses); the test
+pins that halo replication + carry folding reproduce them bit-for-bit-ish
+(allclose, equal_nan) when a hot entity is torn into time segments.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from nvtabular_ray.pipelines.hot_split import (
+    HALO_COL,
+    _choose_cuts,
+    _compute_cold,
+    ordered_features,
+)
+
+SPECS = [
+    {"kind": "lag", "col": "val", "shift": 1},
+    {"kind": "lag", "col": "val", "shift": -2},
+    {"kind": "sessionize", "gap": 300, "out": "session_id"},
+    {"kind": "rolling", "col": "val", "window": 600,
+     "aggs": ["count", "mean", "min", "std"]},
+    {"kind": "rolling", "col": "val", "window": 450,
+     "aggs": ["sum", "max"], "direction": "leading"},
+    {"kind": "expanding", "col": "val",
+     "aggs": ["count", "sum", "mean", "min", "max", "var"]},
+]
+
+
+def _make_table(n_hot=4000, n_cold=12, rows_cold=120, seed=7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+
+    def entity(name, n):
+        gaps = rng.integers(1, 400, size=n)  # irregular, strictly increasing
+        ts = np.cumsum(gaps) + int(rng.integers(0, 10**6))
+        val = rng.normal(size=n)
+        val[rng.random(n) < 0.07] = np.nan
+        return pd.DataFrame(
+            {
+                "conv_id": name,
+                "ts": pd.to_datetime(ts, unit="s"),
+                "val": val,
+                "text": [f"{name}-{i}" for i in range(n)],
+            }
+        )
+
+    frames = [entity("hot_conv", n_hot)]
+    frames += [entity(f"c{i:02d}", rows_cold) for i in range(n_cold)]
+    df = pd.concat(frames, ignore_index=True)
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _expected(tbl: pa.Table) -> pd.DataFrame:
+    srt = tbl.sort_by([("conv_id", "ascending"), ("ts", "ascending")])
+    srt = srt.append_column(HALO_COL, pa.array(np.zeros(srt.num_rows, np.int8)))
+    cfg = {"key": "conv_id", "ts_col": "ts", "specs": SPECS, "is_ts": True}
+    return _compute_cold(srt, cfg).to_pandas()
+
+
+def _got(tbl: pa.Table, **kw) -> pd.DataFrame:
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    out = ordered_features(ds, "conv_id", "ts", SPECS, **kw)
+    return (
+        pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow"),
+            promote_options="default",
+        )
+        .sort_by([("conv_id", "ascending"), ("ts", "ascending")])
+        .to_pandas()
+    )
+
+
+def _assert_frames_match(exp: pd.DataFrame, got: pd.DataFrame):
+    assert len(exp) == len(got)
+    assert set(exp.columns) == set(got.columns)
+    assert (exp["text"].to_numpy() == got["text"].to_numpy()).all()
+    assert (exp["conv_id"].to_numpy() == got["conv_id"].to_numpy()).all()
+    for c in exp.columns:
+        if c in ("conv_id", "ts", "text"):
+            continue
+        e = exp[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        g = got[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        np.testing.assert_allclose(e, g, rtol=1e-6, atol=1e-8, equal_nan=True,
+                                   err_msg=f"column {c}")
+
+
+def test_hot_entity_split_matches_unsplit(ray_session):
+    tbl = _make_table()
+    exp = _expected(tbl)
+    # hot_conv (4000 rows) splits into ~7 time segments of ~600 rows
+    got = _got(tbl, hot_threshold=1000, target_seg_rows=600, num_buckets=4)
+    assert exp["session_id"].max() > 3  # sessions actually break
+    _assert_frames_match(exp, got)
+
+
+def test_no_hot_entities_pure_cold_path(ray_session):
+    tbl = _make_table(n_hot=800)
+    exp = _expected(tbl)
+    got = _got(tbl, hot_threshold=10_000, num_buckets=4)
+    _assert_frames_match(exp, got)
+
+
+def test_choose_cuts_spacing():
+    ts = np.arange(0, 100_000, 10, dtype=np.int64)  # 10k samples
+    cuts = _choose_cuts(ts, n_rows=10_000, target_seg_rows=1_000, min_spacing=25_000)
+    assert len(cuts) >= 1
+    assert (np.diff(np.r_[ts.min(), cuts]) >= 25_000).all()
+    # unsplittable: min_spacing wider than the whole range
+    assert len(_choose_cuts(ts, 10_000, 1_000, 10**9)) == 0
+
+
+def test_duplicate_ts_windows(ray_session):
+    # equal-ts rows are window peers (rolling) / excluded peers (expanding);
+    # lag/lead omitted: positional order under ties is sort-dependent.
+    rng = np.random.default_rng(11)
+    n = 3000
+    ts = np.sort(rng.integers(0, n // 4, size=n)) * 60  # heavy duplicates
+    df = pd.DataFrame(
+        {
+            "conv_id": "dup_conv",
+            "ts": pd.to_datetime(ts, unit="s"),
+            "val": rng.normal(size=n),
+        }
+    )
+    specs = [
+        {"kind": "sessionize", "gap": 300, "out": "session_id"},
+        {"kind": "rolling", "col": "val", "window": 600, "aggs": ["count", "sum"]},
+        {"kind": "expanding", "col": "val", "aggs": ["count", "mean"]},
+    ]
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    srt = tbl.append_column(HALO_COL, pa.array(np.zeros(n, np.int8)))
+    cfg = {"key": "conv_id", "ts_col": "ts", "specs": specs, "is_ts": True}
+    exp = _compute_cold(srt, cfg).to_pandas()
+
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    out = ordered_features(
+        ds, "conv_id", "ts", specs, hot_threshold=500, target_seg_rows=400, num_buckets=2
+    )
+    got = (
+        pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow"),
+            promote_options="default",
+        )
+        .sort_by([("ts", "ascending")])
+        .to_pandas()
+    )
+    assert len(got) == n
+    for c in ("session_id", "val_w600s_count", "val_w600s_sum",
+              "val_cum_count", "val_cum_mean"):
+        e = exp[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        g = got[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        np.testing.assert_allclose(np.sort(e), np.sort(g), rtol=1e-9, atol=1e-9,
+                                   equal_nan=True, err_msg=f"column {c}")
+    # per-ts multiset equality (rows at one instant are interchangeable)
+    key = got["ts"].astype(np.int64).to_numpy()
+    ekey = exp["ts"].astype(np.int64).to_numpy()
+    assert (key == ekey).all()
