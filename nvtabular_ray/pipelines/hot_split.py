@@ -24,15 +24,23 @@ ordered features exact with two classic mechanisms:
   entities x segments) state, independent of row count.
 
 Physical plan (raw Ray tasks — the Dataset API has no hash-repartition-by-
-key, same justification as partitioned.py):
+key, same justification as partitioned.py). LOGICAL buckets (cold hash
+buckets + one per hot time-segment) are decoupled from PHYSICAL partitions:
+many logical buckets ride one partition (``bucket % P``) so task count is
+O(P), not O(segments) — per-bucket work inside a partition is a serial
+numpy slice loop, which is what makes small segments cheap:
 
-    analyze:  per-entity row counts (map partials -> grouped_reduce, tiny)
-              + deterministic hash-sample of hot entities' ts -> cut points
+    analyze:  distributed per-entity row counts, threshold filter applied
+              INSIDE the count exchange (only hot survivors reach the
+              driver) + deterministic hash-sample of hot entities' ts
+              -> cut points
     exchange: split tasks route cold rows to hash buckets, hot rows to
-              (entity, time-segment) buckets, replicating halos; one reduce
-              task per bucket concats + sorts
-    cold buckets: feature pass immediately (multi-entity numpy kernels)
-    hot buckets:  summary pass -> driver fold -> feature pass with carries
+              (entity, time-segment) buckets, replicating halos; rows land
+              in P physical partitions tagged with their logical bucket
+    phase A (per partition): sort by (bucket, key, ts); cold slice ->
+              feature pass immediately; each hot slice -> tiny summary
+    driver:   fold summaries per entity into per-segment carries
+    phase B (per partition): hot slices -> feature pass with carries
 
 Everything is deterministic (cuts from a stable hash sample; fold order is
 (entity, segment)); split output == unsplit output exactly (pytest-pinned).
@@ -57,7 +65,10 @@ from nvtabular_ray.functions.grouped_np import (
 from nvtabular_ray.functions.hashing import hash64_columns
 
 HALO_COL = "__halo__"
+BUCKET_COL = "__bucket__"
 _US = 1_000_000
+_EMPTY_SUMMARY = {"n": 0, "first_ts": None, "last_ts": None,
+                  "breaks": {}, "tail": {}, "head": {}, "exp": {}}
 
 
 # --------------------------------------------------------------------------
@@ -126,15 +137,33 @@ def _exp_cols(specs: list[dict]) -> list[str]:
 # --------------------------------------------------------------------------
 
 
-def _entity_counts(ds, key: str):
-    from nvtabular_ray.functions.aggregates import grouped_reduce
+def _hot_entity_counts(ds, key: str, threshold: int):
+    """Per-entity row counts, FILTERED to entities above ``threshold``
+    inside the distributed exchange — the driver only ever sees the hot
+    survivors (at 10^12 rows the full per-entity count table is itself
+    big data; the hot set is small by definition)."""
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
 
     def partial(t: pa.Table) -> pa.Table:
         res = t.select([key]).group_by([key], use_threads=False).aggregate([(key, "count")])
         return res.rename_columns([key, "n"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return grouped_reduce(partials, [key], {"n": "sum"})
+    def per_bucket(t: pa.Table) -> pa.Table:
+        res = t.group_by([key], use_threads=False).aggregate([("n", "sum")])
+        res = res.rename_columns([key, "n"])
+        return res.filter(pc.greater(res.column("n"), threshold))
+
+    partials = ds.select_columns([key]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hot = bucketed_group_map(partials, [key], [], per_bucket, presort=False)
+    batches = list(hot.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        import pandas as pd
+
+        return pd.DataFrame({key: [], "n": []})
+    out = pa.concat_tables(batches, promote_options="default")
+    return out.sort_by([(key, "ascending")]).to_pandas()
 
 
 def _ts_to_us_np(arr: pa.ChunkedArray) -> tuple[np.ndarray, bool]:
@@ -171,7 +200,9 @@ def _sample_hot_ts(ds, key: str, ts_col: str, hot_counts, keys_arr: pa.Array,
         keep = h.astype(np.float64) < rate * float(1 << 20)
         return t2.filter(pa.array(keep))
 
-    sampled = ds.map_batches(thin, batch_format="pyarrow", zero_copy_batch=True)
+    sampled = ds.select_columns([key, ts_col]).map_batches(
+        thin, batch_format="pyarrow", zero_copy_batch=True
+    )
     return pa.concat_tables(
         [b for b in sampled.iter_batches(batch_size=None, batch_format="pyarrow")],
         promote_options="default",
@@ -200,10 +231,11 @@ def _choose_cuts(sample_ts_us: np.ndarray, n_rows: int, target_seg_rows: int, mi
 # --------------------------------------------------------------------------
 
 
-def _split_one(block: pa.Table, key: str, ts_col: str, B: int, total: int, hot: dict):
+def _split_one(block: pa.Table, key: str, ts_col: str, B: int, total: int, P: int, hot: dict):
     """Route rows: cold -> hash bucket in [0, B); hot -> B + base + segment;
     replicate halo rows to the neighbor segment that needs them for bounded
-    windows. Returns `total` table shards."""
+    windows. Returns ``P`` physical shards (logical bucket = ``bucket % P``
+    is tagged on every row as BUCKET_COL for in-partition slicing)."""
     n = block.num_rows
     h = (hash64_columns(block, [key]) % np.uint64(B)).astype(np.int64)
     bucket = h
@@ -215,10 +247,19 @@ def _split_one(block: pa.Table, key: str, ts_col: str, B: int, total: int, hot: 
         kidx = pc.index_in(block.column(key).combine_chunks(), hot["keys"])
         kn = kidx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
         ts_us, _ = _ts_to_us_np(block.column(ts_col))
-        for i in np.unique(kn):
-            if i < 0:
-                continue
-            rows = np.flatnonzero(kn == i)
+        # group rows by hot-entity index via one stable sort (no per-entity
+        # full scans — many small hot entities would make that quadratic)
+        pos = np.flatnonzero(kn >= 0)
+        order = pos[np.argsort(kn[pos], kind="stable")]
+        ks = kn[order]
+        run_starts = (
+            np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1, len(ks)]
+            if len(ks)
+            else np.zeros(1, np.int64)
+        )
+        for si in range(len(run_starts) - 1):
+            rows = order[run_starts[si]:run_starts[si + 1]]
+            i = int(ks[run_starts[si]])
             cuts = hot["cuts"][i]
             base = B + int(hot["base"][i])
             seg = np.searchsorted(cuts, ts_us[rows], side="right")
@@ -251,10 +292,12 @@ def _split_one(block: pa.Table, key: str, ts_col: str, B: int, total: int, hot: 
         buckets.append(eb)
     allt = pa.concat_tables(tables, promote_options="default")
     allb = np.concatenate(buckets)
-    order = np.argsort(allb, kind="stable")
+    allt = allt.append_column(BUCKET_COL, pa.array(allb, pa.int64()))
+    phys = allb % P
+    order = np.argsort(phys, kind="stable")
     srt = allt.take(pa.array(order))
-    bounds = np.searchsorted(allb[order], np.arange(total + 1))
-    return tuple(srt.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(total))
+    bounds = np.searchsorted(phys[order], np.arange(P + 1))
+    return tuple(srt.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P))
 
 
 # --------------------------------------------------------------------------
@@ -509,6 +552,47 @@ def _compute_hot(t: pa.Table, cfg: dict, carry: dict) -> pa.Table:
     return body
 
 
+def _bucket_slices(t: pa.Table):
+    """(bucket_id, slice) pairs of a table sorted by BUCKET_COL."""
+    b = t.column(BUCKET_COL).to_numpy(zero_copy_only=False)
+    ub, starts = np.unique(b, return_index=True)
+    bounds = np.r_[starts, len(b)]
+    for i, bid in enumerate(ub):
+        yield int(bid), t.slice(bounds[i], bounds[i + 1] - bounds[i])
+
+
+def _phase_a(cfg: dict, B: int, sort_keys: list[str], shards) -> tuple:
+    """One physical partition: concat + ONE sort by (bucket, key, ts, ...),
+    then cold features for the cold slice and a summary per hot slice.
+    Returns (cold_features, hot_sorted, {bucket: summary})."""
+    parts = [s for s in shards if s.num_rows]
+    t = parts[0] if len(parts) == 1 else pa.concat_tables(
+        parts or [shards[0]], promote_options="default"
+    )
+    t = t.sort_by(
+        [(BUCKET_COL, "ascending"), (cfg["key"], "ascending")]
+        + [(k, "ascending") for k in sort_keys]
+    )
+    bcol = t.column(BUCKET_COL).to_numpy(zero_copy_only=False)
+    n_cold = int(np.searchsorted(bcol, B))
+    cold = t.slice(0, n_cold).drop_columns([BUCKET_COL])
+    hot = t.slice(n_cold)
+    cold_out = _compute_cold(cold, cfg)
+    sums = {bid: _summarize_segment(seg, cfg) for bid, seg in _bucket_slices(hot)}
+    return cold_out, hot, sums
+
+
+def _phase_b(hot_t: pa.Table, carries: dict, cfg: dict) -> pa.Table:
+    """One physical partition's hot slices -> features with carry-in state."""
+    outs = [
+        _compute_hot(seg.drop_columns([BUCKET_COL]), cfg, carries[bid])
+        for bid, seg in _bucket_slices(hot_t)
+    ]
+    if not outs:  # schema must match the cold output exactly
+        return _compute_cold(hot_t.drop_columns([BUCKET_COL]), cfg)
+    return pa.concat_tables(outs, promote_options="default")
+
+
 # --------------------------------------------------------------------------
 # driver
 # --------------------------------------------------------------------------
@@ -551,8 +635,7 @@ def ordered_features(
     wt, wl = _max_windows_us(specs, is_ts)
     min_spacing = max(wt, wl, 1) + 1
 
-    counts = _entity_counts(ds, key)
-    hot_counts = counts[counts["n"] > hot_threshold].sort_values(key).reset_index(drop=True)
+    hot_counts = _hot_entity_counts(ds, key, hot_threshold)
     keys_arr = (
         pa.array(hot_counts[key].tolist(), schema.field(key).type) if len(hot_counts) else None
     )
@@ -569,6 +652,7 @@ def ordered_features(
     n_segs = np.array([len(c) + 1 for c in cuts_list], dtype=np.int64)
     base = np.concatenate([[0], np.cumsum(n_segs)])[:-1] if len(n_segs) else np.empty(0, np.int64)
     total = B + int(n_segs.sum())
+    P = B  # physical partitions; logical buckets ride p = bucket % P
 
     hot = {
         "keys": keys_arr,
@@ -584,26 +668,15 @@ def ordered_features(
     def split_block(block, hot_, cfg_):
         if not isinstance(block, pa.Table):
             block = pa.Table.from_pandas(block, preserve_index=False)
-        return _split_one(block, cfg_["key"], cfg_["ts_col"], B, total, hot_)
+        return _split_one(block, cfg_["key"], cfg_["ts_col"], B, total, P, hot_)
+
+    @ray.remote(num_returns=3)
+    def phase_a(*shards):
+        return _phase_a(cfg, B, sort_keys, shards)
 
     @ray.remote
-    def reduce_sort(b, cold: bool, *shards):
-        parts = [s for s in shards if s.num_rows]
-        t = pa.concat_tables(parts, promote_options="default") if parts else shards[0]
-        keys = ([cfg["key"]] if cold else []) + sort_keys
-        return t.sort_by([(k, "ascending") for k in keys])
-
-    @ray.remote
-    def cold_pass(t):
-        return _compute_cold(t, cfg)
-
-    @ray.remote
-    def summarize(t):
-        return _summarize_segment(t, cfg)
-
-    @ray.remote
-    def hot_pass(t, carry):
-        return _compute_hot(t, cfg, carry)
+    def phase_b(hot_t, carries):
+        return _phase_b(hot_t, carries, cfg)
 
     hot_ref = ray.put(hot)
     splits = []
@@ -611,20 +684,28 @@ def ordered_features(
         for ref, m in bundle.blocks:
             if m.num_rows is not None and m.num_rows == 0:
                 continue
-            splits.append(split_block.options(num_returns=total).remote(ref, hot_ref, cfg))
+            splits.append(split_block.options(num_returns=P).remote(ref, hot_ref, cfg))
     if not splits:
         return ds.materialize()
 
-    sorted_refs = [
-        reduce_sort.remote(b, b < B, *[s[b] for s in splits]) for b in range(total)
-    ]
-    out_refs = [cold_pass.remote(sorted_refs[b]) for b in range(B)]
+    a_out = [phase_a.remote(*[s[p] for s in splits]) for p in range(P)]
+    cold_refs = [o[0] for o in a_out]
+    if total == B:
+        return rd.from_arrow_refs(cold_refs)
 
-    if total > B:
-        summaries = ray.get([summarize.remote(sorted_refs[b]) for b in range(B, total)])
-        for e in range(len(n_segs)):
-            lo, hi = int(base[e]), int(base[e] + n_segs[e])
-            carries = _fold_carries(summaries[lo:hi], cfg)
-            for j, carry in enumerate(carries):
-                out_refs.append(hot_pass.remote(sorted_refs[B + lo + j], carry))
-    return rd.from_arrow_refs(out_refs)
+    # driver fold: O(hot entities x segments) summaries, independent of rows
+    all_sums: dict[int, dict] = {}
+    for d in ray.get([o[2] for o in a_out]):
+        all_sums.update(d)  # logical buckets are disjoint across partitions
+    carries_by_bucket: dict[int, dict] = {}
+    for e in range(len(n_segs)):
+        segs = [all_sums.get(B + int(base[e]) + j, _EMPTY_SUMMARY) for j in range(int(n_segs[e]))]
+        for j, carry in enumerate(_fold_carries(segs, cfg)):
+            carries_by_bucket[B + int(base[e]) + j] = carry
+    hot_refs = [
+        phase_b.remote(
+            a_out[p][1], {b: c for b, c in carries_by_bucket.items() if b % P == p}
+        )
+        for p in range(P)
+    ]
+    return rd.from_arrow_refs(cold_refs + hot_refs)
