@@ -607,6 +607,7 @@ def ordered_features(
     target_seg_rows: int = 250_000,
     num_buckets: Optional[int] = None,
     sort_cols: Optional[list[str]] = None,
+    analyze_ds=None,
 ):
     """Input rows + ordered feature columns, with entities above
     ``hot_threshold`` rows split into time segments of ~``target_seg_rows``
@@ -620,7 +621,14 @@ def ordered_features(
       {"kind": "expanding", "col", "aggs": [...]}             -> {col}_cum_{agg}
 
     ``sort_cols``: extra tie-breakers after ts (needed only when ts has
-    duplicates within an entity AND a lag/lead spec is used)."""
+    duplicates within an entity AND a lag/lead spec is used).
+
+    ``analyze_ds``: optional cheaper stand-in for the two ANALYZE passes
+    (entity counts + hot-ts sampling), which only read ``key``/``ts_col``.
+    When ``ds`` is a lazy transform chain, each extra scan re-executes the
+    chain — pass the raw upstream source (row-identical on key+ts, e.g.
+    the pre-transform parquet read) so analysis costs a pruned read
+    instead of two re-executions of the whole pipeline."""
     import ray
     import ray.data as rd
 
@@ -635,14 +643,15 @@ def ordered_features(
     wt, wl = _max_windows_us(specs, is_ts)
     min_spacing = max(wt, wl, 1) + 1
 
-    hot_counts = _hot_entity_counts(ds, key, hot_threshold)
+    ads = analyze_ds if analyze_ds is not None else ds
+    hot_counts = _hot_entity_counts(ads, key, hot_threshold)
     keys_arr = (
         pa.array(hot_counts[key].tolist(), schema.field(key).type) if len(hot_counts) else None
     )
 
     cuts_list: list[np.ndarray] = []
     if len(hot_counts):
-        sample = _sample_hot_ts(ds, key, ts_col, hot_counts, keys_arr)
+        sample = _sample_hot_ts(ads, key, ts_col, hot_counts, keys_arr)
         s_ts, _ = _ts_to_us_np(sample.column(ts_col))
         s_key = sample.column(key).to_pandas()
         for k_val, n in zip(hot_counts[key].tolist(), hot_counts["n"].tolist()):

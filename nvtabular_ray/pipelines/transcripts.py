@@ -40,7 +40,13 @@ def transcript_feature_workflow(passthrough=PASSTHROUGH) -> Workflow:
     return Workflow(cats + te + conts + lag + sess + roll + list(passthrough))
 
 
-def transcript_features(ds, num_buckets=None, project_exchange: bool = False):
+def transcript_features(
+    ds,
+    num_buckets=None,
+    project_exchange: bool = False,
+    hot_threshold: int | None = None,
+    target_seg_rows: int = 250_000,
+):
     """fit + transform; returns (feature Dataset, fitted Workflow).
 
     ``project_exchange=True`` is the SURVEY §7.4.7 payload-projection
@@ -51,7 +57,49 @@ def transcript_features(ds, num_buckets=None, project_exchange: bool = False):
     and the bucket sort never gather-copies text. Total bytes moved stay
     the same (text crosses the wire once either way), so whether it wins
     wall-clock depends on text width; see BASELINE.md for the measured
-    comparison on the bench table (~200-char texts)."""
+    comparison on the bench table (~200-char texts).
+
+    ``hot_threshold=<rows>`` is the SKEW-ROBUST plan: conversations above
+    the threshold are split into ~``target_seg_rows`` time segments
+    (pipelines/hot_split.py — exact via halo replication + carry folding)
+    instead of landing whole in one exchange bucket, so per-task memory
+    and the straggler are capped regardless of the hottest conversation's
+    size. The stat ops (Categorify / TargetEncoding / Normalize) are
+    per-row after fit and run as a plain fused ``map_batches`` BEFORE the
+    ordered exchange; output columns are identical to the default plan
+    (pytest-pinned)."""
+    if hot_threshold is not None:
+        from nvtabular_ray.pipelines.hot_split import ordered_features
+
+        # only the per-row branches of the flagship DAG; the ordered ops
+        # are re-expressed as hot-split specs below
+        rowwise = Workflow(
+            (["role", "tool"] >> ops.Categorify())
+            + (["role"] >> ops.TargetEncoding(
+                "text_len", kfold=3, fold_on=["conv_id", "turn_idx"]
+            ))
+            + (["text_len"] >> ops.LogOp() >> ops.Normalize() >> ops.Rename(postfix="_norm"))
+            + (list(PASSTHROUGH) + ["text_len"])
+        )
+        rowwise.fit(ds)
+        flat = rowwise.transform(ds)  # no ordered ops -> pure map_batches
+        specs = [
+            {"kind": "lag", "col": "text_len", "shift": 1},
+            {"kind": "lag", "col": "text_len", "shift": -1},
+            {"kind": "sessionize", "gap": 300, "out": "session_id"},
+            {"kind": "rolling", "col": "text_len", "window": 600,
+             "aggs": ["count", "mean"]},
+        ]
+        out = ordered_features(
+            flat, "conv_id", "ts", specs,
+            hot_threshold=hot_threshold, target_seg_rows=target_seg_rows,
+            num_buckets=num_buckets, sort_cols=["turn_idx"],
+            # analyze on the RAW input (pruned parquet read of conv_id+ts);
+            # analyzing `flat` would re-execute the rowwise transform twice
+            analyze_ds=ds,
+        )
+        return out.drop_columns(["text_len"]), rowwise
+
     if not project_exchange:
         wf = transcript_feature_workflow()
         wf.fit(ds)

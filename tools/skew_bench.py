@@ -95,10 +95,13 @@ def _col_sums(out) -> dict:
     entity is NaN by SQL semantics — a plain sum would poison the check)."""
     sums: dict[str, float] = {}
     rows = 0
+    import pyarrow.types as pt
+
     for b in out.iter_batches(batch_size=None, batch_format="pyarrow"):
         rows += b.num_rows
         for c in b.column_names:
-            if c in ("conv_id", "ts"):
+            f = b.schema.field(c)
+            if not (pt.is_integer(f.type) or pt.is_floating(f.type)):
                 continue
             arr = (
                 b.column(c).combine_chunks().cast(pa.float64())
@@ -118,6 +121,97 @@ def _leg(ds, hot_threshold: int) -> tuple[float, dict]:
     )
     sums = _col_sums(out)
     return time.perf_counter() - t0, sums
+
+
+FLAGSHIP_HOT = int(os.environ.get("SKEW_FLAGSHIP_HOT", "3000000"))
+FLAGSHIP_COLD_CONVS = int(os.environ.get("SKEW_FLAGSHIP_COLD_CONVS", "30000"))
+FLAGSHIP_CACHE = f"/tmp/nvtr_skew_flagship_{FLAGSHIP_HOT}_{FLAGSHIP_COLD_CONVS}"
+
+
+def _gen_flagship():
+    """Transcript-schema input with ONE mega conversation (FLAGSHIP_HOT
+    turns) amid FLAGSHIP_COLD_CONVS normal zipf conversations."""
+    if os.path.exists(os.path.join(FLAGSHIP_CACHE, "_SUCCESS")):
+        return
+    os.makedirs(FLAGSHIP_CACHE, exist_ok=True)
+    from nvtabular_ray.transcripts import generate_transcripts
+
+    rng = np.random.default_rng(13)
+    n = FLAGSHIP_HOT
+    roles = np.array(["user", "assistant", "system", "tool"])
+    tools = np.array(["", "search", "code", "browse", "none"])
+    text_pool = np.array(
+        ["".join(rng.choice(list("abcdefg stuvwxyz"), size=L)) for L in
+         rng.integers(20, 240, size=512)]
+    )
+    ti = rng.integers(0, len(text_pool), size=n)
+    text = text_pool[ti]
+    hot = pa.table(
+        {
+            "conv_id": pa.array(np.full(n, "HOT_CONV"), pa.string()),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+            "role": pa.array(roles[rng.integers(0, 4, size=n)], pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(tools[rng.integers(0, 5, size=n)], pa.string()),
+            "ts": pa.array(np.cumsum(rng.integers(1, 40, size=n).astype(np.int64)) * 1_000_000,
+                           pa.timestamp("us")),
+            "text_len": pa.array(np.char.str_len(text.astype(str)).astype(np.int32)),
+            "latency": pa.array(rng.exponential(1.0, size=n)),
+        }
+    )
+    import ray.data as rd  # noqa: F401  (generator needs an active session)
+
+    cold = generate_transcripts(FLAGSHIP_COLD_CONVS, seed=5)
+    cold.write_parquet(FLAGSHIP_CACHE)
+    # interleave the hot conv across many extra shards
+    files = 32
+    step = n // files + 1
+    for f in range(files):
+        pq.write_table(hot.slice(f * step, step), f"{FLAGSHIP_CACHE}/hot-{f:03d}.parquet")
+    open(os.path.join(FLAGSHIP_CACHE, "_SUCCESS"), "w").close()
+
+
+def main_flagship():
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=CPUS, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    _gen_flagship()
+    from nvtabular_ray.pipelines.transcripts import transcript_features
+
+    results = {}
+    for name, kw in (("warmup", {"hot_threshold": 1 << 40}),
+                     ("flagship_default", {}),
+                     ("flagship_hot_split", {"hot_threshold": 1_000_000})):
+        ds = rd.read_parquet(FLAGSHIP_CACHE)
+        t0 = time.perf_counter()
+        out, _ = transcript_features(ds, **kw)
+        sums = _col_sums(out)
+        sec = time.perf_counter() - t0
+        if name == "warmup":
+            continue
+        results[name] = {"sec": round(sec, 2), "sums": sums}
+        print(json.dumps({"leg": name, "sec": round(sec, 2),
+                          "rows": sums["__rows__"], "cpus": CPUS}))
+
+    a, b = results["flagship_default"], results["flagship_hot_split"]
+    keys = sorted((set(a["sums"]) | set(b["sums"])) - {"text", "role", "tool"})
+    match = all(np.isclose(a["sums"].get(k, np.nan), b["sums"].get(k, np.nan),
+                           rtol=1e-8, atol=1e-6, equal_nan=True) for k in keys)
+    print(json.dumps({
+        "metric": "flagship_hot_conv_skew_speedup",
+        "hot_turns": FLAGSHIP_HOT,
+        "total_turns": a["sums"]["__rows__"],
+        "cpus": CPUS,
+        "default_sec": a["sec"],
+        "hot_split_sec": b["sec"],
+        "speedup": round(a["sec"] / b["sec"], 2),
+        "outputs_match": bool(match),
+    }))
+    ray.shutdown()
 
 
 def main():
@@ -159,4 +253,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--flagship" in sys.argv:
+        main_flagship()
+    else:
+        main()
