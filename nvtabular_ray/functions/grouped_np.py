@@ -38,6 +38,29 @@ def group_starts(gid: np.ndarray) -> np.ndarray:
     return np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
 
 
+def grouped_fill_indices(valid: np.ndarray, gid: np.ndarray, direction: str):
+    """(gather_indices, ok_mask) for entity-local forward/backward fill of a
+    sorted column: ``forward`` gathers each row's most recent earlier valid
+    row of the same group, ``backward`` the nearest later one; ``ok`` is
+    False where no such row exists in the group."""
+    n = len(valid)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, np.empty(0, dtype=bool)
+    starts = group_starts(gid)
+    counts = np.diff(np.r_[starts, n])
+    gstart = np.repeat(starts, counts)
+    idx = np.arange(n, dtype=np.int64)
+    if direction == "forward":
+        last = np.maximum.accumulate(np.where(valid, idx, -1))
+        ok = last >= gstart
+        return np.where(ok, last, 0), ok
+    gend = gstart + np.repeat(counts, counts) - 1
+    nxt = np.flip(np.minimum.accumulate(np.flip(np.where(valid, idx, n))))
+    ok = nxt <= gend
+    return np.where(ok, np.minimum(nxt, n - 1), 0), ok
+
+
 def grouped_diff(values: np.ndarray, gid: np.ndarray, shift: int) -> np.ndarray:
     """values[i] - values[i-shift], NaN where i-shift crosses a group
     boundary (the reference DifferenceLag mask, difference_lag.py:66-80)."""

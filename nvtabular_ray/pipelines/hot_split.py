@@ -68,7 +68,8 @@ HALO_COL = "__halo__"
 BUCKET_COL = "__bucket__"
 _US = 1_000_000
 _EMPTY_SUMMARY = {"n": 0, "first_ts": None, "last_ts": None,
-                  "breaks": {}, "tail": {}, "head": {}, "exp": {}}
+                  "breaks": {}, "tail": {}, "head": {}, "exp": {},
+                  "bf_last": {}, "bf_first": {}}
 
 
 # --------------------------------------------------------------------------
@@ -87,6 +88,8 @@ def _spec_out_names(spec: dict) -> list[str]:
         return [f"{spec['col']}_{tag}{int(spec['window'])}s_{a}" for a in spec["aggs"]]
     if k == "expanding":
         return [f"{spec['col']}_cum_{a}" for a in spec["aggs"]]
+    if k == "backfill":
+        return [spec.get("out") or f"{spec['col']}_filled"]
     raise ValueError(f"unknown spec kind {k!r}")
 
 
@@ -97,6 +100,8 @@ def _validate_specs(specs: list[dict]):
             bad = [a for a in s["aggs"] if a not in ("count", "sum", "mean", "min", "max", "std", "var")]
             if bad:
                 raise ValueError(f"unsupported aggs {bad} in {s}")
+        if s["kind"] == "backfill" and s.get("direction", "forward") not in ("forward", "backward"):
+            raise ValueError(f"backfill direction must be forward/backward: {s}")
         del names
 
 
@@ -130,6 +135,10 @@ def _lag_cols(specs: list[dict]) -> tuple[dict, dict]:
 
 def _exp_cols(specs: list[dict]) -> list[str]:
     return sorted({s["col"] for s in specs if s["kind"] == "expanding"})
+
+
+def _bf_cols(specs: list[dict]) -> list[str]:
+    return sorted({s["col"] for s in specs if s["kind"] == "backfill"})
 
 
 # --------------------------------------------------------------------------
@@ -346,6 +355,14 @@ def _compute_cold(t: pa.Table, cfg: dict) -> pa.Table:
                 t = t.append_column(
                     name, pa.array(arr.astype(np.int64) if a == "count" else arr)
                 )
+        elif s["kind"] == "backfill":
+            from nvtabular_ray.functions.grouped_np import grouped_fill_indices
+
+            col = t.column(s["col"]).combine_chunks()
+            valid = ~pc.is_null(col, nan_is_null=True).to_numpy(zero_copy_only=False)
+            gather, ok = grouped_fill_indices(valid, gid, s.get("direction", "forward"))
+            filled = pc.take(col, pa.array(gather, pa.int64(), mask=~ok))
+            t = t.append_column(names[0], filled)
     return t
 
 
@@ -355,7 +372,8 @@ def _summarize_segment(t: pa.Table, cfg: dict) -> dict:
     ts_us, is_ts = _ts_to_us_np(body.column(cfg["ts_col"]))
     scale = _US if is_ts else 1
     out = {"n": body.num_rows, "first_ts": None, "last_ts": None,
-           "breaks": {}, "tail": {}, "head": {}, "exp": {}}
+           "breaks": {}, "tail": {}, "head": {}, "exp": {},
+           "bf_last": {}, "bf_first": {}}
     if body.num_rows == 0:
         return out
     out["first_ts"] = int(ts_us[0])
@@ -371,6 +389,14 @@ def _summarize_segment(t: pa.Table, cfg: dict) -> dict:
     for col, k in head.items():
         v = body.column(col).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
         out["head"][col] = v[:k].copy()
+    for col in _bf_cols(cfg["specs"]):
+        c = body.column(col).combine_chunks()
+        nz = np.flatnonzero(
+            ~pc.is_null(c, nan_is_null=True).to_numpy(zero_copy_only=False)
+        )
+        has = len(nz) > 0
+        out["bf_last"][col] = (has, c[int(nz[-1])].as_py() if has else None)
+        out["bf_first"][col] = (has, c[int(nz[0])].as_py() if has else None)
     for col in _exp_cols(cfg["specs"]):
         v = body.column(col).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
         ok = v[~np.isnan(v)]
@@ -389,6 +415,7 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
     per-segment carry-in state. O(segments); runs on the driver."""
     tail_cols, head_cols = _lag_cols(cfg["specs"])
     exp_cols = _exp_cols(cfg["specs"])
+    bf_cols = _bf_cols(cfg["specs"])
     m = len(summaries)
     carries = [dict() for _ in range(m)]
 
@@ -397,14 +424,20 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
     prev_last_ts = None
     run_tail = {c: np.empty(0, np.float64) for c in tail_cols}
     run_exp = {c: (0, 0.0, 0.0, np.nan, np.nan) for c in exp_cols}
+    run_bf_last = {c: (False, None) for c in bf_cols}
     ts_scale = _US if cfg["is_ts"] else 1
     for j, sm in enumerate(summaries):
         carries[j]["prev_last_ts"] = prev_last_ts
         carries[j]["breaks_before"] = dict(breaks_before)
         carries[j]["tail"] = {c: run_tail[c][-k:].copy() for c, k in tail_cols.items()}
         carries[j]["exp"] = dict(run_exp)
+        carries[j]["bf_last"] = dict(run_bf_last)
         if sm["n"] == 0:
             continue
+        for c in bf_cols:
+            has, val = sm["bf_last"].get(c, (False, None))
+            if has:
+                run_bf_last[c] = (has, val)
         # advance
         for i, s in enumerate(cfg["specs"]):
             if s["kind"] != "sessionize":
@@ -423,15 +456,21 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
                 np.fmin(mn0, mn1), np.fmax(mx0, mx1),
             )
 
-    # backward state for leads
+    # backward state for leads / backward fill
     run_head = {c: np.empty(0, np.float64) for c in head_cols}
+    run_bf_first = {c: (False, None) for c in bf_cols}
     for j in range(m - 1, -1, -1):
         carries[j]["head"] = {c: run_head[c][:k].copy() for c, k in head_cols.items()}
+        carries[j]["bf_first"] = dict(run_bf_first)
         sm = summaries[j]
         if sm["n"] == 0:
             continue
         for c in head_cols:
             run_head[c] = np.concatenate([sm["head"].get(c, []), run_head[c]])[: head_cols[c]]
+        for c in bf_cols:
+            has, val = sm["bf_first"].get(c, (False, None))
+            if has:
+                run_bf_first[c] = (has, val)
     return carries
 
 
@@ -549,6 +588,19 @@ def _compute_hot(t: pa.Table, cfg: dict, carry: dict) -> pa.Table:
                 body = body.append_column(
                     name, pa.array(arr.astype(np.int64) if a == "count" else arr)
                 )
+        elif s["kind"] == "backfill":
+            from nvtabular_ray.functions.grouped_np import grouped_fill_indices
+
+            direction = s.get("direction", "forward")
+            col = body.column(s["col"]).combine_chunks()
+            valid = ~pc.is_null(col, nan_is_null=True).to_numpy(zero_copy_only=False)
+            gather, ok = grouped_fill_indices(valid, gid_seg, direction)
+            filled = pc.take(col, pa.array(gather, pa.int64(), mask=~ok))
+            src = carry["bf_last"] if direction == "forward" else carry["bf_first"]
+            has, val = src.get(s["col"], (False, None))
+            if has:
+                filled = pc.fill_null(filled, pa.scalar(val, col.type))
+            body = body.append_column(names[0], filled)
     return body
 
 
@@ -619,6 +671,8 @@ def ordered_features(
       {"kind": "rolling", "col", "window": sec, "aggs": [...],
        "direction": "trailing"|"leading"}                     -> {col}_w{W}s_{agg}
       {"kind": "expanding", "col", "aggs": [...]}             -> {col}_cum_{agg}
+      {"kind": "backfill", "col",
+       "direction": "forward"|"backward", "out": ...}         -> {col}_filled (col's dtype)
 
     ``sort_cols``: extra tie-breakers after ts (needed only when ts has
     duplicates within an entity AND a lag/lead spec is used).

@@ -459,27 +459,14 @@ def backfill(
 
     import pyarrow.compute as pc
 
-    from nvtabular_ray.functions.grouped_np import group_ids_sorted, group_starts
+    from nvtabular_ray.functions.grouped_np import grouped_fill_indices, group_ids_sorted
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        n = t.num_rows
         gid = group_ids_sorted(t, keys)
-        starts = group_starts(gid)
-        counts = np.diff(np.r_[starts, n])
-        gstart = np.repeat(starts, counts)
-        idx = np.arange(n, dtype=np.int64)
         for c in cols:
             col = t.column(c).combine_chunks()
             valid = ~pc.is_null(col, nan_is_null=True).to_numpy(zero_copy_only=False)
-            if direction == "forward":
-                last_valid = np.maximum.accumulate(np.where(valid, idx, -1))
-                ok = last_valid >= gstart
-                gather = np.where(ok, last_valid, 0)
-            else:
-                gend = gstart + np.repeat(counts, counts) - 1
-                nxt = np.flip(np.minimum.accumulate(np.flip(np.where(valid, idx, n))))
-                ok = nxt <= gend
-                gather = np.where(ok, np.minimum(nxt, n - 1), 0)
+            gather, ok = grouped_fill_indices(valid, gid, direction)
             filled = pc.take(col, pa.array(gather, pa.int64(), mask=~ok))
             t = t.append_column(f"{c}{out_suffix}", filled)
         return t

@@ -30,6 +30,8 @@ SPECS = [
      "aggs": ["sum", "max"], "direction": "leading"},
     {"kind": "expanding", "col": "val",
      "aggs": ["count", "sum", "mean", "min", "max", "var"]},
+    {"kind": "backfill", "col": "val"},
+    {"kind": "backfill", "col": "val", "direction": "backward", "out": "val_bfilled"},
 ]
 
 
@@ -105,6 +107,47 @@ def test_no_hot_entities_pure_cold_path(ray_session):
     exp = _expected(tbl)
     got = _got(tbl, hot_threshold=10_000, num_buckets=4)
     _assert_frames_match(exp, got)
+
+
+def test_backfill_carry_across_segments(ray_session):
+    # valid values are 500 rows apart while segments are ~300 rows: most
+    # segments contain NO valid value, so the fill must ride the folded
+    # carry through empty-carry segments in both directions
+    n = 3000
+    ts = np.arange(n, dtype=np.int64) * 60
+    val = np.full(n, np.nan)
+    val[::500] = np.arange(len(val[::500]), dtype=np.float64) + 1.0
+    df = pd.DataFrame(
+        {"conv_id": "bf_conv", "ts": pd.to_datetime(ts, unit="s"), "val": val}
+    )
+    specs = [
+        {"kind": "backfill", "col": "val"},
+        {"kind": "backfill", "col": "val", "direction": "backward", "out": "val_b"},
+    ]
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    srt = tbl.append_column(HALO_COL, pa.array(np.zeros(n, np.int8)))
+    cfg = {"key": "conv_id", "ts_col": "ts", "specs": specs, "is_ts": True}
+    exp = _compute_cold(srt, cfg).to_pandas()
+
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    out = ordered_features(
+        ds, "conv_id", "ts", specs, hot_threshold=500, target_seg_rows=300, num_buckets=2
+    )
+    got = (
+        pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow"),
+            promote_options="default",
+        )
+        .sort_by([("ts", "ascending")])
+        .to_pandas()
+    )
+    for c in ("val_filled", "val_b"):
+        e = exp[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        g = got[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        np.testing.assert_allclose(e, g, equal_nan=True, err_msg=c)
+    # sanity: forward fill leaves only the leading run unfilled
+    assert np.isnan(got["val_filled"].to_numpy(dtype=np.float64, na_value=np.nan)).sum() == 0
+    assert np.isnan(got["val_b"].to_numpy(dtype=np.float64, na_value=np.nan)).sum() == 499
 
 
 def test_choose_cuts_spacing():
