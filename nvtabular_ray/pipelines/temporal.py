@@ -23,6 +23,32 @@ from nvtabular_ray.pipelines.partitioned import bucketed_group_map
 _SIDE = "__side__"
 
 
+def _via_hot_split(
+    ds, keys, ts_col, specs, rename_map, hot_threshold, target_seg_rows,
+    num_buckets, analyze_ds=None,
+):
+    """Route an ordered-feature call through hot-entity splitting
+    (pipelines/hot_split.py): entities above ``hot_threshold`` rows are
+    segmented with halo+carry exactness instead of landing whole in one
+    bucket. Shared by the ``hot_threshold=`` option of sessionize /
+    windowed_agg / expanding_agg / backfill."""
+    if len(keys) != 1:
+        raise ValueError("hot_threshold requires a single-column entity key")
+    from nvtabular_ray.pipelines.hot_split import ordered_features
+
+    out = ordered_features(
+        ds, keys[0], ts_col, specs,
+        hot_threshold=hot_threshold, target_seg_rows=target_seg_rows,
+        num_buckets=num_buckets, analyze_ds=analyze_ds,
+    )
+    if rename_map:
+        def ren(t: pa.Table) -> pa.Table:
+            return t.rename_columns([rename_map.get(c, c) for c in t.column_names])
+
+        out = out.map_batches(ren, batch_format="pyarrow", zero_copy_batch=True)
+    return out
+
+
 def sessionize(
     ds,
     key: Union[str, list[str]],
@@ -30,13 +56,25 @@ def sessionize(
     gap,
     out_col: str = "session_id",
     num_buckets: Optional[int] = None,
+    hot_threshold: Optional[int] = None,
+    target_seg_rows: int = 250_000,
 ):
     """Assign 0-based session indices per entity: a new session starts when
     the time since the previous row of the same entity exceeds ``gap``
     (seconds or pd.Timedelta). Rows keep all input columns + ``out_col``.
+
+    ``hot_threshold``: optional skew guard — entities above that many rows
+    are time-segmented (hot_split.py halo+carry, exact) instead of landing
+    whole in one bucket.
     """
     keys = [key] if isinstance(key, str) else list(key)
     gap_s = gap.total_seconds() if isinstance(gap, pd.Timedelta) else gap
+    if hot_threshold is not None:
+        return _via_hot_split(
+            ds, keys, ts_col,
+            [{"kind": "sessionize", "gap": gap_s, "out": out_col}],
+            None, hot_threshold, target_seg_rows, num_buckets,
+        )
 
     from nvtabular_ray.ops.temporal_ops import Sessionize
 
@@ -381,16 +419,28 @@ def windowed_agg(
     prefix: Optional[str] = None,
     num_buckets: Optional[int] = None,
     direction: str = "trailing",
+    hot_threshold: Optional[int] = None,
+    target_seg_rows: int = 250_000,
 ):
     """Per-row window aggregates: for each row, aggregate ``value_col``
     over the same entity's rows in (ts - window, ts] (``direction=
     "trailing"``, default — past-only, zero leakage) or [ts, ts + window]
     (``"leading"`` — SQL ``CURRENT ROW AND W FOLLOWING``, for label
     windows). Output columns ``{prefix}{agg}`` appended to the input row.
+    ``hot_threshold``: optional skew guard (see ``sessionize``).
     """
     keys = [key] if isinstance(key, str) else list(key)
     tag = "w" if direction == "trailing" else "lead"
     prefix = prefix or f"{value_col}_{tag}{int(window_seconds)}s_"
+    if hot_threshold is not None:
+        hs_names = [f"{value_col}_{tag}{int(window_seconds)}s_{a}" for a in aggs]
+        return _via_hot_split(
+            ds, keys, ts_col,
+            [{"kind": "rolling", "col": value_col, "window": window_seconds,
+              "aggs": list(aggs), "direction": direction}],
+            {h: f"{prefix}{a}" for h, a in zip(hs_names, aggs) if h != f"{prefix}{a}"},
+            hot_threshold, target_seg_rows, num_buckets,
+        )
 
     from nvtabular_ray.ops.temporal_ops import RollingAgg
 
@@ -415,14 +465,24 @@ def expanding_agg(
     aggs: list[str] = ("count", "sum", "mean"),
     prefix: Optional[str] = None,
     num_buckets: Optional[int] = None,
+    hot_threshold: Optional[int] = None,
+    target_seg_rows: int = 250_000,
 ):
     """Per-row cumulative aggregates of ``value_col`` over all same-entity
     rows with STRICTLY earlier ts (unbounded past-only window, equal-ts
     peers excluded — SQL ``RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT
     ROW EXCLUDE GROUP``). Output columns ``{prefix}{agg}`` appended to the
-    input row."""
+    input row. ``hot_threshold``: optional skew guard (see ``sessionize``)."""
     keys = [key] if isinstance(key, str) else list(key)
     prefix = prefix or f"{value_col}_cum_"
+    if hot_threshold is not None:
+        hs_names = [f"{value_col}_cum_{a}" for a in aggs]
+        return _via_hot_split(
+            ds, keys, ts_col,
+            [{"kind": "expanding", "col": value_col, "aggs": list(aggs)}],
+            {h: f"{prefix}{a}" for h, a in zip(hs_names, aggs) if h != f"{prefix}{a}"},
+            hot_threshold, target_seg_rows, num_buckets,
+        )
 
     from nvtabular_ray.ops.temporal_ops import ExpandingAgg
 
@@ -447,15 +507,25 @@ def backfill(
     direction: str = "forward",
     out_suffix: str = "_filled",
     num_buckets: Optional[int] = None,
+    hot_threshold: Optional[int] = None,
+    target_seg_rows: int = 250_000,
 ):
     """Windowed backfill: within each entity ordered by ``ts_col``, fill null
     values of ``cols`` from the most recent earlier non-null row
     (``direction="forward"``, past-only, leakage-free) or the nearest later
     one (``direction="backward"`` — training-label style backfill).
+    ``hot_threshold``: optional skew guard (see ``sessionize``).
     """
     keys = [key] if isinstance(key, str) else list(key)
     if direction not in ("forward", "backward"):
         raise ValueError("direction must be forward or backward")
+    if hot_threshold is not None:
+        return _via_hot_split(
+            ds, keys, ts_col,
+            [{"kind": "backfill", "col": c, "direction": direction,
+              "out": f"{c}{out_suffix}"} for c in cols],
+            None, hot_threshold, target_seg_rows, num_buckets,
+        )
 
     import pyarrow.compute as pc
 

@@ -150,6 +150,44 @@ def test_backfill_carry_across_segments(ray_session):
     assert np.isnan(got["val_b"].to_numpy(dtype=np.float64, na_value=np.nan)).sum() == 499
 
 
+def test_temporal_api_hot_threshold_parity(ray_session):
+    """sessionize / windowed_agg / expanding_agg / backfill with
+    hot_threshold= must equal their default (one-bucket) plans."""
+    from nvtabular_ray.pipelines.temporal import (
+        backfill,
+        expanding_agg,
+        sessionize,
+        windowed_agg,
+    )
+
+    tbl = _make_table(n_hot=2500, n_cold=6, rows_cold=80)
+    ds = ray.data.from_arrow(tbl).repartition(6).materialize()
+    kw = dict(hot_threshold=400, target_seg_rows=300, num_buckets=3)
+
+    legs = [
+        (sessionize(ds, "conv_id", "ts", 300),
+         sessionize(ds, "conv_id", "ts", 300, **kw), ["session_id"]),
+        (windowed_agg(ds, "conv_id", "ts", "val", 600, ["count", "mean"], prefix="r_"),
+         windowed_agg(ds, "conv_id", "ts", "val", 600, ["count", "mean"], prefix="r_", **kw),
+         ["r_count", "r_mean"]),
+        (expanding_agg(ds, "conv_id", "ts", "val", ["count", "sum"]),
+         expanding_agg(ds, "conv_id", "ts", "val", ["count", "sum"], **kw),
+         ["val_cum_count", "val_cum_sum"]),
+        (backfill(ds, "conv_id", "ts", ["val"]),
+         backfill(ds, "conv_id", "ts", ["val"], **kw), ["val_filled"]),
+    ]
+    for base, hot, cols in legs:
+        a = base.to_pandas().sort_values(["conv_id", "ts"]).reset_index(drop=True)
+        b = hot.to_pandas().sort_values(["conv_id", "ts"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        assert set(a.columns) == set(b.columns)
+        for c in cols:
+            x = a[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            y = b[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            np.testing.assert_allclose(x, y, rtol=1e-9, atol=1e-9, equal_nan=True,
+                                       err_msg=f"column {c}")
+
+
 def test_choose_cuts_spacing():
     ts = np.arange(0, 100_000, 10, dtype=np.int64)  # 10k samples
     cuts = _choose_cuts(ts, n_rows=10_000, target_seg_rows=1_000, min_spacing=25_000)
