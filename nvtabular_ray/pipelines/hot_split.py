@@ -578,8 +578,9 @@ def _compute_hot(t: pa.Table, cfg: dict, carry: dict) -> pa.Table:
             sumsq_l = css[end] - css[w]
             from nvtabular_ray.functions.grouped_np import range_min_max
 
-            min_l = range_min_max(v, w, end, "min")
-            max_l = range_min_max(v, w, end, "max")
+            need_mm = ("min" in s["aggs"]) or ("max" in s["aggs"])
+            min_l = range_min_max(v, w, end, "min") if need_mm else np.nan
+            max_l = range_min_max(v, w, end, "max") if need_mm else np.nan
             res = _combine_expanding(
                 {}, count_l, sum_l, sumsq_l, min_l, max_l, carry["exp"][s["col"]], s["aggs"]
             )
