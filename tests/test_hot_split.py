@@ -12,6 +12,7 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 import ray
+from hypothesis import given, settings, strategies as st
 
 from nvtabular_ray.pipelines.hot_split import (
     HALO_COL,
@@ -186,6 +187,70 @@ def test_temporal_api_hot_threshold_parity(ray_session):
             y = b[c].to_numpy(dtype=np.float64, na_value=np.nan)
             np.testing.assert_allclose(x, y, rtol=1e-9, atol=1e-9, equal_nan=True,
                                        err_msg=f"column {c}")
+
+
+@st.composite
+def _ordered_frames(draw):
+    """Adversarial tiny frames: few entities, ts ties, nulls, skewed sizes."""
+    n_entities = draw(st.integers(1, 4))
+    frames = []
+    rid = 0
+    for e in range(n_entities):
+        n = draw(st.integers(1, 120))
+        # ts with heavy tie probability and irregular gaps
+        gaps = draw(st.lists(st.integers(0, 400), min_size=n, max_size=n))
+        ts = np.cumsum(np.asarray(gaps, dtype=np.int64))
+        nulls = draw(st.lists(st.booleans(), min_size=n, max_size=n))
+        val = np.arange(n, dtype=np.float64) * 0.5 - 3.0
+        val[np.asarray(nulls)] = np.nan
+        frames.append(pd.DataFrame({
+            "k": f"e{e}",
+            "ts": pd.to_datetime(ts, unit="s"),
+            "rid": np.arange(rid, rid + n, dtype=np.int64),
+            "val": val,
+        }))
+        rid += n
+    df = pd.concat(frames, ignore_index=True)
+    return df.sample(frac=1.0, random_state=0).reset_index(drop=True)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_ordered_frames(), st.integers(2, 50))
+def test_property_split_equals_unsplit(df, seg_rows):
+    specs = [
+        {"kind": "lag", "col": "val", "shift": 1},
+        {"kind": "sessionize", "gap": 120, "out": "sid"},
+        {"kind": "rolling", "col": "val", "window": 300, "aggs": ["count", "sum", "max"]},
+        {"kind": "expanding", "col": "val", "aggs": ["count", "mean"]},
+        {"kind": "backfill", "col": "val"},
+    ]
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    srt = tbl.sort_by([("k", "ascending"), ("ts", "ascending"), ("rid", "ascending")])
+    srt = srt.append_column(HALO_COL, pa.array(np.zeros(srt.num_rows, np.int8)))
+    cfg = {"key": "k", "ts_col": "ts", "specs": specs, "is_ts": True}
+    exp = _compute_cold(srt, cfg).to_pandas()
+
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = ordered_features(
+        ds, "k", "ts", specs, hot_threshold=10, target_seg_rows=seg_rows,
+        num_buckets=3, sort_cols=["rid"],
+    )
+    got = (
+        pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow"),
+            promote_options="default",
+        )
+        .sort_by([("k", "ascending"), ("ts", "ascending"), ("rid", "ascending")])
+        .to_pandas()
+    )
+    assert len(exp) == len(got)
+    for c in exp.columns:
+        if c in ("k", "ts"):
+            continue
+        e = exp[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        g = got[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        np.testing.assert_allclose(e, g, rtol=1e-9, atol=1e-9, equal_nan=True,
+                                   err_msg=f"column {c}")
 
 
 def test_choose_cuts_spacing():
