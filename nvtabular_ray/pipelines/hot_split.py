@@ -614,41 +614,153 @@ def _bucket_slices(t: pa.Table):
         yield int(bid), t.slice(bounds[i], bounds[i + 1] - bounds[i])
 
 
-def _phase_a(cfg: dict, B: int, sort_keys: list[str], shards) -> tuple:
-    """One physical partition: concat + ONE sort by (bucket, key, ts, ...),
-    then cold features for the cold slice and a summary per hot slice.
-    Returns (cold_features, hot_sorted, {bucket: summary})."""
+def _phase_a(B: int, phase_sort: list[str], cold_fn, summarize_fn, shards) -> tuple:
+    """One physical partition: concat + ONE sort by (bucket, *phase_sort),
+    then the cold pass over the cold slice and a summary per hot slice.
+    Returns (cold_result, hot_sorted, {bucket: summary})."""
     parts = [s for s in shards if s.num_rows]
     t = parts[0] if len(parts) == 1 else pa.concat_tables(
         parts or [shards[0]], promote_options="default"
     )
     t = t.sort_by(
-        [(BUCKET_COL, "ascending"), (cfg["key"], "ascending")]
-        + [(k, "ascending") for k in sort_keys]
+        [(BUCKET_COL, "ascending")] + [(k, "ascending") for k in phase_sort]
     )
     bcol = t.column(BUCKET_COL).to_numpy(zero_copy_only=False)
     n_cold = int(np.searchsorted(bcol, B))
     cold = t.slice(0, n_cold).drop_columns([BUCKET_COL])
     hot = t.slice(n_cold)
-    cold_out = _compute_cold(cold, cfg)
-    sums = {bid: _summarize_segment(seg, cfg) for bid, seg in _bucket_slices(hot)}
+    cold_out = cold_fn(cold)
+    sums = {
+        bid: summarize_fn(seg.drop_columns([BUCKET_COL]))
+        for bid, seg in _bucket_slices(hot)
+    }
     return cold_out, hot, sums
 
 
-def _phase_b(hot_t: pa.Table, carries: dict, cfg: dict) -> pa.Table:
-    """One physical partition's hot slices -> features with carry-in state."""
+def _phase_b(hot_t: pa.Table, carries: dict, cold_fn, hot_fn) -> pa.Table:
+    """One physical partition's hot slices -> results with carry-in state."""
     outs = [
-        _compute_hot(seg.drop_columns([BUCKET_COL]), cfg, carries[bid])
+        hot_fn(seg.drop_columns([BUCKET_COL]), carries[bid])
         for bid, seg in _bucket_slices(hot_t)
     ]
     if not outs:  # schema must match the cold output exactly
-        return _compute_cold(hot_t.drop_columns([BUCKET_COL]), cfg)
+        return cold_fn(hot_t.drop_columns([BUCKET_COL]))
     return pa.concat_tables(outs, promote_options="default")
 
 
 # --------------------------------------------------------------------------
 # driver
 # --------------------------------------------------------------------------
+
+
+def _run_hot_split(
+    ds,
+    key: str,
+    ts_col: str,
+    *,
+    cold_fn,
+    summarize_fn,
+    fold_fn,
+    hot_fn,
+    empty_summary: dict,
+    wt: int = 0,
+    wl: int = 0,
+    min_spacing: int = 1,
+    phase_sort: Optional[list[str]] = None,
+    hot_threshold: int,
+    target_seg_rows: int,
+    num_buckets: Optional[int] = None,
+    analyze_ds=None,
+):
+    """Generic hot-entity-split runner (see module docstring for the plan):
+    callbacks define the per-slice compute —
+
+    - ``cold_fn(table) -> table``: the plain kernel over a multi-entity
+      slice sorted by (*phase_sort); also defines the output schema.
+    - ``summarize_fn(segment) -> dict``: tiny summary of one hot segment.
+    - ``fold_fn(list[summary]) -> list[carry]``: per-entity fold of the
+      segment summaries (in time order) into per-segment carry-in state.
+    - ``hot_fn(segment, carry) -> table``: one hot segment with its carry.
+
+    ``wt``/``wl``: trailing/leading halo widths in ts units (0 = no halos);
+    ``min_spacing``: minimum ts distance between cut points."""
+    import ray
+    import ray.data as rd
+
+    from nvtabular_ray.pipelines.partitioned import _default_num_buckets
+
+    B = num_buckets or _default_num_buckets()
+    schema = ds.schema(fetch_if_missing=True)
+    schema = getattr(schema, "base_schema", schema)  # ray Schema -> pa.Schema
+
+    ads = analyze_ds if analyze_ds is not None else ds
+    hot_counts = _hot_entity_counts(ads, key, hot_threshold)
+    keys_arr = (
+        pa.array(hot_counts[key].tolist(), schema.field(key).type) if len(hot_counts) else None
+    )
+
+    cuts_list: list[np.ndarray] = []
+    if len(hot_counts):
+        sample = _sample_hot_ts(ads, key, ts_col, hot_counts, keys_arr)
+        s_ts, _ = _ts_to_us_np(sample.column(ts_col))
+        s_key = sample.column(key).to_pandas()
+        for k_val, n in zip(hot_counts[key].tolist(), hot_counts["n"].tolist()):
+            cuts_list.append(
+                _choose_cuts(s_ts[(s_key == k_val).to_numpy()], int(n), target_seg_rows, min_spacing)
+            )
+    n_segs = np.array([len(c) + 1 for c in cuts_list], dtype=np.int64)
+    base = np.concatenate([[0], np.cumsum(n_segs)])[:-1] if len(n_segs) else np.empty(0, np.int64)
+    total = B + int(n_segs.sum())
+    P = B  # physical partitions; logical buckets ride p = bucket % P
+
+    hot = {"keys": keys_arr, "base": base, "cuts": cuts_list, "wt": wt, "wl": wl}
+    psort = list(phase_sort or [])
+
+    @ray.remote
+    def split_block(block, hot_):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        return _split_one(block, key, ts_col, B, total, P, hot_)
+
+    @ray.remote(num_returns=3)
+    def phase_a(*shards):
+        return _phase_a(B, psort, cold_fn, summarize_fn, shards)
+
+    @ray.remote
+    def phase_b(hot_t, carries):
+        return _phase_b(hot_t, carries, cold_fn, hot_fn)
+
+    hot_ref = ray.put(hot)
+    splits = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, m in bundle.blocks:
+            if m.num_rows is not None and m.num_rows == 0:
+                continue
+            splits.append(split_block.options(num_returns=P).remote(ref, hot_ref))
+    if not splits:
+        return ds.materialize()
+
+    a_out = [phase_a.remote(*[s[p] for s in splits]) for p in range(P)]
+    cold_refs = [o[0] for o in a_out]
+    if total == B:
+        return rd.from_arrow_refs(cold_refs)
+
+    # driver fold: O(hot entities x segments) summaries, independent of rows
+    all_sums: dict[int, dict] = {}
+    for d in ray.get([o[2] for o in a_out]):
+        all_sums.update(d)  # logical buckets are disjoint across partitions
+    carries_by_bucket: dict[int, dict] = {}
+    for e in range(len(n_segs)):
+        segs = [all_sums.get(B + int(base[e]) + j, empty_summary) for j in range(int(n_segs[e]))]
+        for j, carry in enumerate(fold_fn(segs)):
+            carries_by_bucket[B + int(base[e]) + j] = carry
+    hot_refs = [
+        phase_b.remote(
+            a_out[p][1], {b: c for b, c in carries_by_bucket.items() if b % P == p}
+        )
+        for p in range(P)
+    ]
+    return rd.from_arrow_refs(cold_refs + hot_refs)
 
 
 def ordered_features(
@@ -684,92 +796,24 @@ def ordered_features(
     chain — pass the raw upstream source (row-identical on key+ts, e.g.
     the pre-transform parquet read) so analysis costs a pruned read
     instead of two re-executions of the whole pipeline."""
-    import ray
-    import ray.data as rd
-
-    from nvtabular_ray.pipelines.partitioned import _default_num_buckets
-
     _validate_specs(specs)
-    B = num_buckets or _default_num_buckets()
 
     schema = ds.schema(fetch_if_missing=True)
     schema = getattr(schema, "base_schema", schema)  # ray Schema -> pa.Schema
     is_ts = pa.types.is_timestamp(schema.field(ts_col).type)
     wt, wl = _max_windows_us(specs, is_ts)
-    min_spacing = max(wt, wl, 1) + 1
-
-    ads = analyze_ds if analyze_ds is not None else ds
-    hot_counts = _hot_entity_counts(ads, key, hot_threshold)
-    keys_arr = (
-        pa.array(hot_counts[key].tolist(), schema.field(key).type) if len(hot_counts) else None
-    )
-
-    cuts_list: list[np.ndarray] = []
-    if len(hot_counts):
-        sample = _sample_hot_ts(ads, key, ts_col, hot_counts, keys_arr)
-        s_ts, _ = _ts_to_us_np(sample.column(ts_col))
-        s_key = sample.column(key).to_pandas()
-        for k_val, n in zip(hot_counts[key].tolist(), hot_counts["n"].tolist()):
-            cuts_list.append(
-                _choose_cuts(s_ts[(s_key == k_val).to_numpy()], int(n), target_seg_rows, min_spacing)
-            )
-    n_segs = np.array([len(c) + 1 for c in cuts_list], dtype=np.int64)
-    base = np.concatenate([[0], np.cumsum(n_segs)])[:-1] if len(n_segs) else np.empty(0, np.int64)
-    total = B + int(n_segs.sum())
-    P = B  # physical partitions; logical buckets ride p = bucket % P
-
-    hot = {
-        "keys": keys_arr,
-        "base": base,
-        "cuts": cuts_list,
-        "wt": wt,
-        "wl": wl,
-    }
     cfg = {"key": key, "ts_col": ts_col, "specs": specs, "is_ts": is_ts}
     sort_keys = [ts_col] + [c for c in (sort_cols or []) if c != ts_col]
 
-    @ray.remote
-    def split_block(block, hot_, cfg_):
-        if not isinstance(block, pa.Table):
-            block = pa.Table.from_pandas(block, preserve_index=False)
-        return _split_one(block, cfg_["key"], cfg_["ts_col"], B, total, P, hot_)
-
-    @ray.remote(num_returns=3)
-    def phase_a(*shards):
-        return _phase_a(cfg, B, sort_keys, shards)
-
-    @ray.remote
-    def phase_b(hot_t, carries):
-        return _phase_b(hot_t, carries, cfg)
-
-    hot_ref = ray.put(hot)
-    splits = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for ref, m in bundle.blocks:
-            if m.num_rows is not None and m.num_rows == 0:
-                continue
-            splits.append(split_block.options(num_returns=P).remote(ref, hot_ref, cfg))
-    if not splits:
-        return ds.materialize()
-
-    a_out = [phase_a.remote(*[s[p] for s in splits]) for p in range(P)]
-    cold_refs = [o[0] for o in a_out]
-    if total == B:
-        return rd.from_arrow_refs(cold_refs)
-
-    # driver fold: O(hot entities x segments) summaries, independent of rows
-    all_sums: dict[int, dict] = {}
-    for d in ray.get([o[2] for o in a_out]):
-        all_sums.update(d)  # logical buckets are disjoint across partitions
-    carries_by_bucket: dict[int, dict] = {}
-    for e in range(len(n_segs)):
-        segs = [all_sums.get(B + int(base[e]) + j, _EMPTY_SUMMARY) for j in range(int(n_segs[e]))]
-        for j, carry in enumerate(_fold_carries(segs, cfg)):
-            carries_by_bucket[B + int(base[e]) + j] = carry
-    hot_refs = [
-        phase_b.remote(
-            a_out[p][1], {b: c for b, c in carries_by_bucket.items() if b % P == p}
-        )
-        for p in range(P)
-    ]
-    return rd.from_arrow_refs(cold_refs + hot_refs)
+    return _run_hot_split(
+        ds, key, ts_col,
+        cold_fn=lambda t: _compute_cold(t, cfg),
+        summarize_fn=lambda seg: _summarize_segment(seg, cfg),
+        fold_fn=lambda segs: _fold_carries(segs, cfg),
+        hot_fn=lambda t, carry: _compute_hot(t, cfg, carry),
+        empty_summary=_EMPTY_SUMMARY,
+        wt=wt, wl=wl, min_spacing=max(wt, wl, 1) + 1,
+        phase_sort=[key] + sort_keys,
+        hot_threshold=hot_threshold, target_seg_rows=target_seg_rows,
+        num_buckets=num_buckets, analyze_ds=analyze_ds,
+    )

@@ -154,6 +154,8 @@ def asof_join(
     num_buckets: Optional[int] = None,
     direction: str = "backward",
     tolerance=None,
+    hot_threshold: Optional[int] = None,
+    target_seg_rows: int = 250_000,
 ):
     """Point-in-time as-of join: for every left row, attach one right row of
     the same key selected by ``direction`` (pandas ``merge_asof`` parity):
@@ -176,6 +178,14 @@ def asof_join(
     hash-bucket by key (ONE shuffle moves both sides together), then per
     bucket a vectorized last/next-seen-right scan over key/time-sorted rows.
     No driver materialization; both sides stream.
+
+    ``hot_threshold``: optional skew guard — keys whose COMBINED (left +
+    right) row count exceeds it are split into ~``target_seg_rows`` time
+    segments; exactness is preserved by injecting each segment's carry-in
+    boundary right rows (the latest right row before the segment for
+    backward, the earliest after for forward, both for nearest) into the
+    segment's scan. Per-task memory is then capped regardless of the
+    hottest key's size.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
@@ -272,7 +282,106 @@ def asof_join(
                 cols[name] = t.column(name).take(take_left)
         return pa.table(cols)
 
+    if hot_threshold is not None:
+        return _asof_hot_split(
+            left_ds, right_ds, both, keys, left_ts, right_ts, per_bucket,
+            direction, hot_threshold, target_seg_rows, num_buckets,
+        )
     return bucketed_group_map(both, keys, [], per_bucket, num_buckets=num_buckets)
+
+
+def _asof_analyze_union(left_ds, right_ds, keys, left_ts, right_ts):
+    """Pruned (key, __ts__) union of both join inputs — the cheap stand-in
+    for the hot-split analyze passes (the padded full-schema union would
+    re-execute both pads per scan)."""
+    lt = left_ds.schema(fetch_if_missing=True)
+    lt = getattr(lt, "base_schema", lt)
+    ts_type = lt.field(left_ts).type
+
+    def mk(ts_name):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {k: t.column(k) for k in keys}
+            cols["__ts__"] = t.column(ts_name).cast(ts_type)
+            return pa.table(cols)
+
+        return f
+
+    a = left_ds.select_columns(list(dict.fromkeys(keys + [left_ts]))).map_batches(
+        mk(left_ts), batch_format="pyarrow", zero_copy_batch=True
+    )
+    b = right_ds.select_columns(list(dict.fromkeys(keys + [right_ts]))).map_batches(
+        mk(right_ts), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return a.union(b)
+
+
+def _asof_hot_split(
+    left_ds, right_ds, both, keys, left_ts, right_ts, per_bucket,
+    direction, hot_threshold, target_seg_rows, num_buckets,
+):
+    """Hot-key as-of join: segment the union by (key, time), run the SAME
+    per-bucket scan per segment with the carry-in boundary right rows
+    injected. Boundary rows are strictly outside the segment's ts range
+    (equal-ts rows always share a segment), so tie-break semantics are
+    untouched; injected rows are side=1 and never appear in the output."""
+    if len(keys) != 1:
+        raise ValueError("hot_threshold requires a single-column join key")
+    key = keys[0]
+    from nvtabular_ray.pipelines.hot_split import _run_hot_split
+
+    need_last = direction in ("backward", "nearest")
+    need_first = direction in ("forward", "nearest")
+
+    def summarize(seg: pa.Table) -> dict:
+        side = seg.column(_SIDE).to_numpy(zero_copy_only=False)
+        ridx = np.flatnonzero(side == 1)
+        out = {"last": None, "first": None}
+        if len(ridx):
+            ts = seg.column("__ts__").to_numpy(zero_copy_only=False)
+            rts = ts[ridx]
+            if need_last:
+                i = int(ridx[np.flatnonzero(rts == rts.max())[-1]])
+                out["last"] = seg.take(pa.array([i]))
+            if need_first:
+                i = int(ridx[np.flatnonzero(rts == rts.min())[0]])
+                out["first"] = seg.take(pa.array([i]))
+        return out
+
+    def fold(segs: list[dict]) -> list[dict]:
+        m = len(segs)
+        carries: list[dict] = [dict() for _ in range(m)]
+        run = None
+        for j in range(m):  # later segment == larger ts == better backward pick
+            carries[j]["last"] = run
+            if segs[j].get("last") is not None:
+                run = segs[j]["last"]
+        run = None
+        for j in range(m - 1, -1, -1):
+            carries[j]["first"] = run
+            if segs[j].get("first") is not None:
+                run = segs[j]["first"]
+        return carries
+
+    def hot_fn(seg: pa.Table, carry: dict) -> pa.Table:
+        inject = [x for x in (carry.get("last"), carry.get("first")) if x is not None]
+        if inject:
+            seg = pa.concat_tables(
+                [seg] + [x.select(seg.column_names) for x in inject],
+                promote_options="default",
+            )
+        return per_bucket(seg)
+
+    return _run_hot_split(
+        both, key, "__ts__",
+        cold_fn=per_bucket,
+        summarize_fn=summarize,
+        fold_fn=fold,
+        hot_fn=hot_fn,
+        empty_summary={"last": None, "first": None},
+        hot_threshold=hot_threshold, target_seg_rows=target_seg_rows,
+        num_buckets=num_buckets,
+        analyze_ds=_asof_analyze_union(left_ds, right_ds, keys, left_ts, right_ts),
+    )
 
 
 def range_join(

@@ -253,6 +253,57 @@ def test_property_split_equals_unsplit(df, seg_rows):
                                    err_msg=f"column {c}")
 
 
+def test_asof_join_hot_threshold_parity(ray_session):
+    """asof_join with hot_threshold= (boundary-row carries) must equal the
+    default one-bucket plan for every direction, with strict + tolerance."""
+    from nvtabular_ray.pipelines.temporal import asof_join
+
+    rng = np.random.default_rng(23)
+
+    def sides(key, n_left, n_right):
+        lts = np.sort(rng.choice(np.arange(1, n_left * 40), size=n_left, replace=False))
+        rts = np.sort(rng.choice(np.arange(1, n_left * 40), size=n_right, replace=False))
+        left = pd.DataFrame({
+            "k": key, "ts": pd.to_datetime(lts, unit="s"),
+            "lid": np.arange(n_left, dtype=np.int64),
+        })
+        rv = rng.normal(size=n_right)
+        rv[rng.random(n_right) < 0.1] = np.nan
+        right = pd.DataFrame({
+            "k": key, "ts": pd.to_datetime(rts, unit="s"), "feat": rv,
+        })
+        return left, right
+
+    lf, rf = [], []
+    l, r = sides("H", 4000, 900)  # hot key: 4900 combined rows
+    lf.append(l); rf.append(r)
+    for i in range(5):
+        l, r = sides(f"c{i}", 60, 25)
+        lf.append(l); rf.append(r)
+    left = pa.Table.from_pandas(pd.concat(lf, ignore_index=True), preserve_index=False)
+    right = pa.Table.from_pandas(pd.concat(rf, ignore_index=True), preserve_index=False)
+
+    for kw in (
+        {"direction": "backward"},
+        {"direction": "backward", "strict": True},
+        {"direction": "forward", "tolerance": pd.Timedelta("300s")},
+        {"direction": "nearest"},
+    ):
+        lds = ray.data.from_arrow(left).repartition(5)
+        rds = ray.data.from_arrow(right).repartition(3)
+        base = asof_join(lds, rds, "k", "ts", right_cols=["feat"], num_buckets=3, **kw)
+        hot = asof_join(lds, rds, "k", "ts", right_cols=["feat"], num_buckets=3,
+                        hot_threshold=800, target_seg_rows=500, **kw)
+        a = base.to_pandas().sort_values(["k", "lid"]).reset_index(drop=True)
+        b = hot.to_pandas().sort_values(["k", "lid"]).reset_index(drop=True)
+        assert len(a) == len(b) == len(left)
+        x = a["feat"].to_numpy(dtype=np.float64, na_value=np.nan)
+        y = b["feat"].to_numpy(dtype=np.float64, na_value=np.nan)
+        np.testing.assert_allclose(x, y, equal_nan=True, err_msg=str(kw))
+        # the hot leg must actually have matched across segment boundaries
+        assert np.isfinite(y).sum() > 0
+
+
 def test_choose_cuts_spacing():
     ts = np.arange(0, 100_000, 10, dtype=np.int64)  # 10k samples
     cuts = _choose_cuts(ts, n_rows=10_000, target_seg_rows=1_000, min_spacing=25_000)
