@@ -214,6 +214,62 @@ def main_flagship():
     ray.shutdown()
 
 
+def main_asof():
+    """As-of join skew: left = the skewed table, right = every 8th row
+    (a feature table with the same key skew); backward join, 8 cpus."""
+    import ray
+    import ray.data as rd
+
+    from nvtabular_ray.pipelines.temporal import asof_join
+
+    _gen()
+    ray.init(address="local", num_cpus=CPUS, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    def thin(t: pa.Table) -> pa.Table:
+        keep = np.arange(t.num_rows) % 8 == 0
+        t = t.filter(pa.array(keep))
+        return t.rename_columns(
+            [{"value": "feat"}.get(c, c) for c in t.column_names]
+        )
+
+    results = {}
+    legs = (("warmup", None), ("asof_one_bucket", None),
+            ("asof_hot_split", max(SEG_ROWS, 1_000_000)))
+    for name, thr in legs:
+        left = rd.read_parquet(CACHE, columns=["conv_id", "ts", "value"])
+        right = rd.read_parquet(CACHE, columns=["conv_id", "ts", "value"]).map_batches(
+            thin, batch_format="pyarrow", zero_copy_batch=True
+        )
+        t0 = time.perf_counter()
+        out = asof_join(left, right, "conv_id", "ts", right_cols=["feat"],
+                        hot_threshold=thr, target_seg_rows=SEG_ROWS)
+        sums = _col_sums(out)
+        sec = time.perf_counter() - t0
+        if name == "warmup":
+            continue
+        results[name] = {"sec": round(sec, 2), "sums": sums}
+        print(json.dumps({"leg": name, "sec": round(sec, 2),
+                          "rows": sums["__rows__"], "cpus": CPUS}))
+    a, b = results["asof_one_bucket"], results["asof_hot_split"]
+    keys = sorted(set(a["sums"]) | set(b["sums"]))
+    match = all(np.isclose(a["sums"].get(k, np.nan), b["sums"].get(k, np.nan),
+                           rtol=1e-8, atol=1e-6, equal_nan=True) for k in keys)
+    print(json.dumps({
+        "metric": "asof_hot_key_skew_speedup",
+        "hot_rows": HOT_ROWS,
+        "total_rows": a["sums"]["__rows__"],
+        "cpus": CPUS,
+        "baseline_sec": a["sec"],
+        "split_sec": b["sec"],
+        "speedup": round(a["sec"] / b["sec"], 2),
+        "outputs_match": bool(match),
+    }))
+    ray.shutdown()
+
+
 def main():
     import ray
     import ray.data as rd
@@ -255,5 +311,7 @@ def main():
 if __name__ == "__main__":
     if "--flagship" in sys.argv:
         main_flagship()
+    elif "--asof" in sys.argv:
+        main_asof()
     else:
         main()
