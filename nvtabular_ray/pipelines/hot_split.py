@@ -256,6 +256,13 @@ def _split_one(block: pa.Table, key: str, ts_col: str, B: int, total: int, P: in
         kidx = pc.index_in(block.column(key).combine_chunks(), hot["keys"])
         kn = kidx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
         ts_us, _ = _ts_to_us_np(block.column(ts_col))
+        halo_col = hot.get("halo_col")  # only rows with this int8 col == 1
+        halo_ok = (                     # may replicate (e.g. join right side)
+            pc.equal(block.column(halo_col).combine_chunks(), 1)
+            .to_numpy(zero_copy_only=False)
+            if halo_col
+            else None
+        )
         # group rows by hot-entity index via one stable sort (no per-entity
         # full scans — many small hot entities would make that quadratic)
         pos = np.flatnonzero(kn >= 0)
@@ -279,12 +286,16 @@ def _split_one(block: pa.Table, key: str, ts_col: str, B: int, total: int, P: in
                     has_next = seg < len(cuts)
                     nxt = cuts[np.minimum(seg, len(cuts) - 1)]
                     m = has_next & (ts_us[rows] >= nxt - wt)
+                    if halo_ok is not None:
+                        m &= halo_ok[rows]
                     extra_rows.append(rows[m])
                     extra_buckets.append(base + seg[m] + 1)
                 if wl > 0:
                     has_prev = seg > 0
                     prv = cuts[np.maximum(seg, 1) - 1]
                     m = has_prev & (ts_us[rows] <= prv + wl)
+                    if halo_ok is not None:
+                        m &= halo_ok[rows]
                     extra_rows.append(rows[m])
                     extra_buckets.append(base + seg[m] - 1)
 
@@ -666,6 +677,7 @@ def _run_hot_split(
     wt: int = 0,
     wl: int = 0,
     min_spacing: int = 1,
+    halo_col: Optional[str] = None,
     phase_sort: Optional[list[str]] = None,
     hot_threshold: int,
     target_seg_rows: int,
@@ -713,7 +725,8 @@ def _run_hot_split(
     total = B + int(n_segs.sum())
     P = B  # physical partitions; logical buckets ride p = bucket % P
 
-    hot = {"keys": keys_arr, "base": base, "cuts": cuts_list, "wt": wt, "wl": wl}
+    hot = {"keys": keys_arr, "base": base, "cuts": cuts_list, "wt": wt, "wl": wl,
+           "halo_col": halo_col}
     psort = list(phase_sort or [])
 
     @ray.remote

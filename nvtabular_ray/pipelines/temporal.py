@@ -396,6 +396,8 @@ def range_join(
     how: str = "inner",
     suffix: str = "_range",
     num_buckets: Optional[int] = None,
+    hot_threshold: Optional[int] = None,
+    target_seg_rows: int = 250_000,
 ):
     """Range (interval) join: every left row pairs with EVERY right row of
     the same key whose ``right_ts`` lies in ``[left_ts + lower, left_ts +
@@ -417,6 +419,11 @@ def range_join(
 
     Skew note: a hot key with R right rows and L left rows emits O(L·R)
     pairs by definition; bound ``upper - lower`` to bound the blowup.
+    ``hot_threshold``: optional skew guard — keys whose combined row count
+    exceeds it are split into time segments; the interval is BOUNDED, so
+    exactness needs no carries: right rows within ``|lower|``/``upper`` of
+    a cut replicate to the neighbor segment (side-aware halos — left rows
+    never replicate, so each (left, right) pair is emitted exactly once).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
@@ -515,7 +522,51 @@ def range_join(
                 cols[name] = t.column(name).take(take_left)
         return pa.table(cols)
 
+    if hot_threshold is not None:
+        return _range_hot_split(
+            left_ds, right_ds, both, keys, left_ts, right_ts, per_bucket,
+            lower, upper, hot_threshold, target_seg_rows, num_buckets,
+        )
     return bucketed_group_map(both, keys, [], per_bucket, num_buckets=num_buckets)
+
+
+def _range_hot_split(
+    left_ds, right_ds, both, keys, left_ts, right_ts, per_bucket,
+    lower, upper, hot_threshold, target_seg_rows, num_buckets,
+):
+    """Hot-key range join: the interval is bounded, so exactness needs only
+    SIDE-AWARE HALOS — right rows within |lower|/upper of a cut replicate
+    to the neighbor segment (left rows never replicate: each left row lives
+    in exactly one segment and sees each right row at most once, so every
+    (left, right) pair is emitted exactly once). No carries."""
+    if len(keys) != 1:
+        raise ValueError("hot_threshold requires a single-column join key")
+    from nvtabular_ray.pipelines.hot_split import _run_hot_split
+
+    sch = both.schema(fetch_if_missing=True)
+    sch = getattr(sch, "base_schema", sch)
+    if pa.types.is_timestamp(sch.field("__ts__").type):
+        # hot-split cut comparisons run on a microsecond axis
+        lo = int(pd.Timedelta(lower).to_timedelta64().astype("timedelta64[us]").view("i8"))
+        up = int(pd.Timedelta(upper).to_timedelta64().astype("timedelta64[us]").view("i8"))
+    else:
+        lo, up = int(lower), int(upper)
+    wt = max(0, -lo)  # right rows this far BEFORE a cut replicate forward
+    wl = max(0, up)   # right rows this far AFTER a cut replicate backward
+
+    return _run_hot_split(
+        both, keys[0], "__ts__",
+        cold_fn=per_bucket,
+        summarize_fn=lambda seg: {},
+        fold_fn=lambda segs: [dict() for _ in segs],
+        hot_fn=lambda seg, carry: per_bucket(seg),
+        empty_summary={},
+        wt=wt, wl=wl, min_spacing=max(wt, wl, 1) + 1,
+        halo_col=_SIDE,
+        hot_threshold=hot_threshold, target_seg_rows=target_seg_rows,
+        num_buckets=num_buckets,
+        analyze_ds=_asof_analyze_union(left_ds, right_ds, keys, left_ts, right_ts),
+    )
 
 
 def windowed_agg(

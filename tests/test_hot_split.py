@@ -304,6 +304,54 @@ def test_asof_join_hot_threshold_parity(ray_session):
         assert np.isfinite(y).sum() > 0
 
 
+def test_range_join_hot_threshold_parity(ray_session):
+    """range_join with hot_threshold= (side-aware right-row halos) must emit
+    exactly the default plan's pair multiset — each pair exactly once."""
+    from nvtabular_ray.pipelines.temporal import range_join
+
+    rng = np.random.default_rng(31)
+
+    def sides(key, n_left, n_right):
+        lts = np.sort(rng.choice(np.arange(1, n_left * 20), size=n_left, replace=False))
+        rts = np.sort(rng.choice(np.arange(1, n_left * 20), size=n_right, replace=False))
+        left = pd.DataFrame({
+            "k": key, "ts": pd.to_datetime(lts, unit="s"),
+            "lid": np.arange(n_left, dtype=np.int64),
+        })
+        right = pd.DataFrame({
+            "k": key, "ts": pd.to_datetime(rts, unit="s"),
+            "rid": np.arange(n_right, dtype=np.int64),
+        })
+        return left, right
+
+    lf, rf = [], []
+    l, r = sides("H", 3000, 800)
+    lf.append(l); rf.append(r)
+    for i in range(4):
+        l, r = sides(f"c{i}", 50, 20)
+        lf.append(l); rf.append(r)
+    left = pa.Table.from_pandas(pd.concat(lf, ignore_index=True), preserve_index=False)
+    right = pa.Table.from_pandas(pd.concat(rf, ignore_index=True), preserve_index=False)
+
+    for kw in (
+        {"lower": pd.Timedelta("-600s"), "upper": pd.Timedelta("0s")},
+        {"lower": pd.Timedelta("-300s"), "upper": pd.Timedelta("300s"), "how": "left"},
+        {"lower": pd.Timedelta("60s"), "upper": pd.Timedelta("900s")},
+    ):
+        lds = ray.data.from_arrow(left).repartition(4)
+        rds = ray.data.from_arrow(right).repartition(3)
+        base = range_join(lds, rds, "k", "ts", right_cols=["rid"], num_buckets=3, **kw)
+        hot = range_join(lds, rds, "k", "ts", right_cols=["rid"], num_buckets=3,
+                         hot_threshold=700, target_seg_rows=400, **kw)
+        a = base.to_pandas().sort_values(["k", "lid", "rid"]).reset_index(drop=True)
+        b = hot.to_pandas().sort_values(["k", "lid", "rid"]).reset_index(drop=True)
+        assert len(a) == len(b) > 0, kw
+        for c in ("lid", "rid"):
+            x = a[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            y = b[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            np.testing.assert_allclose(x, y, equal_nan=True, err_msg=f"{kw} {c}")
+
+
 def test_choose_cuts_spacing():
     ts = np.arange(0, 100_000, 10, dtype=np.int64)  # 10k samples
     cuts = _choose_cuts(ts, n_rows=10_000, target_seg_rows=1_000, min_spacing=25_000)
