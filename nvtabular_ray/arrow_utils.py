@@ -80,6 +80,30 @@ def list_to_numpy_2d(arr, dtype=np.float64) -> np.ndarray:
     return np.asarray(arr.to_pylist(), dtype=dtype)
 
 
+def dataset_arrow_schema(ds) -> pa.Schema:
+    """Dataset schema as a ``pa.Schema`` regardless of block format.
+
+    ``ds.schema().base_schema`` is a ``pa.Schema`` for Arrow-backed
+    datasets but a ``PandasBlockSchema`` (names + numpy dtypes) for
+    ``from_pandas`` inputs; callers that do ``schema.field(col).type``
+    crash on the latter. Convert via ``pa.from_numpy_dtype`` (object
+    dtype — pandas strings — maps to ``pa.string()``)."""
+    sch = ds.schema(fetch_if_missing=True)
+    sch = getattr(sch, "base_schema", sch)
+    if isinstance(sch, pa.Schema):
+        return sch
+    fields = []
+    for name, typ in zip(sch.names, sch.types):
+        if isinstance(typ, pa.DataType):
+            fields.append(pa.field(name, typ))
+            continue
+        try:
+            fields.append(pa.field(name, pa.from_numpy_dtype(typ)))
+        except (pa.ArrowNotImplementedError, TypeError):
+            fields.append(pa.field(name, pa.string()))
+    return pa.schema(fields)
+
+
 def apply_unary(arr, fn) -> pa.Array:
     """Apply an Array->Array kernel, transparently recursing into list columns."""
     arr = as_single_chunk(arr)

@@ -70,7 +70,9 @@ def _quantiles_pairs(
         }
 
     results: dict[tuple[str, float], float] = {
-        p: s["value"] for p, s in state.items() if s is None or s.get("done")
+        p: (None if s is None else s["value"])
+        for p, s in state.items()
+        if s is None or s.get("done")
     }
     idx_of = {p: i for i, p in enumerate(pairs)}
 

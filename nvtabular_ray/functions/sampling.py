@@ -130,7 +130,17 @@ def top_k_per_group(
         if vv.dtype.kind in "mM":
             vv = vv.view("i8")
         if descending:
-            vv = -vv
+            if vv.dtype.kind in "iu":
+                # exact descending key for ANY integer: map order-preservingly
+                # to uint64 (flip sign bit) then bit-flip — plain negation
+                # wraps on unsigned 0 and int64 min
+                if vv.dtype.kind == "i":
+                    u = vv.astype(np.int64, copy=False).view(np.uint64) ^ np.uint64(1 << 63)
+                else:
+                    u = vv.astype(np.uint64, copy=False)
+                vv = ~u
+            else:
+                vv = -vv
         ties = []
         for c in reversed(tie_cols):
             ta = t.column(c)

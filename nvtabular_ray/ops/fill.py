@@ -101,6 +101,8 @@ class QuantileBucketize(StatOperator):
             arr = as_single_chunk(table.column(name))
             null_mask = pc.is_null(arr, nan_is_null=True).to_numpy(zero_copy_only=False)
             vals = pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False)
-            binned = np.digitize(vals, np.asarray(self.boundaries[name]), right=False)
+            # all-null fit yields None cut points — no boundaries, bin 0
+            bounds = [b for b in self.boundaries[name] if b is not None]
+            binned = np.digitize(vals, np.asarray(bounds, dtype=np.float64), right=False)
             cols[name] = pa.array(binned.astype(np.int32), mask=null_mask)
         return pa.table(cols)

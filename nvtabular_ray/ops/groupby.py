@@ -119,7 +119,14 @@ class Groupby(Operator):
 
         def partial(t: pa.Table) -> pa.Table:
             # arrow group_by, not pandas (NUL-exact string keys; see
-            # functions/aggregates.py note)
+            # functions/aggregates.py note). pandas dropna=True groupby
+            # semantics: null/NaN-key rows drop (arrow group_by would keep
+            # them as a group, diverging from the bucketed/pandas paths)
+            mask = None
+            for k in keys:
+                valid = pc.invert(pc.is_null(t.column(k), nan_is_null=True))
+                mask = valid if mask is None else pc.and_(mask, valid)
+            t = t.filter(mask)
             sel = t
             batch_aggs = []
             ren = {}
@@ -220,10 +227,11 @@ class Groupby(Operator):
         keys = self.groupby_cols
         sort_keys = self.sort_cols
         name_sep = self.name_sep
-        # pandas dropna=True groupby semantics: drop null-key rows
+        # pandas dropna=True groupby semantics: drop null-key rows —
+        # nan_is_null so float NaN keys drop too, matching the pandas branch
         mask = None
         for k in keys:
-            valid = pc.is_valid(t.column(k))
+            valid = pc.invert(pc.is_null(t.column(k), nan_is_null=True))
             mask = valid if mask is None else pc.and_(mask, valid)
         t = t.filter(mask)
         order = [(k, "ascending") for k in keys] + [

@@ -100,6 +100,10 @@ def _validate_specs(specs: list[dict]):
             bad = [a for a in s["aggs"] if a not in ("count", "sum", "mean", "min", "max", "std", "var")]
             if bad:
                 raise ValueError(f"unsupported aggs {bad} in {s}")
+        if s["kind"] == "rolling" and s.get("direction", "trailing") not in ("trailing", "leading"):
+            # a typo'd direction must not silently dispatch to the leading
+            # (future-looking) kernel — that is temporal leakage
+            raise ValueError(f"rolling direction must be trailing/leading: {s}")
         if s["kind"] == "backfill" and s.get("direction", "forward") not in ("forward", "backward"):
             raise ValueError(f"backfill direction must be forward/backward: {s}")
         del names
@@ -154,7 +158,12 @@ def _hot_entity_counts(ds, key: str, threshold: int):
     from nvtabular_ray.pipelines.partitioned import bucketed_group_map
 
     def partial(t: pa.Table) -> pa.Table:
-        res = t.select([key]).group_by([key], use_threads=False).aggregate([(key, "count")])
+        # CountOptions(mode="all"): the default only counts VALID values,
+        # which makes a null-keyed group report n=0 — a hot null entity
+        # would silently bypass the skew guard it was asked for
+        res = t.select([key]).group_by([key], use_threads=False).aggregate(
+            [(key, "count", pc.CountOptions(mode="all"))]
+        )
         return res.rename_columns([key, "n"])
 
     def per_bucket(t: pa.Table) -> pa.Table:
@@ -411,10 +420,14 @@ def _summarize_segment(t: pa.Table, cfg: dict) -> dict:
     for col in _exp_cols(cfg["specs"]):
         v = body.column(col).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
         ok = v[~np.isnan(v)]
+        # (count, raw sum, M2) — M2 = sum((x - mean)^2), computed centered
+        # so the carried moments stay stable for large-mean data (the raw
+        # sumsq would cancel catastrophically against sum^2/n downstream)
+        m2 = float(((ok - ok.mean()) ** 2).sum()) if len(ok) else 0.0
         out["exp"][col] = (
             int(len(ok)),
             float(ok.sum()) if len(ok) else 0.0,
-            float((ok * ok).sum()) if len(ok) else 0.0,
+            m2,
             float(ok.min()) if len(ok) else np.nan,
             float(ok.max()) if len(ok) else np.nan,
         )
@@ -460,12 +473,16 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
         for c in tail_cols:
             run_tail[c] = np.concatenate([run_tail[c], sm["tail"].get(c, [])])[-tail_cols[c]:]
         for c in exp_cols:
-            c0, s0, ss0, mn0, mx0 = run_exp[c]
-            c1, s1, ss1, mn1, mx1 = sm["exp"][c]
-            run_exp[c] = (
-                c0 + c1, s0 + s1, ss0 + ss1,
-                np.fmin(mn0, mn1), np.fmax(mx0, mx1),
-            )
+            c0, s0, m20, mn0, mx0 = run_exp[c]
+            c1, s1, m21, mn1, mx1 = sm["exp"][c]
+            n = c0 + c1
+            # Chan parallel-variance combine of (count, sum, M2) pairs
+            if c0 and c1:
+                delta = s1 / c1 - s0 / c0
+                m2 = m20 + m21 + delta * delta * c0 * c1 / n
+            else:
+                m2 = m20 + m21
+            run_exp[c] = (n, s0 + s1, m2, np.fmin(mn0, mn1), np.fmax(mx0, mx1))
 
     # backward state for leads / backward fill
     run_head = {c: np.empty(0, np.float64) for c in head_cols}
@@ -485,23 +502,38 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
     return carries
 
 
-def _combine_expanding(local: dict, count_l, sum_l, sumsq_l, min_l, max_l, carry, aggs):
+def _combine_expanding(count_l, csum_l, csumsq_l, shift, min_l, max_l, carry, aggs):
     """Combine a segment's local exclusive prefix stats with the carried
-    prefix over all previous segments (raw-moment algebra)."""
-    c0, s0, ss0, mn0, mx0 = carry
+    prefix over all previous segments. Local sums are CENTERED on the
+    segment ``shift`` (the segment mean) and the carry holds (count, raw
+    sum, M2); variance merges via Chan's parallel algorithm — both choices
+    keep large-mean data exact (raw-moment algebra cancels catastrophically
+    at count·mean² ≫ var, the expanding-window regime by definition)."""
+    c0, s0, m20, mn0, mx0 = carry
     count = count_l + c0
     out = {}
     if "count" in aggs:
         out["count"] = count
     with np.errstate(invalid="ignore", divide="ignore"):
+        sum_l = csum_l + count_l * shift  # raw local sum
         s = sum_l + s0
         if "sum" in aggs:
             out["sum"] = np.where(count > 0, s, np.nan)
         if "mean" in aggs:
             out["mean"] = np.where(count > 0, s / count, np.nan)
         if "std" in aggs or "var" in aggs:
-            ss = sumsq_l + ss0
-            var = np.where(count > 1, (ss - s * s / count) / (count - 1), np.nan)
+            # local M2 from centered sums (stable), then Chan combine
+            m2_l = np.where(count_l > 0, csumsq_l - csum_l * csum_l / np.maximum(count_l, 1), 0.0)
+            mean_l = np.where(count_l > 0, sum_l / np.maximum(count_l, 1), 0.0)
+            mean0 = s0 / c0 if c0 else 0.0
+            delta = mean_l - mean0
+            cross = np.where(
+                (count_l > 0) & (c0 > 0),
+                delta * delta * c0 * count_l / np.maximum(count, 1),
+                0.0,
+            )
+            m2 = m20 + m2_l + cross
+            var = np.where(count > 1, m2 / (count - 1), np.nan)
             var = np.where(var < 0, 0.0, var)
             if "var" in aggs:
                 out["var"] = var
@@ -583,17 +615,22 @@ def _compute_hot(t: pa.Table, cfg: dict, carry: dict) -> pa.Table:
             valid = ~np.isnan(v)
             cv = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])
             count_l = cv[end] - cv[w]
-            cs = np.concatenate([[0.0], np.cumsum(np.where(valid, v, 0.0))])
-            sum_l = cs[end] - cs[w]
-            css = np.concatenate([[0.0], np.cumsum(np.where(valid, v * v, 0.0))])
-            sumsq_l = css[end] - css[w]
+            # prefix sums on SEGMENT-MEAN-centered values (shift-invariant
+            # stats; raw v*v cumsums cancel catastrophically at large mean)
+            shift = float(np.nanmean(v)) if valid.any() else 0.0
+            vc = np.where(valid, v - shift, 0.0)
+            cs = np.concatenate([[0.0], np.cumsum(vc)])
+            csum_l = cs[end] - cs[w]
+            css = np.concatenate([[0.0], np.cumsum(vc * vc)])
+            csumsq_l = css[end] - css[w]
             from nvtabular_ray.functions.grouped_np import range_min_max
 
             need_mm = ("min" in s["aggs"]) or ("max" in s["aggs"])
             min_l = range_min_max(v, w, end, "min") if need_mm else np.nan
             max_l = range_min_max(v, w, end, "max") if need_mm else np.nan
             res = _combine_expanding(
-                {}, count_l, sum_l, sumsq_l, min_l, max_l, carry["exp"][s["col"]], s["aggs"]
+                count_l, csum_l, csumsq_l, shift, min_l, max_l,
+                carry["exp"][s["col"]], s["aggs"]
             )
             for name, a in zip(names, s["aggs"]):
                 arr = res[a]
@@ -682,6 +719,7 @@ def _run_hot_split(
     hot_threshold: int,
     target_seg_rows: int,
     num_buckets: Optional[int] = None,
+    schema: Optional[pa.Schema] = None,
     analyze_ds=None,
 ):
     """Generic hot-entity-split runner (see module docstring for the plan):
@@ -702,11 +740,22 @@ def _run_hot_split(
     from nvtabular_ray.pipelines.partitioned import _default_num_buckets
 
     B = num_buckets or _default_num_buckets()
-    schema = ds.schema(fetch_if_missing=True)
-    schema = getattr(schema, "base_schema", schema)  # ray Schema -> pa.Schema
+    if schema is None:
+        from nvtabular_ray.arrow_utils import dataset_arrow_schema
+
+        schema = dataset_arrow_schema(ds)
 
     ads = analyze_ds if analyze_ds is not None else ds
     hot_counts = _hot_entity_counts(ads, key, hot_threshold)
+    if len(hot_counts) and hot_counts[key].isna().any():
+        # the split machinery keys on value equality (index_in routing,
+        # ts sampling) which cannot address a NULL entity; failing loudly
+        # beats silently leaving a hot straggler unsplit
+        n_null = int(hot_counts.loc[hot_counts[key].isna(), "n"].iloc[0])
+        raise ValueError(
+            f"hot_threshold: {n_null} rows have a NULL {key!r} — a null "
+            "entity cannot be hot-split; filter or fill the null keys first"
+        )
     keys_arr = (
         pa.array(hot_counts[key].tolist(), schema.field(key).type) if len(hot_counts) else None
     )
@@ -751,7 +800,13 @@ def _run_hot_split(
                 continue
             splits.append(split_block.options(num_returns=P).remote(ref, hot_ref))
     if not splits:
-        return ds.materialize()
+        # empty input: run the cold kernel on a zero-row table so the
+        # result carries the OUTPUT schema (feature/join columns), not the
+        # raw input schema the bare dataset would report
+        empty = schema.empty_table().append_column(
+            HALO_COL, pa.array([], pa.int8())
+        )
+        return rd.from_arrow(cold_fn(empty))
 
     a_out = [phase_a.remote(*[s[p] for s in splits]) for p in range(P)]
     cold_refs = [o[0] for o in a_out]
@@ -811,8 +866,9 @@ def ordered_features(
     instead of two re-executions of the whole pipeline."""
     _validate_specs(specs)
 
-    schema = ds.schema(fetch_if_missing=True)
-    schema = getattr(schema, "base_schema", schema)  # ray Schema -> pa.Schema
+    from nvtabular_ray.arrow_utils import dataset_arrow_schema
+
+    schema = dataset_arrow_schema(ds)
     is_ts = pa.types.is_timestamp(schema.field(ts_col).type)
     wt, wl = _max_windows_us(specs, is_ts)
     cfg = {"key": key, "ts_col": ts_col, "specs": specs, "is_ts": is_ts}

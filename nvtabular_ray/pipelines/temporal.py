@@ -94,20 +94,25 @@ def _union_sides(left_ds, right_ds, keys, left_ts, right_ts, right_cols, suffix)
     sides to one schema with a side tag + common ``__ts__`` axis, union them
     so ONE hash-bucket shuffle moves both sides together.
 
-    Returns ``(both, out_fields, val_cols)``: the union Dataset, the fixed
-    output (name, arrow_type) list, and the right-value output names.
-    Output schema is fixed up front so unmatched right values stay their
-    Arrow type (nulls), never drifting to float64."""
-    left_schema = left_ds.schema(fetch_if_missing=True)
-    right_schema = right_ds.schema(fetch_if_missing=True)
+    Returns ``(both, out_fields, val_cols, union_schema)``: the union
+    Dataset, the fixed output (name, arrow_type) list, the right-value
+    output names, and the union's arrow schema (computed up front — a
+    union of empty inputs reports ``schema() is None``, so downstream
+    consumers must not re-derive it from the dataset). Output schema is
+    fixed up front so unmatched right values stay their Arrow type
+    (nulls), never drifting to float64."""
+    from nvtabular_ray.arrow_utils import dataset_arrow_schema
+
+    left_schema = dataset_arrow_schema(left_ds)
+    right_schema = dataset_arrow_schema(right_ds)
     left_cols = list(left_schema.names)
     r_cols = right_cols or [c for c in right_schema.names if c not in keys and c != right_ts]
 
     # resolve output names for right value columns (suffix on collision)
     out_name = {c: (c + suffix if c in left_cols else c) for c in r_cols}
 
-    right_types = dict(zip(right_schema.names, right_schema.types))
-    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_types = {f.name: f.type for f in right_schema}
+    left_types = {f.name: f.type for f in left_schema}
     ts_type = left_types[left_ts]
 
     def pad_left(t: pa.Table) -> pa.Table:
@@ -139,7 +144,12 @@ def _union_sides(left_ds, right_ds, keys, left_ts, right_ts, right_cols, suffix)
     out_fields = [(c, left_types[c]) for c in left_cols] + [
         (out_name[c], right_types[c]) for c in r_cols
     ]
-    return both, out_fields, val_cols
+    union_schema = pa.schema(
+        [pa.field(c, left_types[c]) for c in left_cols]
+        + [pa.field("__ts__", ts_type), pa.field(_SIDE, pa.int8())]
+        + [pa.field(out_name[c], right_types[c]) for c in r_cols]
+    )
+    return both, out_fields, val_cols, union_schema
 
 
 def asof_join(
@@ -191,7 +201,7 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     keys = [key] if isinstance(key, str) else list(key)
     right_ts = right_ts or left_ts
-    both, out_fields, val_cols = _union_sides(
+    both, out_fields, val_cols, union_schema = _union_sides(
         left_ds, right_ds, keys, left_ts, right_ts, right_cols, suffix
     )
 
@@ -235,7 +245,12 @@ def asof_join(
                 return np.full(0, -1, np.int64), np.zeros(0, bool)
             # tie-break: allow_exact -> right (1) before left (0) at equal ts
             tie = side if strict else -side
-            order = np.lexsort((tie, sign * ts_num, kh))
+            # among fully-equal (key, ts, side) right rows the accumulate
+            # lands on the LAST row in scan order; merge_asof picks the last
+            # original right row backward but the FIRST forward, so the
+            # forward scan reverses original order at the lowest priority
+            idx_tie = np.arange(n) if sign > 0 else -np.arange(n)
+            order = np.lexsort((idx_tie, tie, sign * ts_num, kh))
             side_s, kh_s = side[order], kh[order]
             change = np.r_[True, kh_s[1:] != kh_s[:-1]]
             starts = np.flatnonzero(change)
@@ -286,6 +301,7 @@ def asof_join(
         return _asof_hot_split(
             left_ds, right_ds, both, keys, left_ts, right_ts, per_bucket,
             direction, hot_threshold, target_seg_rows, num_buckets,
+            union_schema,
         )
     return bucketed_group_map(both, keys, [], per_bucket, num_buckets=num_buckets)
 
@@ -294,8 +310,9 @@ def _asof_analyze_union(left_ds, right_ds, keys, left_ts, right_ts):
     """Pruned (key, __ts__) union of both join inputs — the cheap stand-in
     for the hot-split analyze passes (the padded full-schema union would
     re-execute both pads per scan)."""
-    lt = left_ds.schema(fetch_if_missing=True)
-    lt = getattr(lt, "base_schema", lt)
+    from nvtabular_ray.arrow_utils import dataset_arrow_schema
+
+    lt = dataset_arrow_schema(left_ds)
     ts_type = lt.field(left_ts).type
 
     def mk(ts_name):
@@ -317,7 +334,7 @@ def _asof_analyze_union(left_ds, right_ds, keys, left_ts, right_ts):
 
 def _asof_hot_split(
     left_ds, right_ds, both, keys, left_ts, right_ts, per_bucket,
-    direction, hot_threshold, target_seg_rows, num_buckets,
+    direction, hot_threshold, target_seg_rows, num_buckets, union_schema,
 ):
     """Hot-key as-of join: segment the union by (key, time), run the SAME
     per-bucket scan per segment with the carry-in boundary right rows
@@ -381,6 +398,7 @@ def _asof_hot_split(
         hot_threshold=hot_threshold, target_seg_rows=target_seg_rows,
         num_buckets=num_buckets,
         analyze_ds=_asof_analyze_union(left_ds, right_ds, keys, left_ts, right_ts),
+        schema=union_schema,
     )
 
 
@@ -429,7 +447,7 @@ def range_join(
         raise ValueError(f"how must be inner|left, got {how!r}")
     keys = [key] if isinstance(key, str) else list(key)
     right_ts = right_ts or left_ts
-    both, out_fields, val_cols = _union_sides(
+    both, out_fields, val_cols, union_schema = _union_sides(
         left_ds, right_ds, keys, left_ts, right_ts, right_cols, suffix
     )
 
@@ -526,13 +544,14 @@ def range_join(
         return _range_hot_split(
             left_ds, right_ds, both, keys, left_ts, right_ts, per_bucket,
             lower, upper, hot_threshold, target_seg_rows, num_buckets,
+            union_schema,
         )
     return bucketed_group_map(both, keys, [], per_bucket, num_buckets=num_buckets)
 
 
 def _range_hot_split(
     left_ds, right_ds, both, keys, left_ts, right_ts, per_bucket,
-    lower, upper, hot_threshold, target_seg_rows, num_buckets,
+    lower, upper, hot_threshold, target_seg_rows, num_buckets, union_schema,
 ):
     """Hot-key range join: the interval is bounded, so exactness needs only
     SIDE-AWARE HALOS — right rows within |lower|/upper of a cut replicate
@@ -543,9 +562,7 @@ def _range_hot_split(
         raise ValueError("hot_threshold requires a single-column join key")
     from nvtabular_ray.pipelines.hot_split import _run_hot_split
 
-    sch = both.schema(fetch_if_missing=True)
-    sch = getattr(sch, "base_schema", sch)
-    if pa.types.is_timestamp(sch.field("__ts__").type):
+    if pa.types.is_timestamp(union_schema.field("__ts__").type):
         # hot-split cut comparisons run on a microsecond axis
         lo = int(pd.Timedelta(lower).to_timedelta64().astype("timedelta64[us]").view("i8"))
         up = int(pd.Timedelta(upper).to_timedelta64().astype("timedelta64[us]").view("i8"))
@@ -566,6 +583,7 @@ def _range_hot_split(
         hot_threshold=hot_threshold, target_seg_rows=target_seg_rows,
         num_buckets=num_buckets,
         analyze_ds=_asof_analyze_union(left_ds, right_ds, keys, left_ts, right_ts),
+        schema=union_schema,
     )
 
 
