@@ -612,39 +612,37 @@ class Categorify(StatOperator):
         data_names = list(data_schema.names)
         vtype = dict(zip(data_schema.names, data_schema.types))[col].value_type
 
-        # uid = global row index (block-offset + arange): deterministic and
-        # collision-FREE by construction — a random per-batch base + arange
-        # can overlap another batch's range (P ~ batches^2 * rows/2^64, non-
-        # negligible at the 10^12-row design scale) and a collision silently
-        # merges two rows' code lists at reassembly. Blocks are stamped via
-        # raw tasks because map_batches cannot see a block index.
+        # uid ranges come from ONE allocator actor (monotonic counter), so
+        # they are collision-FREE by construction — a random per-batch base
+        # + arange can overlap another batch's range (P ~ batches^2 *
+        # rows/2^64, non-negligible at the 10^12-row design scale) and a
+        # collision silently merges two rows' code lists at reassembly.
+        # One actor RPC per BATCH is negligible against batch work, and the
+        # stamp stays fused into the single materializing pass (uids are
+        # run-scoped, so the snapshot below remains required: lazy
+        # re-execution of the two downstream consumers would re-allocate).
         import ray as _ray
 
-        plain = ds.materialize()
-        refs, counts = [], []
-        for bundle in plain.iter_internal_ref_bundles():
-            for ref, meta in bundle.blocks:
-                refs.append(ref)
-                counts.append(meta.num_rows)
-        @_ray.remote
-        def nrows(block):
-            return block.num_rows if isinstance(block, pa.Table) else len(block)
+        @_ray.remote(num_cpus=0)
+        class _UidRanges:
+            def __init__(self):
+                self._next = 0
 
-        if any(c is None for c in counts):  # pragma: no cover - post-
-            # materialize metadata always carries counts; belt and braces
-            counts = _ray.get([nrows.remote(r) for r in refs])
-        bases = np.concatenate([[0], np.cumsum(counts)])[:-1] if counts else []
+            def alloc(self, k: int) -> int:
+                base = self._next
+                self._next += int(k)
+                return base
 
-        @_ray.remote
-        def stamp(block, base):
-            if not isinstance(block, pa.Table):
-                block = pa.Table.from_pandas(block, preserve_index=False)
-            uid = base + np.arange(block.num_rows, dtype=np.int64)
-            return block.append_column("__uid__", pa.array(uid))
+        allocator = _UidRanges.remote()
 
-        stamped = rd.from_arrow_refs(
-            [stamp.remote(r, int(b)) for r, b in zip(refs, bases)]
-        )
+        def add_uid(t: pa.Table) -> pa.Table:
+            base = _ray.get(allocator.alloc.remote(t.num_rows))
+            uid = base + np.arange(t.num_rows, dtype=np.int64)
+            return t.append_column("__uid__", pa.array(uid))
+
+        stamped = ds.map_batches(
+            add_uid, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
 
         # ---- exchange 2 input: exploded elements + vocab shards ----------
         def explode(t: pa.Table) -> pa.Table:

@@ -247,10 +247,13 @@ def asof_join(
             tie = side if strict else -side
             # among fully-equal (key, ts, side) right rows the accumulate
             # lands on the LAST row in scan order; merge_asof picks the last
-            # original right row backward but the FIRST forward, so the
-            # forward scan reverses original order at the lowest priority
-            idx_tie = np.arange(n) if sign > 0 else -np.arange(n)
-            order = np.lexsort((idx_tie, tie, sign * ts_num, kh))
+            # original right row backward (lexsort stability already gives
+            # that) but the FIRST forward, so only the forward scan pays an
+            # extra lowest-priority key reversing original order
+            if sign > 0:
+                order = np.lexsort((tie, ts_num, kh))
+            else:
+                order = np.lexsort((-np.arange(n), tie, -ts_num, kh))
             side_s, kh_s = side[order], kh[order]
             change = np.r_[True, kh_s[1:] != kh_s[:-1]]
             starts = np.flatnonzero(change)
