@@ -29,10 +29,18 @@ def grouped_reduce(
     keys: list[str],
     agg_spec: dict[str, str],
     compact_every: int = 64,
+    memory_limit: int | None = None,
 ) -> pd.DataFrame:
     """Reduce a Dataset of per-block partial tables to one pandas frame.
 
     agg_spec: {column: "sum"|"min"|"max"} — all mergeable algebra.
+
+    ``memory_limit`` (bytes): raise when the compacted driver accumulator
+    exceeds it — the streaming fan-in shrinks partials to one row per
+    distinct key, so a key space that is itself big data (e.g. the distinct
+    values of an id-like column at 100 TB) would otherwise OOM the driver
+    silently. Callers with a high-cardinality key space should pass this
+    and direct users to a sketching path (e.g. approx_distinct) on failure.
     """
     for c, a in agg_spec.items():
         if a not in _AGG_FUNCS:
@@ -64,6 +72,13 @@ def grouped_reduce(
             frames = ([acc] if acc is not None else []) + chunks
             acc = combine_tbl(pa.concat_tables(frames, promote_options="default"))
             chunks = []
+            if memory_limit is not None and acc.nbytes > memory_limit:
+                raise MemoryError(
+                    f"grouped_reduce: compacted accumulator over keys {keys} "
+                    f"reached {acc.nbytes >> 20} MiB (> {memory_limit >> 20} "
+                    "MiB limit) — the distinct key space is too large to "
+                    "collect on the driver"
+                )
     frames = ([acc] if acc is not None else []) + chunks
     if not frames:
         return pd.DataFrame(columns=keys + list(agg_spec))

@@ -29,6 +29,34 @@ def _batch_cosine(t: pa.Table, qvec: np.ndarray, embedding_col: str) -> np.ndarr
     return (emb @ q) / norms
 
 
+
+def _final_topk(partials, k: int, id_col: str):
+    """Reduce per-block k-row partials to the global top-k WITHOUT draining
+    one row-dict per block through the driver: a repartition+combine tree
+    step leaves k rows per partition (O(partitions), not O(blocks)), then a
+    vectorized driver merge over that bounded set."""
+    import ray.data as rd
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        sims = t.column("sim").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({id_col: pa.array(ids[order]), "sim": pa.array(sims[order])})
+
+    reduced = partials.repartition(8).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+    tabs = [t for t in reduced.to_arrow_refs()]
+    import ray as _ray
+
+    tabs = [t for t in _ray.get(tabs) if t.num_rows]
+    if not tabs:
+        return rd.from_arrow(pa.table({id_col: pa.array([]), "sim": pa.array([])}))
+    return rd.from_arrow(combine(pa.concat_tables(tabs, promote_options="default")))
+
+
 def brute_force_topk(ds, query_vec, k: int = 10, id_col: str = "vec_id", embedding_col: str = "embedding"):
     """Exact cosine top-k. Returns a (id_col, sim) Dataset of k rows,
     descending sim (ties broken by id asc)."""
@@ -42,14 +70,7 @@ def brute_force_topk(ds, query_vec, k: int = 10, id_col: str = "vec_id", embeddi
         return pa.table({id_col: pa.array(ids), "sim": pa.array(sim[idx])})
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
-    # tiny global reduce: k rows per input block
-    rows = partials.take_all()
-    ids = np.array([r[id_col] for r in rows])
-    sims = np.array([r["sim"] for r in rows])
-    order = np.lexsort((ids, -sims))[:k]
-    import ray.data as rd
-
-    return rd.from_arrow(pa.table({id_col: pa.array(ids[order]), "sim": pa.array(sims[order])}))
+    return _final_topk(partials, k, id_col)
 
 
 class IVFIndex:
@@ -134,15 +155,7 @@ def ivf_topk(
         return pa.table({id_col: pa.array(ids), "sim": pa.array(sim[idx])})
 
     partials = ds.map_batches(prune_and_score, batch_format="pyarrow", zero_copy_batch=True)
-    rows = partials.take_all()
-    import ray.data as rd
-
-    if not rows:
-        return rd.from_arrow(pa.table({id_col: pa.array([]), "sim": pa.array([])}))
-    ids = np.array([r[id_col] for r in rows])
-    sims = np.array([r["sim"] for r in rows])
-    order = np.lexsort((ids, -sims))[:k]
-    return rd.from_arrow(pa.table({id_col: pa.array(ids[order]), "sim": pa.array(sims[order])}))
+    return _final_topk(partials, k, id_col)
 
 
 def lsh_topk(
@@ -187,12 +200,4 @@ def lsh_topk(
         return pa.table({id_col: pa.array(ids), "sim": pa.array(sim[idx])})
 
     partials = ds.map_batches(prune_and_score, batch_format="pyarrow", zero_copy_batch=True)
-    rows = partials.take_all()
-    import ray.data as rd
-
-    if not rows:
-        return rd.from_arrow(pa.table({id_col: pa.array([]), "sim": pa.array([])}))
-    ids = np.array([r[id_col] for r in rows])
-    sims = np.array([r["sim"] for r in rows])
-    order = np.lexsort((ids, -sims))[:k]
-    return rd.from_arrow(pa.table({id_col: pa.array(ids[order]), "sim": pa.array(sims[order])}))
+    return _final_topk(partials, k, id_col)

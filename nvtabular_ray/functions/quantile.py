@@ -104,10 +104,32 @@ def _quantiles_pairs(
                  "hist": pa.array(list(hists), pa.list_(pa.int64()))}
             )
 
+        def combine_hists(t: pa.Table) -> pa.Table:
+            """Sum histograms per pair WITHIN a block — histogram addition
+            is associative, so the driver should see O(partitions x pairs)
+            rows, not one 32-KB row per input block x pair (O(blocks) driver
+            traffic per refinement round at 100-TB block counts)."""
+            ids = t.column("pair").to_numpy(zero_copy_only=False)
+            flat = as_single_chunk(t.column("hist"))
+            mat = np.asarray(flat.flatten(), dtype=np.int64).reshape(-1, _NBUCKETS)
+            uniq = np.unique(ids)
+            sums = np.zeros((len(uniq), _NBUCKETS), np.int64)
+            np.add.at(sums, np.searchsorted(uniq, ids), mat)
+            return pa.table(
+                {"pair": pa.array(uniq), "hist": pa.array(list(sums), pa.list_(pa.int64()))}
+            )
+
         merged: dict[tuple[str, float], np.ndarray] = {
             p: np.zeros(_NBUCKETS, np.int64) for p in active
         }
-        for row in ds.map_batches(hist_batch, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        hists = ds.map_batches(hist_batch, batch_format="pyarrow", zero_copy_batch=True)
+        # tree step: coalesce the tiny per-block hist rows onto a bounded
+        # number of partitions and combine there, so the final collect is
+        # partition-count-sized regardless of input block count
+        hists = hists.repartition(16).map_batches(
+            combine_hists, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for row in hists.take_all():
             merged[pairs[row["pair"]]] += np.asarray(row["hist"], dtype=np.int64)
 
         for p in active:

@@ -140,9 +140,28 @@ class BroadcastTableState:
         tables = self._state()
         return sum(t.nbytes for t in tables.values() if t is not None) > self._BROADCAST_BYTES
 
+    def state_pandas(self, name: str):
+        """Memoized pandas view of a fitted state table — the per-batch
+        transform hot path must not re-pay a multi-GB Arrow->pandas copy
+        (plus merge hash-table build) for EVERY batch; the actor pool
+        exists to amortize exactly this. Cache validity is by IDENTITY
+        against the live stored table (holding the reference pins its id),
+        so a refit or resolve_broadcast swap reconverts automatically."""
+        tab = self._state()[name]
+        cache = getattr(self, "_pd_cache", None)
+        if cache is None:
+            cache = self._pd_cache = {}
+        hit = cache.get(name)
+        if hit is not None and hit[0] is tab:
+            return hit[1]
+        df = tab.to_pandas()
+        cache[name] = (tab, df)
+        return df
+
     def prepare_broadcast(self):
         import ray
 
+        self._pd_cache = {}  # never pickle the pandas copies to actors
         if not ray.is_initialized():
             return
         if not hasattr(self, "_refs"):

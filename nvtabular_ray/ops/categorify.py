@@ -634,10 +634,20 @@ class Categorify(StatOperator):
                 return base
 
         allocator = _UidRanges.remote()
+        stride = 1 << 24  # grant ranges in 16M-row strides: worker processes
+        # serve most batches from a local stash, so the single allocator
+        # actor sees O(rows/stride) RPCs, not one per batch (it would
+        # otherwise become a cluster-wide serialization point at ~10^6
+        # blocks on a 100-TB input)
 
-        def add_uid(t: pa.Table) -> pa.Table:
-            base = _ray.get(allocator.alloc.remote(t.num_rows))
-            uid = base + np.arange(t.num_rows, dtype=np.int64)
+        def add_uid(t: pa.Table, _stash={}) -> pa.Table:
+            n = t.num_rows
+            lo, hi = _stash.get("r", (0, 0))
+            if hi - lo < n:
+                lo = _ray.get(allocator.alloc.remote(max(n, stride)))
+                hi = lo + max(n, stride)
+            uid = lo + np.arange(n, dtype=np.int64)
+            _stash["r"] = (lo + n, hi)
             return t.append_column("__uid__", pa.array(uid))
 
         stamped = ds.map_batches(
@@ -864,6 +874,7 @@ class Categorify(StatOperator):
         )
 
     def prepare_broadcast(self):
+        self._combo_pd_cache = {}  # never pickle the pandas copies to actors
         if self.cat_cache == "disk":
             # middle tier: vocab parquet on disk, loaded + LRU-cached per
             # worker PROCESS (reference cat_cache="disk",
@@ -1029,8 +1040,19 @@ class Categorify(StatOperator):
     def _encode_combo(self, name: str, cols: list[str], table: pa.Table) -> pa.Array:
         vocab = self.vocab_tables[name]
         left = table.select(cols).to_pandas()
-        vdf = vocab.to_pandas()
-        vdf["__code__"] = np.arange(len(vdf), dtype=np.int64) + self.vocab_base
+        # memoize the vocab->pandas(+code column) build per group so the
+        # per-batch hot path doesn't re-copy a broadcast vocab every batch;
+        # identity check against the live table (reference pins its id)
+        cache = getattr(self, "_combo_pd_cache", None)
+        if cache is None:
+            cache = self._combo_pd_cache = {}
+        hit = cache.get(name)
+        if hit is not None and hit[0] is vocab:
+            vdf = hit[1]
+        else:
+            vdf = vocab.to_pandas()
+            vdf["__code__"] = np.arange(len(vdf), dtype=np.int64) + self.vocab_base
+            cache[name] = (vocab, vdf)
         merged = left.merge(vdf[cols + ["__code__"]], on=cols, how="left")
         codes = merged["__code__"].to_numpy(dtype="float64", na_value=np.nan)
         out = np.empty(len(left), dtype=np.int64)

@@ -21,13 +21,18 @@ from nvtabular_ray.ops.base import StatOperator
 
 
 class DataStats(StatOperator):
-    def __init__(self, approx_distinct: bool = False):
+    def __init__(self, approx_distinct: bool = False,
+                 distinct_memory_limit: int = 1 << 30):
         super().__init__()
         # approx_distinct=True swaps exact hash-distinct for a HyperLogLog
         # sketch (functions/hll.py): reduced state drops from O(distinct)
         # to 2^14 registers per column — the right mode when an id-like
         # column has 10^9 cardinality on a 100-TB run (~0.8% std error)
         self.approx_distinct = approx_distinct
+        # the EXACT distinct path reduces to one driver row per distinct
+        # value; this cap turns a silent driver OOM on an id-like column
+        # into an actionable error pointing at approx_distinct=True
+        self.distinct_memory_limit = distinct_memory_limit
         self.output: dict[str, dict] = {}
 
     def fit(self, col_selector, ds) -> None:
@@ -114,7 +119,16 @@ class DataStats(StatOperator):
             per_col = pd.DataFrame.from_dict(rows, orient="index")
         else:
             parts = ds.map_batches(distinct_partial, batch_format="pyarrow", zero_copy_batch=True)
-            merged = grouped_reduce(parts, ["col", "h"], {"nulls": "sum", "rows": "sum"})
+            try:
+                merged = grouped_reduce(
+                    parts, ["col", "h"], {"nulls": "sum", "rows": "sum"},
+                    memory_limit=self.distinct_memory_limit,
+                )
+            except MemoryError as e:
+                raise MemoryError(
+                    f"{e} — use DataStats(approx_distinct=True) for "
+                    "high-cardinality columns (HyperLogLog, fixed state)"
+                ) from None
             per_col = merged.groupby("col").agg(
                 cardinality=("h", "nunique"), nulls=("nulls", "sum"), rows=("rows", "sum")
             )

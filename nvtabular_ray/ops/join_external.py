@@ -82,7 +82,7 @@ class JoinExternal(BroadcastTableState, Operator):
         return {c: [c] for c in combined}
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
-        ext = self.state_tables["ext"].to_pandas()
+        ext = self.state_pandas("ext")
         left = table.select(col_selector.names).to_pandas()
         if self.how in ("semi", "anti"):
             # vectorized existence mask against the (deduplicated) broadcast

@@ -363,7 +363,7 @@ class JoinGroupby(BroadcastTableState, StatOperator):
                     cols[c] = arr
                 out_parts.append(pa.table(cols))
                 continue
-            stat = self.state_tables[name].to_pandas()
+            stat = self.state_pandas(name)
             left = table.select(group).to_pandas()
             merged = left.merge(stat, on=group, how="left")
             new_cols = [c for c in merged.columns if c not in group]

@@ -395,13 +395,13 @@ class TargetEncoding(BroadcastTableState, StatOperator):
                 out[self._te_name(name, i)] = pa.array(te.astype(self.out_dtype))
                 continue
             left = table.select(group).to_pandas()
-            all_stats = self.state_tables[f"{name}__all"].to_pandas()
+            all_stats = self.state_pandas(f"{name}__all")
             merged = left.merge(all_stats, on=group, how="left")
             cnt_all = merged["count_y_all"].to_numpy(dtype="float64", na_value=0.0)
             sum_all = merged["sum_y_all"].to_numpy(dtype="float64", na_value=0.0)
             if self.kfold > 1 and has_target:
                 left[FOLD_NAME] = fold
-                fold_stats = self.state_tables[f"{name}__folds"].to_pandas()
+                fold_stats = self.state_pandas(f"{name}__folds")
                 mf = left.merge(fold_stats, on=list(group) + [FOLD_NAME], how="left")
                 cnt_f = mf["count_y"].to_numpy(dtype="float64", na_value=0.0)
                 sum_f = mf["sum_y"].to_numpy(dtype="float64", na_value=0.0)

@@ -764,10 +764,19 @@ def _run_hot_split(
     if len(hot_counts):
         sample = _sample_hot_ts(ads, key, ts_col, hot_counts, keys_arr)
         s_ts, _ = _ts_to_us_np(sample.column(ts_col))
-        s_key = sample.column(key).to_pandas()
-        for k_val, n in zip(hot_counts[key].tolist(), hot_counts["n"].tolist()):
+        # ONE index_in + argsort groups the sample by entity; a per-entity
+        # boolean scan of the whole sample would be quadratic in hot
+        # entities (every sample row is hot by construction of the thin
+        # filter, so eidx has no nulls)
+        eidx = pc.index_in(sample.column(key).combine_chunks(), keys_arr).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(eidx, kind="stable")
+        eidx_s, ts_s = eidx[order], s_ts[order]
+        bounds = np.searchsorted(eidx_s, np.arange(len(hot_counts) + 1))
+        for e, n in enumerate(hot_counts["n"].tolist()):
             cuts_list.append(
-                _choose_cuts(s_ts[(s_key == k_val).to_numpy()], int(n), target_seg_rows, min_spacing)
+                _choose_cuts(ts_s[bounds[e]:bounds[e + 1]], int(n), target_seg_rows, min_spacing)
             )
     n_segs = np.array([len(c) + 1 for c in cuts_list], dtype=np.int64)
     base = np.concatenate([[0], np.cumsum(n_segs)])[:-1] if len(n_segs) else np.empty(0, np.int64)

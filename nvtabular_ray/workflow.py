@@ -369,7 +369,21 @@ class Workflow:
                 # up front and can deadlock the upstream read stage on a
                 # small cluster; (1, N) starts with one actor and grows only
                 # while CPUs are free
-                conc = concurrency if isinstance(concurrency, tuple) else (1, concurrency or 4)
+                if isinstance(concurrency, tuple):
+                    conc = concurrency
+                elif concurrency:
+                    conc = (1, concurrency)
+                else:
+                    # default pool ceiling = cluster CPUs: a constant would
+                    # cap the engine's ONLY compute stage at that many cores
+                    # no matter how many nodes the cluster has
+                    import ray as _ray
+
+                    try:
+                        ncpu = int(_ray.cluster_resources().get("CPU", 4))
+                    except Exception:
+                        ncpu = 4
+                    conc = (1, max(4, ncpu))
                 out = ds.map_batches(
                     _FusedTransform,
                     fn_constructor_args=(_detached(body_output), expected),
