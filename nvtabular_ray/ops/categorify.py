@@ -484,35 +484,87 @@ class Categorify(StatOperator):
         return self.join_encode(ds) if self.distributed_vocabs else ds
 
     def join_encode(self, ds):
-        """Shuffle-join encode for distributed vocabularies: ONE bucketed
-        shuffle per column co-partitions data rows and vocab shards by
-        hash(value); codes resolve per bucket with ``index_in``. Appends an
-        int64 ``__catcode_{col}__`` column per encoded column; ``transform``
-        then just projects it (via the op ``dependencies`` mechanism).
-        List columns route through the explode/encode/reassemble path."""
-        for name, info in self.distributed_vocabs.items():
-            for col in info["cols"]:
-                schema = ds.schema(fetch_if_missing=True)
-                ctype = dict(zip(schema.names, schema.types))[col]
-                if is_list_type(ctype):
-                    ds = self._join_encode_list_col(ds, col, name, info)
-                else:
-                    ds = self._join_encode_col(ds, col, name, info)
-        return ds
+        """Shuffle-join encode for distributed vocabularies.
 
-    def _join_encode_col(self, ds, col: str, name: str, info: dict):
-        import ray.data as rd
+        FULL rows ride exactly ONE exchange regardless of how many columns
+        encode (k independent full-row exchanges would move the whole
+        dataset k times — >= k x 100 TB of exchange traffic at design
+        scale). Physical plan:
 
+          1. uid stamp: every row gets a run-unique ``__uid__`` from a
+             stride-granting allocator actor, on a materialized snapshot
+             (uids are run-scoped, so the downstream consumers must read
+             identical blocks — lazy re-execution would re-allocate).
+          2. per column, a NARROW exchange: (uid[, pos], value) rows union
+             the sharded vocab, co-partitioned by hash(value);
+             ``index_in`` resolves codes per bucket -> (uid, pos, code)
+             tagged with the column id. List (multi-hot) columns explode
+             to one row per element first (reference encodes list columns
+             through every path, categorify.py:1695-1705).
+          3. ONE reassembly exchange by hash(uid): full rows + every
+             column's code rows; scalars attach via a sorted-uid gather,
+             lists rebuild in element order. Appends int64 (or list<int64>)
+             ``__catcode_{col}__`` per column; ``transform`` then just
+             projects them (op ``dependencies`` mechanism).
+        """
+        if not self.distributed_vocabs:
+            return ds
         from nvtabular_ray.pipelines.partitioned import _default_num_buckets
 
-        dep = f"__catcode_{col}__"
-        vocab = rd.read_parquet(info["path"])
         num_buckets = self.split_out or _default_num_buckets()
         data_schema = ds.schema(fetch_if_missing=True)
         data_names = list(data_schema.names)
         data_types = dict(zip(data_schema.names, data_schema.types))
-        vtype = data_types[col]
+
+        cols_meta = []
+        for name, info in self.distributed_vocabs.items():
+            for col in info["cols"]:
+                ctype = data_types[col]
+                is_l = is_list_type(ctype)
+                cols_meta.append(
+                    {
+                        "colid": len(cols_meta),
+                        "col": col,
+                        "dep": f"__catcode_{col}__",
+                        "is_list": is_l,
+                        "use_large": pa.types.is_large_list(ctype),
+                        "vtype": ctype.value_type if is_l else ctype,
+                        "info": info,
+                    }
+                )
+
+        if len(cols_meta) == 1 and not cols_meta[0]["is_list"]:
+            # single scalar column: the legacy one-exchange plan is optimal
+            # (full rows ride THE value exchange directly; the unified plan
+            # would pay a snapshot + an extra reassembly exchange for no
+            # traffic savings when k == 1)
+            m = cols_meta[0]
+            return self._join_encode_single_scalar(
+                ds, m, data_names, data_types, num_buckets
+            )
+
+        stamped = self._stamp_uids(ds)
+        codes_all = None
+        for m in cols_meta:
+            part = self._encode_codes(stamped, m, num_buckets)
+            codes_all = part if codes_all is None else codes_all.union(part)
+        return self._assemble_codes(
+            stamped, codes_all, cols_meta, data_names, data_types, num_buckets
+        )
+
+    def _join_encode_single_scalar(self, ds, m: dict, data_names, data_types, num_buckets):
+        """k == 1 scalar fast path: ONE bucketed exchange by hash(value)
+        carries the full rows together with the vocab shards; codes resolve
+        in place. (With k >= 2 columns or list columns the unified
+        stamp/narrow/assemble plan in ``join_encode`` bounds full-row
+        movement to one exchange instead of k.)"""
+        import ray.data as rd
+
+        from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+        col, vtype, dep = m["col"], m["vtype"], m["dep"]
         num_oov = self.num_oov
+        vocab = rd.read_parquet(m["info"]["path"])
 
         def pad_data(t: pa.Table) -> pa.Table:
             h = hash64(as_single_chunk(t.column(col)))
@@ -564,63 +616,26 @@ class Categorify(StatOperator):
                     codes[oov] = OOV_OFFSET
                 else:
                     # persisted codes: version-stable hash (see hashing.py)
-                    hh = hash64_stable(values)[oov]
-                    codes[oov] = (hh % np.uint64(num_oov)).astype(np.int64) + OOV_OFFSET
+                    codes[oov] = (
+                        hash64_stable(values)[oov] % np.uint64(num_oov)
+                    ).astype(np.int64) + OOV_OFFSET
             codes[nulls] = NULL_OFFSET
             out = dtab.drop_columns(["__vbkt__", "__vcode__", "__vside__"])
             return out.append_column(dep, pa.array(codes, pa.int64()))
 
-        from nvtabular_ray.pipelines.partitioned import bucketed_group_map
-
-        # task-based hash exchange on the precomputed value bucket; re-hashing
-        # __vbkt__ preserves data-row/vocab-row co-location (both sides carry
-        # the same bucket id for the same value)
         return bucketed_group_map(both, ["__vbkt__"], [], per_bucket, num_buckets=num_buckets)
 
-    def _join_encode_list_col(self, ds, col: str, name: str, info: dict):
-        """Distributed encode for LIST (multi-hot) columns — the reference
-        encodes list columns through every path (categorify.py:1695-1705,
-        exact codes pinned by tests/unit/ops/test_categorify.py:154-157).
+    def _stamp_uids(self, ds):
+        """Materialized snapshot of ``ds`` + run-unique int64 ``__uid__``.
 
-        Three bucketed exchanges, all but the last over NARROW tables:
-
-          1. uid stamp + explode: every row gets its GLOBAL ROW INDEX as
-             ``__uid__`` (block-offset + arange over a materialized
-             snapshot — deterministic and collision-free, and the snapshot
-             keeps the two downstream consumers reading identical blocks);
-             list elements flatten to (uid, pos, value) rows.
-          2. vocab join: hash(value) exchange unions the exploded rows with
-             the sharded vocab, ``index_in`` resolves codes per bucket ->
-             (uid, pos, code). Same machinery as the scalar path.
-          3. reassemble: codes bucket-join back to the stamped rows by uid;
-             lists rebuild in element order and attach as list<int64>
-             ``__catcode_{col}__``. Full rows ride this exchange once.
-        """
-
-        import ray.data as rd
-
-        from nvtabular_ray.pipelines.partitioned import (
-            _default_num_buckets,
-            bucketed_group_map,
-        )
-
-        dep = f"__catcode_{col}__"
-        vocab = rd.read_parquet(info["path"])
-        num_buckets = self.split_out or _default_num_buckets()
-        num_oov = self.num_oov
-        data_schema = ds.schema(fetch_if_missing=True)
-        data_names = list(data_schema.names)
-        vtype = dict(zip(data_schema.names, data_schema.types))[col].value_type
-
-        # uid ranges come from ONE allocator actor (monotonic counter), so
-        # they are collision-FREE by construction — a random per-batch base
-        # + arange can overlap another batch's range (P ~ batches^2 *
-        # rows/2^64, non-negligible at the 10^12-row design scale) and a
-        # collision silently merges two rows' code lists at reassembly.
-        # One actor RPC per BATCH is negligible against batch work, and the
-        # stamp stays fused into the single materializing pass (uids are
-        # run-scoped, so the snapshot below remains required: lazy
-        # re-execution of the two downstream consumers would re-allocate).
+        uid ranges come from ONE allocator actor (monotonic counter), so
+        they are collision-FREE by construction — a random per-batch base
+        + arange can overlap another batch's range (P ~ batches^2 *
+        rows/2^64, non-negligible at the 10^12-row design scale) and a
+        collision silently merges two rows' code lists at reassembly.
+        Ranges are granted in 16M-row strides served from a worker-local
+        stash, so the single actor sees O(rows/stride) RPCs, not one per
+        batch."""
         import ray as _ray
 
         @_ray.remote(num_cpus=0)
@@ -634,11 +649,7 @@ class Categorify(StatOperator):
                 return base
 
         allocator = _UidRanges.remote()
-        stride = 1 << 24  # grant ranges in 16M-row strides: worker processes
-        # serve most batches from a local stash, so the single allocator
-        # actor sees O(rows/stride) RPCs, not one per batch (it would
-        # otherwise become a cluster-wide serialization point at ~10^6
-        # blocks on a 100-TB input)
+        stride = 1 << 24
 
         def add_uid(t: pa.Table, _stash={}) -> pa.Table:
             n = t.num_rows
@@ -650,31 +661,63 @@ class Categorify(StatOperator):
             _stash["r"] = (lo + n, hi)
             return t.append_column("__uid__", pa.array(uid))
 
-        stamped = ds.map_batches(
+        return ds.map_batches(
             add_uid, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
 
-        # ---- exchange 2 input: exploded elements + vocab shards ----------
-        def explode(t: pa.Table) -> pa.Table:
-            arr = as_single_chunk(t.column(col))
-            uid = t.column("__uid__").to_numpy(zero_copy_only=False)
-            off = np.asarray(arr.offsets, dtype=np.int64)
-            lens = np.diff(off)
-            values = arr.flatten()
-            total = int(lens.sum())
-            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
-            h = hash64(values)
-            return pa.table(
-                {
-                    "__vbkt__": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
-                    col: values,
-                    "__uid__": pa.array(np.repeat(uid, lens)),
-                    "__pos__": pa.array(pos),
-                    "__vcode__": pa.nulls(total, pa.int64()),
-                    "__vside__": pa.array(np.zeros(total, np.int8)),
-                }
-            )
+    def _encode_codes(self, stamped, m: dict, num_buckets: int):
+        """NARROW per-column value exchange: (uid[, pos], value) rows union
+        the sharded vocab by hash(value); per bucket ``index_in`` resolves
+        codes. Returns a (uid, pos, code, colid) Dataset — no data-row
+        payload ever enters this exchange."""
+        import ray.data as rd
+
+        from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+        col, vtype, colid = m["col"], m["vtype"], m["colid"]
+        num_oov = self.num_oov
+        vocab = rd.read_parquet(m["info"]["path"])
+        narrow = stamped.select_columns(["__uid__", col])
+
+        if m["is_list"]:
+
+            def expand(t: pa.Table) -> pa.Table:
+                arr = as_single_chunk(t.column(col))
+                uid = t.column("__uid__").to_numpy(zero_copy_only=False)
+                off = np.asarray(arr.offsets, dtype=np.int64)
+                lens = np.diff(off)
+                values = arr.flatten()
+                total = int(lens.sum())
+                starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+                h = hash64(values)
+                return pa.table(
+                    {
+                        "__vbkt__": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+                        "__val__": values,
+                        "__uid__": pa.array(np.repeat(uid, lens)),
+                        "__pos__": pa.array(pos),
+                        "__vcode__": pa.nulls(total, pa.int64()),
+                        "__vside__": pa.array(np.zeros(total, np.int8)),
+                    }
+                )
+
+        else:
+
+            def expand(t: pa.Table) -> pa.Table:
+                vals = as_single_chunk(t.column(col))
+                h = hash64(vals)
+                n = t.num_rows
+                return pa.table(
+                    {
+                        "__vbkt__": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+                        "__val__": vals,
+                        "__uid__": t.column("__uid__"),
+                        "__pos__": pa.nulls(n, pa.int64()),
+                        "__vcode__": pa.nulls(n, pa.int64()),
+                        "__vside__": pa.array(np.zeros(n, np.int8)),
+                    }
+                )
 
         def pad_vocab(t: pa.Table) -> pa.Table:
             vals = as_single_chunk(t.column("value").cast(vtype))
@@ -683,7 +726,7 @@ class Categorify(StatOperator):
             return pa.table(
                 {
                     "__vbkt__": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
-                    col: vals,
+                    "__val__": vals,
                     "__uid__": pa.nulls(n, pa.int64()),
                     "__pos__": pa.nulls(n, pa.int64()),
                     "__vcode__": t.column("__code__").cast(pa.int64()),
@@ -691,17 +734,17 @@ class Categorify(StatOperator):
                 }
             )
 
-        both = stamped.map_batches(
-            explode, batch_format="pyarrow", zero_copy_batch=True
+        both = narrow.map_batches(
+            expand, batch_format="pyarrow", zero_copy_batch=True
         ).union(vocab.map_batches(pad_vocab, batch_format="pyarrow"))
 
         def encode_bucket(t: pa.Table) -> pa.Table:
             side = t.column("__vside__").to_numpy(zero_copy_only=False)
             vtab = t.filter(pa.array(side == 1))
             dtab = t.filter(pa.array(side == 0))
-            vocab_vals = as_single_chunk(vtab.column(col))
+            vocab_vals = as_single_chunk(vtab.column("__val__"))
             vocab_codes = vtab.column("__vcode__").to_numpy(zero_copy_only=False)
-            values = as_single_chunk(dtab.column(col))
+            values = as_single_chunk(dtab.column("__val__"))
             idx = (
                 pc.index_in(values, value_set=vocab_vals)
                 .to_numpy(zero_copy_only=False)
@@ -726,81 +769,111 @@ class Categorify(StatOperator):
                     "__uid__": dtab.column("__uid__"),
                     "__pos__": dtab.column("__pos__"),
                     "__code__": pa.array(codes, pa.int64()),
+                    "__colid__": pa.array(
+                        np.full(dtab.num_rows, colid, np.int32)
+                    ),
                 }
             )
 
-        codes_ds = bucketed_group_map(
+        return bucketed_group_map(
             both, ["__vbkt__"], [], encode_bucket, num_buckets=num_buckets
         )
 
-        # ---- exchange 3 input: stamped rows + per-element codes ----------
+    def _assemble_codes(
+        self, stamped, codes_all, cols_meta, data_names, data_types, num_buckets
+    ):
+        """The single full-row exchange: stamped rows + every column's code
+        rows co-partitioned by hash(uid); per bucket each column attaches
+        its codes (scalar: sorted-uid gather; list: rebuild in (uid, pos)
+        order)."""
+        from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
         row_names = data_names + ["__uid__"]
 
         def pad_rows(t: pa.Table) -> pa.Table:
-            t = t.append_column("__pos__", pa.nulls(t.num_rows, pa.int64()))
-            t = t.append_column("__code__", pa.nulls(t.num_rows, pa.int64()))
-            return t.append_column("__rside__", pa.array(np.zeros(t.num_rows, np.int8)))
-
-        data_types = dict(zip(data_schema.names, data_schema.types))
+            n = t.num_rows
+            t = t.append_column("__pos__", pa.nulls(n, pa.int64()))
+            t = t.append_column("__code__", pa.nulls(n, pa.int64()))
+            t = t.append_column("__colid__", pa.array(np.full(n, -1, np.int32)))
+            return t.append_column("__rside__", pa.array(np.zeros(n, np.int8)))
 
         def pad_codes(t: pa.Table) -> pa.Table:
             out = {c: pa.nulls(t.num_rows, data_types[c]) for c in data_names}
             out["__uid__"] = t.column("__uid__")
             out["__pos__"] = t.column("__pos__")
             out["__code__"] = t.column("__code__")
+            out["__colid__"] = t.column("__colid__")
             out["__rside__"] = pa.array(np.ones(t.num_rows, np.int8))
             return pa.table(out)
 
-        order = row_names + ["__pos__", "__code__", "__rside__"]
+        order = row_names + ["__pos__", "__code__", "__colid__", "__rside__"]
         both2 = (
             stamped.map_batches(pad_rows, batch_format="pyarrow", zero_copy_batch=True)
             .select_columns(order)
-            .union(codes_ds.map_batches(pad_codes, batch_format="pyarrow").select_columns(order))
+            .union(codes_all.map_batches(pad_codes, batch_format="pyarrow").select_columns(order))
         )
-
-        use_large = pa.types.is_large_list(data_types[col])
+        drop_cols = ["__uid__", "__pos__", "__code__", "__colid__", "__rside__"]
 
         def assemble_bucket(t: pa.Table) -> pa.Table:
             side = t.column("__rside__").to_numpy(zero_copy_only=False)
-            ctab = t.filter(pa.array(side == 1))
+            call = t.filter(pa.array(side == 1))
             dtab = t.filter(pa.array(side == 0))
-            uid_c = ctab.column("__uid__").to_numpy(zero_copy_only=False)
-            pos_c = ctab.column("__pos__").to_numpy(zero_copy_only=False)
-            code_c = ctab.column("__code__").to_numpy(zero_copy_only=False)
-            sorder = np.lexsort((pos_c, uid_c))
-            uid_s, code_s = uid_c[sorder], code_c[sorder]
-            change = (
-                np.r_[True, uid_s[1:] != uid_s[:-1]] if len(uid_s) else np.empty(0, bool)
-            )
-            gstarts = np.flatnonzero(change)
-            gcounts = np.diff(np.r_[gstarts, len(uid_s)])
-            guids = uid_s[gstarts]
             duid = dtab.column("__uid__").to_numpy(zero_copy_only=False)
-            posm = (
-                np.minimum(np.searchsorted(guids, duid), max(len(guids) - 1, 0))
-                if len(guids)
-                else np.zeros(len(duid), np.int64)
-            )
-            hasc = (guids[posm] == duid) if len(guids) else np.zeros(len(duid), bool)
-            row_lens = np.where(hasc, gcounts[posm] if len(guids) else 0, 0).astype(np.int64)
-            out_off = np.concatenate([[0], np.cumsum(row_lens)])
-            total = int(out_off[-1])
-            gather = (
-                np.arange(total, dtype=np.int64)
-                - np.repeat(out_off[:-1], row_lens)
-                + (np.repeat(gstarts[posm], row_lens) if total else np.empty(0, np.int64))
-            )
-            child = pa.array(code_s[gather] if total else np.empty(0, np.int64), pa.int64())
-            if use_large:
-                lst = pa.LargeListArray.from_arrays(pa.array(out_off, pa.int64()), child)
-            else:
-                lst = pa.ListArray.from_arrays(pa.array(out_off, pa.int32()), child)
-            out = dtab.drop_columns(["__uid__", "__pos__", "__code__", "__rside__"])
-            return out.append_column(dep, lst)
+            colid_all = call.column("__colid__").to_numpy(zero_copy_only=False)
+            uid_all = call.column("__uid__").to_numpy(zero_copy_only=False)
+            pos_all = call.column("__pos__").to_numpy(zero_copy_only=False)
+            code_all = call.column("__code__").to_numpy(zero_copy_only=False)
+            out = dtab.drop_columns(drop_cols)
+            for m in cols_meta:
+                mine = colid_all == m["colid"]
+                uid_c, code_c = uid_all[mine], code_all[mine]
+                if not m["is_list"]:
+                    sorder = np.argsort(uid_c, kind="stable")
+                    uid_s, code_s = uid_c[sorder], code_c[sorder]
+                    posm = (
+                        np.minimum(np.searchsorted(uid_s, duid), max(len(uid_s) - 1, 0))
+                        if len(uid_s)
+                        else np.zeros(len(duid), np.int64)
+                    )
+                    hasc = (uid_s[posm] == duid) if len(uid_s) else np.zeros(len(duid), bool)
+                    codes = np.where(hasc, code_s[posm] if len(uid_s) else 0, NULL_OFFSET)
+                    out = out.append_column(m["dep"], pa.array(codes.astype(np.int64), pa.int64()))
+                    continue
+                pos_c = pos_all[mine]
+                sorder = np.lexsort((pos_c, uid_c))
+                uid_s, code_s = uid_c[sorder], code_c[sorder]
+                change = (
+                    np.r_[True, uid_s[1:] != uid_s[:-1]] if len(uid_s) else np.empty(0, bool)
+                )
+                gstarts = np.flatnonzero(change)
+                gcounts = np.diff(np.r_[gstarts, len(uid_s)])
+                guids = uid_s[gstarts]
+                posm = (
+                    np.minimum(np.searchsorted(guids, duid), max(len(guids) - 1, 0))
+                    if len(guids)
+                    else np.zeros(len(duid), np.int64)
+                )
+                hasc = (guids[posm] == duid) if len(guids) else np.zeros(len(duid), bool)
+                row_lens = np.where(hasc, gcounts[posm] if len(guids) else 0, 0).astype(np.int64)
+                out_off = np.concatenate([[0], np.cumsum(row_lens)])
+                total = int(out_off[-1])
+                gather = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(out_off[:-1], row_lens)
+                    + (np.repeat(gstarts[posm], row_lens) if total else np.empty(0, np.int64))
+                )
+                child = pa.array(code_s[gather] if total else np.empty(0, np.int64), pa.int64())
+                if m["use_large"]:
+                    lst = pa.LargeListArray.from_arrays(pa.array(out_off, pa.int64()), child)
+                else:
+                    lst = pa.ListArray.from_arrays(pa.array(out_off, pa.int32()), child)
+                out = out.append_column(m["dep"], lst)
+            return out
 
         return bucketed_group_map(
             both2, ["__uid__"], [], assemble_bucket, num_buckets=num_buckets
         )
+
 
     def _check_vocab_size(self, name, vocab_df):
         nbytes = int(vocab_df.memory_usage(deep=True).sum())

@@ -233,11 +233,15 @@ class Workflow:
             # and small reduces pipeline through the shared CPU pool
             # (12.7s -> 7.5s on the 3-stat flagship fit at 8 cpus; the
             # earlier serial-was-faster measurement predated the streaming
-            # grouped_reduce and no longer holds).
+            # grouped_reduce and no longer holds). Known tradeoff: overlap
+            # hides latency but each fit still SCANS the input once (k stat
+            # ops = k reads); ops whose partials share one pass should fuse
+            # explicitly, as pipelines/transcripts.py does for the flagship
+            # (one map_batches emits every stat's partial tables).
             if len(ready) == 1:
                 fit_one(ready[0])
             else:
-                with ThreadPoolExecutor(max_workers=min(4, len(ready))) as ex:
+                with ThreadPoolExecutor(max_workers=min(8, len(ready))) as ex:
                     list(ex.map(fit_one, ready))
             pending = [n for n in pending if not n.op.fitted]
         return self
