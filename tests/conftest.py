@@ -22,6 +22,12 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray Data does NOT guarantee row order across blocks unless asked;
+    # several tests align engine output to a pandas oracle by sorting on a
+    # NON-unique key, which silently assumes input row order survives the
+    # pipeline. Under CPU contention blocks complete out of order and such
+    # a test flakes (seen: test_fill_clip_log_chain, ~1/10 under load).
+    ctx.execution_options.preserve_order = True
     yield
     ray.shutdown()
 
