@@ -253,3 +253,31 @@ def test_distributed_list_column_matches_in_memory():
     ga = [list(x) for x in a["tokens"]]
     gb = [list(x) for x in b["tokens"]]
     assert ga == gb
+
+
+def test_distributed_mixed_scalar_and_list_single_assembly():
+    """Scalar + list columns in ONE distributed Categorify: the unified
+    join_encode plan attaches BOTH columns' codes in a single full-row
+    reassembly exchange; codes must match the in-memory path exactly."""
+    import pyarrow as pa
+
+    rng = np.random.RandomState(7)
+    n = 500
+    words = np.array([f"w{i}" for i in range(25)])
+    tab = pa.table(
+        {
+            "tags": pa.array(
+                [list(words[rng.randint(0, 25, rng.randint(0, 5))]) for _ in range(n)],
+                pa.list_(pa.string()),
+            ),
+            "kind": pa.array([f"k{i}" for i in rng.randint(0, 12, n)]),
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(3)
+    dist = Workflow((["tags", "kind"] >> ops.Categorify(distributed=True, split_out=3)) + ["rid"])
+    mem = Workflow((["tags", "kind"] >> ops.Categorify()) + ["rid"])
+    a = dist.fit(ds).transform(ds).to_pandas().sort_values("rid").reset_index(drop=True)
+    b = mem.fit(ds).transform(ds).to_pandas().sort_values("rid").reset_index(drop=True)
+    assert a["kind"].tolist() == b["kind"].tolist()
+    assert [list(x) for x in a["tags"]] == [list(x) for x in b["tags"]]
