@@ -14,7 +14,8 @@ from nvtabular_ray.selector import ColumnSelector
 from nvtabular_ray.dag import Node
 from nvtabular_ray.workflow import Workflow
 from nvtabular_ray import ops
+from nvtabular_ray.loader import TrainLoader
 
 __version__ = "0.1.0"
 
-__all__ = ["ColumnSelector", "Node", "Workflow", "ops"]
+__all__ = ["ColumnSelector", "Node", "Workflow", "ops", "TrainLoader"]
