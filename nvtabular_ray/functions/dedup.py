@@ -16,7 +16,11 @@ import pandas as pd
 import pyarrow as pa
 
 from nvtabular_ray.arrow_utils import list_to_numpy_2d
-from nvtabular_ray.functions.hashing import hash64, hash64_columns
+from nvtabular_ray.functions.hashing import (
+    hash64,
+    hash64_columns,
+    hash64_columns_stable,
+)
 
 _H = "__h__"
 
@@ -130,20 +134,28 @@ def minhash_lsh_dedup(
         band_ids = np.repeat(np.arange(bands, dtype=np.int32), len(ids))
         doc_ids = np.tile(ids, bands)
         band_hash = np.empty(bands * len(ids), dtype=np.int64)
+        band_hash2 = np.empty(bands * len(ids), dtype=np.int64)
         for bnd in range(bands):
-            # vectorized row-tuple hash of the band's signature columns
-            # (internal SipHash: only EQUALITY of tuples matters downstream)
+            # vectorized row-tuple hash of the band's signature columns.
+            # TWO independent 64-bit hashes stand in for tuple equality: a
+            # single hash colliding across different signature tuples would
+            # merge two unrelated documents' clusters (and label
+            # propagation spreads that transitively); a double collision is
+            # ~2^-128 per pair per band
             chunk = sigs[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]
             tbl = pa.table(
                 {f"s{i}": pa.array(chunk[:, i].astype(np.int64)) for i in range(rows_per_band)}
             )
-            band_hash[bnd * len(ids) : (bnd + 1) * len(ids)] = hash64_columns(
-                tbl, list(tbl.column_names)
-            ).astype(np.int64)
+            lo, hi = bnd * len(ids), (bnd + 1) * len(ids)
+            band_hash[lo:hi] = hash64_columns(tbl, list(tbl.column_names)).astype(np.int64)
+            band_hash2[lo:hi] = hash64_columns_stable(tbl, list(tbl.column_names)).astype(
+                np.int64
+            )
         return pa.table(
             {
                 "band": pa.array(band_ids),
                 "band_hash": pa.array(band_hash),
+                "band_hash2": pa.array(band_hash2),
                 id_col: pa.array(doc_ids),
             }
         )
@@ -156,12 +168,18 @@ def minhash_lsh_dedup(
     def bucket_min(t: pa.Table) -> pa.Table:
         band = t.column("band").to_numpy(zero_copy_only=False)
         bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        bh2 = t.column("band_hash2").to_numpy(zero_copy_only=False)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return pa.table({id_col: t.column(id_col), "label": t.column(id_col)})
-        order = np.lexsort((ids, bh, band))
-        band_s, bh_s, ids_s = band[order], bh[order], ids[order]
-        change = np.r_[True, (band_s[1:] != band_s[:-1]) | (bh_s[1:] != bh_s[:-1])]
+        order = np.lexsort((ids, bh2, bh, band))
+        band_s, bh_s, bh2_s, ids_s = band[order], bh[order], bh2[order], ids[order]
+        change = np.r_[
+            True,
+            (band_s[1:] != band_s[:-1])
+            | (bh_s[1:] != bh_s[:-1])
+            | (bh2_s[1:] != bh2_s[:-1]),
+        ]
         starts = np.flatnonzero(change)
         sizes = np.diff(np.r_[starts, len(ids_s)])
         labels = np.repeat(ids_s[starts], sizes)  # ids asc within group -> first = min
@@ -387,6 +405,8 @@ def _word_ngram_hashes(texts, n: int):
             grams.append(
                 np.array([" ".join(w[i : i + n]) for i in range(len(w) - n + 1)], dtype=object)
             )
+    if not grams:  # empty block (post-filter/limit) must not kill the task
+        return []
     lens = np.array([len(g) for g in grams], dtype=np.int64)
     bounds = np.concatenate([[0], np.cumsum(lens)])
     h = hash64(pd.Series(np.concatenate(grams), dtype=object))
@@ -444,7 +464,18 @@ def ngram_jaccard_dedup(
         if m > max_bucket_docs:
             # skew cap: cluster only exact-identical gram sets (hash the
             # sorted gram array; gsets are sorted-unique by construction)
-            keys = np.fromiter((hash(g.tobytes()) for g in gsets), dtype=np.int64, count=m)
+            # STABLE per-process-invariant key: builtin hash() is seeded
+            # per process, so clustering would differ across workers/runs
+            import hashlib
+
+            keys = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(g.tobytes()).digest()[:8], "little")
+                    for g in gsets
+                ),
+                dtype=np.uint64,
+                count=m,
+            ).astype(np.int64)
             _, kinv = np.unique(keys, return_inverse=True)
             big = np.iinfo(np.int64).max
             min_id = np.full(kinv.max() + 1, big, dtype=np.int64)
@@ -535,7 +566,12 @@ def _cosine_min_label(
     norms[norms == 0] = 1.0
     unit = emb / norms
     close = (unit @ unit.T) >= threshold
-    return ids[np.argmax(close, axis=1)].astype(np.int64)
+    first = np.argmax(close, axis=1)
+    # a row with NO close column (a zero vector: its self-cosine is 0 after
+    # the norm clamp) must keep its own id — argmax over all-False returns
+    # 0, which would silently label it a duplicate of the bucket's min id
+    has = close[np.arange(len(ids)), first]
+    return np.where(has, ids[first], ids).astype(np.int64)
 
 
 def embedding_near_dup(
@@ -569,9 +605,22 @@ def embedding_near_dup(
 
     def bucketize(t: pa.Table) -> pa.Table:
         emb = list_to_numpy_2d(t.column(embedding_col))
-        if "planes" not in state:
+        if t.num_rows == 0:
+            # an empty block must not poison the planes cache with dim 0
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    id_col: t.column(id_col),
+                    embedding_col: t.column(embedding_col),
+                }
+            )
+        # cache keyed by the REAL embedding dim: batches from the same
+        # worker reuse the matrix, a dim change (schema error) recomputes
+        # instead of crashing on a shape mismatch
+        if state.get("dim") != emb.shape[1]:
             rng = np.random.RandomState(seed)
             state["planes"] = rng.normal(size=(emb.shape[1], nbits))
+            state["dim"] = emb.shape[1]
         signs = (emb @ state["planes"]) > 0
         bucket = signs @ (1 << np.arange(nbits))
         return pa.table(

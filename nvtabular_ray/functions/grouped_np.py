@@ -26,8 +26,17 @@ def group_ids_sorted(table: pa.Table, key_cols: list[str]) -> np.ndarray:
     change[0] = True
     for c in key_cols:
         col = table.column(c).combine_chunks()
-        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+        a, b = col.slice(1), col.slice(0, n - 1)
+        # not_equal(null, x) is NULL, which to_numpy+astype turns into
+        # False — null-key rows would merge into the preceding entity and
+        # lag/session/rolling kernels would compute ACROSS the boundary.
+        # A boundary exists when values differ OR validity flips; two
+        # adjacent nulls stay one group (sorted nulls are contiguous).
+        neq = pc.fill_null(pc.not_equal(a, b), False)
         change[1:] |= neq.to_numpy(zero_copy_only=False).astype(bool)
+        va = pc.is_valid(a).to_numpy(zero_copy_only=False)
+        vb = pc.is_valid(b).to_numpy(zero_copy_only=False)
+        change[1:] |= va != vb
     return np.cumsum(change) - 1
 
 

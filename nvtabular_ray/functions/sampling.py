@@ -117,12 +117,20 @@ def top_k_per_group(
     tie_cols = [tie_cols] if isinstance(tie_cols, str) else list(tie_cols or [])
 
     def topk_table(t: pa.Table) -> pa.Table:
-        from nvtabular_ray.functions.hashing import hash64_columns
+        from nvtabular_ray.functions.hashing import (
+            hash64_columns,
+            hash64_columns_stable,
+        )
 
         n = t.num_rows
         if n == 0:
             return t
         kh = hash64_columns(t, keys).astype(np.int64)
+        # second INDEPENDENT hash: grouping by one 64-bit hash alone would
+        # merge two colliding keys and cap their union at k rows (birthday
+        # bound is reachable at design scale); two independent functions
+        # push collision odds to ~2^-128
+        kh2 = hash64_columns_stable(t, keys).astype(np.int64)
         v = t.column(order_col)
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
@@ -148,9 +156,9 @@ def top_k_per_group(
                 ta = ta.combine_chunks()
             tv = ta.to_numpy(zero_copy_only=False)
             ties.append(tv.view("i8") if tv.dtype.kind in "mM" else tv)
-        order = np.lexsort((*ties, vv, kh))
-        kh_s = kh[order]
-        change = np.r_[True, kh_s[1:] != kh_s[:-1]]
+        order = np.lexsort((*ties, vv, kh2, kh))
+        kh_s, kh2_s = kh[order], kh2[order]
+        change = np.r_[True, (kh_s[1:] != kh_s[:-1]) | (kh2_s[1:] != kh2_s[:-1])]
         starts = np.flatnonzero(change)
         counts = np.diff(np.r_[starts, n])
         rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)

@@ -92,15 +92,19 @@ def quality_score(ds, text_col: str = "text"):
 
         col = t.column(text_col)
         n_chars = np.asarray(pc.fill_null(pc.utf8_length(col), 0), dtype=np.int64).astype(np.float64)
-        offsets, words = _flat_tokens(col)
-        n_words = np.diff(offsets).astype(np.float64)
-        # sum of word lengths == non-whitespace chars (words are \S+ runs)
-        word_chars = np.asarray(pc.fill_null(pc.utf8_length(col), 0), dtype=np.int64) - _count_re(col, r"\s")
-        word_chars = word_chars.astype(np.float64)
+        # ONE whitespace definition throughout: RE2 \s+ (ASCII), the same
+        # class text_stats' \S+ count and the SQL oracles use — mixing
+        # utf8_split_whitespace (Unicode) word counts with an ASCII \s
+        # char subtraction skews mean_word_len on NBSP/ideographic spaces
+        offsets, words = _flat_tokens(col, r"\s+")
+        wlens = np.asarray(pc.utf8_length(words), dtype=np.int64)
+        nonempty = (wlens > 0).astype(np.int64)  # regex split leaves empties
+        n_words = _hits_per_row(offsets, nonempty).astype(np.float64)
+        word_chars = _hits_per_row(offsets, wlens).astype(np.float64)
         stop_flags = np.asarray(
             pc.is_in(pc.utf8_lower(words), value_set=pa.array(sorted(_STOPWORDS["en"])))
         )
-        stop_hits = _hits_per_row(offsets, stop_flags).astype(np.float64)
+        stop_hits = _hits_per_row(offsets, stop_flags.astype(np.int64)).astype(np.float64)
         punct = _count_re(col, r"[^\w\s]").astype(np.float64)
         upper = _count_re(col, r"\p{Lu}").astype(np.float64)
         has_w = n_words > 0

@@ -245,10 +245,18 @@ _WAV_DTYPE = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode PCM WAV to ((frames, channels) int array, sample_rate)."""
-    with wave.open(io.BytesIO(data), "rb") as f:
-        nch, sw, rate, nframes = f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes()
-        raw = f.readframes(nframes)
+    """Decode PCM WAV to ((frames, channels) int array, sample_rate).
+    Raises ValueError on malformed/empty payloads (the documented contract:
+    stdlib ``wave`` raises EOFError/wave.Error, which would escape a
+    caller's ValueError handling and kill the stage on one bad row)."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as f:
+            nch, sw, rate, nframes = (
+                f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes()
+            )
+            raw = f.readframes(nframes)
+    except (EOFError, wave.Error) as e:
+        raise ValueError(f"not a decodable PCM WAV payload: {e}") from None
     if sw not in _WAV_DTYPE:
         raise ValueError(f"unsupported WAV sample width {sw}")
     a = np.frombuffer(raw, _WAV_DTYPE[sw]).reshape(-1, nch)

@@ -188,15 +188,29 @@ class FrameSampleStage:
         # ONE gather builds every frame: indices are starts broadcast + lane
         gather = starts[:, None] + np.arange(fb, dtype=np.int64)[None, :]
         frame_bytes = flat[gather.ravel()] if total else np.empty(0, np.uint8)
-        frames = pa.BinaryArray.from_buffers(
-            pa.binary(),
-            total,
-            [
-                None,
-                pa.py_buffer((np.arange(total + 1, dtype=np.int32) * fb).tobytes()),
-                pa.py_buffer(frame_bytes.tobytes()),
-            ],
-        )
+        if total * fb > np.iinfo(np.int32).max:
+            # >2 GiB of sampled frame bytes in one batch: int32 offsets
+            # wrap negative and from_buffers does not validate — emit
+            # large_binary (int64 offsets) instead of corrupt slices
+            frames = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                total,
+                [
+                    None,
+                    pa.py_buffer((np.arange(total + 1, dtype=np.int64) * fb).tobytes()),
+                    pa.py_buffer(frame_bytes.tobytes()),
+                ],
+            )
+        else:
+            frames = pa.BinaryArray.from_buffers(
+                pa.binary(),
+                total,
+                [
+                    None,
+                    pa.py_buffer((np.arange(total + 1, dtype=np.int32) * fb).tobytes()),
+                    pa.py_buffer(frame_bytes.tobytes()),
+                ],
+            )
         base = t.drop_columns([self.column])
         gathered = base.take(pa.array(row_of)) if total else base.slice(0, 0)
         gathered = gathered.append_column("frame_idx", pa.array(frame_idx.astype(np.int32)))
