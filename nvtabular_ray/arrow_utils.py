@@ -54,6 +54,12 @@ def map_list_values(arr, fn) -> pa.Array:
     offsets = arr.offsets
     new_values = fn(arr.values)
     cls = pa.LargeListArray if pa.types.is_large_list(arr.type) else pa.ListArray
+    if arr.null_count:
+        # from_arrays without a mask drops the validity bitmap — NULL list
+        # rows would silently come back as EMPTY lists
+        import pyarrow.compute as pc
+
+        return cls.from_arrays(offsets, new_values, mask=pc.is_null(arr))
     return cls.from_arrays(offsets, new_values)
 
 

@@ -41,7 +41,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from nvtabular_ray.arrow_utils import as_single_chunk, is_list_type, map_list_values
+from nvtabular_ray.arrow_utils import dataset_arrow_schema, as_single_chunk, is_list_type, map_list_values
 from nvtabular_ray.functions.hashing import (
     hash64,
     hash64_columns,
@@ -68,10 +68,17 @@ _DISK_VOCAB_CACHE: dict = {}
 
 
 def _disk_cache_read(path: str) -> pa.Table:
-    tab = _DISK_VOCAB_CACHE.get(path)
+    # cache key includes (mtime_ns, size): a refit rewrites the vocab to the
+    # SAME path, and long-lived worker processes would otherwise keep
+    # serving the stale pre-refit table with no error
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    tab = _DISK_VOCAB_CACHE.get(key)
     if tab is None:
+        for k in [k for k in _DISK_VOCAB_CACHE if k[0] == path]:
+            del _DISK_VOCAB_CACHE[k]  # drop superseded versions of THIS path
         tab = pq.read_table(path)
-        _DISK_VOCAB_CACHE[path] = tab
+        _DISK_VOCAB_CACHE[key] = tab
     return tab
 
 
@@ -189,7 +196,7 @@ class Categorify(StatOperator):
     def fit(self, col_selector, ds) -> None:
         from nvtabular_ray.functions.aggregates import grouped_reduce
 
-        schema = ds.schema(fetch_if_missing=True)
+        schema = dataset_arrow_schema(ds)
         types = dict(zip(schema.names, schema.types))
 
         def value_type(c):
@@ -380,7 +387,7 @@ class Categorify(StatOperator):
         encode through ``_join_encode_list_col``."""
         import ray
 
-        schema = ds.schema(fetch_if_missing=True)
+        schema = dataset_arrow_schema(ds)
         types = dict(zip(schema.names, schema.types))
 
         def partial(t: pa.Table, cols=tuple(cols)) -> pa.Table:
@@ -512,7 +519,7 @@ class Categorify(StatOperator):
         from nvtabular_ray.pipelines.partitioned import _default_num_buckets
 
         num_buckets = self.split_out or _default_num_buckets()
-        data_schema = ds.schema(fetch_if_missing=True)
+        data_schema = dataset_arrow_schema(ds)
         data_names = list(data_schema.names)
         data_types = dict(zip(data_schema.names, data_schema.types))
 
@@ -1042,7 +1049,22 @@ class Categorify(StatOperator):
                 if isinstance(self.dtype, pa.DataType)
                 else pa.from_numpy_dtype(np.dtype(self.dtype))
             )
-            ordered = {k: pc.cast(v, target) for k, v in ordered.items()}
+
+            def cast_codes(v):
+                # list (multi-hot) codes cast ELEMENT-wise — a direct cast
+                # of list<int64> to a scalar dtype is unsupported, and
+                # compute_output_schema declares list_(dtype) for them
+                v = as_single_chunk(v) if isinstance(v, pa.ChunkedArray) else v
+                if is_list_type(v.type):
+                    t = (
+                        pa.large_list(target)
+                        if pa.types.is_large_list(v.type)
+                        else pa.list_(target)
+                    )
+                    return pc.cast(v, t)
+                return pc.cast(v, target)
+
+            ordered = {k: cast_codes(v) for k, v in ordered.items()}
         return pa.table(ordered)
 
     def _encode_values(

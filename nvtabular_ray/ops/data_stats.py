@@ -15,7 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from nvtabular_ray.arrow_utils import as_single_chunk, is_list_type
+from nvtabular_ray.arrow_utils import dataset_arrow_schema, as_single_chunk, is_list_type
 from nvtabular_ray.functions.hashing import hash64
 from nvtabular_ray.ops.base import StatOperator
 
@@ -39,7 +39,7 @@ class DataStats(StatOperator):
         from nvtabular_ray.functions.aggregates import grouped_reduce
         from nvtabular_ray.ops.moments import column_moments
 
-        schema = ds.schema(fetch_if_missing=True)
+        schema = dataset_arrow_schema(ds)
         types = dict(zip(schema.names, schema.types))
         cols = list(col_selector.names)
 

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from nvtabular_ray.arrow_utils import dataset_arrow_schema
 import pyarrow.compute as pc
 
 from nvtabular_ray.ops.base import StatOperator
@@ -34,7 +36,7 @@ class ReduceDtypeSize(StatOperator):
         self.float_dtype = float_dtype
 
     def fit(self, col_selector, ds) -> None:
-        schema = ds.schema(fetch_if_missing=True)
+        schema = dataset_arrow_schema(ds)
         types = dict(zip(schema.names, schema.types))
         numeric = [
             c

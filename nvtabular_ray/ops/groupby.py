@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from nvtabular_ray.arrow_utils import dataset_arrow_schema
+
 from nvtabular_ray.ops.base import Operator
 
 _LIST_AGGS = ("list", "first", "last")
@@ -102,7 +104,7 @@ class Groupby(Operator):
         # salted-key mitigation SURVEY.md §7.4.4 calls for, done one better
         # (no explicit salt column needed).
         if self._all_algebraic(agg_dict) and not self.sort_cols:
-            schema = ds.schema(fetch_if_missing=True)
+            schema = dataset_arrow_schema(ds)
             types = dict(zip(schema.names, schema.types))
             if all(
                 pa.types.is_integer(types[c]) or pa.types.is_floating(types[c])
@@ -178,8 +180,11 @@ class Groupby(Operator):
             out = {k: t.column(k) for k in keys}
             for col, col_aggs in agg_dict.items():
                 cnt = t.column(f"__{col}_cnt__").cast(pa.float64())
-                s = t.column(f"__{col}_sum__").cast(pa.float64())
-                sq = t.column(f"__{col}_sumsq__").cast(pa.float64())
+                # pandas-parity sum of an all-null group is 0.0 (min_count=0)
+                # — the arrow partial left it null, and the bucketed/serving
+                # paths already emit 0.0 for the same input
+                s = pc.fill_null(t.column(f"__{col}_sum__").cast(pa.float64()), 0.0)
+                sq = pc.fill_null(t.column(f"__{col}_sumsq__").cast(pa.float64()), 0.0)
                 mean = pc.divide(s, cnt)
                 var = pc.divide(
                     pc.subtract(sq, pc.multiply(cnt, pc.multiply(mean, mean))),

@@ -70,6 +70,20 @@ class JoinExternal(BroadcastTableState, Operator):
         if drop_duplicates_ext:
             df = ext.to_pandas().drop_duplicates(ignore_index=True)
             ext = pa.Table.from_pandas(df, preserve_index=False)
+        elif how in ("left", "inner"):
+            # the documented contract: without drop_duplicates_ext the join
+            # key must be unique on the external side — a duplicate key
+            # silently MULTIPLIES left rows (and desyncs any sibling branch)
+            import pyarrow.compute as pc
+
+            n_distinct = ext.group_by(self.on_ext, use_threads=False).aggregate([]).num_rows
+            if n_distinct != ext.num_rows:
+                raise ValueError(
+                    f"external table has duplicate {self.on_ext} keys "
+                    f"({ext.num_rows - n_distinct} extra rows); a left/inner "
+                    "join would multiply input rows — pass "
+                    "drop_duplicates_ext=True or deduplicate the table"
+                )
         self.state_tables = {"ext": ext}
         self._ext_columns = list(ext.column_names)
 

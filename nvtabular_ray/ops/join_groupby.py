@@ -272,7 +272,7 @@ class JoinGroupby(BroadcastTableState, StatOperator):
         import ray.data as rd
 
         from nvtabular_ray.functions.hashing import hash64_columns
-        from nvtabular_ray.arrow_utils import as_single_chunk
+        from nvtabular_ray.arrow_utils import dataset_arrow_schema, as_single_chunk
         from nvtabular_ray.pipelines.partitioned import (
             _default_num_buckets,
             bucketed_group_map,
@@ -283,10 +283,10 @@ class JoinGroupby(BroadcastTableState, StatOperator):
         dep_names = [f"__jgb_{c}__" for c in out_cols]
         stat = rd.read_parquet(info["path"])
         num_buckets = self.split_out or _default_num_buckets()
-        schema = ds.schema(fetch_if_missing=True)
+        schema = dataset_arrow_schema(ds)
         data_names = list(schema.names)
         data_types = dict(zip(schema.names, schema.types))
-        stat_schema = stat.schema(fetch_if_missing=True)
+        stat_schema = dataset_arrow_schema(stat)
         stat_types = dict(zip(stat_schema.names, stat_schema.types))
 
         def bucket_of(tbl: pa.Table) -> np.ndarray:
@@ -367,12 +367,18 @@ class JoinGroupby(BroadcastTableState, StatOperator):
             left = table.select(group).to_pandas()
             merged = left.merge(stat, on=group, how="left")
             new_cols = [c for c in merged.columns if c not in group]
-            part = merged[new_cols]
-            for col in part.columns:
+            # NULL-preserving dtype coercion: an UNSEEN category NaN-pads the
+            # merge; pandas .astype(int32) raises IntCastingNaNError, killing
+            # the transform on the first new inference category. Arrow casts
+            # keep the null (matching the distributed path's null output).
+            arrs = {}
+            for col in new_cols:
+                arr = pa.Array.from_pandas(merged[col])
                 for agg, dt in AGG_DTYPES.items():
                     if col.endswith(f"{self.name_sep}{agg}"):
-                        part[col] = part[col].astype(dt)
-            out_parts.append(pa.Table.from_pandas(part, preserve_index=False))
+                        arr = arr.cast(pa.from_numpy_dtype(np.dtype(dt)))
+                arrs[col] = arr
+            out_parts.append(pa.table(arrs))
         cols = {}
         for t in out_parts:
             for cname in t.column_names:

@@ -110,7 +110,12 @@ class LogOp(Operator):
 
 class Bucketize(Operator):
     """Continuous -> bin index via np.digitize(right=False); out int32.
-    Reference: /root/reference/nvtabular/ops/bucketize.py:24-104."""
+    Reference: /root/reference/nvtabular/ops/bucketize.py:24-104.
+
+    Null/NaN inputs land in the TOP bucket — deliberate reference parity
+    (np.digitize over the raw values, bucketize.py:81-92: NaN sorts after
+    every boundary). Use FillMissing upstream, or QuantileBucketize, when
+    missing values must stay null."""
 
     def __init__(self, boundaries: Union[list, dict]):
         if isinstance(boundaries, (list, tuple)):

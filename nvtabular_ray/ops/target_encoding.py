@@ -254,7 +254,7 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         dependency columns consumed by ``transform``."""
         import ray.data as rd
 
-        from nvtabular_ray.arrow_utils import as_single_chunk
+        from nvtabular_ray.arrow_utils import dataset_arrow_schema, as_single_chunk
         from nvtabular_ray.functions.hashing import hash64_columns
         from nvtabular_ray.pipelines.partitioned import (
             _default_num_buckets,
@@ -270,7 +270,7 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         ]
         stat = rd.read_parquet(info["path"])
         num_buckets = self.split_out or _default_num_buckets()
-        schema = ds.schema(fetch_if_missing=True)
+        schema = dataset_arrow_schema(ds)
         data_names = list(schema.names)
         data_types = dict(zip(schema.names, schema.types))
         input_cols = data_names
@@ -417,5 +417,9 @@ class TargetEncoding(BroadcastTableState, StatOperator):
             te[unseen] = gmean
             out[self._te_name(name, i)] = pa.array(te.astype(self.out_dtype))
         if self.kfold > 1 and not self.drop_folds:
+            if fold is None:
+                # fold derives from fold_on alone — serving traffic without
+                # the target must still get its fold column
+                fold = self._fold_np(table, input_cols)
             out[FOLD_NAME] = pa.array(fold)
         return pa.table(out)

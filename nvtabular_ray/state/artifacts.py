@@ -22,7 +22,16 @@ import pyarrow.parquet as pq
 from nvtabular_ray.dag import Node
 from nvtabular_ray.selector import ColumnSelector
 
-_TRANSIENT = {"_refs", "_mat", "_resolved", "_ss_cache", "_vocab_cache"}
+_TRANSIENT = {
+    "_refs",
+    "_mat",
+    "_resolved",
+    "_ss_cache",
+    "_vocab_cache",
+    # per-batch pandas memo caches: runtime-only, not JSON/parquet state
+    "_pd_cache",
+    "_combo_pd_cache",
+}
 
 FORMAT_VERSION = 1
 
@@ -120,6 +129,13 @@ def save_workflow(workflow, path: str) -> None:
                 list(g) if isinstance(g, tuple) else g for g in n.selector.grouped_names
             ]
         if n.op is not None:
+            # a transform over a Ray Dataset swaps >1MiB fitted tables for
+            # ObjectRefs (prepare_broadcast: table slot -> None, ref in the
+            # transient _refs) — restore them first or the save silently
+            # persists None where the vocab/stat table was
+            resolve = getattr(n.op, "resolve_broadcast", None)
+            if callable(resolve):
+                resolve()
             cls = type(n.op)
             config = {
                 k: _encode_value(v, art_dir, f"{i}.{k}")

@@ -28,7 +28,7 @@ from typing import Optional
 
 import pyarrow as pa
 
-from nvtabular_ray.arrow_utils import hstack
+from nvtabular_ray.arrow_utils import dataset_arrow_schema, hstack
 from nvtabular_ray.dag import Node
 from nvtabular_ray.ops.base import Operator, StatOperator
 from nvtabular_ray.selector import ColumnSelector
@@ -416,7 +416,7 @@ class Workflow:
         produced batch against this (reference dtype propagation + fail-fast,
         workflow.py:125-139)."""
         if hasattr(input_schema, "schema"):  # Dataset
-            s = input_schema.schema(fetch_if_missing=True)
+            s = dataset_arrow_schema(input_schema)
             root = dict(zip(s.names, s.types))
         elif isinstance(input_schema, pa.Schema):
             root = {f.name: f.type for f in input_schema}
@@ -656,5 +656,5 @@ def _detached(node: Node) -> Node:
 
 
 def _existing_columns(ds) -> list[str]:
-    schema = ds.schema(fetch_if_missing=True)
+    schema = dataset_arrow_schema(ds)
     return list(schema.names)

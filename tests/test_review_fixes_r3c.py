@@ -1,0 +1,141 @@
+"""Third round-3 review batch (ops core / workflow / save-load), each
+repro-confirmed before fixing:
+
+1. save_workflow restores broadcast-swapped state (a transform over a Ray
+   Dataset swaps >1MiB tables for ObjectRefs; saving then persisted None).
+2. The per-batch pandas memo caches are transient — saving after a serving
+   call no longer tries to JSON-encode a DataFrame.
+3. JoinGroupby serving survives unseen categories (NaN-padded int stat
+   columns crashed pandas astype; now null, matching the distributed path).
+4. map_list_values keeps NULL list rows null (from_arrays without a mask
+   silently returned EMPTY lists).
+5. Categorify dtype override casts list codes element-wise (list_(dtype)).
+6. The disk vocab cache is keyed by (path, mtime, size) — a refit that
+   rewrites the same path is picked up, not served stale.
+7. TargetEncoding(drop_folds=False) emits the fold column for label-free
+   serving traffic (fold derives from fold_on alone).
+8. Groupby sum of an all-null group is 0.0 on the algebraic fast path too
+   (pandas min_count=0 parity with the bucketed/serving paths).
+9. JoinExternal raises on duplicate external join keys unless
+   drop_duplicates_ext (a dup key silently multiplied left rows).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from nvtabular_ray import Workflow, ops
+from nvtabular_ray.state.artifacts import load_workflow, save_workflow
+
+
+def test_save_after_broadcast_transform_roundtrips(ray_session, tmp_path):
+    rng = np.random.RandomState(0)
+    n = 60000
+    df = pd.DataFrame({"cat": [f"val_{i:06d}" for i in rng.randint(0, 50000, n)]})
+    ds = rd.from_pandas(df)
+    wf = Workflow(["cat"] >> ops.Categorify())
+    wf.fit(ds).transform(ds).count()  # >1MiB vocab -> prepare_broadcast ran
+    save_workflow(wf, str(tmp_path))
+    wf2 = load_workflow(str(tmp_path))
+    probe = pa.table({"cat": ["val_000001", "never_seen"]})
+    a = wf.transform(probe).column("cat").to_pylist()
+    b = wf2.transform(probe).column("cat").to_pylist()
+    assert a == b
+
+
+def test_save_after_serving_with_pd_cache(ray_session, tmp_path):
+    ext = pa.table({"k": ["a", "b"], "v": [1.0, 2.0]})
+    wf = Workflow(["k"] >> ops.JoinExternal(ext, on="k"))
+    wf.fit(rd.from_arrow(pa.table({"k": ["a", "b", "a"]})))
+    wf.transform(pa.table({"k": ["a", "zzz"]}))  # populates _pd_cache
+    save_workflow(wf, str(tmp_path))  # must not JSON-encode a DataFrame
+    wf2 = load_workflow(str(tmp_path))
+    out = wf2.transform(pa.table({"k": ["b"]}))
+    assert out.column("v").to_pylist() == [2.0]
+
+
+def test_join_groupby_unseen_category_null_not_crash(ray_session):
+    df = pd.DataFrame({"cat": ["a", "b", "a"], "y": [1.0, 2.0, 3.0]})
+    wf = Workflow(["cat"] >> ops.JoinGroupby(cont_cols=["y"], stats=["count", "mean"]))
+    wf.fit(rd.from_pandas(df))
+    out = wf.transform(pa.table({"cat": ["a", "c"], "y": [0.0, 0.0]})).to_pandas()
+    assert out["cat_count"].iloc[0] == 2
+    assert np.isnan(out["cat_count"].iloc[1])  # unseen -> null, not a crash
+
+
+def test_map_list_values_preserves_null_rows():
+    from nvtabular_ray.arrow_utils import map_list_values
+
+    a = pa.array([[1, 2], None, [3]], pa.list_(pa.int64()))
+    out = map_list_values(a, lambda v: v)
+    assert out.null_count == 1 and out[1].as_py() is None
+
+
+def test_categorify_vocab_null_list_row_stays_null(ray_session):
+    op = ops.Categorify(vocabs={"tags": ["a", "b"]})
+    wf = Workflow(["tags"] >> op)
+    t = pa.table({"tags": pa.array([["a"], None], pa.list_(pa.string()))})
+    out = wf.transform(t)
+    assert out.column("tags").to_pylist() == [[3], None]
+
+
+def test_categorify_dtype_override_list_column(ray_session):
+    op = ops.Categorify(vocabs={"tags": ["a", "b"]}, dtype="int32")
+    wf = Workflow(["tags"] >> op)
+    t = pa.table({"tags": pa.array([["a", "b"], ["b"]], pa.list_(pa.string()))})
+    out = wf.transform(t)
+    assert out.schema.field("tags").type == pa.list_(pa.int32())
+    assert out.column("tags").to_pylist() == [[3, 4], [4]]
+
+
+def test_disk_vocab_cache_invalidates_on_rewrite(tmp_path):
+    import pyarrow.parquet as pq
+
+    from nvtabular_ray.ops.categorify import _disk_cache_read
+
+    p = str(tmp_path / "cache.col.parquet")
+    pq.write_table(pa.table({"value": ["old"]}), p)
+    assert _disk_cache_read(p).column("value").to_pylist() == ["old"]
+    import os
+    import time
+
+    time.sleep(0.01)
+    pq.write_table(pa.table({"value": ["new", "newer"]}), p)
+    os.utime(p)  # force a distinct mtime even on coarse filesystems
+    assert _disk_cache_read(p).column("value").to_pylist() == ["new", "newer"]
+
+
+def test_target_encoding_fold_column_without_target(ray_session):
+    df = pd.DataFrame({
+        "cat": ["a", "b", "a", "b"], "id": [1, 2, 3, 4], "y": [0.0, 1.0, 1.0, 0.0],
+    })
+    op = ops.TargetEncoding(target="y", kfold=2, fold_on=["id"], drop_folds=False)
+    wf = Workflow(["cat"] >> op)
+    wf.fit(rd.from_pandas(df))
+    # inference traffic: no target column
+    out = wf.transform(pa.table({"cat": ["a"], "id": pa.array([1], pa.int64())}))
+    assert "__fold__" in out.column_names or any("fold" in c for c in out.column_names)
+
+
+def test_groupby_all_null_sum_zero_both_paths(ray_session):
+    # build in arrow: Ray's pandas->arrow conversion turns an all-NaN
+    # float64 column into arrow type `null`, which is a different bug class
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a"], "x": pa.array([None, None], pa.float64()),
+    }))
+    fast = Workflow(["k", "x"] >> ops.Groupby("k", aggs={"x": ["sum"]}))
+    slow = Workflow(["k", "x"] >> ops.Groupby("k", aggs={"x": ["sum", "median"]}))
+    a = fast.fit_transform(ds).to_pandas()
+    b = slow.fit_transform(ds).to_pandas()
+    assert a["x_sum"].iloc[0] == 0.0 == b["x_sum"].iloc[0]
+
+
+def test_join_external_duplicate_ext_keys_raise():
+    ext = pa.table({"k": ["a", "a"], "v": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="duplicate"):
+        ops.JoinExternal(ext, on="k", how="left")
+    # semi/anti and drop_duplicates_ext stay permissive
+    ops.JoinExternal(ext, on="k", how="semi")
+    ops.JoinExternal(ext, on="k", how="left", drop_duplicates_ext=True)
