@@ -41,9 +41,13 @@ def _pad_list_column(arr: pa.Array, max_len: int) -> np.ndarray:
     (reference sparse_max truncation keeps the tail of the sequence)."""
     arr = as_single_chunk(arr)
     off = np.asarray(arr.offsets, dtype=np.int64)
-    off = off - off[0]
     lens = np.diff(off)
-    flat = np.asarray(arr.flatten().to_numpy(zero_copy_only=False), dtype=np.int64)
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        lens = np.where(valid, lens, 0)  # null rows pad fully
+    # index into the RAW child (arr.values) with the raw offsets — flatten()
+    # compacts away null/sliced ranges and would desync the offset math
+    flat = np.asarray(arr.values.to_numpy(zero_copy_only=False), dtype=np.int64)
     n = len(lens)
     out = np.zeros((n, max_len), dtype=np.int64)
     keep = np.minimum(lens, max_len)
@@ -109,8 +113,10 @@ class TrainLoader:
         self.framework = framework
         self._epoch = 0
 
-        schema = ds.schema(fetch_if_missing=True)
-        types = dict(zip(schema.names, schema.types))
+        from nvtabular_ray.arrow_utils import dataset_arrow_schema
+
+        schema = dataset_arrow_schema(ds)
+        types = {f.name: f.type for f in schema}
         self._list_cats = [
             c for c in self.cats
             if isinstance(types.get(c), pa.DataType) and is_list_type(types[c])

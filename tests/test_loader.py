@@ -94,3 +94,11 @@ def test_truncation_keeps_tail(ray_session):
                          batch_size=2, sparse_max={"tags": 3})
     (b,) = list(loader)
     np.testing.assert_array_equal(b["tags"], [[4, 5, 6], [7, 0, 0]])
+
+
+def test_pad_list_column_null_and_sliced_rows(ray_session):
+    from nvtabular_ray.loader import _pad_list_column
+
+    a = pa.array([[2, 3], None, [4, 5, 6, 7], [8]], pa.list_(pa.int64()))
+    out = _pad_list_column(a.slice(1), 2)  # sliced: starts at the null row
+    np.testing.assert_array_equal(out, [[0, 0], [6, 7], [8, 0]])
