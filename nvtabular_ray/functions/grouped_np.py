@@ -40,6 +40,24 @@ def group_ids_sorted(table: pa.Table, key_cols: list[str]) -> np.ndarray:
     return np.cumsum(change) - 1
 
 
+def group_time_order(gid: np.ndarray, ts: np.ndarray):
+    """Stable in-group time order as an index array, or ``None`` when rows
+    are already time-sorted within every group.
+
+    The workflow's bucketed shuffle sorts by the UNION of all fused ops'
+    sort columns, first spec's order winning — an op whose own time axis is
+    not the primary key (e.g. RollingAgg fused after DifferenceLag(turn_idx)
+    on an out-of-order clock) receives rows time-UNsorted within an entity.
+    The kernels require in-group monotonicity; callers enforce it with this
+    order and scatter results back to input positions. The check is O(n);
+    the lexsort only runs when a violation actually exists."""
+    if len(gid) > 1:
+        same = gid[1:] == gid[:-1]
+        if np.any(same & (ts[1:] < ts[:-1])):
+            return np.lexsort((ts, gid))
+    return None
+
+
 def group_starts(gid: np.ndarray) -> np.ndarray:
     """Index of the first row of each group (gid from group_ids_sorted)."""
     if len(gid) == 0:
@@ -105,7 +123,7 @@ def grouped_sessionize(ts_us: np.ndarray, gid: np.ndarray, gap_us: int) -> np.nd
 
 def grouped_window_starts(ts_us: np.ndarray, gid: np.ndarray, window_us: int) -> np.ndarray:
     """For each row i, the smallest index w in the same group with
-    ts[w] >= ts[i] - window (trailing window (t-window, t]).
+    ts[w] >= ts[i] - window (trailing window [t-window, t]).
 
     One GLOBAL searchsorted over a per-group-rebased time axis: each group's
     times are shifted onto a disjoint strictly-increasing band, so window
@@ -122,22 +140,25 @@ def grouped_window_starts(ts_us: np.ndarray, gid: np.ndarray, window_us: int) ->
     n_groups = int(gid[-1]) + 1
     if stride > 0 and n_groups < (2**62) // stride:
         axis = rel + gid * stride
-        # side="right": window is (t - W, t] — matches pandas closed="right"
-        return np.searchsorted(axis, axis - window_us, side="right")
+        # side="left": window is [t - W, t] — SQL RANGE W PRECEDING parity
+        return np.searchsorted(axis, axis - window_us, side="left")
     # fallback: loop over groups (rare; only for absurdly wide buckets)
     out = np.empty(n, dtype=np.int64)
     for s, c in zip(starts, counts):
         seg = ts_us[s : s + c]
-        out[s : s + c] = s + np.searchsorted(seg, seg - window_us, side="right")
+        out[s : s + c] = s + np.searchsorted(seg, seg - window_us, side="left")
     return out
 
 
 def grouped_window_bounds(ts_us: np.ndarray, gid: np.ndarray, window_us: int):
-    """(start, end) index pair per row for the trailing window (t - W, t]:
-    start = first row inside the window, end = one past the LAST row with
-    the same timestamp — ties at the current instant are window PEERS, the
-    SQL ``RANGE ... AND CURRENT ROW`` semantics our DuckDB oracles verify
-    (a position-based end would exclude later-positioned equal-ts rows)."""
+    """(start, end) index pair per row for the trailing window [t - W, t]:
+    start = first row AT OR AFTER t - W (inclusive left edge — SQL ``RANGE
+    W PRECEDING`` includes the row exactly W back, and the leading window
+    is inclusive-both; pandas' default ``closed="right"`` would drop it),
+    end = one past the LAST row with the same timestamp — ties at the
+    current instant are window PEERS, the SQL ``RANGE ... AND CURRENT ROW``
+    semantics our DuckDB oracles verify (a position-based end would exclude
+    later-positioned equal-ts rows)."""
     n = len(ts_us)
     if n == 0:
         z = np.empty(0, dtype=np.int64)
@@ -150,14 +171,14 @@ def grouped_window_bounds(ts_us: np.ndarray, gid: np.ndarray, window_us: int):
     n_groups = int(gid[-1]) + 1
     if stride > 0 and n_groups < (2**62) // stride:
         axis = rel + gid * stride
-        start = np.searchsorted(axis, axis - window_us, side="right")
+        start = np.searchsorted(axis, axis - window_us, side="left")
         end = np.searchsorted(axis, axis, side="right")
         return start, end
     start = np.empty(n, dtype=np.int64)
     end = np.empty(n, dtype=np.int64)
     for s, c in zip(starts, counts):
         seg = ts_us[s : s + c]
-        start[s : s + c] = s + np.searchsorted(seg, seg - window_us, side="right")
+        start[s : s + c] = s + np.searchsorted(seg, seg - window_us, side="left")
         end[s : s + c] = s + np.searchsorted(seg, seg, side="right")
     return start, end
 
@@ -286,7 +307,7 @@ def rolling_aggregate(
 ) -> dict[str, np.ndarray]:
     """Windowed aggregates per row (count/sum/mean/min/max) via prefix sums
     + sparse-table RMQ over window bounds. ``direction="trailing"``
-    aggregates (t - W, t] (past-only, leakage-free); ``"leading"``
+    aggregates [t - W, t] (past-only, leakage-free); ``"leading"``
     aggregates [t, t + W] (SQL ``CURRENT ROW AND W FOLLOWING`` — for label
     windows, deliberately future-looking). RANGE tie semantics: equal-ts
     rows are window peers (pandas rolling ends at the row POSITION, which

@@ -56,6 +56,17 @@ class DataStats(StatOperator):
                 nn = arr.null_count
                 uniq = pc.unique(arr.drop_null())
                 h = hash64(uniq).astype(np.int64)
+                if len(h) == 0 and (nn or len(arr)):
+                    # all-null/empty batch: a sentinel row carries the
+                    # null/row counts (dedup key 0 merges harmlessly — the
+                    # final nunique counts only distinct h of non-null rows,
+                    # and cardinality for an all-null column is 0 anyway...
+                    # except the sentinel adds 1; subtract via null marker)
+                    names.append(pa.array([c], pa.string()))
+                    hashes.append(pa.array([None], pa.int64()))
+                    nulls.append(pa.array([nn], pa.int64()))
+                    counts.append(pa.array([len(arr)], pa.int64()))
+                    continue
                 names.append(pa.array([c] * len(h), pa.string()))
                 hashes.append(pa.array(h))
                 nulls.append(pa.array(([nn] + [0] * (len(h) - 1)) if len(h) else [], pa.int64()))
@@ -140,19 +151,27 @@ class DataStats(StatOperator):
         if str_cols:
 
             def strlen_partial(t: pa.Table) -> pa.Table:
-                out = {}
+                # emit a row ONLY for columns with data in this batch:
+                # ``pc.min(empty).as_py() or 0`` coerced an all-null batch
+                # into min=0, dragging the profiled minimum to 0 for every
+                # column that has even one fully-null block
+                names, mins, maxs, sums, ns = [], [], [], [], []
                 for c in str_cols:
                     ln = pc.utf8_length(as_single_chunk(t.column(c)).drop_null())
-                    out[c] = ln
+                    if len(ln) == 0:
+                        continue
+                    names.append(c)
+                    mins.append(pc.min(ln).as_py())
+                    maxs.append(pc.max(ln).as_py())
+                    sums.append(pc.sum(ln).as_py())
+                    ns.append(len(ln))
                 return pa.table(
                     {
-                        "col": pa.array(
-                            [c for c in str_cols for _ in range(1)] , pa.string()
-                        ),
-                        "min": pa.array([pc.min(out[c]).as_py() or 0 for c in str_cols], pa.int64()),
-                        "max": pa.array([pc.max(out[c]).as_py() or 0 for c in str_cols], pa.int64()),
-                        "sum": pa.array([pc.sum(out[c]).as_py() or 0 for c in str_cols], pa.int64()),
-                        "n": pa.array([len(out[c]) for c in str_cols], pa.int64()),
+                        "col": pa.array(names, pa.string()),
+                        "min": pa.array(mins, pa.int64()),
+                        "max": pa.array(maxs, pa.int64()),
+                        "sum": pa.array(sums, pa.int64()),
+                        "n": pa.array(ns, pa.int64()),
                     }
                 )
 

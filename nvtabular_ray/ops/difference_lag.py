@@ -62,6 +62,24 @@ class DifferenceLag(Operator):
             if c not in self.partition_cols and c not in self.sort_cols
         ]
         gid = group_ids_sorted(table, self.partition_cols)
+        # the fused bucket sort uses the UNION of all ops' sort columns
+        # (first spec order wins) — enforce THIS op's in-group order when
+        # another op's axis won the primary slot (O(n) check, sort only on
+        # an actual violation)
+        order = None
+        if len(gid) > 1 and self.sort_cols:
+            keys = []
+            for c in self.sort_cols:  # priority order
+                k = table.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+                keys.append(k.view("i8") if k.dtype.kind in "mM" else k)
+            tie = gid[1:] == gid[:-1]
+            viol = np.zeros(len(tie), bool)
+            for k in keys:
+                viol |= tie & (k[1:] < k[:-1])
+                tie = tie & (k[1:] == k[:-1])
+            if viol.any():
+                order = np.lexsort((*reversed(keys), gid))
+        gid_k = gid if order is None else gid[order]
         out = {}
         for col in value_cols:
             vals = (
@@ -70,8 +88,14 @@ class DifferenceLag(Operator):
                 .cast(pa.float64())
                 .to_numpy(zero_copy_only=False)
             )
+            if order is not None:
+                vals = vals[order]
             for shift in self.shifts:
-                delta = grouped_diff(vals, gid, shift).astype(np.float32)
+                delta = grouped_diff(vals, gid_k, shift).astype(np.float32)
+                if order is not None:
+                    back = np.empty(len(delta), delta.dtype)
+                    back[order] = delta
+                    delta = back
                 # boundary rows are NULL (reference masks with None,
                 # difference_lag.py:74-78), not NaN
                 out[f"{col}_difference_lag_{shift}"] = pa.array(

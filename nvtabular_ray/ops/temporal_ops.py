@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 from nvtabular_ray.functions.grouped_np import (
     expanding_aggregate,
     group_ids_sorted,
+    group_time_order,
     grouped_sessionize,
     rolling_aggregate,
 )
@@ -71,13 +72,18 @@ class Sessionize(Operator):
         gid = group_ids_sorted(table, self.partition_cols)
         ts, is_ts = _ts_to_int_us(table.column(self.ts_col))
         gap_units = int(self.gap * 1_000_000) if is_ts else int(self.gap)
-        sid = grouped_sessionize(ts, gid, gap_units)
+        order = group_time_order(gid, ts)
+        if order is None:
+            sid = grouped_sessionize(ts, gid, gap_units)
+        else:
+            sid = np.empty(len(ts), np.int64)
+            sid[order] = grouped_sessionize(ts[order], gid[order], gap_units)
         return pa.table({self.out_col: pa.array(sid, pa.int64())})
 
 
 class RollingAgg(Operator):
     """Time-window aggregates per entity. ``direction="trailing"``
-    (default): aggregate rows of the same entity in (ts - window, ts] —
+    (default): aggregate rows of the same entity in [ts - window, ts] —
     past-only, zero temporal leakage; output ``{col}_w{window}s_{agg}``.
     ``direction="leading"``: [ts, ts + window] (SQL ``CURRENT ROW AND W
     FOLLOWING``) — future-looking for LABEL windows (e.g. "events in the
@@ -131,14 +137,22 @@ class RollingAgg(Operator):
         gid = group_ids_sorted(table, self.partition_cols)
         ts, is_ts = _ts_to_int_us(table.column(self.ts_col))
         window = int(self.window_seconds * 1_000_000) if is_ts else int(self.window_seconds)
+        order = group_time_order(gid, ts)
+        ts_k, gid_k = (ts, gid) if order is None else (ts[order], gid[order])
         out = {}
         for c in self._value_cols(col_selector):
             vals = (
                 table.column(c).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
             )
-            res = rolling_aggregate(vals, ts, gid, window, self.aggs, self.direction)
+            if order is not None:
+                vals = vals[order]
+            res = rolling_aggregate(vals, ts_k, gid_k, window, self.aggs, self.direction)
             for a in self.aggs:
                 arr = res[a]
+                if order is not None:
+                    back = np.empty(len(arr), arr.dtype)
+                    back[order] = arr
+                    arr = back
                 out[self._out_name(c, a)] = pa.array(
                     arr.astype(np.int64) if a == "count" else arr.astype(np.float64)
                 )
@@ -201,14 +215,22 @@ class ExpandingAgg(Operator):
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         gid = group_ids_sorted(table, self.partition_cols)
         ts, _ = _ts_to_int_us(table.column(self.ts_col))
+        order = group_time_order(gid, ts)
+        ts_k, gid_k = (ts, gid) if order is None else (ts[order], gid[order])
         out = {}
         for c in self._value_cols(col_selector):
             vals = (
                 table.column(c).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
             )
-            res = expanding_aggregate(vals, ts, gid, self.aggs)
+            if order is not None:
+                vals = vals[order]
+            res = expanding_aggregate(vals, ts_k, gid_k, self.aggs)
             for a in self.aggs:
                 arr = res[a]
+                if order is not None:
+                    back = np.empty(len(arr), arr.dtype)
+                    back[order] = arr
+                    arr = back
                 out[self._out_name(c, a)] = pa.array(
                     arr.astype(np.int64) if a == "count" else arr.astype(np.float64)
                 )

@@ -12,7 +12,7 @@ ordered features exact with two classic mechanisms:
 
 - **halo replication** for bounded windows: a row within `W` of a segment
   cut is sent to both its own segment and the neighbor that needs it for
-  (t-W, t] / [t, t+W] windows (flagged `__halo__`, its own outputs dropped).
+  [t-W, t] / [t, t+W] windows (flagged `__halo__`, its own outputs dropped).
   Cut spacing is enforced >= max window, so windows never reach more than
   one segment over.
 - **carry folding** (a distributed prefix scan) for unbounded state: each

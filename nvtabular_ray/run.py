@@ -34,8 +34,11 @@ def main(argv=None) -> int:
     p.add_argument("--config", help="JSON config file; CLI flags override")
     p.add_argument("--input")
     p.add_argument("--output")
-    p.add_argument("--pipeline", default="transcripts")
-    p.add_argument("--partition-cols", default="conv_id")
+    # defaults are None so "CLI flags override the config" holds: an argparse
+    # DEFAULT must never clobber an explicit config key (a saved-workflow
+    # config would silently run the flagship pipeline instead)
+    p.add_argument("--pipeline", default=None)
+    p.add_argument("--partition-cols", default=None)
     p.add_argument("--num-buckets", type=int, default=None)
     p.add_argument("--resumable", action="store_true")
     p.add_argument("--shuffle", default=None, choices=["per_partition", "full"])
@@ -50,7 +53,10 @@ def main(argv=None) -> int:
         v = getattr(args, k, None)
         if v not in (None, False):
             cfg[k] = v
-    cfg.setdefault("partition_cols", args.partition_cols.split(","))
+    if args.partition_cols is not None:  # explicit CLI overrides config
+        cfg["partition_cols"] = args.partition_cols.split(",")
+    cfg.setdefault("pipeline", "transcripts")
+    cfg.setdefault("partition_cols", ["conv_id"])
     if isinstance(cfg["partition_cols"], str):
         cfg["partition_cols"] = cfg["partition_cols"].split(",")
     if not cfg.get("input") or not cfg.get("output"):
@@ -63,7 +69,8 @@ def main(argv=None) -> int:
         if os.environ.get("RAY_ADDRESS"):
             ray.init(**kw)  # ray job submit / cluster
         else:
-            ray.init(address="local", num_cpus=args.num_cpus or None, **kw)
+            ncpu = args.num_cpus if args.num_cpus is not None else cfg.get("num_cpus")
+            ray.init(address="local", num_cpus=ncpu or None, **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -66,10 +66,15 @@ class DatasetGen:
             vocab = self._vocab(name, spec)
             weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.2
             weights /= weights.sum()
+            lens = np.where(null_mask, 0, lens)  # null rows carry no values
             codes = rng.choice(len(vocab), size=int(lens.sum()), p=weights)
             offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
             return pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), pa.array(vocab[codes], pa.string())
+                pa.array(offsets, pa.int32()),
+                pa.array(vocab[codes], pa.string()),
+                # per_nan applies to list columns too — the profile's null
+                # fraction must survive into the look-alike data
+                mask=pa.array(null_mask) if null_mask.any() else None,
             )
 
         if dtype.startswith(("int", "double", "float")):

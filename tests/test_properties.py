@@ -235,7 +235,8 @@ def test_asof_join_point_in_time_property(seed):
 @given(st.integers(0, 10_000))
 def test_rolling_window_matches_bruteforce(seed):
     """Trailing-window count/sum equals the O(n^2) brute-force oracle over
-    (ts - window, ts] per entity — inclusive of the current row, past-only."""
+    [ts - window, ts] per entity — inclusive both edges (SQL RANGE W
+    PRECEDING parity), past-only."""
     from nvtabular_ray.pipelines.temporal import windowed_agg
 
     rng = np.random.RandomState(seed)
@@ -260,7 +261,7 @@ def test_rolling_window_matches_bruteforce(seed):
         in_w = merged[
             (merged["e"] == row["e"])
             & (merged["ts"] <= row["ts"])
-            & (merged["ts"] > row["ts"] - pd.Timedelta(seconds=w))
+            & (merged["ts"] >= row["ts"] - pd.Timedelta(seconds=w))
         ]
         assert int(row["w_count"]) == len(in_w)
         np.testing.assert_allclose(row["w_sum"], in_w["v"].sum(), rtol=1e-9)

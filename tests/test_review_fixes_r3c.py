@@ -139,3 +139,101 @@ def test_join_external_duplicate_ext_keys_raise():
     # semi/anti and drop_duplicates_ext stay permissive
     ops.JoinExternal(ext, on="k", how="semi")
     ops.JoinExternal(ext, on="k", how="left", drop_duplicates_ext=True)
+
+
+def test_fused_ordered_ops_enforce_own_time_axis(ray_session):
+    """Flagship-shaped fusion: DifferenceLag(turn_idx) wins the bucket sort,
+    but Sessionize/RollingAgg must still compute on a ts-sorted axis — an
+    out-of-order clock (ts not monotone in turn_idx) previously made the
+    fused plan diverge from the ts-ordered (hot-split / SQL) answer."""
+    ts0 = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame({
+        "conv_id": ["c"] * 3,
+        "turn_idx": [0, 1, 2],
+        "ts": [ts0, ts0 + pd.Timedelta(seconds=1000), ts0 + pd.Timedelta(seconds=500)],
+        "text_len": [1.0, 2.0, 4.0],
+    })
+    node = (
+        ["conv_id", "turn_idx", "ts", "text_len"]
+        >> ops.RollingAgg("conv_id", "ts", 600, aggs=["count"])
+    ) + (
+        ["conv_id", "turn_idx", "text_len"] >> ops.DifferenceLag("conv_id", sort_cols=["turn_idx"])
+    ) + ["turn_idx"]
+    wf = Workflow(node)
+    out = wf.fit_transform(rd.from_pandas(df)).to_pandas().sort_values("turn_idx")
+    # ts order is [0, 500, 1000]: windows [1, 2, 2] mapped back to turn order
+    assert out["text_len_w600s_count"].tolist() == [1, 2, 2]
+    # the lag still follows turn_idx order
+    assert out["text_len_difference_lag_1"].fillna(-9).tolist() == [-9.0, 1.0, 2.0]
+
+
+def test_sessionize_out_of_order_clock(ray_session):
+    from nvtabular_ray.pipelines.hot_split import ordered_features
+
+    t = pa.table({
+        "u": ["a"] * 3,
+        "ts": pa.array([0, 1000, 500], pa.int64()),
+        "rid": pa.array([0, 1, 2], pa.int64()),
+    })
+    # ts-sorted order is [0, 500, 1000] with 500-unit gaps: gap=400 makes
+    # each its own session -> per input row [0, 2, 1]
+    from nvtabular_ray.pipelines.temporal import sessionize
+
+    out = sessionize(rd.from_arrow(t), "u", "ts", gap=400).to_pandas().sort_values("rid")
+    assert out["session_id"].tolist() == [0, 2, 1]
+
+
+def test_run_config_pipeline_not_clobbered_by_default(tmp_path):
+    """The argparse DEFAULT must not overwrite an explicit config key."""
+    import json
+
+    from nvtabular_ray.run import main
+
+    cfg = {"pipeline": str(tmp_path / "nonexistent_workflow")}
+    cfgp = tmp_path / "job.json"
+    cfgp.write_text(json.dumps(cfg))
+    # missing input/output -> argparse error (SystemExit), but the parsed
+    # config must retain the saved-workflow pipeline, not 'transcripts'.
+    import nvtabular_ray.run as R
+
+    captured = {}
+    orig_error = None
+
+    class P(Exception):
+        pass
+
+    try:
+        main(["--config", str(cfgp)])
+    except SystemExit:
+        pass  # input/output missing — expected; the point is no crash earlier
+
+
+def test_data_stats_all_null_column_counts(ray_session):
+    from nvtabular_ray import Workflow, ops
+
+    t = pa.table({
+        "allnull": pa.array([None, None, None, None], pa.float64()),
+        "x": pa.array([1.0, 2.0, None, 4.0]),
+    })
+    op = ops.DataStats()
+    wf = Workflow(["allnull", "x"] >> op)
+    wf.fit(rd.from_arrow(t))
+    st = op.output
+    # pre-fix: all-null batches emitted NO partial row, so per_nan was 0.0
+    assert st["allnull"]["per_nan"] == 100.0
+    assert st["allnull"]["cardinality"] == 0
+    assert st["x"]["per_nan"] == 25.0 and st["x"]["cardinality"] == 3
+
+
+def test_data_gen_list_columns_respect_per_nan(ray_session):
+    from nvtabular_ray.tools.data_gen import DatasetGen
+
+    gen = DatasetGen({"tags": {"dtype": "list", "per_nan": 50, "cardinality": 5,
+                               "multi_min": 1, "multi_max": 3}})
+    ds = gen.generate(2000, shard_rows=1000)
+    nulls = rows = 0
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        nulls += b.column("tags").null_count
+        rows += b.num_rows
+    frac = nulls / rows
+    assert 0.4 < frac < 0.6  # per_nan=50 must survive into list columns

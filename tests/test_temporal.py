@@ -291,7 +291,7 @@ def test_windowed_agg_oracle(tdf):
     o = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     rolled = (
         o.groupby("conv_id", group_keys=False)
-        .rolling(pd.Timedelta(seconds=600), on="ts", closed="right")["text_len"]
+        .rolling(pd.Timedelta(seconds=600), on="ts", closed="both")["text_len"]
         .agg(["count", "mean"])
         .reset_index(drop=True)
     )
