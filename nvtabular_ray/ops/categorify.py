@@ -937,6 +937,30 @@ class Categorify(StatOperator):
             )
             pq.write_table(meta, os.path.join(self.out_path, f"meta.{name}.parquet"))
 
+    def lineage_metrics(self, out: pa.Table) -> dict:
+        """Per-partition OOV-rate counters for the resumable-run lineage
+        records (SURVEY §7.5): fraction of encoded values that landed in
+        the OOV range [OOV_OFFSET, OOV_OFFSET + num_oov)."""
+        metrics = {}
+        hi = OOV_OFFSET + self.num_oov
+        for name in self.vocab_tables or self.distributed_vocabs:
+            if name not in out.column_names:
+                continue
+            arr = as_single_chunk(out.column(name))
+            if is_list_type(arr.type):
+                arr = arr.flatten()
+            n = len(arr)
+            if not n:
+                continue
+            oov = pc.sum(
+                pc.and_(
+                    pc.greater_equal(arr, pa.scalar(OOV_OFFSET, arr.type)),
+                    pc.less(arr, pa.scalar(hi, arr.type)),
+                )
+            ).as_py() or 0
+            metrics[f"oov_rate_{name}"] = round(oov / n, 6)
+        return metrics
+
     def clear(self):
         super().clear()
         self.vocab_tables, self.null_counts, self._refs = {}, {}, {}

@@ -137,6 +137,7 @@ def resumable_transform(
     for n in workflow._op_nodes():
         n.op.prepare_broadcast()
     fn = _FusedTransform(workflow.output_node)
+    op_nodes = workflow._op_nodes()
 
     def write_bucket(body: pa.Table, bucket: int) -> pa.Table:
         t0 = time.perf_counter()
@@ -150,10 +151,22 @@ def resumable_transform(
             "file": fname,
             "rows_in": body.num_rows,
             "rows_out": out.num_rows,
+            "bytes_in": body.nbytes,
             "bytes": out.nbytes,
+            "null_cells_out": int(
+                sum(out.column(c).null_count for c in out.column_names)
+            ),
             "wall_ms": round((time.perf_counter() - t0) * 1000, 1),
             "op_chain_hash": chain_hash,
         }
+        # per-op counters (SURVEY §7.5: OOV rate etc.) via an optional hook
+        for _n in op_nodes:
+            hook = getattr(_n.op, "lineage_metrics", None)
+            if hook is not None:
+                try:
+                    lineage.update(hook(out))
+                except Exception:  # metrics must never fail the partition
+                    pass
         with open(os.path.join(out_dir, "_lineage", f"part-{bucket:05d}.json"), "w") as f:
             json.dump(lineage, f)
         return pa.table({"bucket": pa.array([bucket], pa.int32()), "rows_out": pa.array([out.num_rows], pa.int64())})

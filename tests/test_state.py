@@ -131,3 +131,38 @@ def test_save_load_text_ops(tmp_path):
     a = wf.transform(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = wf2.transform(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_lineage_records_carry_counters(tmp_path):
+    """SURVEY §7.5 counters: rows/bytes in+out, output null cells, and the
+    Categorify OOV rate per partition."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nvtabular_ray import Workflow, ops
+
+    df = pa.table({
+        "user": pa.array([f"u{i % 4}" for i in range(40)]),
+        "cat": pa.array((["a", "b"] * 19) + ["rare1", "rare2"]),
+        "x": pa.array(np.arange(40, dtype=np.float64)),
+    })
+    ds = rd.from_arrow(df)
+    wf = Workflow((["cat"] >> ops.Categorify(freq_threshold=5)) + ["user", "x"])
+    wf.fit(ds)
+    out_dir = str(tmp_path / "out")
+    wf.transform_resumable(ds, out_dir, ["user"], num_buckets=4)
+    recs = []
+    for f in os.listdir(os.path.join(out_dir, "_lineage")):
+        with open(os.path.join(out_dir, "_lineage", f)) as fh:
+            recs.append(json.load(fh))
+    assert recs
+    tot_in = sum(r["rows_in"] for r in recs)
+    assert tot_in == 40
+    for r in recs:
+        assert {"bytes_in", "bytes", "null_cells_out", "wall_ms"} <= set(r)
+    # the two sub-threshold categories hash into the OOV slot somewhere
+    assert sum(r.get("oov_rate_cat", 0) for r in recs) > 0
