@@ -57,7 +57,12 @@ class Node:
         other = Node.from_selection(other)
         return Node(parents=[self, other], kind="addition")
 
-    __radd__ = __add__
+    def __radd__(self, other) -> "Node":
+        # `['tag'] + node`: the LEFT operand's columns must come first —
+        # aliasing __add__ here reversed branch order, changing both output
+        # column order and which branch wins a duplicate-name dedup
+        other = Node.from_selection(other)
+        return Node(parents=[other, self], kind="addition")
 
     def __getitem__(self, cols) -> "Node":
         """Sub-select columns of this node's output (reference node slicing)."""
@@ -90,12 +95,26 @@ class Node:
             return self.selector.names
         if self.kind == "addition":
             out: list[str] = []
-            seen = set()
+            seen: dict[str, "Node"] = {}
             for p in self.parents:
                 for c in p.output_columns:
                     if c not in seen:
-                        seen.add(c)
+                        seen[c] = p
                         out.append(c)
+                    elif p.kind == "op" and seen[c].kind == "op":
+                        # two OP branches producing the same column: the
+                        # later one is silently discarded by the first-wins
+                        # dedup — that is a whole branch's computation lost
+                        import warnings
+
+                        warnings.warn(
+                            f"addition drops duplicate output column {c!r} "
+                            f"produced by {p.op.label}; {seen[c].op.label}'s "
+                            "result wins — rename one branch if both are "
+                            "wanted",
+                            UserWarning,
+                            stacklevel=2,
+                        )
             return out
         return self.op.output_column_names(self.input_selector)
 

@@ -105,6 +105,9 @@ def _stable_words(arr) -> "np.ndarray | None":
                 arr = arr.view(pa.int64()) if at.bit_width == 64 else arr.cast(pa.int64())
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                 return None
+        if pa.types.is_boolean(arr.type):
+            # fill_null(0) on a boolean array raises ArrowInvalid; widen first
+            arr = arr.cast(pa.int8())
         if arr.null_count:
             mask = np.asarray(pc.is_null(arr))
             arr = arr.fill_null(0)
@@ -150,22 +153,30 @@ def hash64_stable(values) -> np.ndarray:
 
 def hash64_columns_stable(table, columns: list[str]) -> np.ndarray:
     """Row-wise version-stable uint64 hash over several columns (see
-    ``hash64_stable``), order-sensitive. All-numeric column sets combine
-    per-column SplitMix64 words with the boost-style mixer
-    ``h ^= mix(c) + G + (h<<6) + (h>>2)``; anything else falls back to
-    pandas' multi-column SipHash mix."""
+    ``hash64_stable``), order-sensitive. Each column hashes INDEPENDENTLY
+    (SplitMix64 for numeric/bool/temporal, pandas SipHash for strings) and
+    the per-column hashes combine with the boost-style mixer
+    ``h ^= mix(c) + G + (h<<6) + (h>>2)``.
+
+    Never hash a multi-column pandas FRAME here: ``to_pandas()`` converts a
+    nullable int64 column to float64 only in batches that contain a null,
+    so identical rows would hash differently depending on batch composition
+    — silent re-bucketing of persisted folds/OOV codes."""
+    if not columns:
+        raise ValueError("hash64_columns_stable needs at least one column")
     if isinstance(table, pa.Table):
-        words = [_stable_words(table.column(c)) for c in columns]
-        if all(w is not None for w in words):
-            h = _splitmix64(words[0])
-            with np.errstate(over="ignore"):
-                for w in words[1:]:
-                    h = h ^ (_splitmix64(w) + _SM_G + (h << np.uint64(6)) + (h >> np.uint64(2)))
-            return h
-        df = table.select(columns).to_pandas()
-    else:
-        df = table[columns]
-    return pd.util.hash_pandas_object(df, index=False, hash_key=_HASH_KEY).to_numpy()
+        cols = [table.column(c) for c in columns]
+    else:  # pandas frame
+        cols = [pa.Array.from_pandas(table[c]) for c in columns]
+    hs = []
+    for c in cols:
+        w = _stable_words(c)
+        hs.append(_splitmix64(w) if w is not None else hash64_stable(c))
+    h = hs[0]
+    with np.errstate(over="ignore"):
+        for x in hs[1:]:
+            h = h ^ (x + _SM_G + (h << np.uint64(6)) + (h >> np.uint64(2)))
+    return h
 
 
 def md5_60(values) -> np.ndarray:

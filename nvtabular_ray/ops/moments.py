@@ -78,16 +78,19 @@ def column_moments(ds, cols: list[str]) -> dict[str, dict[str, float]]:
         s = float(row["sum"])
         sq = float(row["sumsq"])
         mean = s / n if n else float("nan")
-        # ddof=1 (reference moments.py:104: div = count - 1)
-        var = (sq - n * mean * mean) / (n - 1) if n > 1 else 0.0
-        var = max(var, 0.0)
+        # ddof=1 (reference moments.py:104: div = count - 1); n <= ddof has
+        # UNDEFINED variance — the reference yields NaN there, and 0.0 would
+        # make Normalize silently center-only a column with one observation
+        var = (sq - n * mean * mean) / (n - 1) if n > 1 else float("nan")
+        var = max(var, 0.0) if not math.isnan(var) else var
         out[row["col"]] = {
             "count": n,
             "sum": s,
             "mean": mean,
             "var": var,
-            "std": math.sqrt(var),
-            "min": float(row["min"]),
-            "max": float(row["max"]),
+            "std": math.sqrt(var) if not math.isnan(var) else var,
+            # all-null columns must not leak the min/max identity elements
+            "min": float(row["min"]) if n else float("nan"),
+            "max": float(row["max"]) if n else float("nan"),
         }
     return out

@@ -79,10 +79,24 @@ def write_parquet(
     if shuffle in (Shuffle.PER_PARTITION, Shuffle.PER_WORKER):
 
         def permute(t: pa.Table) -> pa.Table:
-            rng = np.random.default_rng([seed, t.num_rows])
+            # the seed must vary PER BATCH: [seed, num_rows] gave every
+            # same-sized block the identical permutation (uniform blocks —
+            # the normal case — all shared one row-order pattern). Salt
+            # with a cheap CONTENT hash of the batch head: deterministic
+            # across runs, distinct across (non-identical) blocks; a
+            # process counter would reset with each task's fresh pickle.
+            from nvtabular_ray.functions.hashing import hash64_columns
+
+            head = t.slice(0, min(t.num_rows, 64)).select(t.column_names[:1])
+            salt = int(np.bitwise_xor.reduce(hash64_columns(head, head.column_names)))
+            rng = np.random.default_rng([seed, t.num_rows, salt])
             return t.take(pa.array(rng.permutation(t.num_rows)))
 
-        ds = ds.map_batches(permute, batch_format="pyarrow", batch_size=None)
+        # PER_WORKER mixes rows ACROSS the blocks a task holds (the
+        # reference's stronger mode): coalesce up to 4M rows per batch
+        # before permuting; PER_PARTITION keeps block-local permutes.
+        bs = 4_000_000 if shuffle is Shuffle.PER_WORKER else None
+        ds = ds.map_batches(permute, batch_format="pyarrow", batch_size=bs)
     elif shuffle is Shuffle.FULL:
         ds = ds.random_shuffle(seed=seed)
     if out_files_per_proc:

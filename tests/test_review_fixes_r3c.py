@@ -237,3 +237,65 @@ def test_data_gen_list_columns_respect_per_nan(ray_session):
         rows += b.num_rows
     frac = nulls / rows
     assert 0.4 < frac < 0.6  # per_nan=50 must survive into list columns
+
+
+def test_stable_hash_batch_composition_invariant():
+    from nvtabular_ray.functions.hashing import hash64_columns_stable, hash64_stable
+
+    t1 = pa.table({"s": ["a", "b"], "i": pa.array([5, 7], pa.int64())})
+    t2 = pa.table({"s": ["a", "x"], "i": pa.array([5, None], pa.int64())})
+    # the same row must hash identically no matter which batch it rides in
+    # (a null elsewhere in the batch floated the int column via pandas)
+    assert hash64_columns_stable(t1, ["s", "i"])[0] == hash64_columns_stable(t2, ["s", "i"])[0]
+    # nullable bools hash instead of crashing; null != False
+    h = hash64_stable(pa.array([True, None, False]))
+    assert len(set(h.tolist())) == 3
+    with pytest.raises(ValueError):
+        hash64_columns_stable(t1, [])
+
+
+def test_write_shuffle_varies_per_block(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from nvtabular_ray.sources.io import Shuffle, write_parquet
+
+    t = pa.table({"v": pa.array(np.arange(64, dtype=np.int64))})
+    ds = rd.from_arrow(t).repartition(8)  # 8 uniform blocks
+    out = str(tmp_path / "o")
+    write_parquet(ds, out, shuffle=Shuffle.PER_PARTITION)
+    back = pq.read_table(out).column("v").to_numpy()
+    blocks = [np.sort(back[i:i + 8]) for i in range(0, 64, 8)]
+    rel = [np.argsort(np.argsort(back[i:i + 8])) for i in range(0, 64, 8)]
+    # every same-sized block previously got the IDENTICAL permutation
+    assert len({tuple(r) for r in rel}) > 1
+
+
+def test_moments_all_null_and_single_value():
+    import math
+
+    import ray.data as rdm
+
+    from nvtabular_ray.ops.moments import column_moments
+
+    t = pa.table({
+        "allnull": pa.array([None, None], pa.float64()),
+        "one": pa.array([5.0, None]),
+    })
+    m = column_moments(rdm.from_arrow(t), ["allnull", "one"])
+    assert math.isnan(m["allnull"]["min"]) and math.isnan(m["allnull"]["max"])
+    assert math.isnan(m["one"]["std"])  # ddof=1 variance of n=1 is undefined
+
+
+def test_radd_preserves_left_branch_order(ray_session):
+    node = ["tag"] + (["x"] >> ops.LogOp())
+    assert node.output_columns == ["tag", "x"]
+
+
+def test_addition_warns_on_duplicate_op_outputs():
+    import warnings
+
+    node = (["x"] >> ops.LogOp()) + (["x"] >> ops.Clip(min_value=0))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _ = node.output_columns
+    assert any("duplicate output column" in str(x.message) for x in w)
