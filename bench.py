@@ -148,7 +148,13 @@ def run_bench() -> dict:
             )
             if proc.returncode == 0:
                 try:
-                    result["queries"] = json.loads(proc.stdout.strip().splitlines()[-1])
+                    q = json.loads(proc.stdout.strip().splitlines()[-1])
+                    # full precision to a side file for analysis; 2 decimals
+                    # on the stdout line (see the size note in __main__)
+                    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                           "BENCH_QUERIES.json"), "w") as f:
+                        json.dump(q, f, indent=1)
+                    result["queries"] = {k: round(v, 2) for k, v in q.items()}
                     break
                 except (json.JSONDecodeError, IndexError):
                     continue
@@ -287,4 +293,9 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         run_scaling()
     else:
-        print(json.dumps(run_bench()))
+        # LAST stdout line, COMPACT: the driver parses a bounded tail of
+        # stdout — round 3's pretty-separated ~3.4 KB line overflowed the
+        # capture window and was recorded as "parsed": null. Compact
+        # separators + 2-decimal query timings keep this under ~2 KB.
+        print(json.dumps(run_bench(), separators=(",", ":")))
+        sys.stdout.flush()
