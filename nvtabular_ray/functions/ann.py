@@ -30,31 +30,45 @@ def _batch_cosine(t: pa.Table, qvec: np.ndarray, embedding_col: str) -> np.ndarr
 
 
 
+_MERGE_FANIN = 64
+
+
+def _combine_topk(tabs: list[pa.Table], k: int, id_col: str) -> pa.Table:
+    t = pa.concat_tables([t for t in tabs if t.num_rows], promote_options="default")
+    if t.num_rows == 0:
+        return pa.table({id_col: pa.array([]), "sim": pa.array([], pa.float64())})
+    sims = t.column("sim").to_numpy(zero_copy_only=False)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sims))[:k]
+    return pa.table({id_col: pa.array(ids[order]), "sim": pa.array(sims[order])})
+
+
 def _final_topk(partials, k: int, id_col: str):
-    """Reduce per-block k-row partials to the global top-k WITHOUT draining
-    one row-dict per block through the driver: a repartition+combine tree
-    step leaves k rows per partition (O(partitions), not O(blocks)), then a
-    vectorized driver merge over that bounded set."""
+    """Reduce per-block k-row partials to the global top-k WITHOUT a
+    shuffle: every block already holds <= k rows, so grab the block refs
+    and merge. Few blocks (the common case): one vectorized driver merge —
+    zero extra stages. Many blocks (wide clusters): a fan-in-64 tree of
+    tiny ray tasks keeps the driver's working set at O(fan-in * k) rows
+    while the leaves merge in parallel. Either way no repartition — r3's
+    repartition(8) was an all-to-all exchange over k-row tables and cost
+    the ANN trio ~1-1.5 s of fixed stage latency (VERDICT r3 §5)."""
+    import ray as _ray
     import ray.data as rd
 
-    def combine(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        sims = t.column("sim").to_numpy(zero_copy_only=False)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -sims))[:k]
-        return pa.table({id_col: pa.array(ids[order]), "sim": pa.array(sims[order])})
+    refs = list(partials.to_arrow_refs())
+    if len(refs) > _MERGE_FANIN:
+        # remote fn defined only on the deep path so the common few-block
+        # case never pays the one-time remote-function export
+        @_ray.remote(num_cpus=0.5)
+        def merge_topk(*tabs: pa.Table) -> pa.Table:
+            return _combine_topk(list(tabs), k, id_col)
 
-    reduced = partials.repartition(8).map_batches(
-        combine, batch_format="pyarrow", batch_size=None
-    )
-    tabs = [t for t in reduced.to_arrow_refs()]
-    import ray as _ray
-
-    tabs = [t for t in _ray.get(tabs) if t.num_rows]
-    if not tabs:
-        return rd.from_arrow(pa.table({id_col: pa.array([]), "sim": pa.array([])}))
-    return rd.from_arrow(combine(pa.concat_tables(tabs, promote_options="default")))
+        while len(refs) > _MERGE_FANIN:
+            refs = [
+                merge_topk.remote(*refs[i : i + _MERGE_FANIN])
+                for i in range(0, len(refs), _MERGE_FANIN)
+            ]
+    return rd.from_arrow(_combine_topk(_ray.get(refs), k, id_col))
 
 
 def brute_force_topk(ds, query_vec, k: int = 10, id_col: str = "vec_id", embedding_col: str = "embedding"):
