@@ -50,6 +50,9 @@ def exact_dedup(ds, key_cols: list[str], order_col: str):
         agg = srt.group_by(key_cols, use_threads=False).aggregate(
             [(c, "first") for c in others]
         )
+        # select by NAME before the positional rename: aggregate()'s key
+        # column position is pyarrow-version-dependent
+        agg = agg.select(key_cols + [f"{c}_first" for c in others])
         agg = agg.rename_columns(key_cols + others)
         return agg.select(t.column_names)
 
@@ -195,7 +198,8 @@ def minhash_lsh_dedup(
     # exchange 2: per-doc min over its band labels -> L1
     def doc_min(t: pa.Table) -> pa.Table:
         res = t.group_by([id_col], use_threads=False).aggregate([("label", "min")])
-        return res.rename_columns([id_col, "cluster_id"])
+        # name-based select: aggregate key position is version-dependent
+        return res.select([id_col, "label_min"]).rename_columns([id_col, "cluster_id"])
 
     result = bucketed_group_map(per_row, [id_col], [], doc_min, num_buckets=num_buckets)
 
@@ -387,7 +391,8 @@ def simhash_dedup(
 
     def doc_min(t: pa.Table) -> pa.Table:
         res = t.group_by([id_col], use_threads=False).aggregate([("label", "min")])
-        return res.rename_columns([id_col, "cluster_id"])
+        # name-based select: aggregate key position is version-dependent
+        return res.select([id_col, "label_min"]).rename_columns([id_col, "cluster_id"])
 
     return bucketed_group_map(labeled, [id_col], [], doc_min)
 
@@ -526,7 +531,8 @@ def ngram_jaccard_dedup(
 
     def doc_min(t: pa.Table) -> pa.Table:
         res = t.group_by([id_col], use_threads=False).aggregate([("label", "min")])
-        return res.rename_columns([id_col, "cluster_id"])
+        # name-based select: aggregate key position is version-dependent
+        return res.select([id_col, "label_min"]).rename_columns([id_col, "cluster_id"])
 
     return bucketed_group_map(labeled, [id_col], [], doc_min)
 

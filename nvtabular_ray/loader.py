@@ -31,6 +31,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from nvtabular_ray.arrow_utils import as_single_chunk, is_list_type
 
@@ -46,8 +47,14 @@ def _pad_list_column(arr: pa.Array, max_len: int) -> np.ndarray:
         valid = arr.is_valid().to_numpy(zero_copy_only=False)
         lens = np.where(valid, lens, 0)  # null rows pad fully
     # index into the RAW child (arr.values) with the raw offsets — flatten()
-    # compacts away null/sliced ranges and would desync the offset math
-    flat = np.asarray(arr.values.to_numpy(zero_copy_only=False), dtype=np.int64)
+    # compacts away null/sliced ranges and would desync the offset math.
+    # Null child ELEMENTS first become the reserved pad code: to_numpy on a
+    # nullable child yields float64 with NaN, and astype(int64) of NaN is
+    # undefined garbage silently fed into training batches
+    child = arr.values
+    if child.null_count:
+        child = pc.fill_null(child, 0)
+    flat = np.asarray(child.to_numpy(zero_copy_only=False), dtype=np.int64)
     n = len(lens)
     out = np.zeros((n, max_len), dtype=np.int64)
     keep = np.minimum(lens, max_len)

@@ -693,6 +693,14 @@ class Categorify(StatOperator):
                 uid = t.column("__uid__").to_numpy(zero_copy_only=False)
                 off = np.asarray(arr.offsets, dtype=np.int64)
                 lens = np.diff(off)
+                if arr.null_count:
+                    # a null list row may legally carry a nonzero offset
+                    # span; flatten() below SKIPS those child values, so
+                    # zero the row's len or every later (uid, pos) pairing
+                    # in this batch desyncs — and a null row must emit no
+                    # code rows at all (it reassembles as a NULL list)
+                    valid = ~pc.is_null(arr).to_numpy(zero_copy_only=False)
+                    lens = np.where(valid, lens, 0)
                 values = arr.flatten()
                 total = int(lens.sum())
                 starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
@@ -870,10 +878,20 @@ class Categorify(StatOperator):
                     + (np.repeat(gstarts[posm], row_lens) if total else np.empty(0, np.int64))
                 )
                 child = pa.array(code_s[gather] if total else np.empty(0, np.int64), pa.int64())
+                # NULL input rows emitted no code rows (see expand), which
+                # alone would reassemble as EMPTY lists; carry the source
+                # column's validity so null rows stay null (broadcast-path
+                # parity: map_list_values preserves nulls via mask=)
+                src = as_single_chunk(dtab.column(m["col"]))
+                mask = pc.is_null(src) if src.null_count else None
                 if m["use_large"]:
-                    lst = pa.LargeListArray.from_arrays(pa.array(out_off, pa.int64()), child)
+                    lst = pa.LargeListArray.from_arrays(
+                        pa.array(out_off, pa.int64()), child, mask=mask
+                    )
                 else:
-                    lst = pa.ListArray.from_arrays(pa.array(out_off, pa.int32()), child)
+                    lst = pa.ListArray.from_arrays(
+                        pa.array(out_off, pa.int32()), child, mask=mask
+                    )
                 out = out.append_column(m["dep"], lst)
             return out
 

@@ -164,11 +164,13 @@ def _hot_entity_counts(ds, key: str, threshold: int):
         res = t.select([key]).group_by([key], use_threads=False).aggregate(
             [(key, "count", pc.CountOptions(mode="all"))]
         )
-        return res.rename_columns([key, "n"])
+        # select by NAME before the positional rename: aggregate()'s key
+        # column position is pyarrow-version-dependent
+        return res.select([key, f"{key}_count"]).rename_columns([key, "n"])
 
     def per_bucket(t: pa.Table) -> pa.Table:
         res = t.group_by([key], use_threads=False).aggregate([("n", "sum")])
-        res = res.rename_columns([key, "n"])
+        res = res.select([key, "n_sum"]).rename_columns([key, "n"])
         return res.filter(pc.greater(res.column("n"), threshold))
 
     partials = ds.select_columns([key]).map_batches(

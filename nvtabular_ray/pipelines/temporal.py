@@ -604,8 +604,10 @@ def windowed_agg(
     target_seg_rows: int = 250_000,
 ):
     """Per-row window aggregates: for each row, aggregate ``value_col``
-    over the same entity's rows in (ts - window, ts] (``direction=
-    "trailing"``, default — past-only, zero leakage) or [ts, ts + window]
+    over the same entity's rows in [ts - window, ts] (``direction=
+    "trailing"``, default — inclusive-left, SQL ``RANGE W PRECEDING``
+    parity, past-only, zero leakage; pandas ``rolling(closed='right')``
+    uses (ts - window, ts] and will differ on boundary rows) or [ts, ts + window]
     (``"leading"`` — SQL ``CURRENT ROW AND W FOLLOWING``, for label
     windows). Output columns ``{prefix}{agg}`` appended to the input row.
     ``hot_threshold``: optional skew guard (see ``sessionize``).

@@ -281,3 +281,48 @@ def test_distributed_mixed_scalar_and_list_single_assembly():
     b = mem.fit(ds).transform(ds).to_pandas().sort_values("rid").reset_index(drop=True)
     assert a["kind"].tolist() == b["kind"].tolist()
     assert [list(x) for x in a["tags"]] == [list(x) for x in b["tags"]]
+
+
+def test_distributed_list_column_null_rows_stay_null():
+    """ADVICE r3: a NULL list row must reassemble as a NULL list (broadcast
+    parity), not an empty list — including the legal Arrow layout where the
+    null row's offsets span nonzero child values (flatten() skips them, so
+    the expand stage must zero that row's length or uid/value pairing
+    desyncs for the rest of the batch)."""
+    import pyarrow as pa
+
+    # null row WITH a nonzero offset span: build buffers by hand
+    values = pa.array(["a", "b", "ghost", "c", "d"], pa.string())
+    offsets = pa.array([0, 2, 3, 5], pa.int32())  # row1 spans ["ghost"]
+    validity = pa.array([True, False, True])
+    lst = pa.Array.from_buffers(
+        pa.list_(pa.string()),
+        3,
+        [validity.buffers()[1], offsets.buffers()[1]],
+        children=[values],
+    )
+    assert lst.null_count == 1 and not lst[1].is_valid
+    tab = pa.table(
+        {
+            "tokens": lst,
+            "rid": pa.array([0, 1, 2], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(2)
+
+    def rows(wf):
+        import ray
+
+        out = wf.fit(ds).transform(ds)
+        t = pa.concat_tables(
+            [x for x in ray.get(out.to_arrow_refs()) if x.num_rows],
+            promote_options="default",
+        )
+        d = {r: v for r, v in zip(t.column("rid").to_pylist(), t.column("tokens").to_pylist())}
+        return [d[r] for r in sorted(d)]
+
+    a = rows(Workflow((["tokens"] >> ops.Categorify()) + ["rid"]))
+    b = rows(Workflow((["tokens"] >> ops.Categorify(distributed=True)) + ["rid"]))
+    # row 1 is NULL on both paths (not []); rows 0/2 carry the same codes
+    assert a[1] is None and b[1] is None
+    assert a == b and a[0] and a[2]

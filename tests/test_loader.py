@@ -102,3 +102,14 @@ def test_pad_list_column_null_and_sliced_rows(ray_session):
     a = pa.array([[2, 3], None, [4, 5, 6, 7], [8]], pa.list_(pa.int64()))
     out = _pad_list_column(a.slice(1), 2)  # sliced: starts at the null row
     np.testing.assert_array_equal(out, [[0, 0], [6, 7], [8, 0]])
+
+
+def test_pad_list_column_null_child_elements(ray_session):
+    """ADVICE r3: null ELEMENTS inside a list row must become the reserved
+    pad code 0, not int64-cast NaN garbage (to_numpy of a nullable child
+    yields float64 + NaN)."""
+    from nvtabular_ray.loader import _pad_list_column
+
+    a = pa.array([[2, None], [None], [4, 5, None, 7]], pa.list_(pa.int64()))
+    out = _pad_list_column(a, 3)
+    np.testing.assert_array_equal(out, [[2, 0, 0], [0, 0, 0], [5, 0, 7]])
