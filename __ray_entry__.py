@@ -1193,79 +1193,80 @@ def _q_ann_ivf(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-query correctness window covers every
-    operator that has not yet earned a green CORRECTNESS row: the 14 queries
-    the r2 driver never evaluated come first, then the two r2 hash-failures
-    (now fixed: the int->float dtype drift in MinHash label propagation),
-    then pack_sequences (new SQL-checkable invariant output) and the nine
-    round-3 additions; long-green basics from r1/r2 fill the remainder, and
-    ops unchanged since their green r2 row sit past the window (those rows
-    stand)."""
+    query whose code changed THIS round (no query's latest green row may
+    predate the last edit to the code it exercises): round 4 changed the
+    float-oracle rounding idiom (every _round6i/_mean_cmp6 query), the
+    expanding-sum kernel, the ANN top-k reduce, chunk_documents' copy
+    path, distributed-Categorify null-list handling, and the dedup/
+    hot-split group_by renames — plus the new `rename` query and the two
+    ANN variants whose last green row was round 2. Long-green queries
+    over untouched code sit past the window (those rows stand)."""
     return {
-        # --- new in round 4 (must be inside the driver's 50-row window) ---
+        # --- round-4 changed code: must be inside the 50-row window ------
         "rename": _q_rename,
-        # --- never driver-checked before round 3 -------------------------
-        "ngram_dedup": _q_ngram_dedup,
-        "multimodal_meta": _q_multimodal_meta,
+        "expanding_agg": _q_expanding_agg,
+        "rolling_mean": _q_rolling_mean,
+        "hot_split_features": _q_hot_split_features,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "ann_lsh": _q_ann_lsh,
+        "chunk_documents": _q_chunk_documents,
+        "normalize": _q_normalize,
+        "minmax_logclip": _q_minmax_logclip,
+        "fillmedian": _q_fillmedian,
+        "target_encode": _q_target_encode,
+        "join_groupby": _q_join_groupby,
+        "column_similarity": _q_column_similarity,
+        "quality_score": _q_quality_score,
+        "repetition_filter": _q_repetition_filter,
+        "log_norm": _q_log_norm,
+        "target_encode_distributed": _q_target_encode_distributed,
+        "join_groupby_distributed": _q_join_groupby_distributed,
+        "join_groupby_multi_distributed": _q_join_groupby_multi_distributed,
+        "target_encode_multi_distributed": _q_target_encode_multi_distributed,
         "categorify_distributed": _q_categorify_distributed,
         "categorify_tokens": _q_categorify_tokens,
-        "join_groupby_distributed": _q_join_groupby_distributed,
-        "target_encode_distributed": _q_target_encode_distributed,
+        "categorify_tokens_distributed": _q_categorify_tokens_distributed,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ngram_dedup": _q_ngram_dedup,
+        "semantic_dedup": _q_semantic_dedup,
+        "corpus_pipeline": _q_corpus_pipeline,
+        # --- unchanged but young rows (first green in r3) -----------------
+        "multimodal_meta": _q_multimodal_meta,
         "groupby_list": _q_groupby_list,
-        "log_norm": _q_log_norm,
         "value_count": _q_value_count,
         "drop_low_cardinality": _q_drop_low_cardinality,
         "text_clean": _q_text_clean,
         "pii_redact": _q_pii_redact,
-        "repetition_filter": _q_repetition_filter,
-        "semantic_dedup": _q_semantic_dedup,
-        # --- r2 hash-mismatch fixes + new-in-round-3 ----------------------
-        "minhash_dedup": _q_minhash_dedup,
-        "corpus_pipeline": _q_corpus_pipeline,
         "pack_sequences": _q_pack_sequences,
-        "categorify_tokens_distributed": _q_categorify_tokens_distributed,
-        "join_groupby_multi_distributed": _q_join_groupby_multi_distributed,
-        "target_encode_multi_distributed": _q_target_encode_multi_distributed,
         "asof_join_forward": _q_asof_join_forward,
         "asof_join_tolerance": _q_asof_join_tolerance,
         "range_join": _q_range_join,
         "rolling_leading": _q_rolling_leading,
-        "expanding_agg": _q_expanding_agg,
         "quantile_bucketize": _q_quantile_bucketize,
         "top_k_per_group": _q_top_k_per_group,
-        "hot_split_features": _q_hot_split_features,
-        # --- long-green (complex ones inside the window) ------------------
         "categorify_event_type": _q_categorify_event_type,
         "categorify_combo": _q_categorify_combo,
         "categorify_freq_threshold": _q_categorify_freq_threshold,
-        "target_encode": _q_target_encode,
-        "join_groupby": _q_join_groupby,
-        "join_external": _q_join_external,
+        "difference_lag": _q_difference_lag,
+        "sessionize": _q_sessionize,
+        "backfill": _q_backfill,
+        # --- past the driver's 50-query window (green rows stand;
+        #     code untouched this round) -----------------------------------
+        "asof_join": _q_asof_join,
         "groupby_agg": _q_groupby_agg,
         "groupby_stats": _q_groupby_stats,
         "tpch_q1": _q_tpch_q1,
-        "difference_lag": _q_difference_lag,
-        "sessionize": _q_sessionize,
-        "rolling_mean": _q_rolling_mean,
-        "backfill": _q_backfill,
-        "asof_join": _q_asof_join,
-        "normalize": _q_normalize,
-        "fillmedian": _q_fillmedian,
-        "column_similarity": _q_column_similarity,
+        "join_external": _q_join_external,
         "data_stats": _q_data_stats,
-        "dedup_exact": _q_dedup_exact,
-        "simhash_dedup": _q_simhash,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "ann_topk": _q_ann_topk,
-        "ann_ivf": _q_ann_ivf,
-        "ann_lsh": _q_ann_lsh,
-        # --- past the driver's 50-query window (r1/r2 green, unchanged) ---
         "difference_lead": _q_difference_lead,
         "rolling_count": _q_rolling_count,
-        "chunk_documents": _q_chunk_documents,
         "hash_split": _q_hash_split,
         "fingerprint": _q_fingerprint,
         "langid": _q_langid,
-        "minmax_logclip": _q_minmax_logclip,
         "fillmissing": _q_fillmissing,
         "bucketize": _q_bucketize,
         "corpus_mix": _q_corpus_mix,
@@ -1276,7 +1277,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "hashbucket": _q_hashbucket,
         "token_count": _q_token_count,
-        "quality_score": _q_quality_score,
         "reduce_dtype": _q_reduce_dtype,
         "dropna": _q_dropna,
         "filter_lambda": _q_filter_lambda,
