@@ -34,9 +34,12 @@ _MERGE_FANIN = 64
 
 
 def _combine_topk(tabs: list[pa.Table], k: int, id_col: str) -> pa.Table:
-    t = pa.concat_tables([t for t in tabs if t.num_rows], promote_options="default")
-    if t.num_rows == 0:
-        return pa.table({id_col: pa.array([]), "sim": pa.array([], pa.float64())})
+    nonempty = [t for t in tabs if t.num_rows]
+    if not nonempty:  # e.g. LSH probing found no bucket anywhere
+        if tabs:  # empty partials still carry the (id, sim) schema — keep it
+            return tabs[0].slice(0, 0)
+        return pa.table({id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+    t = pa.concat_tables(nonempty, promote_options="default")
     sims = t.column("sim").to_numpy(zero_copy_only=False)
     ids = t.column(id_col).to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, -sims))[:k]

@@ -268,3 +268,30 @@ def test_datastats_hll_approx_distinct():
     # low-cardinality columns hit HLL's exact linear-counting range
     assert abs(st["low"]["cardinality"] - 50) <= 1
     assert st["uid"]["per_nan"] == 0.0
+
+
+def test_ann_lsh_no_bucket_matches_returns_empty(ray_session):
+    """All-empty partials (no row hashes into any probed bucket) must
+    return an empty (id, sim) result, not crash concat_tables([])."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nvtabular_ray.functions.ann import lsh_topk
+
+    rng = np.random.RandomState(5)
+    emb = [list(v) for v in rng.normal(size=(50, 16)).astype("float64")]
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(np.arange(50, dtype="int64")), "embedding": emb})
+    )
+    # probe_hamming=0 with nbits=16 over 50 rows: the query's single bucket
+    # (of 65536) almost surely holds no row; force certainty by querying the
+    # opposite orthant of every stored vector
+    q = -10.0 * np.asarray(emb[0])
+    out = lsh_topk(ds, q, k=5, nbits=16, probe_hamming=0)
+    import ray
+
+    # Ray's to_pandas drops columns on a 0-row dataset; assert on the block
+    tab = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    assert tab.num_rows == 0
+    assert tab.schema.names == ["vec_id", "sim"]
+    assert tab.schema.field("vec_id").type == pa.int64()
