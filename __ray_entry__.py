@@ -953,6 +953,31 @@ def _q_ngram_dedup(sf_dir: str):
     return ngram_jaccard_dedup(ds, threshold=0.8)
 
 
+_DECON_BENCH_SOURCES = ["src0", "src1"]
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3/Pile-style): treat src0/src1 docs
+    as the eval benchmark, the rest as the training corpus; flag corpus
+    docs sharing any word 5-gram with the benchmark. The benchmark gram
+    set is built once and broadcast (ray.put); the corpus side is one
+    streaming map_batches — no shuffle, no join."""
+    from nvtabular_ray.functions.decontaminate import decontaminate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    bench_set = pa.array(_DECON_BENCH_SOURCES)
+
+    def keep_bench(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("source"), value_set=bench_set))
+
+    def keep_corpus(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t.column("source"), value_set=bench_set)))
+
+    bench = ds.map_batches(keep_bench, batch_format="pyarrow", zero_copy_batch=True)
+    corpus = ds.map_batches(keep_corpus, batch_format="pyarrow", zero_copy_batch=True)
+    return decontaminate(corpus, bench, n=5, min_hits=1)
+
+
 def _q_log_norm(sf_dir: str):
     from nvtabular_ray import Workflow, ops
 
@@ -1203,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     over untouched code sit past the window (those rows stand)."""
     return {
         # --- round-4 changed code: must be inside the 50-row window ------
+        "decontaminate": _q_decontaminate,
         "rename": _q_rename,
         "expanding_agg": _q_expanding_agg,
         "rolling_mean": _q_rolling_mean,
@@ -1591,6 +1617,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = i.b
             WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.8
             GROUP BY i.a
+        """,
+        "decontaminate": """
+            -- word-5gram overlap between the corpus (source not in
+            -- src0/src1) and the benchmark (src0/src1); hit count = number
+            -- of DISTINCT corpus-doc grams present in the benchmark set.
+            -- The engine compares 64-bit SipHashes of the same grams —
+            -- exact on this data (collision odds ~1e-9).
+            WITH w AS (
+                SELECT doc_id, source,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, source,
+                       unnest(list_transform(generate_series(1, len(ws)-4),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram
+                FROM w WHERE len(ws) >= 5
+            ),
+            bg AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1')),
+            cg AS (SELECT DISTINCT doc_id, gram FROM g
+                   WHERE source NOT IN ('src0', 'src1')),
+            hits AS (
+                SELECT cg.doc_id, count(*) AS n
+                FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n, 0) AS n_gram_hits,
+                   CAST(COALESCE(h.n, 0) >= 1 AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.source NOT IN ('src0', 'src1')
         """,
         "embedding_near_dup": """
             -- all-pairs float64 cosine >= 0.95, min close id (self always

@@ -170,3 +170,63 @@ def test_chunk_documents_spec():
 
     for d, s in enumerate(texts):
         assert out[out.doc_id == d]["chunk_text"].tolist() == oracle(s), d
+
+
+def test_decontaminate_flags_ngram_overlap(ray_session):
+    from nvtabular_ray.functions.decontaminate import decontaminate
+
+    bench = ["the quick brown fox jumps over the lazy dog tonight"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                # two benchmark 3-grams: "the quick brown", "quick brown fox"
+                "watch the quick brown fox run away fast",
+                # three: "jumps over the", "over the lazy", "the lazy dog"
+                "it jumps over the lazy dog indeed",
+                # no shared 3-gram (words shared but never 3 in a row)
+                "quick dog fox brown lazy the jumps",
+                # case-insensitive: "The Quick Brown" + "Quick Brown fox"
+                "The Quick Brown fox again",
+                # short doc (< n words): zero grams, never contaminated
+                "quick brown",
+            ],
+        }
+    )
+    out = (
+        decontaminate(_ds(docs), bench, n=3, min_hits=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_gram_hits"].tolist() == [2, 3, 0, 2, 0]
+    assert out["contaminated"].tolist() == [1, 1, 0, 1, 0]
+    # min_hits gates the flag
+    out2 = decontaminate(_ds(docs), bench, n=3, min_hits=3).to_pandas()
+    assert out2.set_index("doc_id")["contaminated"].to_dict() == {0: 0, 1: 1, 2: 0, 3: 0, 4: 0}
+
+
+def test_decontaminate_remove_mode_keeps_all_columns(ray_session):
+    from nvtabular_ray.functions.decontaminate import decontaminate
+
+    bench = ["alpha beta gamma delta"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "text": ["prefix alpha beta gamma suffix", "nothing shared here at all"],
+            "extra": ["a", "b"],
+        }
+    )
+    out = decontaminate(_ds(docs, blocks=1), bench, n=3, mode="remove").to_pandas()
+    assert out["doc_id"].tolist() == [11]
+    assert list(out.columns) == ["doc_id", "text", "extra"]
+
+
+def test_decontaminate_benchmark_as_dataset(ray_session):
+    from nvtabular_ray.functions.decontaminate import decontaminate
+
+    bench_df = pd.DataFrame({"text": ["one two three four five"]})
+    docs = pd.DataFrame({"doc_id": [0], "text": ["zero one two three four five six"]})
+    out = decontaminate(_ds(docs, blocks=1), _ds(bench_df, blocks=1), n=5).to_pandas()
+    # doc contains "one two three four five" = 1 five-gram hit
+    assert out["n_gram_hits"].tolist() == [1]
