@@ -978,6 +978,18 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench, n=5, min_hits=1)
 
 
+def _q_token_shards(sf_dir: str):
+    """Length-balanced training shards: shard_id = floor(exclusive running
+    token total / budget) in doc_id order — a distributed two-pass prefix
+    scan (per-block sums -> driver offsets -> block-local cumsum)."""
+    from nvtabular_ray.functions.packing import shard_by_token_budget
+    from nvtabular_ray.functions.text import token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    t = token_count(ds).select_columns(["doc_id", "n_tokens"])
+    return shard_by_token_budget(t, budget=2000, size_col="n_tokens", order_col="doc_id")
+
+
 def _q_log_norm(sf_dir: str):
     from nvtabular_ray import Workflow, ops
 
@@ -1223,12 +1235,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     float-oracle rounding idiom (every _round6i/_mean_cmp6 query), the
     expanding-sum kernel, the ANN top-k reduce, chunk_documents' copy
     path, distributed-Categorify null-list handling, and the dedup/
-    hot-split group_by renames — plus the new `rename` query and the two
-    ANN variants whose last green row was round 2. Long-green queries
-    over untouched code sit past the window (those rows stand)."""
+    hot-split group_by renames — plus the new `rename`, `decontaminate`
+    and `token_shards` queries and the two ANN variants whose last green
+    row was round 2. Long-green queries over untouched code sit past the
+    window (those rows stand)."""
     return {
         # --- round-4 changed code: must be inside the 50-row window ------
         "decontaminate": _q_decontaminate,
+        "token_shards": _q_token_shards,
         "rename": _q_rename,
         "expanding_agg": _q_expanding_agg,
         "rolling_mean": _q_rolling_mean,
@@ -2031,6 +2045,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
                        AS n_tokens
             FROM documents
+        """,
+        "token_shards": """
+            -- shard = floor(exclusive prefix token sum / 2000) in doc_id
+            -- order; a row's START offset decides its shard (rows never
+            -- split, so a shard may overrun by one row's tail)
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) // 2000 AS BIGINT) AS shard_id
+            FROM t
         """,
         "ann_topk": """
             WITH q AS (

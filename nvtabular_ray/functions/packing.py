@@ -70,3 +70,68 @@ def pack_sequences(ds, size_col: str, id_col: str, capacity: int):
         return t.append_column("bin_fill", pa.array(fill[local]))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shard_by_token_budget(ds, budget: int, size_col: str, order_col: str,
+                          out_col: str = "shard_id"):
+    """Assign every row a CONTIGUOUS shard id in ``order_col`` order such
+    that a new shard starts each time the running token total crosses a
+    ``budget`` boundary: shard = floor(exclusive-prefix-sum / budget).
+    The length-balanced-output step for training-shard writes (each shard
+    holds ~budget tokens; a shard may overrun by at most one row's tail
+    since rows are never split — chunk oversized rows upstream).
+
+    Distributed plan — a textbook two-pass parallel prefix scan, because a
+    global ordered cumsum is the one shape ``map_batches`` cannot express
+    (every block needs the total of all earlier blocks):
+
+    1. range-sort by ``order_col`` (Ray Data sort; blocks come out ordered),
+    2. pass 1: one tiny task per block returns its token sum — the driver
+       collects O(blocks) ints and computes exclusive block offsets,
+    3. pass 2: one task per block adds its offset to a block-local
+       exclusive cumsum; floor-divide by budget is the shard id.
+
+    Nothing but per-block int64 sums ever reaches the driver, both passes
+    are embarrassingly parallel, and the output is a Dataset over the
+    same blocks (``from_arrow_refs`` — zero re-shuffle)."""
+    import ray as _ray
+    import ray.data as rd
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    refs = ds.sort(order_col).to_arrow_refs()
+    if not refs:
+        return ds.map_batches(
+            lambda t: t.append_column(out_col, pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+
+    @_ray.remote(num_cpus=0.25)
+    def block_sum(t: pa.Table) -> int:
+        col = t.column(size_col)
+        if col.null_count:
+            import pyarrow.compute as pc
+
+            col = pc.fill_null(col, 0)
+        return int(np.sum(np.asarray(col, dtype=np.int64))) if t.num_rows else 0
+
+    sums = _ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums[:-1], dtype=np.int64)])
+
+    @_ray.remote(num_cpus=0.25)
+    def stamp(t: pa.Table, offset: int) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        col = t.column(size_col)
+        if col.null_count:
+            import pyarrow.compute as pc
+
+            col = pc.fill_null(col, 0)
+        sizes = np.asarray(col, dtype=np.int64)
+        # exclusive prefix: the row's START offset decides its shard
+        before = offset + np.concatenate([[0], np.cumsum(sizes[:-1], dtype=np.int64)])
+        return t.append_column(out_col, pa.array(before // budget, pa.int64()))
+
+    return rd.from_arrow_refs(
+        [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )

@@ -48,3 +48,57 @@ def test_pack_sequences_dataset():
     assert (g["n_tokens"].sum() == g["bin_fill"].first()).all()
     # bin_id = min member id
     assert (g.apply(lambda x: x["doc_id"].min() == x.name)).all()
+
+
+def test_shard_by_token_budget_matches_sequential():
+    from nvtabular_ray.functions.packing import shard_by_token_budget
+
+    rng = np.random.RandomState(3)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_tokens": rng.randint(1, 400, size=n).astype(np.int64),
+        }
+    )
+    # shuffled input across several blocks: the op must sort first
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df.sample(frac=1.0, random_state=9), preserve_index=False)
+    ).repartition(7)
+    out = (
+        shard_by_token_budget(ds, budget=1000, size_col="n_tokens", order_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    before = np.concatenate([[0], np.cumsum(df["n_tokens"].to_numpy())[:-1]])
+    expect = before // 1000
+    assert np.array_equal(out["shard_id"].to_numpy(), expect)
+    # contiguity: shard ids are non-decreasing in doc order and start at 0
+    s = out["shard_id"].to_numpy()
+    assert s[0] == 0 and (np.diff(s) >= 0).all()
+    # every shard except the last crosses its budget boundary once the
+    # overrunning tail row is included
+    tot = out.groupby("shard_id")["n_tokens"].sum()
+    assert (tot.iloc[:-1].cumsum() >= 1000 * np.arange(1, len(tot))).all()
+
+
+def test_shard_by_token_budget_nulls_and_empty():
+    from nvtabular_ray.functions.packing import shard_by_token_budget
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "n_tokens": pa.array([500, None, 600], pa.int64()),
+        }
+    )
+    out = (
+        shard_by_token_budget(rd.from_arrow(t), budget=1000, size_col="n_tokens", order_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # null counts as 0 tokens: prefixes 0, 500, 500 -> shards 0, 0, 0
+    assert out["shard_id"].tolist() == [0, 0, 0]
+
+    with np.testing.assert_raises(ValueError):
+        shard_by_token_budget(rd.from_arrow(t), budget=0, size_col="n_tokens", order_col="doc_id")
