@@ -527,6 +527,20 @@ def _q_rolling_count(sf_dir: str):
     return out.select_columns(["event_id", "w24h_count"])
 
 
+def _q_rolling_distinct(sf_dir: str):
+    """Windowed count(DISTINCT) per entity: distinct event types per user
+    in the trailing 24 h — the "distinct tools the agent used recently"
+    transcript feature. Exact and fully vectorized: each occurrence's
+    visible-query interval via two searchsorteds, per-value interval-union
+    via a difference array (grouped_np.distinct_over_bounds) — no per-row
+    Python, cost independent of value cardinality."""
+    from nvtabular_ray.pipelines.temporal import windowed_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    out = windowed_agg(ds, "user_id", "ts", "event_type", 86400, ["distinct"], prefix="w24h_")
+    return out.select_columns(["event_id", "w24h_distinct"])
+
+
 def _q_rolling_leading(sf_dir: str):
     """Leading (label) window: events in the NEXT 24h per user."""
     from nvtabular_ray.pipelines.temporal import windowed_agg
@@ -1300,6 +1314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "token_shards": _q_token_shards,
         "resume_pipeline": _q_resume_pipeline,
+        "rolling_distinct": _q_rolling_distinct,
         "rename": _q_rename,
         "expanding_agg": _q_expanding_agg,
         "rolling_mean": _q_rolling_mean,
@@ -2156,6 +2171,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(value - lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS REAL)
                        AS "value_difference_lag_-1"
+            FROM events
+        """,
+        "rolling_distinct": """
+            SELECT event_id,
+                   CAST(count(DISTINCT event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS w24h_distinct
             FROM events
         """,
         "rolling_mean": """

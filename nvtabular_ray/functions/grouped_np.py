@@ -360,6 +360,81 @@ def rolling_aggregate(
     return _agg_over_bounds(values, w, end, aggs)
 
 
+def dict_codes(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 codes, valid mask) for any column type via dictionary
+    encoding — the distinct kernel only needs an integer coding, never the
+    values themselves, so strings stay un-decoded."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    d = a.dictionary_encode()
+    idx = d.indices
+    valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+    codes = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return codes, valid
+
+
+def distinct_over_bounds(
+    codes: np.ndarray,
+    valid: np.ndarray,
+    w: np.ndarray,
+    end: np.ndarray,
+    gid: np.ndarray,
+) -> np.ndarray:
+    """count(DISTINCT value) of ``values[w[i]:end[i]]`` per row, nulls
+    excluded (SQL ``count(DISTINCT v)`` semantics). ``codes`` is any integer
+    coding of the values (dictionary indices); ``valid`` is False on null
+    rows; ``w``/``end`` are per-row window bounds from the grouped_*_bounds
+    helpers — GLOBALLY non-decreasing, which is what makes this vectorizable.
+    Group containment is automatic: a row's bound indices never leave its
+    own group, and same-value pairs are only linked within a group.
+
+    Windowed distinct counting is inherently a 2D dominance count (no
+    prefix-sum trick exists), but the QUERIES here are the rows themselves
+    with monotone bounds, which admits an offline O(n log n) difference-
+    array construction instead of a per-row structure:
+
+    - occurrence j of value v is "visible" to query i iff w[i] <= j < end[i];
+      with both bound arrays monotone that query set is one contiguous
+      interval [e_j, l_j] in query-index space (two searchsorteds),
+    - value v counts once for query i iff ANY of its occurrences is visible
+      — the union of its occurrences' intervals. Consecutive occurrences of
+      the same (group, value) have nested-monotone intervals (e and l both
+      non-decreasing in j), so the union telescopes: sum of the intervals
+      minus the pairwise overlaps of CONSECUTIVE occurrences,
+    - every interval becomes ±1 at its ends in a difference array; the
+      answer for all rows is one cumsum.
+
+    Cost: one lexsort of the occurrences by (group, code), four
+    searchsorteds, four scattered adds, one cumsum — no per-row Python, no
+    per-value loop, cardinality-independent."""
+    n = len(codes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    # float64 accumulator: this host's int64 cumsum/add kernels are scalar
+    # loops (~7x slower); counts are tiny so float64 is exact
+    delta = np.zeros(n + 1, dtype=np.float64)
+    occ = np.flatnonzero(valid)
+    if len(occ):
+        e = np.searchsorted(end, occ, side="right")  # first query seeing j
+        l = np.searchsorted(w, occ, side="right") - 1  # last query seeing j
+        alive = e <= l  # expanding bounds exclude peers: tail rows see no query
+        np.add.at(delta, e[alive], 1.0)
+        np.add.at(delta, l[alive] + 1, -1.0)
+        sub = np.lexsort((occ, codes[occ], gid[occ]))
+        so = occ[sub]
+        if len(so) > 1:
+            same = (gid[so[1:]] == gid[so[:-1]]) & (codes[so[1:]] == codes[so[:-1]])
+            if same.any():
+                j1 = so[:-1][same]  # earlier occurrence of the pair
+                j2 = so[1:][same]  # its next same-value occurrence
+                e2 = np.searchsorted(end, j2, side="right")
+                l1 = np.searchsorted(w, j1, side="right") - 1
+                m = e2 <= l1  # intervals actually overlap
+                if m.any():
+                    np.add.at(delta, e2[m], -1.0)
+                    np.add.at(delta, l1[m] + 1, 1.0)
+    return np.cumsum(delta[:-1]).astype(np.int64)
+
+
 def grouped_expanding_bounds(ts_us: np.ndarray, gid: np.ndarray):
     """(start, end) index pair per row for the EXPANDING past-only window:
     start = the group's first row, end = the first row with the current

@@ -20,13 +20,63 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from nvtabular_ray.functions.grouped_np import (
+    dict_codes as _dict_codes,
+    distinct_over_bounds,
     expanding_aggregate,
     group_ids_sorted,
     group_time_order,
+    grouped_expanding_bounds,
     grouped_sessionize,
+    grouped_window_bounds,
+    grouped_window_bounds_leading,
     rolling_aggregate,
 )
 from nvtabular_ray.ops.base import Operator
+
+
+def _is_numeric(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_decimal(t)
+    )
+
+
+def _column_window_results(column, order, aggs, gid_k, get_bounds, run_float) -> dict:
+    """Per-column window results: numeric columns run the float-prefix-sum
+    kernels; non-numeric columns (strings — e.g. a tool/role column) support
+    ``count`` (validity over bounds) and ``distinct`` (dictionary codes),
+    never a float cast. ``get_bounds`` is a memoized (w, end) supplier so
+    the searchsorted work happens at most once per table."""
+    a = column.combine_chunks() if isinstance(column, pa.ChunkedArray) else column
+    res: dict = {}
+    float_aggs = [x for x in aggs if x != "distinct"]
+    if float_aggs:
+        if _is_numeric(a.type):
+            vals = a.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            if order is not None:
+                vals = vals[order]
+            res = run_float(vals, float_aggs)
+        elif set(float_aggs) <= {"count"}:
+            valid = pc.is_valid(a).to_numpy(zero_copy_only=False)
+            if order is not None:
+                valid = valid[order]
+            w, end = get_bounds()
+            cv = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])
+            res["count"] = cv[end] - cv[w]
+        else:
+            raise TypeError(
+                f"window aggs {float_aggs} require a numeric column; "
+                f"type {a.type} supports only count/distinct"
+            )
+    if "distinct" in aggs:
+        codes, cvalid = _dict_codes(a)
+        if order is not None:
+            codes, cvalid = codes[order], cvalid[order]
+        w, end = get_bounds()
+        res["distinct"] = distinct_over_bounds(codes, cvalid, w, end, gid_k)
+    return res
 
 
 def _ts_to_int_us(arr) -> tuple[np.ndarray, bool]:
@@ -87,7 +137,12 @@ class RollingAgg(Operator):
     past-only, zero temporal leakage; output ``{col}_w{window}s_{agg}``.
     ``direction="leading"``: [ts, ts + window] (SQL ``CURRENT ROW AND W
     FOLLOWING``) — future-looking for LABEL windows (e.g. "events in the
-    next 10 min"); output ``{col}_lead{window}s_{agg}``."""
+    next 10 min"); output ``{col}_lead{window}s_{agg}``.
+
+    ``aggs`` may include ``"distinct"`` — windowed ``count(DISTINCT v)``
+    over any column type (the column is dictionary-encoded, never cast to
+    float): e.g. "distinct tools the agent used in the last hour". Nulls
+    are not counted (SQL parity)."""
 
     def __init__(
         self,
@@ -128,7 +183,7 @@ class RollingAgg(Operator):
 
     def compute_output_schema(self, col_selector, input_schema):
         return {
-            self._out_name(c, a): (pa.int64() if a == "count" else pa.float64())
+            self._out_name(c, a): (pa.int64() if a in ("count", "distinct") else pa.float64())
             for c in self._value_cols(col_selector)
             for a in self.aggs
         }
@@ -139,14 +194,24 @@ class RollingAgg(Operator):
         window = int(self.window_seconds * 1_000_000) if is_ts else int(self.window_seconds)
         order = group_time_order(gid, ts)
         ts_k, gid_k = (ts, gid) if order is None else (ts[order], gid[order])
+        bounds_fn = (
+            grouped_window_bounds if self.direction == "trailing" else grouped_window_bounds_leading
+        )
+        bounds_cache: list = []
+
+        def get_bounds():
+            if not bounds_cache:
+                bounds_cache.append(bounds_fn(ts_k, gid_k, window))
+            return bounds_cache[0]
+
+        def run_float(vals, f_aggs):
+            return rolling_aggregate(vals, ts_k, gid_k, window, f_aggs, self.direction)
+
         out = {}
         for c in self._value_cols(col_selector):
-            vals = (
-                table.column(c).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            res = _column_window_results(
+                table.column(c), order, self.aggs, gid_k, get_bounds, run_float
             )
-            if order is not None:
-                vals = vals[order]
-            res = rolling_aggregate(vals, ts_k, gid_k, window, self.aggs, self.direction)
             for a in self.aggs:
                 arr = res[a]
                 if order is not None:
@@ -154,7 +219,7 @@ class RollingAgg(Operator):
                     back[order] = arr
                     arr = back
                 out[self._out_name(c, a)] = pa.array(
-                    arr.astype(np.int64) if a == "count" else arr.astype(np.float64)
+                    arr.astype(np.int64) if a in ("count", "distinct") else arr.astype(np.float64)
                 )
         return pa.table(out)
 
@@ -178,9 +243,15 @@ class ExpandingAgg(Operator):
         ts_col: str,
         aggs=("count", "sum", "mean"),
     ):
-        bad = [a for a in aggs if a not in ("count", "sum", "mean", "min", "max", "std", "var")]
+        bad = [
+            a
+            for a in aggs
+            if a not in ("count", "sum", "mean", "min", "max", "std", "var", "distinct")
+        ]
         if bad:
-            raise ValueError(f"unsupported aggs {bad}; use count/sum/mean/min/max/std/var")
+            raise ValueError(
+                f"unsupported aggs {bad}; use count/sum/mean/min/max/std/var/distinct"
+            )
         self.partition_cols = (
             [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
         )
@@ -207,7 +278,7 @@ class ExpandingAgg(Operator):
 
     def compute_output_schema(self, col_selector, input_schema):
         return {
-            self._out_name(c, a): (pa.int64() if a == "count" else pa.float64())
+            self._out_name(c, a): (pa.int64() if a in ("count", "distinct") else pa.float64())
             for c in self._value_cols(col_selector)
             for a in self.aggs
         }
@@ -217,14 +288,21 @@ class ExpandingAgg(Operator):
         ts, _ = _ts_to_int_us(table.column(self.ts_col))
         order = group_time_order(gid, ts)
         ts_k, gid_k = (ts, gid) if order is None else (ts[order], gid[order])
+        bounds_cache: list = []
+
+        def get_bounds():
+            if not bounds_cache:
+                bounds_cache.append(grouped_expanding_bounds(ts_k, gid_k))
+            return bounds_cache[0]
+
+        def run_float(vals, f_aggs):
+            return expanding_aggregate(vals, ts_k, gid_k, f_aggs)
+
         out = {}
         for c in self._value_cols(col_selector):
-            vals = (
-                table.column(c).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            res = _column_window_results(
+                table.column(c), order, self.aggs, gid_k, get_bounds, run_float
             )
-            if order is not None:
-                vals = vals[order]
-            res = expanding_aggregate(vals, ts_k, gid_k, self.aggs)
             for a in self.aggs:
                 arr = res[a]
                 if order is not None:
@@ -232,6 +310,6 @@ class ExpandingAgg(Operator):
                     back[order] = arr
                     arr = back
                 out[self._out_name(c, a)] = pa.array(
-                    arr.astype(np.int64) if a == "count" else arr.astype(np.float64)
+                    arr.astype(np.int64) if a in ("count", "distinct") else arr.astype(np.float64)
                 )
         return pa.table(out)

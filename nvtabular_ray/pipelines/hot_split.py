@@ -56,10 +56,14 @@ import pyarrow.compute as pc
 
 from nvtabular_ray.functions.grouped_np import (
     _agg_over_bounds,
+    dict_codes,
+    distinct_over_bounds,
     group_ids_sorted,
     grouped_diff,
     grouped_expanding_bounds,
     grouped_sessionize,
+    grouped_window_bounds,
+    grouped_window_bounds_leading,
     rolling_aggregate,
 )
 from nvtabular_ray.functions.hashing import hash64_columns
@@ -97,7 +101,13 @@ def _validate_specs(specs: list[dict]):
     for s in specs:
         names = _spec_out_names(s)  # raises on unknown kind
         if s["kind"] in ("rolling", "expanding"):
-            bad = [a for a in s["aggs"] if a not in ("count", "sum", "mean", "min", "max", "std", "var")]
+            # bounded-window "distinct" is halo-exact, so rolling supports
+            # it; EXPANDING distinct cannot fold through scalar carries (the
+            # carry would be the unbounded set of values already seen)
+            ok = ("count", "sum", "mean", "min", "max", "std", "var") + (
+                ("distinct",) if s["kind"] == "rolling" else ()
+            )
+            bad = [a for a in s["aggs"] if a not in ok]
             if bad:
                 raise ValueError(f"unsupported aggs {bad} in {s}")
         if s["kind"] == "rolling" and s.get("direction", "trailing") not in ("trailing", "leading"):
@@ -336,6 +346,27 @@ def _split_one(block: pa.Table, key: str, ts_col: str, B: int, total: int, P: in
 # --------------------------------------------------------------------------
 
 
+def _rolling_results(t: pa.Table, s: dict, vals, ts_us, gid, scale) -> dict:
+    """rolling_aggregate for the float aggs + distinct_over_bounds for
+    "distinct" (which needs the RAW column, not the float cast — the value
+    may be a string). Shared by the cold and hot compute paths; ``vals`` is
+    the caller's lazy float-cast closure, only touched when a float agg
+    exists."""
+    dirn = s.get("direction", "trailing")
+    f_aggs = [a for a in s["aggs"] if a != "distinct"]
+    res = (
+        rolling_aggregate(vals(s["col"]), ts_us, gid, int(s["window"] * scale), f_aggs, dirn)
+        if f_aggs
+        else {}
+    )
+    if "distinct" in s["aggs"]:
+        bf = grouped_window_bounds if dirn == "trailing" else grouped_window_bounds_leading
+        w_, e_ = bf(ts_us, gid, int(s["window"] * scale))
+        codes, cvalid = dict_codes(t.column(s["col"]))
+        res["distinct"] = distinct_over_bounds(codes, cvalid, w_, e_, gid)
+    return res
+
+
 def _compute_cold(t: pa.Table, cfg: dict) -> pa.Table:
     """Multi-entity bucket: the plain kernels over (key, ts)-sorted rows."""
     t = t.drop_columns([HALO_COL])
@@ -360,14 +391,12 @@ def _compute_cold(t: pa.Table, cfg: dict) -> pa.Table:
             sid = grouped_sessionize(ts_us, gid, int(s["gap"] * scale))
             t = t.append_column(names[0], pa.array(sid, pa.int64()))
         elif s["kind"] == "rolling":
-            res = rolling_aggregate(
-                vals(s["col"]), ts_us, gid, int(s["window"] * scale), s["aggs"],
-                s.get("direction", "trailing"),
-            )
+            res = _rolling_results(t, s, vals, ts_us, gid, scale)
             for name, a in zip(names, s["aggs"]):
                 arr = res[a]
                 t = t.append_column(
-                    name, pa.array(arr.astype(np.int64) if a == "count" else arr)
+                    name,
+                    pa.array(arr.astype(np.int64) if a in ("count", "distinct") else arr),
                 )
         elif s["kind"] == "expanding":
             w, end = grouped_expanding_bounds(ts_us, gid)
@@ -602,14 +631,12 @@ def _compute_hot(t: pa.Table, cfg: dict, carry: dict) -> pa.Table:
             sid = base + np.cumsum(new_s) - 1
             body = body.append_column(names[0], pa.array(sid, pa.int64()))
         elif s["kind"] == "rolling":
-            res = rolling_aggregate(
-                vals(s["col"]), ts_us, gid_all, int(s["window"] * scale), s["aggs"],
-                s.get("direction", "trailing"),
-            )
+            res = _rolling_results(t, s, vals, ts_us, gid_all, scale)
             for name, a in zip(names, s["aggs"]):
                 arr = res[a][idx]
                 body = body.append_column(
-                    name, pa.array(arr.astype(np.int64) if a == "count" else arr)
+                    name,
+                    pa.array(arr.astype(np.int64) if a in ("count", "distinct") else arr),
                 )
         elif s["kind"] == "expanding":
             v = vals(s["col"])[idx]

@@ -529,3 +529,135 @@ def test_window_std_var_matches_duckdb(tdf):
             rtol=1e-9,
             atol=1e-6,
         )
+
+
+def test_windowed_distinct_matches_duckdb(tdf):
+    """Trailing count(DISTINCT tool) per conversation — string column with
+    ~50% nulls; nulls must not count (SQL semantics)."""
+    import duckdb
+
+    out = (
+        windowed_agg(_ds(tdf), "conv_id", "ts", "tool", 600, ["distinct", "count"], num_buckets=8)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    o = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", o)
+    want = con.execute(
+        """
+        SELECT count(DISTINCT tool) OVER w AS d
+        FROM t
+        WINDOW w AS (PARTITION BY conv_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING AND CURRENT ROW)
+        ORDER BY conv_id, turn_idx
+        """
+    ).fetchnumpy()["d"]
+    np.testing.assert_array_equal(out["tool_w600s_distinct"], want.astype("int64"))
+    # distinct <= non-null count, and 0 exactly where the window is all-null
+    assert (out["tool_w600s_distinct"] <= out["tool_w600s_count"]).all()
+
+
+def test_windowed_distinct_leading_and_numeric(tdf):
+    """Leading window + numeric value column (dictionary-encodes ints too)."""
+    import duckdb
+
+    out = (
+        windowed_agg(
+            _ds(tdf), "conv_id", "ts", "text_len", 600, ["distinct"],
+            num_buckets=8, direction="leading",
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    o = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", o)
+    want = con.execute(
+        """
+        SELECT count(DISTINCT text_len) OVER w AS d
+        FROM t
+        WINDOW w AS (PARTITION BY conv_id ORDER BY ts
+                     RANGE BETWEEN CURRENT ROW AND INTERVAL 600 SECONDS FOLLOWING)
+        ORDER BY conv_id, turn_idx
+        """
+    ).fetchnumpy()["d"]
+    np.testing.assert_array_equal(out["text_len_lead600s_distinct"], want.astype("int64"))
+
+
+def test_expanding_distinct_matches_duckdb(tdf):
+    """Cumulative distinct tools per conversation, equal-ts peers excluded."""
+    import duckdb
+    from nvtabular_ray.pipelines.temporal import expanding_agg
+
+    out = (
+        expanding_agg(_ds(tdf), "conv_id", "ts", "tool", ["distinct"], num_buckets=8)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    o = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", o)
+    want = con.execute(
+        """
+        SELECT count(DISTINCT tool) OVER w AS d
+        FROM t
+        WINDOW w AS (PARTITION BY conv_id ORDER BY ts
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)
+        ORDER BY conv_id, turn_idx
+        """
+    ).fetchnumpy()["d"]
+    np.testing.assert_array_equal(out["tool_cum_distinct"], want.astype("int64"))
+
+
+def test_windowed_distinct_hot_split_parity(tdf):
+    """distinct through the hot-entity split path (halo-exact for bounded
+    windows) must equal the default plan; expanding distinct must REJECT
+    hot_threshold (set-valued carries are unbounded)."""
+    from nvtabular_ray.pipelines.temporal import expanding_agg
+
+    base = (
+        windowed_agg(_ds(tdf), "conv_id", "ts", "tool", 600, ["distinct"], num_buckets=8)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    hot = (
+        windowed_agg(
+            _ds(tdf), "conv_id", "ts", "tool", 600, ["distinct"],
+            num_buckets=4, hot_threshold=50, target_seg_rows=40,
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(
+        base["tool_w600s_distinct"], hot["tool_w600s_distinct"]
+    )
+    with pytest.raises(ValueError, match="unsupported aggs"):
+        expanding_agg(
+            _ds(tdf), "conv_id", "ts", "tool", ["distinct"], hot_threshold=50
+        )
+
+
+def test_distinct_over_bounds_tie_and_null_edges():
+    """Hand case: ties at the window edge, null runs, single-row groups."""
+    from nvtabular_ray.functions.grouped_np import (
+        dict_codes,
+        distinct_over_bounds,
+        grouped_window_bounds,
+    )
+
+    gid = np.array([0, 0, 0, 0, 0, 1, 2, 2], dtype=np.int64)
+    ts = np.array([0, 10, 10, 15, 30, 5, 1, 2], dtype=np.int64)
+    vals = pa.chunked_array([pa.array(["a", None, "b", "a", "c", None, "x", "x"])])
+    codes, valid = dict_codes(vals)
+    w, e = grouped_window_bounds(ts, gid, 10)
+    got = distinct_over_bounds(codes, valid, w, e, gid)
+    # row0: {a}=1; rows1,2 (peers at ts=10, window [0,10]): {a,b}=2
+    # row3 (ts=15, window [5,15]): {b,a}=2; row4 (ts=30, window [20,30]): {c}=1
+    # row5: all-null window -> 0; rows6,7: {x}=1 each
+    np.testing.assert_array_equal(got, [1, 2, 2, 2, 1, 0, 1, 1])
