@@ -1304,9 +1304,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     predate the last edit to the code it exercises): round 4 changed the
     float-oracle rounding idiom (every _round6i/_mean_cmp6 query), the
     expanding-sum kernel, the ANN top-k reduce, chunk_documents' copy
-    path, distributed-Categorify null-list handling, and the dedup/
-    hot-split group_by renames — plus the new `rename`, `decontaminate`
-    and `token_shards` queries and the two ANN variants whose last green
+    path, distributed-Categorify null-list handling, the dedup/
+    hot-split group_by renames, and the RollingAgg/ExpandingAgg transform
+    refactor (the shared _column_window_results path) — plus the new
+    `rename`, `decontaminate`, `token_shards`, `resume_pipeline` and
+    `rolling_distinct` queries and the two ANN variants whose last green
     row was round 2. Long-green queries over untouched code sit past the
     window (those rows stand)."""
     return {

@@ -610,6 +610,9 @@ def windowed_agg(
     uses (ts - window, ts] and will differ on boundary rows) or [ts, ts + window]
     (``"leading"`` — SQL ``CURRENT ROW AND W FOLLOWING``, for label
     windows). Output columns ``{prefix}{agg}`` appended to the input row.
+    ``aggs`` may include ``"distinct"`` (windowed ``count(DISTINCT v)``,
+    any column type, nulls not counted — works with ``hot_threshold``:
+    bounded-window distinct is halo-exact).
     ``hot_threshold``: optional skew guard (see ``sessionize``).
     """
     keys = [key] if isinstance(key, str) else list(key)
@@ -655,7 +658,10 @@ def expanding_agg(
     rows with STRICTLY earlier ts (unbounded past-only window, equal-ts
     peers excluded — SQL ``RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT
     ROW EXCLUDE GROUP``). Output columns ``{prefix}{agg}`` appended to the
-    input row. ``hot_threshold``: optional skew guard (see ``sessionize``)."""
+    input row. ``aggs`` may include ``"distinct"`` (cumulative
+    ``count(DISTINCT v)``; NOT supported with ``hot_threshold`` — the
+    carry would be the unbounded set of already-seen values).
+    ``hot_threshold``: optional skew guard (see ``sessionize``)."""
     keys = [key] if isinstance(key, str) else list(key)
     prefix = prefix or f"{value_col}_cum_"
     if hot_threshold is not None:
