@@ -85,29 +85,34 @@ def shard_by_token_budget(ds, budget: int, size_col: str, order_col: str,
     global ordered cumsum is the one shape ``map_batches`` cannot express
     (every block needs the total of all earlier blocks):
 
-    1. range-sort by ``order_col`` (Ray Data sort; blocks come out ordered),
-    2. pass 1: one tiny task per block returns its token sum — the driver
-       collects O(blocks) ints and computes exclusive block offsets,
+    1. probe pass: one tiny task per block returns (token sum, first/last
+       key, in-block-sortedness). When the blocks are ALREADY globally
+       sorted by ``order_col`` — the common case: a corpus written in key
+       order by an upstream stage — the probe doubles as pass 1 and the
+       range-sort stage is SKIPPED entirely (at 100 TB the sort is the only
+       all-to-all in this operator). Null keys or any disorder fall back to
+       ``Dataset.sort`` over the already-materialized blocks (upstream maps
+       are never re-executed), followed by a fresh sum pass,
+    2. the driver computes exclusive block offsets from O(blocks) ints,
     3. pass 2: one task per block adds its offset to a block-local
        exclusive cumsum; floor-divide by budget is the shard id.
 
-    Nothing but per-block int64 sums ever reaches the driver, both passes
-    are embarrassingly parallel, and the output is a Dataset over the
-    same blocks (``from_arrow_refs`` — zero re-shuffle)."""
+    Nothing but per-block int64 sums and boundary keys ever reaches the
+    driver, every pass is embarrassingly parallel, and the output is a
+    Dataset over the same blocks (``from_arrow_refs`` — zero re-shuffle)."""
     import ray as _ray
     import ray.data as rd
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    refs = ds.sort(order_col).to_arrow_refs()
+    refs = ds.to_arrow_refs()
     if not refs:
         return ds.map_batches(
             lambda t: t.append_column(out_col, pa.array([], pa.int64())),
             batch_format="pyarrow",
         )
 
-    @_ray.remote(num_cpus=0.25)
-    def block_sum(t: pa.Table) -> int:
+    def _block_sizes_sum(t: pa.Table) -> int:
         col = t.column(size_col)
         if col.null_count:
             import pyarrow.compute as pc
@@ -115,7 +120,43 @@ def shard_by_token_budget(ds, budget: int, size_col: str, order_col: str,
             col = pc.fill_null(col, 0)
         return int(np.sum(np.asarray(col, dtype=np.int64))) if t.num_rows else 0
 
-    sums = _ray.get([block_sum.remote(r) for r in refs])
+    @_ray.remote(num_cpus=0.25)
+    def block_probe(t: pa.Table) -> tuple:
+        """(sum, first_key, last_key, in_block_sorted, n)."""
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        if n == 0:
+            return (0, None, None, True, 0)
+        s = _block_sizes_sum(t)
+        k = t.column(order_col)
+        kc = k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+        if kc.null_count:  # null keys have no defined order: force the sort
+            return (s, None, None, False, n)
+        ordered = (
+            bool(pc.all(pc.greater_equal(kc.slice(1), kc.slice(0, n - 1))).as_py())
+            if n > 1
+            else True
+        )
+        return (s, kc[0].as_py(), kc[n - 1].as_py(), ordered, n)
+
+    probes = _ray.get([block_probe.remote(r) for r in refs])
+    ok = all(p[3] for p in probes)
+    if ok:  # blocks internally sorted; check they are also non-overlapping
+        last = None
+        for p in probes:
+            if p[4] == 0:
+                continue
+            if last is not None and p[1] < last:
+                ok = False
+                break
+            last = p[2]
+    if ok:
+        sums = [p[0] for p in probes]
+    else:
+        block_sum = _ray.remote(num_cpus=0.25)(_block_sizes_sum)
+        refs = rd.from_arrow_refs(refs).sort(order_col).to_arrow_refs()
+        sums = _ray.get([block_sum.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(sums[:-1], dtype=np.int64)])
 
     @_ray.remote(num_cpus=0.25)

@@ -102,3 +102,57 @@ def test_shard_by_token_budget_nulls_and_empty():
 
     with np.testing.assert_raises(ValueError):
         shard_by_token_budget(rd.from_arrow(t), budget=0, size_col="n_tokens", order_col="doc_id")
+
+
+def test_shard_by_token_budget_sorted_fast_path():
+    """Pre-sorted multi-block input must take the sort-skipping fast path
+    and produce the identical result; boundary-overlapping blocks and
+    string keys exercise the globally-sorted check."""
+    from nvtabular_ray.functions.packing import shard_by_token_budget
+
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([f"doc{i:06d}" for i in range(n)], dtype=object),
+            "n_tokens": rng.randint(1, 300, size=n).astype(np.int64),
+        }
+    )
+    before = np.concatenate([[0], np.cumsum(df["n_tokens"].to_numpy())[:-1]])
+    expect = before // 777
+
+    sorted_ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(5)
+    out_sorted = (
+        shard_by_token_budget(sorted_ds, budget=777, size_col="n_tokens", order_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(out_sorted["shard_id"].to_numpy(), expect)
+
+    shuffled = rd.from_arrow(
+        pa.Table.from_pandas(df.sample(frac=1.0, random_state=4), preserve_index=False)
+    ).repartition(5)
+    out_shuffled = (
+        shard_by_token_budget(shuffled, budget=777, size_col="n_tokens", order_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(out_shuffled["shard_id"].to_numpy(), expect)
+
+    # a single out-of-order pair across a block boundary must fall back
+    df2 = df.copy()
+    df2.iloc[[79, 81]] = df2.iloc[[81, 79]].to_numpy()  # swap across block edge
+    near_sorted = rd.from_arrow(
+        pa.Table.from_pandas(df2, preserve_index=False)
+    ).repartition(5)
+    out2 = (
+        shard_by_token_budget(near_sorted, budget=777, size_col="n_tokens", order_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(out2["shard_id"].to_numpy(), expect)
