@@ -149,6 +149,17 @@ def run_bench() -> dict:
             if proc.returncode == 0:
                 try:
                     q = json.loads(proc.stdout.strip().splitlines()[-1])
+                    # validate the SHAPE before touching disk: a stray final
+                    # JSON-parseable line ('null', a number, a list) or a
+                    # null timing must trigger the retry, not a TypeError
+                    # after all measurements completed
+                    if not (
+                        isinstance(q, dict)
+                        and q
+                        and all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                                for v in q.values())
+                    ):
+                        continue
                     # full precision to a side file for analysis; 2 decimals
                     # on the stdout line (see the size note in __main__)
                     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -95,6 +95,8 @@ def dataset_arrow_schema(ds) -> pa.Schema:
     crash on the latter. Convert via ``pa.from_numpy_dtype`` (object
     dtype — pandas strings — maps to ``pa.string()``)."""
     sch = ds.schema(fetch_if_missing=True)
+    if sch is None:  # a zero-row plan can erase the schema entirely
+        return None
     sch = getattr(sch, "base_schema", sch)
     if isinstance(sch, pa.Schema):
         return sch

@@ -36,8 +36,12 @@ _MERGE_FANIN = 64
 def _combine_topk(tabs: list[pa.Table], k: int, id_col: str) -> pa.Table:
     nonempty = [t for t in tabs if t.num_rows]
     if not nonempty:  # e.g. LSH probing found no bucket anywhere
-        if tabs:  # empty partials still carry the (id, sim) schema — keep it
-            return tabs[0].slice(0, 0)
+        for t in tabs:
+            # keep a real (id, sim) schema if any partial carries one; Ray
+            # collapses an all-empty output block to a 0-COLUMN placeholder
+            # table, so "empty" does not imply "has the schema"
+            if {id_col, "sim"} <= set(t.column_names):
+                return t.slice(0, 0)
         return pa.table({id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
     t = pa.concat_tables(nonempty, promote_options="default")
     sims = t.column("sim").to_numpy(zero_copy_only=False)
@@ -59,6 +63,21 @@ def _final_topk(partials, k: int, id_col: str):
     import ray.data as rd
 
     refs = list(partials.to_arrow_refs())
+    if not refs:
+        # zero blocks (upstream filter/limit emptied the plan): preserve the
+        # dataset's real (id, sim) schema when the plan still knows it — the
+        # int64 guess breaks a later concat with string-typed ids. A fully
+        # schema-erased plan (row-lambda filter to nothing) falls back to
+        # the guess, which is at least WELL-FORMED (id, sim) columns.
+        try:
+            from nvtabular_ray.arrow_utils import dataset_arrow_schema
+
+            schema = dataset_arrow_schema(partials)
+            if schema is not None and {id_col, "sim"} <= set(schema.names):
+                return rd.from_arrow(schema.empty_table())
+        except Exception:
+            pass
+        return rd.from_arrow(_combine_topk([], k, id_col))
     if len(refs) > _MERGE_FANIN:
         # remote fn defined only on the deep path so the common few-block
         # case never pays the one-time remote-function export

@@ -35,26 +35,20 @@ from nvtabular_ray.functions.hashing import hash64
 
 def _doc_ngram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     """(bounds, flat) where flat[bounds[i]:bounds[i+1]] is doc i's
-    sorted-UNIQUE uint64 word-n-gram hashes. Docs with fewer than ``n``
-    words contribute zero grams (a short doc cannot contain a full
-    benchmark n-gram — unlike the dedup gram builder, which falls back to
-    whole-doc grams to keep Jaccard defined)."""
-    grams: list[np.ndarray] = []
-    lens = np.empty(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        w = (text or "").lower().split()
-        if len(w) < n:
-            lens[i] = 0
-            continue
-        g = np.unique(
-            np.array([" ".join(w[j : j + n]) for j in range(len(w) - n + 1)], dtype=object)
-        )
-        grams.append(g)
-        lens[i] = len(g)
+    sorted-UNIQUE uint64 word-n-gram hashes. Gram strings come from the
+    SHARED builder (dedup.word_ngrams — one tokenization spec for dedup
+    and decontamination) with ``short_doc="skip"``: a doc with fewer than
+    ``n`` words contributes zero grams (it cannot contain a full benchmark
+    n-gram — unlike Jaccard dedup, which needs whole-doc fallback)."""
+    from nvtabular_ray.functions.dedup import word_ngrams
+
+    grams = [np.unique(g) for g in word_ngrams(texts, n, short_doc="skip")]
+    lens = np.array([len(g) for g in grams], dtype=np.int64)
     bounds = np.concatenate([[0], np.cumsum(lens)])
-    if not grams:
+    nonempty = [g for g in grams if len(g)]
+    if not nonempty:
         return bounds, np.empty(0, dtype=np.uint64)
-    flat_strs = np.concatenate(grams)
+    flat_strs = np.concatenate(nonempty)
     h = hash64(pd.Series(flat_strs, dtype=object))
     # re-unique per doc is unnecessary: grams were unique as strings and a
     # same-doc hash collision would only undercount by the collision itself

@@ -398,18 +398,34 @@ def simhash_dedup(
 
 
 # ------------------------------------------------- n-gram Jaccard / embeddings --
-def _word_ngram_hashes(texts, n: int):
-    """Per-doc sorted-unique uint64 hashes of word n-grams, vectorized: all
-    grams of the batch hash in ONE SipHash call, split back by doc."""
+def word_ngrams(texts, n: int, short_doc: str = "whole") -> list:
+    """Per-doc object arrays of word n-gram strings — the ONE shared gram
+    spec (``lower().split()`` word tokenization, space-joined grams) for
+    n-gram Jaccard dedup AND benchmark decontamination, so a tokenization
+    tweak can never silently diverge between the two operators.
+    ``short_doc="whole"``: a doc with fewer than ``n`` words contributes
+    its whole-doc gram (keeps Jaccard defined); ``"skip"``: contributes no
+    grams (a short doc cannot contain a full benchmark n-gram)."""
     grams: list[np.ndarray] = []
     for text in texts:
         w = (text or "").lower().split()
         if len(w) < n:
-            grams.append(np.array([" ".join(w)], dtype=object))
+            grams.append(
+                np.array([" ".join(w)], dtype=object)
+                if short_doc == "whole"
+                else np.empty(0, dtype=object)
+            )
         else:
             grams.append(
                 np.array([" ".join(w[i : i + n]) for i in range(len(w) - n + 1)], dtype=object)
             )
+    return grams
+
+
+def _word_ngram_hashes(texts, n: int):
+    """Per-doc sorted-unique uint64 hashes of word n-grams, vectorized: all
+    grams of the batch hash in ONE SipHash call, split back by doc."""
+    grams = word_ngrams(texts, n, short_doc="whole")
     if not grams:  # empty block (post-filter/limit) must not kill the task
         return []
     lens = np.array([len(g) for g in grams], dtype=np.int64)

@@ -368,19 +368,21 @@ def chunk_documents(
             col = col.combine_chunks()
         n = len(col)
         ids = t.column(id_col)
-        off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
-        off = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
-            col.offset : col.offset + n + 1
-        ].astype(np.int64)
-        data_buf = col.buffers()[2]  # None when every string is empty
-        flat = (
-            np.frombuffer(data_buf, dtype=np.uint8)[off[0] : off[-1]]
-            if data_buf is not None
-            else np.empty(0, dtype=np.uint8)
-        )
-        off = off - off[0]
         if bool(pc.all(pc.string_is_ascii(col)).as_py() if n else True):
-            # ASCII: byte == char, boundaries are pure arithmetic
+            # ASCII: byte == char, boundaries are pure arithmetic on the
+            # raw buffers (extracted here — the unicode branch never needs
+            # them, and the int64 offsets copy is not free on wide batches)
+            off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+            off = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+                col.offset : col.offset + n + 1
+            ].astype(np.int64)
+            data_buf = col.buffers()[2]  # None when every string is empty
+            flat = (
+                np.frombuffer(data_buf, dtype=np.uint8)[off[0] : off[-1]]
+                if data_buf is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            off = off - off[0]
             doc_start, doc_end = off[:-1], off[1:]
             L = doc_end - doc_start
             nc = np.where(

@@ -20,16 +20,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from nvtabular_ray.functions.grouped_np import (
+    _agg_over_bounds,
     dict_codes as _dict_codes,
     distinct_over_bounds,
-    expanding_aggregate,
     group_ids_sorted,
+    group_starts,
     group_time_order,
     grouped_expanding_bounds,
     grouped_sessionize,
     grouped_window_bounds,
     grouped_window_bounds_leading,
-    rolling_aggregate,
 )
 from nvtabular_ray.ops.base import Operator
 
@@ -205,7 +205,10 @@ class RollingAgg(Operator):
             return bounds_cache[0]
 
         def run_float(vals, f_aggs):
-            return rolling_aggregate(vals, ts_k, gid_k, window, f_aggs, self.direction)
+            # shared memoized bounds: with distinct + float aggs (or
+            # several value columns) the two searchsorteds run once, not
+            # once per kernel family per column
+            return _agg_over_bounds(vals, *get_bounds(), f_aggs)
 
         out = {}
         for c in self._value_cols(col_selector):
@@ -295,8 +298,12 @@ class ExpandingAgg(Operator):
                 bounds_cache.append(grouped_expanding_bounds(ts_k, gid_k))
             return bounds_cache[0]
 
+        starts_k = group_starts(gid_k)
+
         def run_float(vals, f_aggs):
-            return expanding_aggregate(vals, ts_k, gid_k, f_aggs)
+            # group-local frame sums (bit-equal to SQL's UNBOUNDED
+            # PRECEDING accumulator) over the shared memoized bounds
+            return _agg_over_bounds(vals, *get_bounds(), f_aggs, local_starts=starts_k)
 
         out = {}
         for c in self._value_cols(col_selector):

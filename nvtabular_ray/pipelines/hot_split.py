@@ -59,12 +59,12 @@ from nvtabular_ray.functions.grouped_np import (
     dict_codes,
     distinct_over_bounds,
     group_ids_sorted,
+    group_starts,
     grouped_diff,
     grouped_expanding_bounds,
     grouped_sessionize,
     grouped_window_bounds,
     grouped_window_bounds_leading,
-    rolling_aggregate,
 )
 from nvtabular_ray.functions.hashing import hash64_columns
 
@@ -347,21 +347,17 @@ def _split_one(block: pa.Table, key: str, ts_col: str, B: int, total: int, P: in
 
 
 def _rolling_results(t: pa.Table, s: dict, vals, ts_us, gid, scale) -> dict:
-    """rolling_aggregate for the float aggs + distinct_over_bounds for
-    "distinct" (which needs the RAW column, not the float cast — the value
-    may be a string). Shared by the cold and hot compute paths; ``vals`` is
-    the caller's lazy float-cast closure, only touched when a float agg
-    exists."""
+    """Window bounds computed ONCE, shared by the float aggs
+    (_agg_over_bounds) and "distinct" (distinct_over_bounds, which needs
+    the RAW column, not the float cast — the value may be a string).
+    Shared by the cold and hot compute paths; ``vals`` is the caller's
+    lazy float-cast closure, only touched when a float agg exists."""
     dirn = s.get("direction", "trailing")
+    bf = grouped_window_bounds if dirn == "trailing" else grouped_window_bounds_leading
+    w_, e_ = bf(ts_us, gid, int(s["window"] * scale))
     f_aggs = [a for a in s["aggs"] if a != "distinct"]
-    res = (
-        rolling_aggregate(vals(s["col"]), ts_us, gid, int(s["window"] * scale), f_aggs, dirn)
-        if f_aggs
-        else {}
-    )
+    res = _agg_over_bounds(vals(s["col"]), w_, e_, f_aggs) if f_aggs else {}
     if "distinct" in s["aggs"]:
-        bf = grouped_window_bounds if dirn == "trailing" else grouped_window_bounds_leading
-        w_, e_ = bf(ts_us, gid, int(s["window"] * scale))
         codes, cvalid = dict_codes(t.column(s["col"]))
         res["distinct"] = distinct_over_bounds(codes, cvalid, w_, e_, gid)
     return res
@@ -400,7 +396,12 @@ def _compute_cold(t: pa.Table, cfg: dict) -> pa.Table:
                 )
         elif s["kind"] == "expanding":
             w, end = grouped_expanding_bounds(ts_us, gid)
-            res = _agg_over_bounds(vals(s["col"]), w, end, s["aggs"])
+            # local_starts: frame sums accumulate group-locally, bit-equal
+            # to the fixed ExpandingAgg default plan (a global-cumsum
+            # difference drifts 1 ulp across a large earlier entity)
+            res = _agg_over_bounds(
+                vals(s["col"]), w, end, s["aggs"], local_starts=group_starts(gid)
+            )
             for name, a in zip(names, s["aggs"]):
                 arr = res[a]
                 t = t.append_column(
@@ -820,7 +821,10 @@ def _run_hot_split(
     def split_block(block, hot_):
         if not isinstance(block, pa.Table):
             block = pa.Table.from_pandas(block, preserve_index=False)
-        return _split_one(block, key, ts_col, B, total, P, hot_)
+        out = _split_one(block, key, ts_col, B, total, P, hot_)
+        # num_returns=1 delivers the return value AS-IS (no tuple unpack):
+        # a single-partition plan must return the lone shard, not a 1-tuple
+        return out if P > 1 else out[0]
 
     @ray.remote(num_returns=3)
     def phase_a(*shards):
@@ -836,7 +840,10 @@ def _run_hot_split(
         for ref, m in bundle.blocks:
             if m.num_rows is not None and m.num_rows == 0:
                 continue
-            splits.append(split_block.options(num_returns=P).remote(ref, hot_ref))
+            r = split_block.options(num_returns=P).remote(ref, hot_ref)
+            # ray returns a BARE ref (not a 1-list) when num_returns == 1,
+            # which a single-partition plan (num_buckets=1) hits
+            splits.append(r if isinstance(r, list) else [r])
     if not splits:
         # empty input: run the cold kernel on a zero-row table so the
         # result carries the OUTPUT schema (feature/join columns), not the
