@@ -1060,6 +1060,54 @@ def _q_resume_pipeline(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _q_workflow_save_load(sf_dir: str):
+    """Persistence driver proof: fit -> save (JSON DAG + parquet stat
+    artifacts, no pickle) -> load into a FRESH Workflow object ->
+    transform. Matching the straight fit+transform SQL oracle proves the
+    persisted vocabulary and moments ARE the fitted state, value-exact."""
+    import shutil
+    import tempfile
+
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    wf = Workflow(
+        (["event_type"] >> ops.Categorify())
+        + (["value"] >> ops.Normalize() >> ops.Rename(name="value_norm"))
+        + ["event_id"]
+    )
+    wf.fit(ds)
+    d = tempfile.mkdtemp(prefix="wf_save_", dir="/tmp")
+    try:
+        wf.save(d)
+        wf2 = Workflow.load(d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return _round6i(wf2.transform(ds), ["value_norm"])
+
+
+def _q_serving_batch(sf_dir: str):
+    """In-process serving driver proof: fit on the distributed Dataset,
+    then transform a pyarrow REQUEST BATCH in-process (transform_batch —
+    no Ray stages, the online-inference path). Serving must equal batch
+    semantics; int-coded outputs keep the comparison exact."""
+    import pyarrow.parquet as pq
+
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "user_id"])
+    wf = Workflow(
+        (["event_type"] >> ops.Categorify())
+        + (["user_id"] >> ops.HashBucket(16) >> ops.Rename(name="user_bucket"))
+        + ["event_id"]
+    )
+    wf.fit(ds)
+    batch = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "user_id"]
+    )
+    return wf.transform(batch)  # pa.Table in, pa.Table out, in-process
+
+
 def _q_log_norm(sf_dir: str):
     from nvtabular_ray import Workflow, ops
 
@@ -1317,6 +1365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "resume_pipeline": _q_resume_pipeline,
         "rolling_distinct": _q_rolling_distinct,
+        "workflow_save_load": _q_workflow_save_load,
+        "serving_batch": _q_serving_batch,
         "rename": _q_rename,
         "expanding_agg": _q_expanding_agg,
         "rolling_mean": _q_rolling_mean,
@@ -1864,6 +1914,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id ASC
             LIMIT 10
+        """,
+        "workflow_save_load": """
+            -- the save->load->transform output must equal straight
+            -- fit+transform: Categorify vocab codes + Normalize (ddof=1)
+            WITH vocab AS (
+                SELECT event_type,
+                       ROW_NUMBER() OVER (ORDER BY count(*) DESC, event_type ASC) + 2 AS code
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, v.code AS event_type,
+                   CAST(ROUND((e.value - avg(e.value) OVER ())
+                        / stddev_samp(e.value) OVER () * 1e6) AS BIGINT) AS value_norm
+            FROM events e JOIN vocab v USING (event_type)
+        """,
+        "serving_batch": """
+            -- in-process serving of a pyarrow request batch == batch
+            -- semantics: vocab codes + md5_60 hash bucket (public spec)
+            WITH vocab AS (
+                SELECT event_type,
+                       ROW_NUMBER() OVER (ORDER BY count(*) DESC, event_type ASC) + 2 AS code
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, v.code AS event_type,
+                   CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 16
+                        AS INT) AS user_bucket
+            FROM events e JOIN vocab v USING (event_type)
         """,
         "resume_pipeline": """
             -- the resumed (crash-simulated) partitioned output must equal a
