@@ -105,19 +105,45 @@ def run_bench() -> dict:
     project = os.environ.get("GRAFT_PROJECT_EXCHANGE", "") == "1"
     from nvtabular_ray.pipelines.transcripts import transcript_feature_workflow
 
-    t0 = time.perf_counter()
-    ds = rd.read_parquet(CACHE)
-    if project:
-        feats, wf = transcript_features(ds, project_exchange=True)
-        t_fit = time.perf_counter()
-    else:
-        wf = transcript_feature_workflow()
-        wf.fit(ds)
-        t_fit = time.perf_counter()
-        feats = wf.transform(ds)
-    feats.write_parquet(out_dir)
-    t1 = time.perf_counter()
-    headline = t1 - t0
+    # headline = MIN-OF-2: this host's effective memory bandwidth swings
+    # 0.2-11 GiB/s between minutes (see BASELINE.md host probes), so a
+    # single reading can be a 3x outlier; two runs cost ~10 s extra and
+    # both readings are reported so drift is visible
+    runs = []
+    fits, tws = [], []
+    reps = 1 if os.environ.get("GRAFT_CAP_KERNEL_THREADS") == "1" else 2
+    for _ in range(reps):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(CACHE)
+        if project:
+            feats, wf = transcript_features(ds, project_exchange=True)
+            t_fit = time.perf_counter()
+        else:
+            wf = transcript_feature_workflow()
+            wf.fit(ds)
+            t_fit = time.perf_counter()
+            feats = wf.transform(ds)
+        feats.write_parquet(out_dir)
+        t1 = time.perf_counter()
+        runs.append(t1 - t0)
+        fits.append(t_fit - t0)
+        tws.append(t1 - t_fit)
+    best = min(range(reps), key=lambda i: runs[i])
+    headline = runs[best]
+
+    # 3-second host diagnostic: single-threaded copy bandwidth, the
+    # resource that actually bounds this pipeline on a degraded window
+    import numpy as _np
+
+    _src = _np.empty(1 << 28, dtype=_np.uint8)
+    _src[::4096] = 1
+    _dst = _np.empty_like(_src)
+    _bw = 0.0
+    for _ in range(2):
+        _t = time.perf_counter()
+        _np.copyto(_dst, _src)
+        _bw = max(_bw, 0.5 / (time.perf_counter() - _t))
 
     result = {
         "metric": "flagship_fit_transform_write_sec",
@@ -127,8 +153,10 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1),
-        "fit_sec": round(t_fit - t0, 3),
-        "transform_write_sec": round(t1 - t_fit, 3),
+        "fit_sec": round(fits[best], 3),
+        "transform_write_sec": round(tws[best], 3),
+        "runs": [round(r, 2) for r in runs],
+        "host_gib_s": round(_bw, 1),
         "queries": {},
     }
 
