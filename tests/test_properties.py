@@ -359,3 +359,49 @@ def test_pack_bins_property(sizes, cap):
         if maxes[b] > cap:
             assert sums[b] == maxes[b]  # nothing non-zero shares an oversize bin
     assert np.array_equal(bins, pack_bins_ffd(arr, cap))
+
+
+@settings(**_SETTINGS)
+@given(st.integers(0, 10_000))
+def test_windowed_distinct_matches_bruteforce(seed):
+    """Windowed count(DISTINCT) — all three window modes against the
+    O(n^2) set-based oracle, with ts ties, nulls, and tiny vocab (heavy
+    duplicate-interval overlap, the union-telescoping stress case)."""
+    from nvtabular_ray.functions.grouped_np import (
+        dict_codes,
+        distinct_over_bounds,
+        grouped_expanding_bounds,
+        grouped_window_bounds,
+        grouped_window_bounds_leading,
+    )
+
+    rng = np.random.RandomState(seed)
+    n = 40
+    ents = np.sort(rng.randint(0, 4, n)).astype(np.int64)
+    # per-entity sorted ts with frequent ties
+    ts = np.empty(n, dtype=np.int64)
+    for e in np.unique(ents):
+        m = ents == e
+        ts[m] = np.sort(rng.randint(0, 60, m.sum()))
+    vocab = ["a", "b", "c", None]
+    vals = [vocab[i] for i in rng.randint(0, len(vocab), n)]
+    arr = pa.chunked_array([pa.array(vals)])
+    codes, valid = dict_codes(arr)
+    W = int(rng.randint(1, 40))
+
+    def brute(lo_i, hi_i):
+        # distinct non-null values among rows j of the same entity with
+        # lo_i[i] <= j < hi_i[i]
+        return np.array(
+            [len({vals[j] for j in range(lo, hi) if vals[j] is not None})
+             for lo, hi in zip(lo_i, hi_i)],
+            dtype=np.int64,
+        )
+
+    for mode, (w, e) in {
+        "trail": grouped_window_bounds(ts, ents, W),
+        "lead": grouped_window_bounds_leading(ts, ents, W),
+        "expanding": grouped_expanding_bounds(ts, ents),
+    }.items():
+        got = distinct_over_bounds(codes, valid, np.asarray(w), np.asarray(e), ents)
+        np.testing.assert_array_equal(got, brute(w, e), err_msg=mode)
