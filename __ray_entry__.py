@@ -1108,6 +1108,88 @@ def _q_serving_batch(sf_dir: str):
     return wf.transform(batch)  # pa.Table in, pa.Table out, in-process
 
 
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV-reader driver proof: export events to HEADERLESS csv shards,
+    read back via ``read_dataset(engine="csv", names=[...])`` (the
+    reference's ``Dataset(paths, engine="csv", names=...)`` surface,
+    tests/conftest.py:238-242), then Categorify the round-tripped strings.
+    Int/string columns only, so the text round-trip is exact."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from nvtabular_ray import Workflow, ops
+    from nvtabular_ray.sources.io import read_dataset
+
+    cols = ["event_id", "event_type", "user_id"]
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=cols)
+    d = tempfile.mkdtemp(prefix="csv_rt_", dir="/tmp")
+    try:
+        half = tbl.num_rows // 2
+        opts = pacsv.WriteOptions(include_header=False)
+        pacsv.write_csv(tbl.slice(0, half), f"{d}/part0.csv", opts)
+        pacsv.write_csv(tbl.slice(half), f"{d}/part1.csv", opts)
+        ds = read_dataset(sorted(glob.glob(f"{d}/*.csv")), engine="csv", names=cols)
+        wf = Workflow((["event_type"] >> ops.Categorify()) + ["event_id", "user_id"])
+        # materialize before the tempdir vanishes — the read is lazy
+        return wf.fit(ds).transform(ds).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _q_shuffled_write(sf_dir: str):
+    """Writer driver proof: a ``Shuffle.PER_WORKER`` + ``out_files_per_proc``
+    sharded write (the reference's training-randomness write mode,
+    docs/source/core_features.md:67-69) must preserve the exact row multiset
+    — values pass through untouched, so floats compare bit-identical."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from nvtabular_ray.sources.io import Shuffle, write_parquet
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    d = tempfile.mkdtemp(prefix="shuf_write_", dir="/tmp")
+    try:
+        write_parquet(ds, d, shuffle=Shuffle.PER_WORKER, out_files_per_proc=4)
+        return rd.read_parquet(d).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _q_jsonl_source(sf_dir: str):
+    """JSONL-source driver proof (LLM corpora ship as line-delimited JSON):
+    export documents to two .jsonl shards, read back via
+    ``read_dataset(engine="jsonl")``, token-count the round-tripped text.
+    JSON string escaping is lossless, counts are ints — exact comparison."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from nvtabular_ray.functions.text import token_count
+    from nvtabular_ray.sources.io import read_dataset
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = tbl.to_pylist()
+    d = tempfile.mkdtemp(prefix="jsonl_src_", dir="/tmp")
+    try:
+        half = len(rows) // 2
+        for i, part in enumerate((rows[:half], rows[half:])):
+            with open(f"{d}/part{i}.jsonl", "w") as f:
+                for r in part:
+                    f.write(_json.dumps(r) + "\n")
+        ds = read_dataset([f"{d}/part0.jsonl", f"{d}/part1.jsonl"], engine="jsonl")
+        return token_count(ds).select_columns(["doc_id", "n_tokens"]).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_log_norm(sf_dir: str):
     from nvtabular_ray import Workflow, ops
 
@@ -1355,10 +1437,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     path, distributed-Categorify null-list handling, the dedup/
     hot-split group_by renames, and the RollingAgg/ExpandingAgg transform
     refactor (the shared _column_window_results path) — plus the new
-    `rename`, `decontaminate`, `token_shards`, `resume_pipeline` and
-    `rolling_distinct` queries and the two ANN variants whose last green
-    row was round 2. Long-green queries over untouched code sit past the
-    window (those rows stand)."""
+    `rename`, `decontaminate`, `token_shards`, `resume_pipeline`,
+    `rolling_distinct`, `workflow_save_load`, `serving_batch`,
+    `csv_roundtrip`, `jsonl_source` and `shuffled_write` queries and the
+    two ANN variants whose last green row was round 2. Long-green queries
+    over untouched code sit past the window (those rows stand); the young
+    rows rotated past 50 this round (multimodal_meta, groupby_list,
+    value_count, the broadcast categorify trio, difference_lag,
+    sessionize, backfill) exercise files with no round-4 commits."""
     return {
         # --- round-4 changed code: must be inside the 50-row window ------
         "decontaminate": _q_decontaminate,
@@ -1367,6 +1453,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_distinct": _q_rolling_distinct,
         "workflow_save_load": _q_workflow_save_load,
         "serving_batch": _q_serving_batch,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "jsonl_source": _q_jsonl_source,
+        "shuffled_write": _q_shuffled_write,
         "rename": _q_rename,
         "expanding_agg": _q_expanding_agg,
         "rolling_mean": _q_rolling_mean,
@@ -1399,9 +1488,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "corpus_pipeline": _q_corpus_pipeline,
         # --- unchanged but young rows (first green in r3) -----------------
-        "multimodal_meta": _q_multimodal_meta,
-        "groupby_list": _q_groupby_list,
-        "value_count": _q_value_count,
         "drop_low_cardinality": _q_drop_low_cardinality,
         "text_clean": _q_text_clean,
         "pii_redact": _q_pii_redact,
@@ -1420,6 +1506,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backfill": _q_backfill,
         # --- past the driver's 50-query window (green rows stand;
         #     code untouched this round) -----------------------------------
+        "multimodal_meta": _q_multimodal_meta,
+        "groupby_list": _q_groupby_list,
+        "value_count": _q_value_count,
         "asof_join": _q_asof_join,
         "groupby_agg": _q_groupby_agg,
         "groupby_stats": _q_groupby_stats,
@@ -1940,6 +2029,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 16
                         AS INT) AS user_bucket
             FROM events e JOIN vocab v USING (event_type)
+        """,
+        "csv_roundtrip": """
+            -- headerless CSV round-trip + Categorify == straight vocab codes
+            WITH vocab AS (
+                SELECT event_type,
+                       ROW_NUMBER() OVER (ORDER BY count(*) DESC, event_type ASC) + 2 AS code
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, v.code AS event_type, e.user_id
+            FROM events e JOIN vocab v USING (event_type)
+        """,
+        "shuffled_write": """
+            -- shuffle-on-write permutes order only: exact row multiset,
+            -- floats pass through untouched (bit-identical)
+            SELECT event_id, event_type, value FROM events
+        """,
+        "jsonl_source": """
+            -- JSONL round-trip is lossless: token counts over the re-read
+            -- text must equal counts over the parquet original
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
         """,
         "resume_pipeline": """
             -- the resumed (crash-simulated) partitioned output must equal a

@@ -54,6 +54,13 @@ def read_dataset(
         if columns:
             ds = ds.select_columns(columns)
         return ds
+    if engine in ("json", "jsonl"):
+        # line-delimited JSON — the lingua franca of LLM corpora. Arrow's
+        # block-based NDJSON parser underneath; one task per file/block.
+        ds = rd.read_json(paths, **kw)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
     raise ValueError(f"unsupported engine {engine}")
 
 

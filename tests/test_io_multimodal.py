@@ -22,6 +22,23 @@ def test_read_csv_with_names(tmp_path):
     pd.testing.assert_frame_equal(out, df)
 
 
+def test_read_jsonl(tmp_path):
+    import json
+
+    rows = [
+        {"doc_id": 1, "text": "héllo — unicode\nsurvives"},
+        {"doc_id": 2, "text": 'quotes " and \\ backslashes'},
+        {"doc_id": 3, "text": ""},
+    ]
+    p = tmp_path / "f.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    ds = read_dataset(str(p), engine="jsonl", columns=["doc_id", "text"])
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, pd.DataFrame(rows))
+
+
 def test_write_parquet_shuffles(tmp_path, sf_dir):
     ds = read_dataset(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
     out = str(tmp_path / "out")
