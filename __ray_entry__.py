@@ -1190,6 +1190,31 @@ def _q_jsonl_source(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_line_dedup(sf_dir: str):
+    """Line-level exact dedup (C4/RefinedWeb boilerplate pass) driver
+    proof. The synthetic corpus has no newlines, so the query derives
+    deterministic 'lines' first — consecutive 3-word chunks, which DO
+    repeat corpus-wide — then removes every chunk occurring >= 2 times
+    (chunks under 10 chars are never removed)."""
+    import pyarrow as pa
+
+    from nvtabular_ray.functions.dedup import line_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t.column("text").to_pylist():
+            w = s.split(" ")
+            out.append("\n".join(" ".join(w[i : i + 3]) for i in range(0, len(w), 3)))
+        return t.set_column(
+            t.schema.get_field_index("text"), "text", pa.array(out, type=pa.string())
+        )
+
+    lined = ds.map_batches(to_lines, batch_format="pyarrow", zero_copy_batch=True)
+    return line_dedup(lined, min_dup=2, min_line_chars=10)
+
+
 def _q_log_norm(sf_dir: str):
     from nvtabular_ray import Workflow, ops
 
@@ -1439,8 +1464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     refactor (the shared _column_window_results path) — plus the new
     `rename`, `decontaminate`, `token_shards`, `resume_pipeline`,
     `rolling_distinct`, `workflow_save_load`, `serving_batch`,
-    `csv_roundtrip`, `jsonl_source` and `shuffled_write` queries and the
-    two ANN variants whose last green row was round 2. Long-green queries
+    `csv_roundtrip`, `jsonl_source`, `shuffled_write` and `line_dedup`
+    queries and the two ANN variants whose last green row was round 2. Long-green queries
     over untouched code sit past the window (those rows stand); the young
     rows rotated past 50 this round (multimodal_meta, groupby_list,
     value_count, the broadcast categorify trio, difference_lag,
@@ -1481,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "categorify_tokens": _q_categorify_tokens,
         "categorify_tokens_distributed": _q_categorify_tokens_distributed,
         "dedup_exact": _q_dedup_exact,
+        "line_dedup": _q_line_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -2039,6 +2065,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.event_id, v.code AS event_type, e.user_id
             FROM events e JOIN vocab v USING (event_type)
+        """,
+        "line_dedup": """
+            -- C4-style line-level exact dedup over derived 3-word-chunk
+            -- lines: remove chunks occurring >=2 times corpus-wide (>=10
+            -- chars only); docs reassembled in order, fully-emptied docs drop
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, (i - 1) // 3 AS idx,
+                       string_agg(w, ' ' ORDER BY i) AS line
+                FROM words GROUP BY doc_id, (i - 1) // 3
+            ),
+            nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+            counts AS (
+                SELECT line, count(*) AS c FROM lines
+                WHERE length(line) >= 10 GROUP BY line
+            ),
+            kept AS (
+                SELECT l.doc_id, l.idx, l.line
+                FROM lines l LEFT JOIN counts c USING (line)
+                WHERE length(l.line) < 10 OR c.c < 2
+            )
+            SELECT k.doc_id,
+                   string_agg(k.line, chr(10) ORDER BY k.idx) AS text,
+                   CAST(any_value(nl.n_lines) - count(*) AS INT) AS n_removed
+            FROM kept k JOIN nl USING (doc_id)
+            GROUP BY k.doc_id
         """,
         "shuffled_write": """
             -- shuffle-on-write permutes order only: exact row multiset,

@@ -59,6 +59,108 @@ def exact_dedup(ds, key_cols: list[str], order_col: str):
     return bucketed_group_map(hashed, [_H], [], pick_first)
 
 
+def line_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_dup: int = 2,
+    min_line_chars: int = 10,
+    sep: str = "\n",
+    num_buckets=None,
+):
+    """Line-level EXACT dedup (the C4/RefinedWeb boilerplate pass): remove
+    every line whose exact content occurs >= ``min_dup`` times across the
+    whole corpus, considering only lines with >= ``min_line_chars``
+    characters — short lines (blanks, bullets, separators) are never
+    removed. Documents are reassembled in original line order; a document
+    whose every line is removed disappears from the output. Returns
+    ``(id_col, text, n_removed)``.
+
+    Scale plan: each line crosses the wire exactly once through a
+    content-keyed hash exchange (all copies of a line land in one bucket;
+    counting is exact string equality within the bucket, collision-safe).
+    Short lines are never counted, so they are salted by (doc, line_idx)
+    instead of content — a corpus that is 30% blank lines would otherwise
+    pile into one hot bucket. A line hot enough to blow a bucket IS the
+    boilerplate being removed; it is filtered inside its reduce task, and
+    the 2 GiB bucket warning in the exchange flags it. Reassembly is a
+    second id-keyed exchange. No step holds more than one bucket."""
+    import pyarrow.compute as pc
+
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        parts = [("" if s is None else s).split(sep) for s in texts]
+        lens = np.fromiter(map(len, parts), dtype=np.int64, count=len(parts))
+        total = int(lens.sum())
+        flat = [ln for ls in parts for ln in ls]
+        # float64 repeats: this host's int64 repeat kernel is a scalar loop
+        rep = np.repeat(np.arange(len(parts), dtype=np.float64), lens).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts.astype(np.float64), lens).astype(np.int64)
+        out = pa.table(
+            {
+                id_col: t.column(id_col).take(pa.array(rep)),
+                "_lidx": pa.array(idx.astype(np.int32)),
+                "line": pa.array(flat, type=pa.string()),
+                "_nlines": pa.array(np.repeat(lens.astype(np.float64), lens).astype(np.int32)),
+            }
+        )
+        elig = pc.greater_equal(pc.utf8_length(out.column("line")), min_line_chars)
+        lkey = np.where(
+            elig.to_numpy(zero_copy_only=False),
+            hash64_columns(out, ["line"]),
+            hash64_columns(out, [id_col, "_lidx"]),  # never-removed: spread
+        ).astype(np.int64)
+        return out.append_column("_lkey", pa.array(lkey))
+
+    def drop_dups(t: pa.Table) -> pa.Table:
+        elig = pc.greater_equal(pc.utf8_length(t.column("line")), min_line_chars)
+        sub = t.filter(elig)
+        if sub.num_rows:
+            counts = sub.group_by(["line"], use_threads=False).aggregate([("line", "count")])
+            dup = counts.filter(pc.greater_equal(counts.column("line_count"), min_dup))
+            if dup.num_rows:
+                hit = pc.is_in(t.column("line"), value_set=dup.column("line").combine_chunks())
+                t = t.filter(pc.invert(pc.and_(elig, hit)))
+        return t.drop_columns(["_lkey"])
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: ids,
+                    "text": pa.array([], type=pa.string()),
+                    "n_removed": pa.array([], type=pa.int32()),
+                }
+            )
+        idn = ids.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, idn[1:] != idn[:-1]])
+        ends = np.r_[starts[1:], len(idn)]
+        lines = t.column("line").to_pylist()
+        texts = [sep.join(lines[a:b]) for a, b in zip(starts, ends)]
+        n_removed = (
+            t.column("_nlines").to_numpy(zero_copy_only=False)[starts] - (ends - starts)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(starts)),
+                "text": pa.array(texts, type=pa.string()),
+                "n_removed": pa.array(n_removed),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    survivors = bucketed_group_map(
+        exploded, ["_lkey"], [], drop_dups, num_buckets=num_buckets, presort=False
+    )
+    return bucketed_group_map(
+        survivors, [id_col], ["_lidx"], rebuild, num_buckets=num_buckets
+    )
+
+
 # ------------------------------------------------------------------ MinHash --
 def minhash_perm_constants(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     """PUBLIC permutation constants: (a_j, b_j) for the universal hashes

@@ -230,3 +230,43 @@ def test_decontaminate_benchmark_as_dataset(ray_session):
     out = decontaminate(_ds(docs, blocks=1), _ds(bench_df, blocks=1), n=5).to_pandas()
     # doc contains "one two three four five" = 1 five-gram hit
     assert out["n_gram_hits"].tolist() == [1]
+
+
+def test_line_dedup_exact_vs_python_oracle():
+    from nvtabular_ray.functions.dedup import line_dedup
+
+    # boilerplate "subscribe now to our newsletter" repeats across docs;
+    # short lines ("", "- item") are never removed; doc 4 loses every line
+    docs = {
+        0: "unique opening line here\nsubscribe now to our newsletter\n\n- item",
+        1: "subscribe now to our newsletter\nanother unique body line",
+        2: "totally distinct content\n\n- item",
+        3: "",  # single empty line, always kept
+        4: "subscribe now to our newsletter",  # all lines removed -> doc dropped
+        5: "héllo unicode línea repeated\nx",
+        6: "héllo unicode línea repeated\ny",
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    out = (
+        line_dedup(_ds(df, blocks=3), min_dup=2, min_line_chars=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # pure-python oracle
+    from collections import Counter
+
+    counts = Counter(
+        ln for s in docs.values() for ln in s.split("\n") if len(ln) >= 10
+    )
+    expect = {}
+    for i, s in docs.items():
+        kept = [ln for ln in s.split("\n") if len(ln) < 10 or counts[ln] < 2]
+        if kept:
+            expect[i] = ("\n".join(kept), len(s.split("\n")) - len(kept))
+    assert out["doc_id"].tolist() == sorted(expect)
+    for _, r in out.iterrows():
+        assert (r["text"], r["n_removed"]) == expect[r["doc_id"]], r["doc_id"]
+    assert 4 not in out["doc_id"].tolist()
+    assert out["n_removed"].dtype == np.int32
