@@ -405,3 +405,50 @@ def test_windowed_distinct_matches_bruteforce(seed):
     }.items():
         got = distinct_over_bounds(codes, valid, np.asarray(w), np.asarray(e), ents)
         np.testing.assert_array_equal(got, brute(w, e), err_msg=mode)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(blacklist_characters="\n", blacklist_categories=("Cs",)),
+                max_size=14,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(2, 3),
+    st.integers(0, 8),
+)
+def test_line_dedup_property(doc_lines, min_dup, min_chars):
+    """line_dedup == the whole-corpus Counter spec for arbitrary unicode
+    lines and (min_dup, min_line_chars): lines shorter than min_chars are
+    never removed, others vanish everywhere once their corpus count hits
+    min_dup, docs reassemble in order, fully-emptied docs drop."""
+    from collections import Counter
+
+    from nvtabular_ray.functions.dedup import line_dedup
+
+    docs = {i: "\n".join(ls) for i, ls in enumerate(doc_lines)}
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    out = (
+        line_dedup(_ds(df), min_dup=min_dup, min_line_chars=min_chars)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    counts = Counter(
+        ln for s in docs.values() for ln in s.split("\n") if len(ln) >= min_chars
+    )
+    expect = {}
+    for i, s in docs.items():
+        kept = [ln for ln in s.split("\n") if len(ln) < min_chars or counts[ln] < min_dup]
+        if kept:
+            expect[i] = ("\n".join(kept), len(s.split("\n")) - len(kept))
+    assert out["doc_id"].tolist() == sorted(expect)
+    got = {r["doc_id"]: (r["text"], r["n_removed"]) for _, r in out.iterrows()}
+    assert got == expect
