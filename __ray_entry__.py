@@ -967,6 +967,18 @@ def _q_ngram_dedup(sf_dir: str):
     return ngram_jaccard_dedup(ds, threshold=0.8)
 
 
+def _q_dup_span(sf_dir: str):
+    """ExactSubstr-lite duplication scoring: per doc, the fraction of its
+    word-3gram occurrences whose gram also appears in >=1 OTHER document
+    (the streaming score variant of duplicated-span flagging). dup_frac is
+    dup/tot of per-doc int64 counts — a bit-identical double divide on
+    both sides — compared via the _round6i integer idiom."""
+    from nvtabular_ray.functions.dedup import dup_span_fraction
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _round6i(dup_span_fraction(ds, "text", "doc_id", n=3), ["dup_frac"])
+
+
 _DECON_BENCH_SOURCES = ["src0", "src1"]
 
 
@@ -1464,7 +1476,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     refactor (the shared _column_window_results path) — plus the new
     `rename`, `decontaminate`, `token_shards`, `resume_pipeline`,
     `rolling_distinct`, `workflow_save_load`, `serving_batch`,
-    `csv_roundtrip`, `jsonl_source`, `shuffled_write` and `line_dedup`
+    `csv_roundtrip`, `jsonl_source`, `shuffled_write`, `line_dedup` and
+    `dup_span`
     queries and the two ANN variants whose last green row was round 2. Long-green queries
     over untouched code sit past the window (those rows stand); the young
     rows rotated past 50 this round (multimodal_meta, groupby_list,
@@ -1511,6 +1524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         "ngram_dedup": _q_ngram_dedup,
+        "dup_span": _q_dup_span,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_pipeline": _q_corpus_pipeline,
         # --- unchanged but young rows (first green in r3) -----------------
@@ -1870,6 +1884,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = i.b
             WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.8
             GROUP BY i.a
+        """,
+        "dup_span": """
+            -- per doc: fraction of word-3gram OCCURRENCES whose gram occurs
+            -- in >= 2 distinct docs; dup/tot are exact int64 counts, the
+            -- divide is the identical IEEE double op on both sides
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            ),
+            g0 AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                            ELSE list_transform(generate_series(1, len(ws)-2),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS grams
+                FROM w
+            ),
+            occ AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+            dd AS (SELECT gram FROM occ GROUP BY gram
+                   HAVING count(DISTINCT doc_id) >= 2)
+            SELECT occ.doc_id,
+                   CAST(ROUND(sum(CASE WHEN occ.gram IN (SELECT gram FROM dd)
+                                       THEN 1 ELSE 0 END) * 1.0 / count(*) * 1e6)
+                        AS BIGINT) AS dup_frac,
+                   count(*) AS n_spans
+            FROM occ GROUP BY occ.doc_id
         """,
         "decontaminate": """
             -- word-5gram overlap between the corpus (source not in

@@ -161,6 +161,94 @@ def line_dedup(
     )
 
 
+def dup_span_fraction(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_buckets=None,
+):
+    """ExactSubstr-lite cross-document duplication score: per document, the
+    fraction of its word-n-gram occurrences whose gram also appears in at
+    least one OTHER document (the streaming scoring variant of duplicated-
+    span flagging — gate or penalize docs made of corpus boilerplate).
+    Returns ``(id_col, dup_frac float64, n_spans int64)``.
+
+    Gram spec is the shared ``word_ngrams`` tokenization (lower().split(),
+    short docs contribute their whole-doc gram). Scale plan: every gram
+    occurrence crosses the wire exactly once through a content-keyed
+    exchange (distinct-doc counts are exact string equality within the
+    bucket); only (doc, dup, tot) per-bucket partials come back — grams
+    never travel twice — and a tiny id-keyed exchange folds the partials."""
+    import pyarrow.compute as pc
+
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+    def explode(t: pa.Table) -> pa.Table:
+        grams = word_ngrams(t.column(text_col).to_pylist(), n)
+        lens = np.fromiter(map(len, grams), dtype=np.int64, count=len(grams))
+        rep = np.repeat(np.arange(len(grams), dtype=np.float64), lens).astype(np.int64)
+        flat = (
+            np.concatenate(grams) if grams else np.empty(0, dtype=object)
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col).take(pa.array(rep)),
+                "gram": pa.array(flat.tolist(), type=pa.string()),
+            }
+        )
+
+    def partials(t: pa.Table) -> pa.Table:
+        # unique (gram, doc) pairs with occurrence counts; every occurrence
+        # of a gram is in THIS bucket, so distinct-doc counts are global
+        pairs = t.group_by(["gram", id_col], use_threads=False).aggregate(
+            [("gram", "count")]
+        )
+        occ = pairs.column("gram_count")
+        docs_per = pairs.group_by(["gram"], use_threads=False).aggregate(
+            [("gram", "count")]
+        )
+        dup_grams = docs_per.filter(
+            pc.greater_equal(docs_per.column("gram_count"), 2)
+        ).column("gram")
+        hit = pc.is_in(pairs.column("gram"), value_set=dup_grams.combine_chunks())
+        base = pa.table(
+            {
+                id_col: pairs.column(id_col),
+                "tot": occ,
+                "dup": pc.if_else(hit, occ, pa.scalar(0, occ.type)),
+            }
+        )
+        agg = base.group_by([id_col], use_threads=False).aggregate(
+            [("dup", "sum"), ("tot", "sum")]
+        )
+        return agg.select([id_col, "dup_sum", "tot_sum"]).rename_columns(
+            [id_col, "dup", "tot"]
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        agg = t.group_by([id_col], use_threads=False).aggregate(
+            [("dup", "sum"), ("tot", "sum")]
+        )
+        dup = pc.cast(agg.column("dup_sum"), pa.float64())
+        tot = pc.cast(agg.column("tot_sum"), pa.float64())
+        return pa.table(
+            {
+                id_col: agg.column(id_col),
+                "dup_frac": pc.divide(dup, tot),
+                "n_spans": pc.cast(agg.column("tot_sum"), pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    part = bucketed_group_map(
+        exploded, ["gram"], [], partials, num_buckets=num_buckets, presort=False
+    )
+    return bucketed_group_map(
+        part, [id_col], [], finalize, num_buckets=num_buckets, presort=False
+    )
+
+
 # ------------------------------------------------------------------ MinHash --
 def minhash_perm_constants(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     """PUBLIC permutation constants: (a_j, b_j) for the universal hashes

@@ -270,3 +270,54 @@ def test_line_dedup_exact_vs_python_oracle():
         assert (r["text"], r["n_removed"]) == expect[r["doc_id"]], r["doc_id"]
     assert 4 not in out["doc_id"].tolist()
     assert out["n_removed"].dtype == np.int32
+
+
+def test_dup_span_fraction_vs_python_oracle():
+    """dup_span_fraction == the whole-corpus Counter spec: per doc, the
+    fraction of word-3gram OCCURRENCES whose gram appears in >= 2 distinct
+    docs — across blocks (grams of one doc land in many bucket tasks)."""
+    from nvtabular_ray.functions.dedup import dup_span_fraction, word_ngrams
+
+    docs = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox sat still",  # shares "the quick brown" etc.
+        2: "completely different words entirely here now",
+        3: "short one",  # < 3 words -> whole-doc gram, unique
+        4: "short one",  # same whole-doc gram -> 100% duplicated
+        5: "",  # empty -> whole-doc gram "" shared with nobody
+        6: "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    out = (
+        dup_span_fraction(_ds(df, blocks=4), "text", "doc_id", n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # pure-python oracle over the SAME gram spec
+    grams = {i: list(word_ngrams([s], 3)[0]) for i, s in docs.items()}
+    from collections import defaultdict
+
+    docs_per_gram = defaultdict(set)
+    for i, gs in grams.items():
+        for g in gs:
+            docs_per_gram[g].add(i)
+    expect = {
+        i: (
+            sum(1 for g in gs if len(docs_per_gram[g]) >= 2) / len(gs),
+            len(gs),
+        )
+        for i, gs in grams.items()
+    }
+    assert out["doc_id"].tolist() == sorted(expect)
+    for _, r in out.iterrows():
+        e_frac, e_n = expect[r["doc_id"]]
+        assert r["dup_frac"] == e_frac, r["doc_id"]
+        assert r["n_spans"] == e_n
+    # pinned spot values: exact dups fully flagged, unique docs at 0
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[0, "dup_frac"] == 1.0 and by_id.loc[6, "dup_frac"] == 1.0
+    assert by_id.loc[2, "dup_frac"] == 0.0 and by_id.loc[5, "dup_frac"] == 0.0
+    assert by_id.loc[3, "dup_frac"] == 1.0 and by_id.loc[4, "dup_frac"] == 1.0
+    assert out["n_spans"].dtype == np.int64
