@@ -843,6 +843,33 @@ def _q_repetition_filter(sf_dir: str):
     return _round6i(out, ["dup_gram_ratio"])
 
 
+def _q_gopher_rules(sf_dir: str):
+    """Gopher quality rules (published heuristics): per-rule features +
+    composite keep flag. Ratios are divides of exact int64 counts, so the
+    integer rounding idiom compares bit-identical doubles; the keep flag's
+    threshold comparisons see the same doubles on both sides."""
+    from nvtabular_ray.functions.text import gopher_rules
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = gopher_rules(ds, min_words=50, min_stop_hits=1).select_columns(
+        [
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "symbol_ratio",
+            "bullet_ratio",
+            "ellipsis_ratio",
+            "alpha_ratio",
+            "n_stop_hits",
+            "gopher_keep",
+        ]
+    )
+    return _round6i(
+        out,
+        ["mean_word_len", "symbol_ratio", "bullet_ratio", "ellipsis_ratio", "alpha_ratio"],
+    )
+
+
 def _q_semantic_dedup(sf_dir: str):
     from nvtabular_ray.functions.dedup import semantic_dedup
 
@@ -1476,8 +1503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     refactor (the shared _column_window_results path) — plus the new
     `rename`, `decontaminate`, `token_shards`, `resume_pipeline`,
     `rolling_distinct`, `workflow_save_load`, `serving_batch`,
-    `csv_roundtrip`, `jsonl_source`, `shuffled_write`, `line_dedup` and
-    `dup_span`
+    `csv_roundtrip`, `jsonl_source`, `shuffled_write`, `line_dedup`,
+    `dup_span` and `gopher_rules`
     queries and the two ANN variants whose last green row was round 2. Long-green queries
     over untouched code sit past the window (those rows stand); the young
     rows rotated past 50 this round (multimodal_meta, groupby_list,
@@ -1510,6 +1537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_similarity": _q_column_similarity,
         "quality_score": _q_quality_score,
         "repetition_filter": _q_repetition_filter,
+        "gopher_rules": _q_gopher_rules,
         "log_norm": _q_log_norm,
         "target_encode_distributed": _q_target_encode_distributed,
         "join_groupby_distributed": _q_join_groupby_distributed,
@@ -1735,6 +1763,58 @@ def oracle_sql() -> dict[str, str]:
                          + LEAST(GREATEST(1 - punct_r * 5, 0), 1) * 0.2
                          + LEAST(GREATEST(1 - upper_r * 5, 0), 1) * 0.1) * 1e6)
                         AS BIGINT) AS quality
+            FROM c
+        """,
+        "gopher_rules": """
+            WITH b AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+                       string_split_regex(text, '\\n') AS lines
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                  len(words) AS nw,
+                  CASE WHEN len(words) > 0
+                       THEN list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words)
+                       ELSE 0 END AS mean_wl,
+                  CASE WHEN len(words) > 0
+                       THEN (len(regexp_extract_all(text, '#'))
+                             + len(regexp_extract_all(text, '\\.\\.\\.|…'))) * 1.0 / len(words)
+                       ELSE 0 END AS symbol_r,
+                  len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+                      * 1.0 / greatest(len(lines), 1) AS bullet_r,
+                  len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                      * 1.0 / greatest(len(lines), 1) AS ellipsis_r,
+                  CASE WHEN len(words) > 0
+                       THEN len(list_filter(words, w -> regexp_matches(w, '\\p{L}')))
+                            * 1.0 / len(words)
+                       ELSE 0 END AS alpha_r,
+                  (CASE WHEN len(list_filter(words, w -> lower(w) = 'the')) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN len(list_filter(words, w -> lower(w) = 'be')) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN len(list_filter(words, w -> lower(w) = 'to')) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN len(list_filter(words, w -> lower(w) = 'of')) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN len(list_filter(words, w -> lower(w) = 'and')) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN len(list_filter(words, w -> lower(w) = 'that')) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN len(list_filter(words, w -> lower(w) = 'have')) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN len(list_filter(words, w -> lower(w) = 'with')) > 0 THEN 1 ELSE 0 END
+                  ) AS stop_hits
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(nw AS BIGINT) AS n_words,
+                   CAST(ROUND(mean_wl * 1e6) AS BIGINT) AS mean_word_len,
+                   CAST(ROUND(symbol_r * 1e6) AS BIGINT) AS symbol_ratio,
+                   CAST(ROUND(bullet_r * 1e6) AS BIGINT) AS bullet_ratio,
+                   CAST(ROUND(ellipsis_r * 1e6) AS BIGINT) AS ellipsis_ratio,
+                   CAST(ROUND(alpha_r * 1e6) AS BIGINT) AS alpha_ratio,
+                   CAST(stop_hits AS BIGINT) AS n_stop_hits,
+                   CAST(CASE WHEN nw >= 50 AND nw <= 100000
+                              AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                              AND symbol_r <= 0.1 AND bullet_r <= 0.9
+                              AND ellipsis_r <= 0.3 AND alpha_r >= 0.8
+                              AND stop_hits >= 1
+                         THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
             FROM c
         """,
         "groupby_list": """

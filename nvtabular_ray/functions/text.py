@@ -308,6 +308,105 @@ def repetition_ratios(col, ngram: int = 2) -> np.ndarray:
     return np.where(total > 0, 1.0 - distinct / np.maximum(total, 1), 0.0)
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    ds,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    mode: str = "flag",
+):
+    """Gopher document-quality rules (Rae et al. 2021, published heuristics):
+    word-count bounds, mean word length in [3, 10], symbol-to-word ratio
+    ('#' and ellipsis) <= 0.1, bullet-started line fraction <= 0.9,
+    ellipsis-ended line fraction <= 0.3, fraction of words containing an
+    alphabetic character >= 0.8, and presence of >= 2 distinct required
+    stopwords. ``mode="flag"`` appends per-rule feature columns plus the
+    composite ``gopher_keep`` (int64 0/1); ``mode="filter"`` drops failing
+    rows and keeps the input schema.
+
+    All features are single Arrow/RE2 kernel calls over the batch (the SQL
+    oracle replicates them exactly — DuckDB's regex engine is also RE2);
+    ratios are divides of exact int64 counts so keep-flag comparisons are
+    bit-identical between engine and oracle. Streaming map stage: no
+    shuffle, no state."""
+    if mode not in ("flag", "filter"):
+        raise ValueError("mode must be 'flag' or 'filter'")
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t.column(text_col)
+        offsets, words = _flat_tokens(col, r"\s+")
+        wlens = np.asarray(pc.utf8_length(words), dtype=np.int64)
+        nonempty = (wlens > 0).astype(np.int64)
+        n_words = _hits_per_row(offsets, nonempty)
+        word_chars = _hits_per_row(offsets, wlens).astype(np.float64)
+        has_w = n_words > 0
+        denom_w = np.maximum(n_words, 1).astype(np.float64)
+        mean_wl = np.where(has_w, word_chars / denom_w, 0.0)
+
+        n_symbols = _count_re(col, r"#") + _count_re(col, r"\.\.\.|…")
+        symbol_r = np.where(has_w, n_symbols / denom_w, 0.0)
+
+        loff, lines = _flat_tokens(col, r"\n")
+        n_lines = np.maximum(loff[1:] - loff[:-1], 1).astype(np.float64)
+        bullet = np.asarray(
+            pc.match_substring_regex(lines, r"^\s*[-*•]")
+        ).astype(np.int64)
+        bullet_r = _hits_per_row(loff, bullet) / n_lines
+        ell = np.asarray(
+            pc.match_substring_regex(lines, r"(\.\.\.|…)\s*$")
+        ).astype(np.int64)
+        ellipsis_r = _hits_per_row(loff, ell) / n_lines
+
+        alpha = np.asarray(pc.match_substring_regex(words, r"\p{L}")).astype(np.int64)
+        alpha_r = np.where(has_w, _hits_per_row(offsets, alpha) / denom_w, 0.0)
+
+        lw = pc.utf8_lower(words)
+        stop_hits = np.zeros(len(t), dtype=np.int64)
+        for sw in _GOPHER_STOPWORDS:
+            hit = np.asarray(pc.equal(lw, sw)).astype(np.int64)
+            stop_hits += (_hits_per_row(offsets, hit) > 0).astype(np.int64)
+
+        keep = (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (mean_wl >= min_mean_word_len)
+            & (mean_wl <= max_mean_word_len)
+            & (symbol_r <= max_symbol_ratio)
+            & (bullet_r <= max_bullet_ratio)
+            & (ellipsis_r <= max_ellipsis_ratio)
+            & (alpha_r >= min_alpha_ratio)
+            & (stop_hits >= min_stop_hits)
+        )
+        if mode == "filter":
+            return t.filter(pa.array(keep))
+        for name, arr in [
+            ("n_words", n_words),
+            ("mean_word_len", mean_wl),
+            ("symbol_ratio", symbol_r),
+            ("bullet_ratio", bullet_r),
+            ("ellipsis_ratio", ellipsis_r),
+            ("alpha_ratio", alpha_r),
+            ("n_stop_hits", stop_hits),
+            ("gopher_keep", keep.astype(np.int64)),
+        ]:
+            t = t.append_column(name, pa.array(arr))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def repetition_ratio(
     ds,
     text_col: str = "text",

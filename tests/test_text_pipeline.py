@@ -321,3 +321,58 @@ def test_dup_span_fraction_vs_python_oracle():
     assert by_id.loc[2, "dup_frac"] == 0.0 and by_id.loc[5, "dup_frac"] == 0.0
     assert by_id.loc[3, "dup_frac"] == 1.0 and by_id.loc[4, "dup_frac"] == 1.0
     assert out["n_spans"].dtype == np.int64
+
+
+def test_gopher_rules_per_rule():
+    """Each Gopher rule rejects exactly the doc crafted to violate it; the
+    per-rule feature columns carry hand-computed values."""
+    from nvtabular_ray.functions.text import gopher_rules
+
+    good = "the quick brown fox jumps over of lazy dog nearby " * 2  # 20 words
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5, 6],
+            "text": [
+                good.strip(),
+                "too short now",  # word-count floor
+                "\n".join(["- item one two aaa the of"] * 5),  # bullets
+                "the of " + "# " * 18,  # symbol ratio 18/20 with 20 words
+                "the of one two three...\nfour five six seven eight...",  # ellipsis lines
+                "the of " + "123 456 " * 9,  # alpha ratio 2/20
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",  # no stopwords
+            ],
+        }
+    )
+    out = (
+        gopher_rules(
+            _ds(docs, 2),
+            min_words=5,
+            min_stop_hits=2,
+            max_bullet_ratio=0.9,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_words"].tolist() == [20, 3, 35, 20, 10, 20, 10]
+    assert out["gopher_keep"].tolist() == [1, 0, 0, 0, 0, 0, 0]
+    # doc 0: mean word length = 80 chars / 20 words
+    assert abs(out.loc[0, "mean_word_len"] - 80 / 20) < 1e-12
+    assert out.loc[0, "n_stop_hits"] == 2 and out.loc[0, "alpha_ratio"] == 1.0
+    # doc 2: every line bullet-started
+    assert out.loc[2, "bullet_ratio"] == 1.0
+    # doc 3: 18 '#' over 20 words
+    assert abs(out.loc[3, "symbol_ratio"] - 18 / 20) < 1e-12
+    # doc 4: both lines ellipsis-terminated
+    assert out.loc[4, "ellipsis_ratio"] == 1.0
+    # doc 5: only 'the'/'of' contain letters
+    assert abs(out.loc[5, "alpha_ratio"] - 2 / 20) < 1e-12
+    # doc 6: stopword floor is the only failing rule
+    assert out.loc[6, "n_stop_hits"] == 0
+
+    kept = (
+        gopher_rules(_ds(docs, 2), min_words=5, min_stop_hits=2, mode="filter")
+        .to_pandas()
+    )
+    assert kept["doc_id"].tolist() == [0]
+    assert list(kept.columns) == ["doc_id", "text"]
