@@ -160,6 +160,29 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_context_concat(sf_dir: str):
+    """Per-turn context assembly: the previous-k texts of the entity under
+    (ts, event_id) total order — plain and role-prefixed rendering — SQL
+    ``string_agg OVER (... ROWS BETWEEN k PRECEDING AND 1 PRECEDING)``."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "props"])
+    ctx = ["props"] >> ops.ContextConcat(
+        partition_cols="user_id", sort_cols=["ts", "event_id"], k=3, sep=" | "
+    )
+    ctxr = ["props"] >> ops.ContextConcat(
+        partition_cols="user_id",
+        sort_cols=["ts", "event_id"],
+        k=2,
+        sep=" | ",
+        prefix_col="event_type",
+        prefix_sep=": ",
+        out_suffix="ctx2r",
+    )
+    wf = Workflow(ctx + ctxr + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
 def _q_rename(sf_dir: str):
     """Rename in all three modes: fixed name, postfix, callable."""
     from nvtabular_ray import Workflow, ops
@@ -1512,6 +1535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sessionize, backfill) exercise files with no round-4 commits."""
     return {
         # --- round-4 changed code: must be inside the 50-row window ------
+        "context_concat": _q_context_concat,
+        "difference_lag": _q_difference_lag,
         "decontaminate": _q_decontaminate,
         "token_shards": _q_token_shards,
         "resume_pipeline": _q_resume_pipeline,
@@ -1569,7 +1594,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "categorify_event_type": _q_categorify_event_type,
         "categorify_combo": _q_categorify_combo,
         "categorify_freq_threshold": _q_categorify_freq_threshold,
-        "difference_lag": _q_difference_lag,
         "sessionize": _q_sessionize,
         "backfill": _q_backfill,
         # --- past the driver's 50-query window (green rows stand;
@@ -1678,6 +1702,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
             FROM events
+        """,
+        "context_concat": """
+            SELECT event_id,
+                   string_agg(props, ' | ') OVER w AS props_ctx3,
+                   string_agg(event_type || ': ' || props, ' | ') OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING
+                   ) AS props_ctx2r
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+            )
         """,
         "hashbucket": """
             -- PUBLIC md5_60 hash spec (nvtabular_ray/functions/hashing.py)

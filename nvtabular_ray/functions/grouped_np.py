@@ -88,6 +88,28 @@ def grouped_fill_indices(valid: np.ndarray, gid: np.ndarray, direction: str):
     return np.where(ok, np.minimum(nxt, n - 1), 0), ok
 
 
+def group_multi_order(table: pa.Table, gid: np.ndarray, sort_cols: list[str]):
+    """Stable in-group order for a MULTI-key sort spec (priority order), or
+    ``None`` when rows already satisfy it within every group — the
+    multi-column generalization of ``group_time_order`` for ROWS-frame ops
+    whose semantics need a deterministic total order (ts + a tie-breaker).
+    O(n) violation check per key; the lexsort only runs on a violation."""
+    if len(gid) <= 1 or not sort_cols:
+        return None
+    keys = []
+    for c in sort_cols:  # priority order
+        k = table.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+        keys.append(k.view("i8") if k.dtype.kind in "mM" else k)
+    tie = gid[1:] == gid[:-1]
+    viol = np.zeros(len(tie), bool)
+    for k in keys:
+        viol |= tie & (k[1:] < k[:-1])
+        tie = tie & (k[1:] == k[:-1])
+    if viol.any():
+        return np.lexsort((*reversed(keys), gid))
+    return None
+
+
 def grouped_diff(values: np.ndarray, gid: np.ndarray, shift: int) -> np.ndarray:
     """values[i] - values[i-shift], NaN where i-shift crosses a group
     boundary (the reference DifferenceLag mask, difference_lag.py:66-80)."""

@@ -3,6 +3,7 @@
 from nvtabular_ray.ops.base import Operator, StatOperator
 from nvtabular_ray.ops.categorify import Categorify, get_embedding_sizes
 from nvtabular_ray.ops.column_similarity import ColumnSimilarity
+from nvtabular_ray.ops.context import ContextConcat
 from nvtabular_ray.ops.data_stats import DataStats
 from nvtabular_ray.ops.difference_lag import DifferenceLag
 from nvtabular_ray.ops.drop_low_cardinality import DropLowCardinality
@@ -61,6 +62,7 @@ __all__ = [
     "ValueCount",
     "Categorify",
     "Clip",
+    "ContextConcat",
     "DifferenceLag",
     "Dropna",
     "Groupby",

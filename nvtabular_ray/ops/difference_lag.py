@@ -54,7 +54,11 @@ class DifferenceLag(Operator):
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from nvtabular_ray.functions.grouped_np import group_ids_sorted, grouped_diff
+        from nvtabular_ray.functions.grouped_np import (
+            group_ids_sorted,
+            group_multi_order,
+            grouped_diff,
+        )
 
         value_cols = [
             c
@@ -66,19 +70,7 @@ class DifferenceLag(Operator):
         # (first spec order wins) — enforce THIS op's in-group order when
         # another op's axis won the primary slot (O(n) check, sort only on
         # an actual violation)
-        order = None
-        if len(gid) > 1 and self.sort_cols:
-            keys = []
-            for c in self.sort_cols:  # priority order
-                k = table.column(c).combine_chunks().to_numpy(zero_copy_only=False)
-                keys.append(k.view("i8") if k.dtype.kind in "mM" else k)
-            tie = gid[1:] == gid[:-1]
-            viol = np.zeros(len(tie), bool)
-            for k in keys:
-                viol |= tie & (k[1:] < k[:-1])
-                tie = tie & (k[1:] == k[:-1])
-            if viol.any():
-                order = np.lexsort((*reversed(keys), gid))
+        order = group_multi_order(table, gid, self.sort_cols)
         gid_k = gid if order is None else gid[order]
         out = {}
         for col in value_cols:
