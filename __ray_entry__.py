@@ -160,6 +160,15 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_tfidf_terms(sf_dir: str):
+    """Top-5 distinctive terms per document (integer-deterministic TF-IDF
+    ranking: tf DESC, df ASC, term ASC over the min_df-floored vocabulary)."""
+    from nvtabular_ray.functions.tfidf import distinctive_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return distinctive_terms(ds, k=5, min_df=5, rank_by="count")
+
+
 def _q_context_concat(sf_dir: str):
     """Per-turn context assembly: the previous-k texts of the entity under
     (ts, event_id) total order — plain and role-prefixed rendering — SQL
@@ -1536,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4 changed code: must be inside the 50-row window ------
         "context_concat": _q_context_concat,
+        "tfidf_terms": _q_tfidf_terms,
         "difference_lag": _q_difference_lag,
         "decontaminate": _q_decontaminate,
         "token_shards": _q_token_shards,
@@ -1702,6 +1712,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
             FROM events
+        """,
+        "tfidf_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+                FROM documents
+            ), toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+            dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks2 GROUP BY 1),
+            j AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfq.df
+                FROM tf JOIN dfq USING (term) WHERE dfq.df >= 5
+            )
+            SELECT doc_id, term, tf, df, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC
+                )::BIGINT AS rank
+                FROM j
+            ) WHERE rank <= 5
         """,
         "context_concat": """
             SELECT event_id,

@@ -1,0 +1,166 @@
+"""TF-IDF keyword extraction: per-document top-k distinctive terms.
+
+The classic corpus-statistics feature the reference engine lacks (its
+Categorify/JoinGroupby fit collects per-CATEGORY statistics,
+/root/reference/nvtabular/ops/categorify.py:85; nothing tokenizes free
+text) — part of the LLM-pipeline extension mandate (SURVEY §2).
+
+Tokenization is deliberately SQL-reproducible: ``lower(text)`` split on
+``[^a-z0-9]+`` (one Arrow C call per batch via ``_flat_tokens``), so the
+whole operator has an exact DuckDB oracle
+(``unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))`` — both
+engines run RE2-class regexes and utf8proc case mapping).
+
+Scale design (100 TB corpus):
+
+- **tf is batch-local.** A document lives in one row, so term frequencies
+  per (doc, term) come from ONE Arrow hash ``group_by`` per batch — no
+  shuffle carries token-level rows.
+- **df is a pre-aggregated exchange.** Each batch emits (term, partial
+  document count) — vocabulary-sized, not token-sized — and one Ray
+  ``groupby("term").sum`` combines partials. The only all-to-all in the
+  operator moves rows bounded by per-batch DISTINCT terms.
+- **The vocabulary is the broadcast side.** After the ``min_df`` floor
+  (and optional ``max_vocab`` cap by descending df), the (term, df) table
+  is ``ray.put`` once and read zero-copy by every scoring task. The
+  operator assumes the post-floor vocabulary fits in one node's memory —
+  the standard assumption (heavy-tail terms are exactly what ``min_df``
+  removes); raise ``min_df`` or set ``max_vocab`` when it doesn't.
+- **Scoring/selection streams.** The second pass re-tokenizes (tokenize
+  twice rather than materialize a token-level intermediate), joins each
+  batch's tf table against the broadcast vocabulary with Arrow's C++ hash
+  join, and picks top-k per doc with one sort + segment-rank — no
+  driver-side loops.
+
+``rank_by="count"`` orders by (tf DESC, df ASC, term ASC) — an
+integer-deterministic ranking with an exact SQL oracle. ``rank_by="score"``
+orders by true tf-idf ``tf * ln(N / df)`` (ties broken by term) and adds a
+``score`` column; selection near float ties is engine-dependent at the ulp
+level, so the driver row uses "count" and "score" is pinned by unit tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from nvtabular_ray.functions.text import _flat_tokens
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _doc_term_tf(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Batch-local (id, term, tf): one tokenize + one Arrow hash group_by."""
+    id_type = t.schema.field(id_col).type
+    empty = pa.table(
+        {id_col: pa.array([], id_type), "term": pa.array([], pa.string()),
+         "tf": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    col = pc.utf8_lower(t.column(text_col).combine_chunks())
+    offsets, toks = _flat_tokens(col, split_pattern=_TOKEN_SPLIT)
+    counts = np.diff(offsets)
+    # host quirk: np.repeat with array counts is ~20x faster on float64
+    doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.float64), counts).astype(np.int64)
+    nonempty = pc.greater(pc.binary_length(toks), 0).to_numpy(zero_copy_only=False)
+    if not nonempty.any():
+        return empty
+    pairs = pa.table(
+        {"_doc": pa.array(doc_idx[nonempty]), "term": toks.filter(pa.array(nonempty))}
+    )
+    agg = pairs.group_by(["_doc", "term"]).aggregate([("_doc", "count")])
+    return pa.table(
+        {
+            id_col: t.column(id_col).take(agg.column("_doc")),
+            "term": agg.column("term"),
+            "tf": agg.column("_doc_count").cast(pa.int64()),
+        }
+    )
+
+
+def build_vocabulary(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_vocab: int | None = None,
+) -> pa.Table:
+    """(term, df) document frequencies with df >= min_df, as one driver-side
+    Arrow table (the broadcast side). The exchange is pre-aggregated: each
+    batch ships DISTINCT terms only."""
+    import ray as _ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf = _doc_term_tf(t, text_col, id_col)
+        # one row per (doc, term) -> rows per term = partial df
+        agg = tf.group_by(["term"]).aggregate([("term", "count")])
+        return pa.table(
+            {"term": agg.column("term"), "df_partial": agg.column("term_count").cast(pa.int64())}
+        )
+
+    combined = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .sum("df_partial")
+    )
+    tabs = [t for t in _ray.get(combined.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    vocab = pa.concat_tables([pa.table({"term": t.column("term"),
+                                        "df": t.column("sum(df_partial)")}) for t in tabs])
+    vocab = vocab.filter(pc.greater_equal(vocab.column("df"), min_df))
+    if max_vocab is not None and vocab.num_rows > max_vocab:
+        vocab = vocab.sort_by([("df", "descending"), ("term", "ascending")]).slice(0, max_vocab)
+    return vocab.combine_chunks()
+
+
+def distinctive_terms(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 2,
+    max_vocab: int | None = None,
+    rank_by: str = "count",
+):
+    """Top-k distinctive terms per document (see module docstring).
+
+    Returns (id, term, tf, df, rank[, score]) — one row per selected term;
+    documents with no qualifying term emit no rows (SQL join parity)."""
+    if rank_by not in ("count", "score"):
+        raise ValueError(f"rank_by must be 'count' or 'score', got {rank_by!r}")
+    import ray as _ray
+
+    vocab = build_vocabulary(ds, text_col, id_col, min_df=min_df, max_vocab=max_vocab)
+    n_docs = ds.count() if rank_by == "score" else None
+    vocab_ref = _ray.put(vocab) if _ray.is_initialized() else vocab
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        v = _ray.get(vocab_ref) if _ray.is_initialized() else vocab_ref
+        tf = _doc_term_tf(t, text_col, id_col)
+        j = tf.join(v, keys="term", join_type="inner")
+        if rank_by == "score":
+            idf = np.log(float(n_docs) / j.column("df").to_numpy(zero_copy_only=False))
+            score = j.column("tf").to_numpy(zero_copy_only=False) * idf
+            j = j.append_column("score", pa.array(score, pa.float64()))
+            sort_keys = [(id_col, "ascending"), ("score", "descending"), ("term", "ascending")]
+        else:
+            sort_keys = [
+                (id_col, "ascending"), ("tf", "descending"),
+                ("df", "ascending"), ("term", "ascending"),
+            ]
+        j = j.sort_by(sort_keys).combine_chunks()
+        if j.num_rows == 0:
+            return j.append_column("rank", pa.array([], pa.int64()))
+        from nvtabular_ray.functions.grouped_np import group_ids_sorted, group_starts
+
+        gid = group_ids_sorted(j, [id_col])
+        starts = group_starts(gid)
+        gstart = np.repeat(starts, np.diff(np.r_[starts, len(gid)]))
+        rank = np.arange(len(gid), dtype=np.int64) - gstart + 1
+        j = j.append_column("rank", pa.array(rank, pa.int64()))
+        return j.filter(pa.array(rank <= k))
+
+    return ds.map_batches(score_batch, batch_format="pyarrow", zero_copy_batch=True)
