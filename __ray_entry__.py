@@ -160,6 +160,29 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Shard-ingestion dedup: new docs (doc_id % 3 != 0) against the seen
+    corpus (doc_id % 3 == 0) + within-shard first-copy resolution, via the
+    content-keyed hash exchange (seen side ships 8-byte hashes only)."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from nvtabular_ray.functions.dedup import dedup_incremental
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def split(is_seen):
+        def f(t):
+            rem = t.column("doc_id").to_numpy(zero_copy_only=False) % 3
+            return t.filter(_pa.array(rem == 0 if is_seen else rem != 0))
+        return f
+
+    seen = docs.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+    new = docs.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    out = dedup_incremental(new, seen, ["text"], "doc_id")
+    return out.drop_columns(["text"])
+
+
 def _q_tfidf_terms(sf_dir: str):
     """Top-5 distinctive terms per document (integer-deterministic TF-IDF
     ranking: tf DESC, df ASC, term ASC over the min_df-floored vocabulary)."""
@@ -1546,6 +1569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 changed code: must be inside the 50-row window ------
         "context_concat": _q_context_concat,
         "tfidf_terms": _q_tfidf_terms,
+        "dedup_incremental": _q_dedup_incremental,
         "difference_lag": _q_difference_lag,
         "decontaminate": _q_decontaminate,
         "token_shards": _q_token_shards,
@@ -1712,6 +1736,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
             FROM events
+        """,
+        "dedup_incremental": """
+            WITH seen AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+                 nw AS (
+                     SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 <> 0
+                 )
+            SELECT doc_id, n_chars FROM (
+                SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM nw WHERE text NOT IN (SELECT text FROM seen)
+            ) WHERE rn = 1
         """,
         "tfidf_terms": """
             WITH toks AS (

@@ -961,3 +961,131 @@ def semantic_dedup(
     return bucketed_aggregate(per_probe, [id_col], {"cluster_id": "min"}).map_batches(
         unalias, batch_format="pyarrow"
     )
+
+
+def dedup_incremental(
+    ds_new,
+    ds_seen,
+    key_cols: list[str],
+    order_col: str,
+    dedup_new: bool = True,
+    broadcast: bool = False,
+    num_buckets=None,
+):
+    """Incremental exact dedup: keep rows of ``ds_new`` whose key tuple does
+    NOT appear in ``ds_seen`` (the already-ingested corpus) — the shard-
+    ingestion hygiene pass that makes repeated crawls append-only. With
+    ``dedup_new`` (default) the new shard is also deduplicated against
+    itself, keeping the smallest ``order_col`` per key (so the op is a
+    strict superset of ``exact_dedup`` run against seen ∪ new).
+
+    Scale design: the seen side never ships payload — each seen batch
+    contributes its DISTINCT 64-bit key hashes (8 B/row before batch-level
+    dedup) into the same content-keyed hash exchange the new rows ride, so
+    membership is a per-bucket ``np.isin``. At 10^12 seen docs the exchange
+    moves only hashes; no driver-side set, no full-corpus materialization.
+    ``broadcast=True`` is the small-seen-side fast path (an eval set, a
+    blocklist, yesterday's delta): the sorted unique hash array is
+    ``ray.put`` once and membership is one ``searchsorted`` inside a single
+    streaming pass over the new shard — no shuffle at all. Matching is
+    hash-equality (SipHash-64): P(any false drop) ~ n_new * n_seen / 2^64,
+    negligible and deterministic for the fixed seed.
+    """
+    import ray as _ray
+
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+    _SRC = "__src__"
+
+    def add_hash_new(t: pa.Table) -> pa.Table:
+        return t.append_column(_H, pa.array(hash64_columns(t, key_cols).astype(np.int64)))
+
+    def seen_hashes(t: pa.Table) -> pa.Table:
+        h = np.unique(hash64_columns(t, key_cols).astype(np.int64))
+        return pa.table({_H: pa.array(h, pa.int64())})
+
+    new_h = ds_new.map_batches(add_hash_new, batch_format="pyarrow", zero_copy_batch=True)
+
+    if broadcast:
+        tabs = [
+            t
+            for t in _ray.get(
+                ds_seen.map_batches(
+                    seen_hashes, batch_format="pyarrow", zero_copy_batch=True
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        seen = (
+            np.unique(np.concatenate([t.column(_H).to_numpy() for t in tabs]))
+            if tabs
+            else np.empty(0, np.int64)
+        )
+        seen_ref = _ray.put(seen) if _ray.is_initialized() else seen
+
+        def drop_member(t: pa.Table) -> pa.Table:
+            s = _ray.get(seen_ref) if _ray.is_initialized() else seen_ref
+            h = t.column(_H).to_numpy()
+            pos = np.searchsorted(s, h)
+            member = (pos < len(s)) & (s[np.minimum(pos, max(len(s) - 1, 0))] == h)
+            return t.filter(pa.array(~member))
+
+        survivors = new_h.map_batches(drop_member, batch_format="pyarrow", zero_copy_batch=True)
+        if not dedup_new:
+            return survivors.drop_columns([_H])
+        return bucketed_group_map(
+            survivors, [_H], [], _first_per_hash(order_col), num_buckets=num_buckets
+        )
+
+    # shuffle path: one content-keyed exchange carries new rows + seen hashes
+    def tag_new(t: pa.Table) -> pa.Table:
+        return t.append_column(_SRC, pa.array(np.ones(t.num_rows, np.int8)))
+
+    tagged_new = new_h.map_batches(tag_new, batch_format="pyarrow", zero_copy_batch=True)
+    new_schema = tagged_new.schema().base_schema
+
+    def pad_seen(t: pa.Table) -> pa.Table:
+        h = seen_hashes(t)
+        n = h.num_rows
+        cols = {}
+        for f in new_schema:
+            if f.name == _H:
+                cols[_H] = h.column(_H)
+            elif f.name == _SRC:
+                cols[_SRC] = pa.array(np.zeros(n, np.int8))
+            else:
+                # explicit typed nulls: null-padding must NOT drift dtypes
+                cols[f.name] = pa.nulls(n, f.type)
+        return pa.table(cols)
+
+    seen_tagged = ds_seen.map_batches(pad_seen, batch_format="pyarrow", zero_copy_batch=True)
+    union = tagged_new.union(seen_tagged)
+
+    resolve_first = _first_per_hash(order_col)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        src = t.column(_SRC).to_numpy(zero_copy_only=False)
+        h = t.column(_H).to_numpy(zero_copy_only=False)
+        new_rows = t.filter(pa.array(src == 1)).drop_columns([_SRC])
+        member = np.isin(new_rows.column(_H).to_numpy(zero_copy_only=False), h[src == 0])
+        fresh = new_rows.filter(pa.array(~member))
+        if not dedup_new:
+            return fresh.drop_columns([_H])
+        return resolve_first(fresh)
+
+    return bucketed_group_map(union, [_H], [], resolve, num_buckets=num_buckets)
+
+
+def _first_per_hash(order_col: str):
+    """Bucket resolver: smallest ``order_col`` row per key hash (the
+    exact_dedup pick-first kernel, shared by the incremental paths)."""
+
+    def pick_first(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        srt = t.sort_by([(order_col, "ascending")])
+        others = [c for c in t.column_names if c != _H]
+        agg = srt.group_by([_H], use_threads=False).aggregate([(c, "first") for c in others])
+        agg = agg.select([f"{c}_first" for c in others]).rename_columns(others)
+        return agg.select([c for c in t.column_names if c != _H])
+
+    return pick_first
