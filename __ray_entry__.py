@@ -1563,8 +1563,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     queries and the two ANN variants whose last green row was round 2. Long-green queries
     over untouched code sit past the window (those rows stand); the young
     rows rotated past 50 this round (multimodal_meta, groupby_list,
-    value_count, the broadcast categorify trio, difference_lag,
-    sessionize, backfill) exercise files with no round-4 commits."""
+    value_count, the broadcast categorify trio, sessionize, backfill)
+    exercise files with no round-4 commits.
+
+    Session-3 additions at the head: `context_concat` (new op, includes the
+    shared group_multi_order refactor that also moved `difference_lag` back
+    inside the window), `tfidf_terms`, `dedup_incremental`, and
+    `rolling_leading` pulled back in (its leading-bounds path shares the
+    round-4 _column_window_results refactor). Displaced past 50 by these:
+    pack_sequences, asof_join_forward/_tolerance, range_join, text_clean,
+    pii_redact — verified by `git diff 42805d0..HEAD` that the functions
+    those rows exercise (pack_sequences, the asof/range kernels,
+    clean_array/redact_array) have only docstring-level or additive-new-
+    function changes since their r3 green rows, so the standing rows remain
+    valid."""
     return {
         # --- round-4 changed code: must be inside the 50-row window ------
         "context_concat": _q_context_concat,
@@ -1575,6 +1587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "resume_pipeline": _q_resume_pipeline,
         "rolling_distinct": _q_rolling_distinct,
+        "rolling_leading": _q_rolling_leading,
         "workflow_save_load": _q_workflow_save_load,
         "serving_batch": _q_serving_batch,
         "csv_roundtrip": _q_csv_roundtrip,
@@ -1622,7 +1635,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_forward": _q_asof_join_forward,
         "asof_join_tolerance": _q_asof_join_tolerance,
         "range_join": _q_range_join,
-        "rolling_leading": _q_rolling_leading,
         "quantile_bucketize": _q_quantile_bucketize,
         "top_k_per_group": _q_top_k_per_group,
         "categorify_event_type": _q_categorify_event_type,
