@@ -160,6 +160,21 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_group_rank(sf_dir: str):
+    """Turn-position features: row_number under a unique total order plus
+    dense_rank over the bare timestamp (ties share a rank), both fused into
+    the one bucketed entity shuffle."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    wf = Workflow(
+        (["ts"] >> ops.GroupRank("user_id", ["ts", "event_id"], out_col="turn_pos"))
+        + (["ts"] >> ops.GroupRank("user_id", ["ts"], method="dense_rank", out_col="ts_rank"))
+        + ["event_id"]
+    )
+    return wf.fit(ds).transform(ds)
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Shard-ingestion dedup: new docs (doc_id % 3 != 0) against the seen
     corpus (doc_id % 3 == 0) + within-shard first-copy resolution, via the
@@ -1582,6 +1597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_concat": _q_context_concat,
         "tfidf_terms": _q_tfidf_terms,
         "dedup_incremental": _q_dedup_incremental,
+        "group_rank": _q_group_rank,
         "difference_lag": _q_difference_lag,
         "decontaminate": _q_decontaminate,
         "token_shards": _q_token_shards,
@@ -1747,6 +1763,14 @@ def oracle_sql() -> dict[str, str]:
         "rename": """
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
+            FROM events
+        """,
+        "group_rank": """
+            SELECT event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )::BIGINT AS turn_pos,
+                   dense_rank() OVER (PARTITION BY user_id ORDER BY ts)::BIGINT AS ts_rank
             FROM events
         """,
         "dedup_incremental": """

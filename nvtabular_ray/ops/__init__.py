@@ -19,6 +19,7 @@ from nvtabular_ray.ops.metadata import (
     Tags,
 )
 from nvtabular_ray.ops.dtypes import ReduceDtypeSize
+from nvtabular_ray.ops.rank import GroupRank
 from nvtabular_ray.ops.groupby import Groupby
 from nvtabular_ray.ops.join_external import JoinExternal
 from nvtabular_ray.ops.join_groupby import JoinGroupby
@@ -63,6 +64,7 @@ __all__ = [
     "Categorify",
     "Clip",
     "ContextConcat",
+    "GroupRank",
     "DifferenceLag",
     "Dropna",
     "Groupby",

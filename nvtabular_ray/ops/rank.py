@@ -1,0 +1,93 @@
+"""GroupRank: per-entity rank features (row_number / dense_rank).
+
+The "position of this turn within its conversation" feature — SQL
+``row_number() / dense_rank() OVER (PARTITION BY entity ORDER BY ...)``.
+NEW SCOPE vs the reference (its Groupby aggregates entities away,
+/root/reference/nvtabular/ops/groupby.py:30; nothing emits a per-row rank).
+Fuses into the workflow's single bucketed (entity, ts) shuffle alongside
+the other ordered ops; the kernel is one arange minus segment starts
+(row_number) or a change-point cumsum (dense_rank) over key-sorted arrays.
+
+``method="row_number"``: 1-based position under the ``sort_cols`` total
+order — pass a unique tie-breaker for determinism, exactly as in SQL.
+``method="dense_rank"``: ties (equal sort tuple) share a rank and ranks are
+gapless; determinism needs no tie-breaker.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from nvtabular_ray.ops.base import Operator
+
+
+class GroupRank(Operator):
+    def __init__(
+        self,
+        partition_cols: Union[str, list[str]],
+        sort_cols: Union[str, list[str]],
+        method: str = "row_number",
+        out_col: str | None = None,
+    ):
+        if method not in ("row_number", "dense_rank"):
+            raise ValueError(f"method must be row_number|dense_rank, got {method!r}")
+        self.partition_cols = (
+            [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+        )
+        self.sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        if not self.sort_cols:
+            raise ValueError("GroupRank needs at least one sort column")
+        self.method = method
+        self.out_col = out_col or method
+
+    @property
+    def dependencies(self):
+        return self.partition_cols + [c for c in self.sort_cols if c not in self.partition_cols]
+
+    def column_mapping(self, col_selector):
+        return {self.out_col: list(self.sort_cols)}
+
+    def output_dtype(self):
+        return pa.int64()
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        from nvtabular_ray.functions.grouped_np import (
+            group_ids_sorted,
+            group_multi_order,
+            group_starts,
+        )
+
+        n = table.num_rows
+        if n == 0:
+            return pa.table({self.out_col: pa.array([], pa.int64())})
+        gid = group_ids_sorted(table, self.partition_cols)
+        order = group_multi_order(table, gid, self.sort_cols)
+        gid_k = gid if order is None else gid[order]
+        starts = group_starts(gid_k)
+        gstart = np.repeat(starts, np.diff(np.r_[starts, n]))
+        if self.method == "row_number":
+            rank = np.arange(n, dtype=np.int64) - gstart + 1
+        else:
+            # dense: new rank where the sort tuple changes within the group
+            change = np.zeros(n, dtype=bool)
+            for c in self.sort_cols:
+                col = table.column(c).combine_chunks()
+                if order is not None:
+                    col = col.take(pa.array(order))
+                neq = pc.fill_null(pc.not_equal(col.slice(1), col.slice(0, n - 1)), False)
+                change[1:] |= neq.to_numpy(zero_copy_only=False).astype(bool)
+                va = pc.is_valid(col.slice(1)).to_numpy(zero_copy_only=False)
+                vb = pc.is_valid(col.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+                change[1:] |= va != vb
+            change[starts] = False
+            cum = np.cumsum(change.astype(np.float64)).astype(np.int64)
+            rank = cum - cum[gstart] + 1
+        if order is not None:
+            back = np.empty(n, np.int64)
+            back[order] = rank
+            rank = back
+        return pa.table({self.out_col: pa.array(rank, pa.int64())})
