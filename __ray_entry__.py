@@ -160,6 +160,46 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_mean_pool(sf_dir: str):
+    """Group embedding: element-wise mean vector per label, exploded as
+    (label, dim, mean) — combiner partials + one stat-table hash exchange."""
+    from nvtabular_ray.functions.pooling import mean_pool
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    return _round6i(mean_pool(ds, "label").rename_columns({"mean_val": "m6"}), ["m6"])
+
+
+def _q_l2_normalize(sf_dir: str):
+    """Row-wise L2 normalization of the embedding column, exploded to
+    (vec_id, dim, nval6) for the hash compare."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from nvtabular_ray.arrow_utils import as_single_chunk, list_to_numpy_2d
+    from nvtabular_ray.functions.pooling import l2_normalize
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = l2_normalize(ds)
+
+    def explode(t: _pa.Table) -> _pa.Table:
+        mat = list_to_numpy_2d(as_single_chunk(t.column("embedding")), _np.float64)
+        n, d = mat.shape if mat.size else (t.num_rows, 0)
+        vid = t.column("vec_id").take(
+            _pa.array(_np.repeat(_np.arange(n, dtype=_np.float64), d).astype(_np.int64))
+        )
+        return _pa.table(
+            {
+                "vec_id": vid,
+                "dim": _pa.array(_np.tile(_np.arange(1, d + 1, dtype=_np.int64), n)),
+                "nval6": _pa.array(mat.ravel(), _pa.float64()),
+            }
+        )
+
+    return _round6i(
+        out.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True), ["nval6"]
+    )
+
+
 def _q_group_rank(sf_dir: str):
     """Turn-position features: row_number under a unique total order plus
     dense_rank over the bare timestamp (ties share a rank), both fused into
@@ -1598,6 +1638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": _q_tfidf_terms,
         "dedup_incremental": _q_dedup_incremental,
         "group_rank": _q_group_rank,
+        "mean_pool": _q_mean_pool,
+        "l2_normalize": _q_l2_normalize,
         "difference_lag": _q_difference_lag,
         "decontaminate": _q_decontaminate,
         "token_shards": _q_token_shards,
@@ -1764,6 +1806,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
             FROM events
+        """,
+        "mean_pool": """
+            SELECT label, dim, CAST(ROUND(avg(val) * 1e6) AS BIGINT) AS m6
+            FROM (
+                SELECT label, unnest(embedding) AS val,
+                       unnest(range(1, len(embedding) + 1))::BIGINT AS dim
+                FROM embeddings
+            )
+            GROUP BY 1, 2
+        """,
+        "l2_normalize": """
+            SELECT vec_id, dim,
+                   CAST(ROUND(
+                       CASE WHEN nrm > 0 THEN val / nrm ELSE val END * 1e6
+                   ) AS BIGINT) AS nval6
+            FROM (
+                SELECT vec_id, val, dim,
+                       sqrt(sum(val * val) OVER (PARTITION BY vec_id)) AS nrm
+                FROM (
+                    SELECT vec_id, unnest(embedding)::DOUBLE AS val,
+                           unnest(range(1, len(embedding) + 1))::BIGINT AS dim
+                    FROM embeddings
+                )
+            )
         """,
         "group_rank": """
             SELECT event_id,
