@@ -1668,7 +1668,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "repetition_filter": _q_repetition_filter,
         "gopher_rules": _q_gopher_rules,
-        "log_norm": _q_log_norm,
         "target_encode_distributed": _q_target_encode_distributed,
         "join_groupby_distributed": _q_join_groupby_distributed,
         "join_groupby_multi_distributed": _q_join_groupby_multi_distributed,
@@ -1686,6 +1685,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "corpus_pipeline": _q_corpus_pipeline,
         # --- unchanged but young rows (first green in r3) -----------------
+        # log_norm moved here session 3: its ops (LogOp+Normalize) are
+        # window-covered by `normalize` and `minmax_logclip`
+        "log_norm": _q_log_norm,
         "drop_low_cardinality": _q_drop_low_cardinality,
         "text_clean": _q_text_clean,
         "pii_redact": _q_pii_redact,
