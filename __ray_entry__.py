@@ -160,6 +160,22 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_groupby_concat(sf_dir: str):
+    """Terminal Groupby "concat" agg: turns -> one conversation document per
+    entity, in (ts, event_id) order — native SQL string_agg parity (null
+    skip, empty -> NULL), no list round-trip."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "props"])
+    node = ["user_id", "ts", "event_id", "props"] >> ops.Groupby(
+        groupby_cols="user_id",
+        sort_cols=["ts", "event_id"],
+        aggs={"props": ["concat"], "event_id": ["count"]},
+        concat_sep=" | ",
+    )
+    return Workflow(node).fit(ds).transform(ds)
+
+
 def _q_mean_pool(sf_dir: str):
     """Group embedding: element-wise mean vector per label, exploded as
     (label, dim, mean) — combiner partials + one stat-table hash exchange."""
@@ -1638,6 +1654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": _q_tfidf_terms,
         "dedup_incremental": _q_dedup_incremental,
         "group_rank": _q_group_rank,
+        "groupby_concat": _q_groupby_concat,
         "mean_pool": _q_mean_pool,
         "l2_normalize": _q_l2_normalize,
         "difference_lag": _q_difference_lag,
@@ -1808,6 +1825,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
             FROM events
+        """,
+        "groupby_concat": """
+            SELECT user_id,
+                   string_agg(props, ' | ' ORDER BY ts, event_id) AS props_concat,
+                   CAST(count(event_id) AS INT) AS event_id_count
+            FROM events
+            GROUP BY user_id
         """,
         "mean_pool": """
             SELECT label, dim, CAST(ROUND(avg(val) * 1e6) AS BIGINT) AS m6

@@ -32,7 +32,7 @@ from nvtabular_ray.arrow_utils import dataset_arrow_schema
 
 from nvtabular_ray.ops.base import Operator
 
-_LIST_AGGS = ("list", "first", "last")
+_LIST_AGGS = ("list", "first", "last", "concat")
 _CONV_AGGS = ("sum", "count", "mean", "std", "var", "median", "min", "max", "nunique")
 
 _INT32_RE = ("count", "nunique")
@@ -50,6 +50,7 @@ class Groupby(Operator):
         name_sep: str = "_",
         ascending: bool = True,
         num_buckets: Optional[int] = None,
+        concat_sep: str = " ",
     ):
         self.groupby_cols = [groupby_cols] if isinstance(groupby_cols, str) else list(groupby_cols)
         if sort_cols is None:
@@ -68,6 +69,9 @@ class Groupby(Operator):
         self.name_sep = name_sep
         self.ascending = ascending
         self.num_buckets = num_buckets
+        # "concat" agg: in-group-order string_agg (turns -> conversation
+        # document). SQL parity: null values skipped, all-null/empty -> NULL
+        self.concat_sep = concat_sep
 
     @property
     def dependencies(self):
@@ -268,6 +272,24 @@ class Groupby(Operator):
                     pieces[out_name] = pa.ListArray.from_arrays(
                         pa.array(np.r_[starts, n], pa.int32()), arr
                     )
+                elif a == "concat":
+                    vals = arr
+                    if not (
+                        pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type)
+                    ):
+                        vals = pc.cast(vals, pa.string())
+                    valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+                    cv = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])
+                    # null-skip: drop null elements, remap group offsets
+                    lst = pa.ListArray.from_arrays(
+                        pa.array(cv[np.r_[starts, n]], pa.int32()),
+                        vals.filter(pa.array(valid)),
+                    )
+                    joined = pc.binary_join(lst, pa.scalar(self.concat_sep, vals.type))
+                    nonempty = (cv[ends] - cv[starts]) > 0
+                    pieces[out_name] = pc.if_else(
+                        pa.array(nonempty), joined, pa.scalar(None, vals.type)
+                    )
                 elif a == "first":
                     # literal first/last row per group (reference takes
                     # list[0]/[-1], groupby.py:290-319 — not null-skipping)
@@ -348,6 +370,19 @@ class Groupby(Operator):
                 out_name = f"{col}{name_sep}{a}"
                 if a == "list":
                     pieces[out_name] = g[col].agg(list).reset_index(drop=True)
+                elif a == "concat":
+                    sep = self.concat_sep
+                    pieces[out_name] = (
+                        g[col]
+                        .agg(
+                            lambda s: (
+                                sep.join(str(x) for x in s if not pd.isna(x))
+                                if s.notna().any()
+                                else None
+                            )
+                        )
+                        .reset_index(drop=True)
+                    )
                 elif a == "first":
                     pieces[out_name] = firsts[col]
                 elif a == "last":
