@@ -160,6 +160,27 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_transcript_fused(sf_dir: str):
+    """Composite proof that the session-3 transcript ops FUSE: context
+    assembly + turn position + sessionize + 24h rolling count + lag-1 all
+    share partition_cols=user_id, so the compiler runs the five ops inside
+    ONE bucketed (user_id, ts, event_id) exchange — zero extra shuffles."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value", "props"])
+    ctx = ["props"] >> ops.ContextConcat(
+        partition_cols="user_id", sort_cols=["ts", "event_id"], k=2, sep=" | "
+    )
+    pos = ["ts"] >> ops.GroupRank("user_id", ["ts", "event_id"], out_col="turn_pos")
+    sess = ["ts"] >> ops.Sessionize(partition_cols="user_id", ts_col="ts", gap=6 * 3600)
+    roll = ["value"] >> ops.RollingAgg(
+        partition_cols="user_id", ts_col="ts", window_seconds=86400, aggs=("count",)
+    )
+    lag = ["value"] >> ops.DifferenceLag(partition_cols="user_id", shift=[1], sort_cols=["ts"])
+    wf = Workflow(ctx + pos + sess + roll + lag + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
 def _q_groupby_concat(sf_dir: str):
     """Terminal Groupby "concat" agg: turns -> one conversation document per
     entity, in (ts, event_id) order — native SQL string_agg parity (null
@@ -1654,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": _q_tfidf_terms,
         "dedup_incremental": _q_dedup_incremental,
         "group_rank": _q_group_rank,
+        "transcript_fused": _q_transcript_fused,
         "groupby_concat": _q_groupby_concat,
         "mean_pool": _q_mean_pool,
         "l2_normalize": _q_l2_normalize,
@@ -1825,6 +1847,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
             FROM events
+        """,
+        "transcript_fused": """
+            WITH d AS (
+                SELECT event_id, user_id, ts, value, props,
+                       CASE WHEN ts - lag(ts) OVER win > INTERVAL 6 HOUR
+                            OR lag(ts) OVER win IS NULL
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT event_id,
+                   string_agg(props, ' | ') OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING
+                   ) AS props_ctx2,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )::BIGINT AS turn_pos,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id,
+                   count(value) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW
+                   )::BIGINT AS value_w86400s_count,
+                   CAST(value - lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                   ) AS REAL) AS value_difference_lag_1
+            FROM d
         """,
         "groupby_concat": """
             SELECT user_id,
