@@ -90,7 +90,6 @@ def build_vocabulary(
     """(term, df) document frequencies with df >= min_df, as one driver-side
     Arrow table (the broadcast side). The exchange is pre-aggregated: each
     batch ships DISTINCT terms only."""
-    import ray as _ray
 
     def partial(t: pa.Table) -> pa.Table:
         tf = _doc_term_tf(t, text_col, id_col)
@@ -100,16 +99,22 @@ def build_vocabulary(
             {"term": agg.column("term"), "df_partial": agg.column("term_count").cast(pa.int64())}
         )
 
-    combined = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
-        .sum("df_partial")
-    )
-    tabs = [t for t in _ray.get(combined.to_arrow_refs()) if t.num_rows]
-    if not tabs:
+    # merge partials with the driver fan-in every stat fit uses: the
+    # vocabulary is driver-small BY CONTRACT (it broadcasts next), and
+    # Ray's sort-based groupby costs ~2s of fixed overhead for the same
+    # result (aggregates.py module note)
+    from nvtabular_ray.functions.aggregates import grouped_reduce
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = grouped_reduce(partials, ["term"], {"df_partial": "sum"}, memory_limit=2 << 30)
+    if not len(df):
         return pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
-    vocab = pa.concat_tables([pa.table({"term": t.column("term"),
-                                        "df": t.column("sum(df_partial)")}) for t in tabs])
+    vocab = pa.table(
+        {
+            "term": pa.array(df["term"], pa.string()),
+            "df": pa.array(df["df_partial"].to_numpy(), pa.int64()),
+        }
+    )
     vocab = vocab.filter(pc.greater_equal(vocab.column("df"), min_df))
     if max_vocab is not None and vocab.num_rows > max_vocab:
         vocab = vocab.sort_by([("df", "descending"), ("term", "ascending")]).slice(0, max_vocab)
