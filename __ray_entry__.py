@@ -160,6 +160,34 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_schema_tags(sf_dir: str):
+    """Metadata family end-to-end: Categorify/Normalize auto-tags plus
+    AddTags/TagAsUserID through a real fit, echoed from
+    Workflow.output_metadata() as (column_name, tag) rows. Oracle is the
+    contract constant — the one SQL-expressible surface of a schema-only op
+    family (reference nvtabular/ops/add_metadata.py:21-72)."""
+    import pyarrow as _pa
+
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    wf = Workflow(
+        (["event_type"] >> ops.Categorify())
+        + (["value"] >> ops.Normalize() >> ops.AddTags(["target"]))
+        + (["user_id"] >> ops.TagAsUserID())
+        + ["event_id"]
+    )
+    wf.fit(ds)
+    meta = wf.output_metadata()
+    rows = sorted((c, t) for c, m in meta.items() for t in m["tags"])
+    return _pa.table(
+        {
+            "column_name": _pa.array([r[0] for r in rows], _pa.string()),
+            "tag": _pa.array([r[1] for r in rows], _pa.string()),
+        }
+    )
+
+
 def _q_transcript_fused(sf_dir: str):
     """Composite proof that the session-3 transcript ops FUSE: context
     assembly + turn position + sessionize + 24h rolling count + lag-1 all
@@ -1675,6 +1703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": _q_tfidf_terms,
         "dedup_incremental": _q_dedup_incremental,
         "group_rank": _q_group_rank,
+        "schema_tags": _q_schema_tags,
         "transcript_fused": _q_transcript_fused,
         "groupby_concat": _q_groupby_concat,
         "mean_pool": _q_mean_pool,
@@ -1847,6 +1876,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
             FROM events
+        """,
+        "schema_tags": """
+            SELECT * FROM (VALUES
+                ('event_type', 'categorical'),
+                ('user_id', 'id'), ('user_id', 'user'), ('user_id', 'user_id'),
+                ('value', 'continuous'), ('value', 'target')
+            ) AS t(column_name, tag)
         """,
         "transcript_fused": """
             WITH d AS (
