@@ -275,6 +275,10 @@ def _q_group_rank(sf_dir: str):
     wf = Workflow(
         (["ts"] >> ops.GroupRank("user_id", ["ts", "event_id"], out_col="turn_pos"))
         + (["ts"] >> ops.GroupRank("user_id", ["ts"], method="dense_rank", out_col="ts_rank"))
+        + (["ts"] >> ops.GroupRank("user_id", ["ts", "event_id"], method="percent_rank",
+                                   out_col="pr"))
+        + (["ts"] >> ops.GroupRank("user_id", ["ts", "event_id"], method="ntile", n=4,
+                                   out_col="quartile"))
         + ["event_id"]
     )
     return wf.fit(ds).transform(ds)
@@ -1947,7 +1951,13 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                    )::BIGINT AS turn_pos,
-                   dense_rank() OVER (PARTITION BY user_id ORDER BY ts)::BIGINT AS ts_rank
+                   dense_rank() OVER (PARTITION BY user_id ORDER BY ts)::BIGINT AS ts_rank,
+                   percent_rank() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )::DOUBLE AS pr,
+                   ntile(4) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )::BIGINT AS quartile
             FROM events
         """,
         "dedup_incremental": """

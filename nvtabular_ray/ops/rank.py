@@ -12,6 +12,11 @@ the other ordered ops; the kernel is one arange minus segment starts
 order — pass a unique tie-breaker for determinism, exactly as in SQL.
 ``method="dense_rank"``: ties (equal sort tuple) share a rank and ranks are
 gapless; determinism needs no tie-breaker.
+``method="percent_rank"``: ``(row_number - 1) / (group_size - 1)`` float64
+(single-row group -> 0.0, SQL parity) — the small-integer ratio is
+bit-identical across engines, so it hash-compares without rounding.
+``method="ntile"``: SQL ``NTILE(n)`` — n near-equal ordered tiles per
+group, larger tiles first (pass ``n=...``).
 """
 
 from __future__ import annotations
@@ -32,9 +37,16 @@ class GroupRank(Operator):
         sort_cols: Union[str, list[str]],
         method: str = "row_number",
         out_col: str | None = None,
+        n: int | None = None,
     ):
-        if method not in ("row_number", "dense_rank"):
-            raise ValueError(f"method must be row_number|dense_rank, got {method!r}")
+        if method not in ("row_number", "dense_rank", "percent_rank", "ntile"):
+            raise ValueError(
+                f"method must be row_number|dense_rank|percent_rank|ntile, got {method!r}"
+            )
+        if method == "ntile":
+            if not n or n < 1:
+                raise ValueError("ntile needs n >= 1")
+            self.n = int(n)
         self.partition_cols = (
             [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
         )
@@ -52,7 +64,7 @@ class GroupRank(Operator):
         return {self.out_col: list(self.sort_cols)}
 
     def output_dtype(self):
-        return pa.int64()
+        return pa.float64() if self.method == "percent_rank" else pa.int64()
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         from nvtabular_ray.functions.grouped_np import (
@@ -63,14 +75,30 @@ class GroupRank(Operator):
 
         n = table.num_rows
         if n == 0:
-            return pa.table({self.out_col: pa.array([], pa.int64())})
+            return pa.table({self.out_col: pa.array([], self.output_dtype())})
         gid = group_ids_sorted(table, self.partition_cols)
         order = group_multi_order(table, gid, self.sort_cols)
         gid_k = gid if order is None else gid[order]
         starts = group_starts(gid_k)
-        gstart = np.repeat(starts, np.diff(np.r_[starts, n]))
-        if self.method == "row_number":
+        counts = np.diff(np.r_[starts, n])
+        gstart = np.repeat(starts, counts)
+        if self.method in ("row_number", "percent_rank", "ntile"):
             rank = np.arange(n, dtype=np.int64) - gstart + 1
+            if self.method == "percent_rank":
+                size = np.repeat(counts, counts)
+                rank = np.where(size > 1, (rank - 1) / np.maximum(size - 1, 1), 0.0)
+            elif self.method == "ntile":
+                # SQL NTILE: base rows per tile = size // n, the first
+                # size % n tiles get one extra row
+                size = np.repeat(counts, counts)
+                base, extra = size // self.n, size % self.n
+                pos = rank - 1
+                cut = (base + 1) * extra  # rows covered by the fat tiles
+                rank = np.where(
+                    pos < cut,
+                    pos // np.maximum(base + 1, 1),
+                    extra + (pos - cut) // np.maximum(base, 1),
+                ) + 1
         else:
             # dense: new rank where the sort tuple changes within the group
             change = np.zeros(n, dtype=bool)
@@ -86,8 +114,10 @@ class GroupRank(Operator):
             change[starts] = False
             cum = np.cumsum(change.astype(np.float64)).astype(np.int64)
             rank = cum - cum[gstart] + 1
+        out_np = np.float64 if self.method == "percent_rank" else np.int64
+        rank = rank.astype(out_np, copy=False)
         if order is not None:
-            back = np.empty(n, np.int64)
+            back = np.empty(n, out_np)
             back[order] = rank
             rank = back
-        return pa.table({self.out_col: pa.array(rank, pa.int64())})
+        return pa.table({self.out_col: pa.array(rank)})

@@ -56,3 +56,23 @@ def test_rank_validates():
     op = ops.GroupRank("e", ["ts"])
     out = op.transform(ColumnSelector(["e", "ts"]), _t().slice(0, 0))
     assert out.num_rows == 0 and out.column("row_number").type == pa.int64()
+
+
+def test_percent_rank_and_ntile():
+    t = _t()  # entity a: 5 rows, entity b: 3 rows
+    sel = ColumnSelector(["e", "ts", "uid"])
+    pr = ops.GroupRank("e", ["ts", "uid"], method="percent_rank").transform(sel, t)
+    assert pr.column("percent_rank").to_pylist() == [0.0, 0.25, 0.5, 0.75, 1.0, 0.0, 0.5, 1.0]
+    nt = ops.GroupRank("e", ["ts", "uid"], method="ntile", n=2).transform(sel, t)
+    # a (5 rows): tiles 3+2 -> 1,1,1,2,2 ; b (3 rows): 2+1 -> 1,1,2
+    assert nt.column("ntile").to_pylist() == [1, 1, 1, 2, 2, 1, 1, 2]
+    single = pa.table({"e": ["x"], "ts": [1], "uid": [1]})
+    pr1 = ops.GroupRank("e", ["ts", "uid"], method="percent_rank").transform(sel, single)
+    assert pr1.column("percent_rank").to_pylist() == [0.0]
+    nt8 = ops.GroupRank("e", ["ts", "uid"], method="ntile", n=8).transform(sel, _t())
+    # more tiles than rows: tile == row_number
+    assert nt8.column("ntile").to_pylist() == [1, 2, 3, 4, 5, 1, 2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ops.GroupRank("e", ["ts"], method="ntile")
