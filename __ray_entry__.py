@@ -1690,17 +1690,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     value_count, the broadcast categorify trio, sessionize, backfill)
     exercise files with no round-4 commits.
 
-    Session-3 additions at the head: `context_concat` (new op, includes the
-    shared group_multi_order refactor that also moved `difference_lag` back
-    inside the window), `tfidf_terms`, `dedup_incremental`, and
-    `rolling_leading` pulled back in (its leading-bounds path shares the
-    round-4 _column_window_results refactor). Displaced past 50 by these:
-    pack_sequences, asof_join_forward/_tolerance, range_join, text_clean,
-    pii_redact — verified by `git diff 42805d0..HEAD` that the functions
-    those rows exercise (pack_sequences, the asof/range kernels,
-    clean_array/redact_array) have only docstring-level or additive-new-
-    function changes since their r3 green rows, so the standing rows remain
-    valid."""
+    Session-3 curation: ten new rows joined the head (`context_concat`,
+    `tfidf_terms`, `dedup_incremental`, `group_rank`, `mean_pool`,
+    `l2_normalize`, `groupby_concat`, `transcript_fused`, `schema_tags`,
+    plus `difference_lag` and `rolling_leading` pulled back in for the
+    group_multi_order / _column_window_results refactors they share).
+    Every query whose FIRST green row would be round 4 is inside the
+    window (asserted by the session script against the head-50 set).
+    Displaced past 50, each verified by `git diff 42805d0..HEAD` to
+    exercise only function-level-unchanged code since its r3 green row:
+    categorify_tokens (broadcast list path; the r4 categorify hunks are
+    distributed-only), semantic_dedup (its hunk is the dedup_incremental
+    APPEND after the function), corpus_pipeline (composes in-window-checked
+    pieces), log_norm (LogOp+Normalize covered by normalize/minmax_logclip),
+    drop_low_cardinality, text_clean, pii_redact, pack_sequences,
+    asof_join_forward/_tolerance, range_join (docstring-only or additive
+    changes in their files)."""
     return {
         # --- round-4 changed code: must be inside the 50-row window ------
         "context_concat": _q_context_concat,
@@ -1745,7 +1750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_groupby_multi_distributed": _q_join_groupby_multi_distributed,
         "target_encode_multi_distributed": _q_target_encode_multi_distributed,
         "categorify_distributed": _q_categorify_distributed,
-        "categorify_tokens": _q_categorify_tokens,
+        "dup_span": _q_dup_span,
         "categorify_tokens_distributed": _q_categorify_tokens_distributed,
         "dedup_exact": _q_dedup_exact,
         "line_dedup": _q_line_dedup,
@@ -1753,7 +1758,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         "ngram_dedup": _q_ngram_dedup,
-        "dup_span": _q_dup_span,
+        # categorify_tokens moved here session 3: its broadcast list path is
+        # function-level unchanged since its r3 green row (the r4 categorify
+        # hunks are distributed-only, covered by categorify_tokens_distributed)
+        "categorify_tokens": _q_categorify_tokens,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_pipeline": _q_corpus_pipeline,
         # --- unchanged but young rows (first green in r3) -----------------
