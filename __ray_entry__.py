@@ -160,6 +160,15 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_resample(sf_dir: str):
+    """Per-entity hourly LOCF resampling — grid ASOF-join parity."""
+    from nvtabular_ray.pipelines.temporal import resample_grid
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = resample_grid(ds, "user_id", "ts", ["value"], 3600, out_ts="grid_ts")
+    return _round6i(out.rename_columns({"value": "value6"}), ["value6"])
+
+
 def _q_schema_tags(sf_dir: str):
     """Metadata family end-to-end: Categorify/Normalize auto-tags plus
     AddTags/TagAsUserID through a real fit, echoed from
@@ -1712,6 +1721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": _q_tfidf_terms,
         "dedup_incremental": _q_dedup_incremental,
         "group_rank": _q_group_rank,
+        "resample": _q_resample,
         "schema_tags": _q_schema_tags,
         "transcript_fused": _q_transcript_fused,
         "groupby_concat": _q_groupby_concat,
@@ -1756,12 +1766,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash,
-        "embedding_near_dup": _q_embedding_near_dup,
         "ngram_dedup": _q_ngram_dedup,
         # categorify_tokens moved here session 3: its broadcast list path is
         # function-level unchanged since its r3 green row (the r4 categorify
         # hunks are distributed-only, covered by categorify_tokens_distributed)
         "categorify_tokens": _q_categorify_tokens,
+        # embedding_near_dup moved here session 3: _cosine_min_label and the
+        # hyperplane-bucket path have no round-4 hunks (git diff 42805d0..HEAD)
+        "embedding_near_dup": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_pipeline": _q_corpus_pipeline,
         # --- unchanged but young rows (first green in r3) -----------------
@@ -1888,6 +1900,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
             FROM events
+        """,
+        "resample": """
+            WITH b AS (
+                SELECT user_id, min(ts) AS tmin, max(ts) AS tmax
+                FROM events GROUP BY 1
+            ),
+            grid AS (
+                SELECT user_id, make_timestamp(unnest(generate_series(
+                    (ceil(epoch(tmin) / 3600) * 3600 * 1000000)::BIGINT,
+                    epoch_us(tmax), 3600000000::BIGINT))) AS grid_ts
+                FROM b
+            )
+            SELECT g.user_id, g.grid_ts,
+                   CAST(ROUND(e.value * 1e6) AS BIGINT) AS value6
+            FROM grid g ASOF JOIN events e
+              ON g.user_id = e.user_id AND g.grid_ts >= e.ts
         """,
         "schema_tags": """
             SELECT * FROM (VALUES

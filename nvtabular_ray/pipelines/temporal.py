@@ -731,3 +731,79 @@ def backfill(
         return t
 
     return bucketed_group_map(ds, keys, [ts_col], per_bucket, num_buckets=num_buckets)
+
+
+def resample_grid(
+    ds,
+    key: Union[str, list[str]],
+    ts_col: str,
+    value_cols: list[str],
+    step,
+    out_ts: str = "grid_ts",
+    num_buckets: Optional[int] = None,
+):
+    """Per-entity fixed-step resampling: emit one row per epoch-aligned grid
+    tick in [ceil(entity_min/step)*step, entity_max], each carrying the
+    entity's LAST observation at or before the tick (LOCF — SQL ``grid ASOF
+    JOIN obs ON grid.ts >= obs.ts`` parity; a null value at the picked row
+    stays null, compose with ``backfill`` for last-NON-NULL). The
+    event-stream → regular-timeseries step before windowed models.
+
+    Scale shape: one bucketed entity exchange (same as every ordered op);
+    inside a bucket the grid is generated vectorized (per-entity tick
+    counts → one repeat + arange), and the LOCF gather is ONE global
+    ``searchsorted`` on the group-normalized composite axis (the
+    grouped_window_bounds trick) — no per-entity Python. Output cardinality
+    is sum(ceil(span/step)) per entity; pick ``step`` accordingly."""
+    from nvtabular_ray.functions.grouped_np import (
+        group_ids_sorted,
+        group_starts,
+        group_time_order,
+    )
+    from nvtabular_ray.ops.temporal_ops import _ts_to_int_us
+
+    keys = [key] if isinstance(key, str) else list(key)
+    step_s = step.total_seconds() if isinstance(step, pd.Timedelta) else step
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        gid = group_ids_sorted(t, keys)
+        ts, is_ts = _ts_to_int_us(t.column(ts_col))
+        step_us = int(step_s * 1_000_000) if is_ts else int(step_s)
+        order = group_time_order(gid, ts)
+        if order is not None:
+            take = pa.array(order)
+            t = t.take(take)
+            ts, gid = ts[order], gid[order]
+        n = len(ts)
+        starts = group_starts(gid)
+        counts = np.diff(np.r_[starts, n])
+        ends = starts + counts
+        tmin, tmax = ts[starts], ts[ends - 1]
+        gstart = -(-tmin // step_us) * step_us  # ceil to the epoch grid
+        cnt = np.maximum((tmax - gstart) // step_us + 1, 0)
+        total = int(cnt.sum())
+        n_g = len(starts)
+        grp = np.repeat(np.arange(n_g, dtype=np.float64), cnt).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cnt)])
+        pos = np.arange(total, dtype=np.int64) - cum[grp]
+        gts = gstart[grp] + pos * step_us
+        # LOCF: one searchsorted on the group-normalized composite axis
+        rel_obs = ts - tmin[gid]
+        stride = int(rel_obs.max() if n else 0) + step_us + 2
+        obs_axis = rel_obs + gid * stride
+        grid_axis = (gts - tmin[grp]) + grp * stride
+        idx = np.searchsorted(obs_axis, grid_axis, side="right") - 1
+        idx_pa = pa.array(idx)
+        cols = {}
+        for k in keys:
+            cols[k] = t.column(k).take(pa.array(starts[grp]))
+        if is_ts:
+            cols[out_ts] = pa.array(gts).cast(pa.timestamp("us"))
+        else:
+            cols[out_ts] = pa.array(gts)
+        for c in value_cols:
+            cols[c] = t.column(c).take(idx_pa)
+        return pa.table(cols)
+
+    return bucketed_group_map(ds, keys, [ts_col], per_bucket, num_buckets=num_buckets)

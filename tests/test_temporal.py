@@ -661,3 +661,36 @@ def test_distinct_over_bounds_tie_and_null_edges():
     # row3 (ts=15, window [5,15]): {b,a}=2; row4 (ts=30, window [20,30]): {c}=1
     # row5: all-null window -> 0; rows6,7: {x}=1 each
     np.testing.assert_array_equal(got, [1, 2, 2, 2, 1, 0, 1, 1])
+
+
+def test_resample_grid_locf():
+    from nvtabular_ray.pipelines.temporal import resample_grid
+
+    df = pd.DataFrame(
+        {
+            "e": ["a"] * 3 + ["b"] * 2 + ["c"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:30", "2024-01-01 02:10", "2024-01-01 03:00",
+                    "2024-01-01 01:00", "2024-01-01 01:30",
+                    "2024-01-01 00:10",
+                ]
+            ),
+            "v": [1.0, 2.0, None, 10.0, 20.0, 5.0],
+        }
+    )
+    out = (
+        resample_grid(_ds(df, 3), "e", "ts", ["v"], 3600)
+        .to_pandas()
+        .sort_values(["e", "grid_ts"])
+        .reset_index(drop=True)
+    )
+    # a: ticks 01,02,03 -> LOCF 1.0 (00:30), 1.0, None (03:00 row is null)
+    # b: tick 01 (exactly on an obs) -> 10.0 ; span ends 01:30 so one tick
+    # c: span [00:10, 00:10] -> first tick 01:00 > tmax -> no rows
+    a = out[out.e == "a"]
+    assert list(a["grid_ts"].dt.hour) == [1, 2, 3]
+    assert a["v"].tolist()[:2] == [1.0, 1.0] and pd.isna(a["v"].tolist()[2])
+    b = out[out.e == "b"]
+    assert list(b["grid_ts"].dt.hour) == [1] and b["v"].tolist() == [10.0]
+    assert (out.e == "c").sum() == 0
