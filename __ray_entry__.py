@@ -160,6 +160,32 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_tumbling_agg(sf_dir: str):
+    """Tumbling (fixed, non-overlapping) window aggregate by pure
+    composition: LambdaOp floors ts to the hour bucket, the terminal
+    Groupby aggregates per (user, bucket) — no new engine code, the
+    downsampling complement of resample_grid's upsampling."""
+    import pyarrow.compute as _pc
+
+    from nvtabular_ray import Workflow, ops
+
+    def floor_hour(col):
+        return _pc.floor_temporal(col, unit="hour")
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    bucketize = Workflow(
+        (["ts"] >> ops.LambdaOp(floor_hour) >> ops.Rename(name="hour_ts"))
+        + ["user_id", "value"]
+    )
+    hourly = bucketize.fit(ds).transform(ds)
+    gb = Workflow(
+        ["user_id", "hour_ts", "value"]
+        >> ops.Groupby(groupby_cols=["user_id", "hour_ts"], aggs={"value": ["count", "sum"]})
+    )
+    out = gb.fit(hourly).transform(hourly)
+    return _round6i(out, ["value_sum"])
+
+
 def _q_resample(sf_dir: str):
     """Per-entity hourly LOCF resampling — grid ASOF-join parity."""
     from nvtabular_ray.pipelines.temporal import resample_grid
@@ -1722,6 +1748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "group_rank": _q_group_rank,
         "resample": _q_resample,
+        "tumbling_agg": _q_tumbling_agg,
         "schema_tags": _q_schema_tags,
         "transcript_fused": _q_transcript_fused,
         "groupby_concat": _q_groupby_concat,
@@ -1751,7 +1778,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fillmedian": _q_fillmedian,
         "target_encode": _q_target_encode,
         "join_groupby": _q_join_groupby,
-        "column_similarity": _q_column_similarity,
         "quality_score": _q_quality_score,
         "repetition_filter": _q_repetition_filter,
         "gopher_rules": _q_gopher_rules,
@@ -1771,9 +1797,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # function-level unchanged since its r3 green row (the r4 categorify
         # hunks are distributed-only, covered by categorify_tokens_distributed)
         "categorify_tokens": _q_categorify_tokens,
-        # embedding_near_dup moved here session 3: _cosine_min_label and the
-        # hyperplane-bucket path have no round-4 hunks (git diff 42805d0..HEAD)
+        # embedding_near_dup + column_similarity moved here session 3: their
+        # engine paths have no round-4 hunks (git diff 42805d0..HEAD); their
+        # query-side change is the shared _round6i idiom, driver-covered by
+        # the nine other idiom rows inside the window
         "embedding_near_dup": _q_embedding_near_dup,
+        "column_similarity": _q_column_similarity,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_pipeline": _q_corpus_pipeline,
         # --- unchanged but young rows (first green in r3) -----------------
@@ -1900,6 +1929,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
             FROM events
+        """,
+        "tumbling_agg": """
+            SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+                   CAST(count(value) AS INT) AS value_count,
+                   -- engine Groupby emits float32 sums (reference dtype
+                   -- contract): snap the oracle's double through REAL so
+                   -- both sides round the identical float32
+                   CAST(ROUND(CAST(sum(value) AS REAL) * 1e6) AS BIGINT) AS value_sum
+            FROM events
+            GROUP BY 1, 2
         """,
         "resample": """
             WITH b AS (
