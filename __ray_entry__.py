@@ -791,6 +791,7 @@ def _q_hot_split_features(sf_dir: str):
         {"kind": "sessionize", "gap": 6 * 3600, "out": "session_id"},
         {"kind": "rolling", "col": "value", "window": 86400, "aggs": ["count", "sum"]},
         {"kind": "expanding", "col": "value", "aggs": ["count", "sum"]},
+        {"kind": "rank", "out": "turn_pos"},
     ]
     out = ordered_features(
         ds, "user_id", "ts", specs, hot_threshold=30, target_seg_rows=20, num_buckets=8
@@ -798,7 +799,7 @@ def _q_hot_split_features(sf_dir: str):
     out = out.select_columns(
         ["event_id", "value_difference_lag_1", "session_id",
          "value_w86400s_count", "value_w86400s_sum",
-         "value_cum_count", "value_cum_sum"]
+         "value_cum_count", "value_cum_sum", "turn_pos"]
     )
     out = _mean_cmp6(out, "value_w86400s_mean", "value_w86400s_sum", "value_w86400s_count")
     return _round6i(out, ["value_cum_sum"])
@@ -3043,7 +3044,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(ROUND(sum(value) OVER wr * 1e6)
                         / count(value) OVER wr) AS BIGINT) AS value_w86400s_mean,
                    CAST(count(value) OVER we AS BIGINT) AS value_cum_count,
-                   CAST(ROUND(sum(value) OVER we * 1e6) AS BIGINT) AS value_cum_sum
+                   CAST(ROUND(sum(value) OVER we * 1e6) AS BIGINT) AS value_cum_sum,
+                   row_number() OVER w0::BIGINT AS turn_pos
             FROM d
             WINDOW w0 AS (PARTITION BY user_id ORDER BY ts),
                    wr AS (PARTITION BY user_id ORDER BY ts

@@ -94,6 +94,8 @@ def _spec_out_names(spec: dict) -> list[str]:
         return [f"{spec['col']}_cum_{a}" for a in spec["aggs"]]
     if k == "backfill":
         return [spec.get("out") or f"{spec['col']}_filled"]
+    if k == "rank":
+        return [spec.get("out") or "row_number"]
     raise ValueError(f"unknown spec kind {k!r}")
 
 
@@ -415,6 +417,11 @@ def _compute_cold(t: pa.Table, cfg: dict) -> pa.Table:
             gather, ok = grouped_fill_indices(valid, gid, s.get("direction", "forward"))
             filled = pc.take(col, pa.array(gather, pa.int64(), mask=~ok))
             t = t.append_column(names[0], filled)
+        elif s["kind"] == "rank":
+            starts = group_starts(gid)
+            gstart = np.repeat(starts, np.diff(np.r_[starts, len(gid)]))
+            rn = np.arange(len(gid), dtype=np.int64) - gstart + 1
+            t = t.append_column(names[0], pa.array(rn, pa.int64()))
     return t
 
 
@@ -481,6 +488,7 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
     run_tail = {c: np.empty(0, np.float64) for c in tail_cols}
     run_exp = {c: (0, 0.0, 0.0, np.nan, np.nan) for c in exp_cols}
     run_bf_last = {c: (False, None) for c in bf_cols}
+    run_rows = 0
     ts_scale = _US if cfg["is_ts"] else 1
     for j, sm in enumerate(summaries):
         carries[j]["prev_last_ts"] = prev_last_ts
@@ -488,6 +496,8 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
         carries[j]["tail"] = {c: run_tail[c][-k:].copy() for c, k in tail_cols.items()}
         carries[j]["exp"] = dict(run_exp)
         carries[j]["bf_last"] = dict(run_bf_last)
+        carries[j]["rows_before"] = run_rows
+        run_rows += sm["n"]
         if sm["n"] == 0:
             continue
         for c in bf_cols:
@@ -680,6 +690,10 @@ def _compute_hot(t: pa.Table, cfg: dict, carry: dict) -> pa.Table:
             if has:
                 filled = pc.fill_null(filled, pa.scalar(val, col.type))
             body = body.append_column(names[0], filled)
+        elif s["kind"] == "rank":
+            # carry = body rows in all earlier segments of the entity
+            rn = carry["rows_before"] + np.arange(1, len(idx) + 1, dtype=np.int64)
+            body = body.append_column(names[0], pa.array(rn, pa.int64()))
     return body
 
 
@@ -899,6 +913,10 @@ def ordered_features(
       {"kind": "expanding", "col", "aggs": [...]}             -> {col}_cum_{agg}
       {"kind": "backfill", "col",
        "direction": "forward"|"backward", "out": ...}         -> {col}_filled (col's dtype)
+      {"kind": "rank", "out": "row_number"}                   -> int64 1-based position
+        (carry = prior segments' body row counts; under ts ties pass
+        ``sort_cols`` tie-breakers or the position is partition-dependent,
+        exactly as in the unsplit GroupRank)
 
     ``sort_cols``: extra tie-breakers after ts (needed only when ts has
     duplicates within an entity AND a lag/lead spec is used).

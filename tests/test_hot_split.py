@@ -33,6 +33,8 @@ SPECS = [
      "aggs": ["count", "sum", "mean", "min", "max", "var"]},
     {"kind": "backfill", "col": "val"},
     {"kind": "backfill", "col": "val", "direction": "backward", "out": "val_bfilled"},
+    # r4 session 3: turn position through segment splits (carry = row counts)
+    {"kind": "rank", "out": "turn_pos"},
 ]
 
 
