@@ -785,13 +785,14 @@ def _q_hot_split_features(sf_dir: str):
     semantics (lag / sessionize / rolling / expanding in one pass)."""
     from nvtabular_ray.pipelines.hot_split import ordered_features
 
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value", "props"])
     specs = [
         {"kind": "lag", "col": "value", "shift": 1},
         {"kind": "sessionize", "gap": 6 * 3600, "out": "session_id"},
         {"kind": "rolling", "col": "value", "window": 86400, "aggs": ["count", "sum"]},
         {"kind": "expanding", "col": "value", "aggs": ["count", "sum"]},
         {"kind": "rank", "out": "turn_pos"},
+        {"kind": "context", "col": "props", "k": 3, "sep": " | "},
     ]
     out = ordered_features(
         ds, "user_id", "ts", specs, hot_threshold=30, target_seg_rows=20, num_buckets=8
@@ -799,7 +800,7 @@ def _q_hot_split_features(sf_dir: str):
     out = out.select_columns(
         ["event_id", "value_difference_lag_1", "session_id",
          "value_w86400s_count", "value_w86400s_sum",
-         "value_cum_count", "value_cum_sum", "turn_pos"]
+         "value_cum_count", "value_cum_sum", "turn_pos", "props_ctx3"]
     )
     out = _mean_cmp6(out, "value_w86400s_mean", "value_w86400s_sum", "value_w86400s_count")
     return _round6i(out, ["value_cum_sum"])
@@ -3029,7 +3030,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hot_split_features": """
             WITH d AS (
-                SELECT event_id, user_id, ts, value,
+                SELECT event_id, user_id, ts, value, props,
                        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                                  > INTERVAL 6 HOUR
                             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -3045,7 +3046,11 @@ def oracle_sql() -> dict[str, str]:
                         / count(value) OVER wr) AS BIGINT) AS value_w86400s_mean,
                    CAST(count(value) OVER we AS BIGINT) AS value_cum_count,
                    CAST(ROUND(sum(value) OVER we * 1e6) AS BIGINT) AS value_cum_sum,
-                   row_number() OVER w0::BIGINT AS turn_pos
+                   row_number() OVER w0::BIGINT AS turn_pos,
+                   string_agg(props, ' | ') OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+                   ) AS props_ctx3
             FROM d
             WINDOW w0 AS (PARTITION BY user_id ORDER BY ts),
                    wr AS (PARTITION BY user_id ORDER BY ts

@@ -39,6 +39,48 @@ import pyarrow.compute as pc
 from nvtabular_ray.ops.base import Operator
 
 
+def render_pieces(table: pa.Table, col: str, prefix_col, prefix_sep: str):
+    """The rendered per-row piece: the text column as string, optionally
+    ``prefix || prefix_sep || text`` (NULL if either side is NULL — SQL
+    ``||`` parity). Shared by the op and the hot-split carry path so the
+    rendering can never diverge."""
+    txt = table.column(col).combine_chunks()
+    if not (pa.types.is_string(txt.type) or pa.types.is_large_string(txt.type)):
+        txt = pc.cast(txt, pa.string())
+    if prefix_col is not None:
+        prefix = table.column(prefix_col).combine_chunks()
+        if not (pa.types.is_string(prefix.type) or pa.types.is_large_string(prefix.type)):
+            prefix = pc.cast(prefix, pa.string())
+        txt = pc.binary_join_element_wise(
+            prefix.cast(txt.type), txt, pa.scalar(prefix_sep, txt.type)
+        )
+    return txt
+
+
+def concat_prev_k(txt, gstart: np.ndarray, k: int, sep: str):
+    """Previous-k skip-join kernel over a key-sorted piece array: for each
+    row, the ``sep``-join (oldest first) of the up-to-``k`` non-null pieces
+    before it within [gstart[i], i); empty/all-null frame -> NULL. One
+    ``binary_join_element_wise`` C call; works around the pyarrow<=16 bug
+    where the skip-join kernel DROPS rows whose pieces are all null."""
+    n = len(txt)
+    idx = np.arange(n, dtype=np.int64)
+    valid = pc.is_valid(txt).to_numpy(zero_copy_only=False)
+    cv = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])
+    lo = np.maximum(gstart, idx - k)
+    has_piece = pa.array((cv[idx] - cv[lo]) > 0)
+    pieces = []
+    for j in range(k, 0, -1):  # oldest first
+        src = idx - j
+        ok = src >= gstart
+        pieces.append(txt.take(pa.array(np.where(ok, src, 0), mask=~ok)))
+    pieces.append(pc.if_else(has_piece, pa.scalar(None, txt.type), pa.scalar("", txt.type)))
+    joined = pc.binary_join_element_wise(
+        *pieces, pa.scalar(sep, txt.type), null_handling="skip"
+    )
+    return pc.if_else(has_piece, joined, pa.scalar(None, txt.type))
+
+
 class ContextConcat(Operator):
     def __init__(
         self,
@@ -109,44 +151,13 @@ class ContextConcat(Operator):
         starts = group_starts(gid_k)
         counts = np.diff(np.r_[starts, n])
         gstart = np.repeat(starts, counts)
-        idx = np.arange(n, dtype=np.int64)
-
-        prefix = None
-        if self.prefix_col is not None:
-            prefix = table.column(self.prefix_col).combine_chunks()
-            if not (pa.types.is_string(prefix.type) or pa.types.is_large_string(prefix.type)):
-                prefix = pc.cast(prefix, pa.string())
 
         out = {}
         for c in value_cols:
-            txt = table.column(c).combine_chunks()
-            if not (pa.types.is_string(txt.type) or pa.types.is_large_string(txt.type)):
-                txt = pc.cast(txt, pa.string())
-            if prefix is not None:
-                # prefix || sep || text — NULL if either side is NULL
-                txt = pc.binary_join_element_wise(
-                    prefix.cast(txt.type), txt, pa.scalar(self.prefix_sep, txt.type)
-                )
+            txt = render_pieces(table, c, self.prefix_col, self.prefix_sep)
             if order_idx is not None:
                 txt = txt.take(order_idx)
-            valid = pc.is_valid(txt).to_numpy(zero_copy_only=False)
-            cv = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])
-            lo = np.maximum(gstart, idx - self.k)
-            has_piece = pa.array((cv[idx] - cv[lo]) > 0)
-            pieces = []
-            for j in range(self.k, 0, -1):  # oldest first
-                src = idx - j
-                ok = src >= gstart
-                pieces.append(txt.take(pa.array(np.where(ok, src, 0), mask=~ok)))
-            # pyarrow<=16 bug: the skip-join kernel DROPS rows whose pieces
-            # are all null (output length shrinks). Feed every such row one
-            # "" sentinel piece (null elsewhere => skipped), null them after.
-            pieces.append(pc.if_else(has_piece, pa.scalar(None, txt.type), pa.scalar("", txt.type)))
-            joined = pc.binary_join_element_wise(
-                *pieces, pa.scalar(self.sep, txt.type), null_handling="skip"
-            )
-            # SQL string_agg: empty/all-null frame -> NULL
-            joined = pc.if_else(has_piece, joined, pa.scalar(None, txt.type))
+            joined = concat_prev_k(txt, gstart, self.k, self.sep)
             if inv_idx is not None:
                 joined = joined.take(inv_idx)
             out[f"{c}_{self.out_suffix}"] = joined

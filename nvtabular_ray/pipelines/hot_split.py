@@ -96,6 +96,8 @@ def _spec_out_names(spec: dict) -> list[str]:
         return [spec.get("out") or f"{spec['col']}_filled"]
     if k == "rank":
         return [spec.get("out") or "row_number"]
+    if k == "context":
+        return [spec.get("out") or f"{spec['col']}_ctx{int(spec['k'])}"]
     raise ValueError(f"unknown spec kind {k!r}")
 
 
@@ -118,6 +120,8 @@ def _validate_specs(specs: list[dict]):
             raise ValueError(f"rolling direction must be trailing/leading: {s}")
         if s["kind"] == "backfill" and s.get("direction", "forward") not in ("forward", "backward"):
             raise ValueError(f"backfill direction must be forward/backward: {s}")
+        if s["kind"] == "context" and int(s["k"]) < 1:
+            raise ValueError(f"context k must be >= 1: {s}")
         del names
 
 
@@ -422,6 +426,18 @@ def _compute_cold(t: pa.Table, cfg: dict) -> pa.Table:
             gstart = np.repeat(starts, np.diff(np.r_[starts, len(gid)]))
             rn = np.arange(len(gid), dtype=np.int64) - gstart + 1
             t = t.append_column(names[0], pa.array(rn, pa.int64()))
+        elif s["kind"] == "context":
+            from nvtabular_ray.ops.context import concat_prev_k, render_pieces
+
+            rendered = render_pieces(
+                t, s["col"], s.get("prefix_col"), s.get("prefix_sep", ": ")
+            )
+            starts = group_starts(gid)
+            gstart = np.repeat(starts, np.diff(np.r_[starts, len(gid)]))
+            t = t.append_column(
+                names[0],
+                concat_prev_k(rendered, gstart, int(s["k"]), s.get("sep", "\n")),
+            )
     return t
 
 
@@ -432,7 +448,7 @@ def _summarize_segment(t: pa.Table, cfg: dict) -> dict:
     scale = _US if is_ts else 1
     out = {"n": body.num_rows, "first_ts": None, "last_ts": None,
            "breaks": {}, "tail": {}, "head": {}, "exp": {},
-           "bf_last": {}, "bf_first": {}}
+           "bf_last": {}, "bf_first": {}, "ctx_tail": {}}
     if body.num_rows == 0:
         return out
     out["first_ts"] = int(ts_us[0])
@@ -441,6 +457,14 @@ def _summarize_segment(t: pa.Table, cfg: dict) -> dict:
         if s["kind"] == "sessionize":
             gap = int(s["gap"] * scale)
             out["breaks"][i] = int(np.count_nonzero(np.diff(ts_us) > gap))
+        elif s["kind"] == "context":
+            from nvtabular_ray.ops.context import render_pieces
+
+            k = int(s["k"])
+            rendered = render_pieces(
+                body, s["col"], s.get("prefix_col"), s.get("prefix_sep", ": ")
+            )
+            out["ctx_tail"][i] = rendered.slice(max(0, len(rendered) - k)).to_pylist()
     tail, head = _lag_cols(cfg["specs"])
     for col, k in tail.items():
         v = body.column(col).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
@@ -489,6 +513,10 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
     run_exp = {c: (0, 0.0, 0.0, np.nan, np.nan) for c in exp_cols}
     run_bf_last = {c: (False, None) for c in bf_cols}
     run_rows = 0
+    ctx_specs = {
+        i: int(s["k"]) for i, s in enumerate(cfg["specs"]) if s["kind"] == "context"
+    }
+    run_ctx = {i: [] for i in ctx_specs}
     ts_scale = _US if cfg["is_ts"] else 1
     for j, sm in enumerate(summaries):
         carries[j]["prev_last_ts"] = prev_last_ts
@@ -497,7 +525,10 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
         carries[j]["exp"] = dict(run_exp)
         carries[j]["bf_last"] = dict(run_bf_last)
         carries[j]["rows_before"] = run_rows
+        carries[j]["ctx"] = {i: list(run_ctx[i]) for i in ctx_specs}
         run_rows += sm["n"]
+        for i, k in ctx_specs.items():
+            run_ctx[i] = (run_ctx[i] + sm["ctx_tail"].get(i, []))[-k:]
         if sm["n"] == 0:
             continue
         for c in bf_cols:
@@ -694,6 +725,20 @@ def _compute_hot(t: pa.Table, cfg: dict, carry: dict) -> pa.Table:
             # carry = body rows in all earlier segments of the entity
             rn = carry["rows_before"] + np.arange(1, len(idx) + 1, dtype=np.int64)
             body = body.append_column(names[0], pa.array(rn, pa.int64()))
+        elif s["kind"] == "context":
+            from nvtabular_ray.ops.context import concat_prev_k, render_pieces
+
+            rendered = render_pieces(
+                body, s["col"], s.get("prefix_col"), s.get("prefix_sep", ": ")
+            )
+            if isinstance(rendered, pa.ChunkedArray):
+                rendered = rendered.combine_chunks()
+            carried = carry["ctx"].get(spec_i, [])
+            ext = pa.concat_arrays([pa.array(carried, rendered.type), rendered])
+            joined = concat_prev_k(
+                ext, np.zeros(len(ext), np.int64), int(s["k"]), s.get("sep", "\n")
+            )
+            body = body.append_column(names[0], joined.slice(len(carried)))
     return body
 
 

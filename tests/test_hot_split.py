@@ -35,6 +35,8 @@ SPECS = [
     {"kind": "backfill", "col": "val", "direction": "backward", "out": "val_bfilled"},
     # r4 session 3: turn position through segment splits (carry = row counts)
     {"kind": "rank", "out": "turn_pos"},
+    # r4 session 3: previous-k context through splits (carry = rendered tail)
+    {"kind": "context", "col": "text", "k": 3, "sep": "|"},
 ]
 
 
@@ -89,6 +91,11 @@ def _assert_frames_match(exp: pd.DataFrame, got: pd.DataFrame):
     assert (exp["conv_id"].to_numpy() == got["conv_id"].to_numpy()).all()
     for c in exp.columns:
         if c in ("conv_id", "ts", "text"):
+            continue
+        if exp[c].dtype == object:  # string features (context concat)
+            assert exp[c].fillna("\0").tolist() == got[c].fillna("\0").tolist(), (
+                f"column {c}"
+            )
             continue
         e = exp[c].to_numpy(dtype=np.float64, na_value=np.nan)
         g = got[c].to_numpy(dtype=np.float64, na_value=np.nan)
