@@ -807,3 +807,90 @@ def resample_grid(
         return pa.table(cols)
 
     return bucketed_group_map(ds, keys, [ts_col], per_bucket, num_buckets=num_buckets)
+
+
+def context_concat(
+    ds,
+    key: Union[str, list[str]],
+    ts_col: str,
+    text_col: str,
+    k: int = 3,
+    sep: str = "\n",
+    prefix_col: Optional[str] = None,
+    prefix_sep: str = ": ",
+    out_col: Optional[str] = None,
+    sort_cols: Optional[list[str]] = None,
+    num_buckets: Optional[int] = None,
+    hot_threshold: Optional[int] = None,
+    target_seg_rows: int = 250_000,
+):
+    """Previous-k context assembly as a pipeline call (the functional form
+    of ``ops.ContextConcat`` — same kernels): each row gains the
+    ``sep``-join of the up-to-k rendered texts before it within the entity.
+    ``hot_threshold``: mega-conversations split into time segments; the
+    frame stays row-exact across cuts via rendered-tail carries."""
+    keys = [key] if isinstance(key, str) else list(key)
+    out = out_col or f"{text_col}_ctx{int(k)}"
+    if hot_threshold is not None:
+        spec = {"kind": "context", "col": text_col, "k": int(k), "sep": sep,
+                "prefix_col": prefix_col, "prefix_sep": prefix_sep, "out": out}
+        return _via_hot_split(
+            ds, keys, ts_col, [spec], None, hot_threshold, target_seg_rows, num_buckets,
+        )
+
+    from nvtabular_ray.ops.context import ContextConcat
+    from nvtabular_ray.selector import ColumnSelector
+
+    op = ContextConcat(
+        keys, k=k, sort_cols=[ts_col] + list(sort_cols or []), sep=sep,
+        prefix_col=prefix_col, prefix_sep=prefix_sep, out_suffix="__tmp__",
+    )
+    sel = ColumnSelector([text_col] + op.dependencies)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        res = op.transform(sel, t)
+        return t.append_column(out, res.column(f"{text_col}___tmp__"))
+
+    return bucketed_group_map(
+        ds, keys, [ts_col] + list(sort_cols or []), per_bucket, num_buckets=num_buckets
+    )
+
+
+def group_rank(
+    ds,
+    key: Union[str, list[str]],
+    ts_col: str,
+    method: str = "row_number",
+    out_col: Optional[str] = None,
+    n: Optional[int] = None,
+    sort_cols: Optional[list[str]] = None,
+    num_buckets: Optional[int] = None,
+    hot_threshold: Optional[int] = None,
+    target_seg_rows: int = 250_000,
+):
+    """Per-entity rank features as a pipeline call (functional form of
+    ``ops.GroupRank``). ``hot_threshold`` supports ``row_number`` only
+    (prefix-foldable via row-count carries; dense/percent/ntile need
+    whole-entity state)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    out = out_col or method
+    if hot_threshold is not None:
+        if method != "row_number":
+            raise ValueError("hot_threshold supports method='row_number' only")
+        return _via_hot_split(
+            ds, keys, ts_col, [{"kind": "rank", "out": out}],
+            None, hot_threshold, target_seg_rows, num_buckets,
+        )
+
+    from nvtabular_ray.ops.rank import GroupRank
+    from nvtabular_ray.selector import ColumnSelector
+
+    op = GroupRank(keys, [ts_col] + list(sort_cols or []), method=method, out_col=out, n=n)
+    sel = ColumnSelector(op.dependencies)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(out, op.transform(sel, t).column(out))
+
+    return bucketed_group_map(
+        ds, keys, [ts_col] + list(sort_cols or []), per_bucket, num_buckets=num_buckets
+    )

@@ -416,3 +416,35 @@ def test_duplicate_ts_windows(ray_session):
     key = got["ts"].astype(np.int64).to_numpy()
     ekey = exp["ts"].astype(np.int64).to_numpy()
     assert (key == ekey).all()
+
+
+def test_context_group_rank_pipeline_hot_threshold_parity(ray_session):
+    """The functional context_concat / group_rank APIs: hot_threshold path
+    (forced splitting) must equal the plain bucketed path exactly."""
+    from nvtabular_ray.pipelines.temporal import context_concat, group_rank
+
+    tbl = _make_table(n_hot=900, n_cold=4, rows_cold=40)
+    ds = ray.data.from_arrow(tbl).repartition(6)
+
+    def collect(out):
+        return (
+            pa.concat_tables(
+                out.iter_batches(batch_size=None, batch_format="pyarrow"),
+                promote_options="default",
+            )
+            .sort_by([("conv_id", "ascending"), ("ts", "ascending")])
+            .to_pandas()
+        )
+
+    plain = collect(context_concat(ds, "conv_id", "ts", "text", k=2, sep="|"))
+    split = collect(
+        context_concat(
+            ds, "conv_id", "ts", "text", k=2, sep="|",
+            hot_threshold=100, target_seg_rows=60,
+        )
+    )
+    assert plain["text_ctx2"].fillna("\0").tolist() == split["text_ctx2"].fillna("\0").tolist()
+
+    plain_r = collect(group_rank(ds, "conv_id", "ts"))
+    split_r = collect(group_rank(ds, "conv_id", "ts", hot_threshold=100, target_seg_rows=60))
+    assert plain_r["row_number"].tolist() == split_r["row_number"].tolist()
