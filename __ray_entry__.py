@@ -160,6 +160,37 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_training_pairs(sf_dir: str):
+    """Next-turn prediction pairs: (assembled context, current turn text)
+    per turn, keeping only turns that HAVE context — the supervised-pair
+    materialization step after context assembly."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "props"])
+    ctx = ["props"] >> ops.ContextConcat(
+        partition_cols="user_id",
+        sort_cols=["ts", "event_id"],
+        k=2,
+        sep=" | ",
+        prefix_col="event_type",
+        prefix_sep=": ",
+        out_suffix="context",
+    )
+    wf = Workflow(ctx + ["event_id", "props"])
+    out = wf.fit(ds).transform(ds)
+
+    def keep_with_context(t: _pa.Table) -> _pa.Table:
+        t = t.rename_columns(
+            ["target" if c == "props" else c for c in t.column_names]
+        )
+        return t.filter(_pc.is_valid(t.column("props_context")))
+
+    return out.map_batches(keep_with_context, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_tumbling_agg(sf_dir: str):
     """Tumbling (fixed, non-overlapping) window aggregate by pure
     composition: LambdaOp floors ts to the hour bucket, the terminal
@@ -1751,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_rank": _q_group_rank,
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
+        "training_pairs": _q_training_pairs,
         "schema_tags": _q_schema_tags,
         "transcript_fused": _q_transcript_fused,
         "groupby_concat": _q_groupby_concat,
@@ -1780,7 +1812,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fillmedian": _q_fillmedian,
         "target_encode": _q_target_encode,
         "join_groupby": _q_join_groupby,
-        "quality_score": _q_quality_score,
         "repetition_filter": _q_repetition_filter,
         "gopher_rules": _q_gopher_rules,
         "target_encode_distributed": _q_target_encode_distributed,
@@ -1799,6 +1830,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # function-level unchanged since its r3 green row (the r4 categorify
         # hunks are distributed-only, covered by categorify_tokens_distributed)
         "categorify_tokens": _q_categorify_tokens,
+        # quality_score moved here session 3: its text.py function is
+        # r4-hunk-free (gopher/chunk edits are elsewhere in the file)
+        "quality_score": _q_quality_score,
         # embedding_near_dup + column_similarity moved here session 3: their
         # engine paths have no round-4 hunks (git diff 42805d0..HEAD); their
         # query-side change is the shared _round6i idiom, driver-covered by
@@ -1931,6 +1965,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
             FROM events
+        """,
+        "training_pairs": """
+            SELECT event_id, props AS target,
+                   string_agg(event_type || ': ' || props, ' | ') OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING
+                   ) AS props_context
+            FROM events
+            QUALIFY props_context IS NOT NULL
         """,
         "tumbling_agg": """
             SELECT user_id, date_trunc('hour', ts) AS hour_ts,
