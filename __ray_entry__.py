@@ -107,8 +107,9 @@ def _mean_cmp6(ds, out_col, sum_col, count_col):
 # --------------------------------------------------------------------------- #
 def entry() -> Any:
     """Flagship: ordered per-entity feature engineering on sf0.001 events
-    (sessionize + lag + rolling window + categorify + target-encode),
-    the transcript-pipeline shape over the driver's own tables."""
+    (sessionize + lag + rolling window + turn position + context assembly
+    + categorify + target-encode), the transcript-pipeline shape over the
+    driver's own tables — the ordered ops fuse into ONE entity exchange."""
     from nvtabular_ray import Workflow, ops
 
     ds = _read("/root/testdata/sf0.001", "events")
@@ -121,7 +122,17 @@ def entry() -> Any:
     roll = ["value"] >> ops.RollingAgg(
         partition_cols="user_id", ts_col="ts", window_seconds=86400, aggs=("count", "mean")
     )
-    wf = Workflow(cats + te + lag + sess + roll + ["event_id", "user_id", "ts"])
+    pos = ["ts"] >> ops.GroupRank("user_id", ["ts", "event_id"], out_col="turn_pos")
+    ctx = ["props"] >> ops.ContextConcat(
+        partition_cols="user_id",
+        sort_cols=["ts", "event_id"],
+        k=2,
+        sep=" | ",
+        prefix_col="event_type",
+    )
+    wf = Workflow(
+        cats + te + lag + sess + roll + pos + ctx + ["event_id", "user_id", "ts"]
+    )
     return wf.fit(ds).transform(ds)
 
 
