@@ -30,6 +30,25 @@ import pyarrow.compute as pc
 from nvtabular_ray.ops.base import Operator
 
 
+def rank_from_positions(rn: np.ndarray, size: np.ndarray, method: str, n: int | None = None):
+    """Rank features from 1-based in-entity positions + entity sizes —
+    shared by the op and the hot-split carry path (where ``rn`` includes
+    the rows_before carry and ``size`` is the entity's TOTAL rows)."""
+    if method == "row_number":
+        return rn
+    if method == "percent_rank":
+        return np.where(size > 1, (rn - 1) / np.maximum(size - 1, 1), 0.0)
+    # SQL NTILE: base rows per tile = size // n, first size % n tiles fat
+    base, extra = size // n, size % n
+    pos = rn - 1
+    cut = (base + 1) * extra
+    return np.where(
+        pos < cut,
+        pos // np.maximum(base + 1, 1),
+        extra + (pos - cut) // np.maximum(base, 1),
+    ) + 1
+
+
 class GroupRank(Operator):
     def __init__(
         self,
@@ -83,22 +102,10 @@ class GroupRank(Operator):
         counts = np.diff(np.r_[starts, n])
         gstart = np.repeat(starts, counts)
         if self.method in ("row_number", "percent_rank", "ntile"):
-            rank = np.arange(n, dtype=np.int64) - gstart + 1
-            if self.method == "percent_rank":
-                size = np.repeat(counts, counts)
-                rank = np.where(size > 1, (rank - 1) / np.maximum(size - 1, 1), 0.0)
-            elif self.method == "ntile":
-                # SQL NTILE: base rows per tile = size // n, the first
-                # size % n tiles get one extra row
-                size = np.repeat(counts, counts)
-                base, extra = size // self.n, size % self.n
-                pos = rank - 1
-                cut = (base + 1) * extra  # rows covered by the fat tiles
-                rank = np.where(
-                    pos < cut,
-                    pos // np.maximum(base + 1, 1),
-                    extra + (pos - cut) // np.maximum(base, 1),
-                ) + 1
+            rn = np.arange(n, dtype=np.int64) - gstart + 1
+            rank = rank_from_positions(
+                rn, np.repeat(counts, counts), self.method, getattr(self, "n", None)
+            )
         else:
             # dense: new rank where the sort tuple changes within the group
             change = np.zeros(n, dtype=bool)

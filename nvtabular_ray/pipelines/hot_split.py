@@ -95,7 +95,7 @@ def _spec_out_names(spec: dict) -> list[str]:
     if k == "backfill":
         return [spec.get("out") or f"{spec['col']}_filled"]
     if k == "rank":
-        return [spec.get("out") or "row_number"]
+        return [spec.get("out") or spec.get("method", "row_number")]
     if k == "context":
         return [spec.get("out") or f"{spec['col']}_ctx{int(spec['k'])}"]
     raise ValueError(f"unknown spec kind {k!r}")
@@ -122,6 +122,14 @@ def _validate_specs(specs: list[dict]):
             raise ValueError(f"backfill direction must be forward/backward: {s}")
         if s["kind"] == "context" and int(s["k"]) < 1:
             raise ValueError(f"context k must be >= 1: {s}")
+        if s["kind"] == "rank":
+            m = s.get("method", "row_number")
+            # dense_rank is unsplit-only (ops.GroupRank): a tie group could
+            # straddle a cut, and the carry would need the boundary tuple
+            if m not in ("row_number", "percent_rank", "ntile"):
+                raise ValueError(f"rank method must be row_number|percent_rank|ntile: {s}")
+            if m == "ntile" and int(s.get("n", 0)) < 1:
+                raise ValueError(f"ntile needs n >= 1: {s}")
         del names
 
 
@@ -422,10 +430,16 @@ def _compute_cold(t: pa.Table, cfg: dict) -> pa.Table:
             filled = pc.take(col, pa.array(gather, pa.int64(), mask=~ok))
             t = t.append_column(names[0], filled)
         elif s["kind"] == "rank":
+            from nvtabular_ray.ops.rank import rank_from_positions
+
             starts = group_starts(gid)
-            gstart = np.repeat(starts, np.diff(np.r_[starts, len(gid)]))
+            counts = np.diff(np.r_[starts, len(gid)])
+            gstart = np.repeat(starts, counts)
             rn = np.arange(len(gid), dtype=np.int64) - gstart + 1
-            t = t.append_column(names[0], pa.array(rn, pa.int64()))
+            r = rank_from_positions(
+                rn, np.repeat(counts, counts), s.get("method", "row_number"), s.get("n")
+            )
+            t = t.append_column(names[0], pa.array(r))
         elif s["kind"] == "context":
             from nvtabular_ray.ops.context import concat_prev_k, render_pieces
 
@@ -513,6 +527,7 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
     run_exp = {c: (0, 0.0, 0.0, np.nan, np.nan) for c in exp_cols}
     run_bf_last = {c: (False, None) for c in bf_cols}
     run_rows = 0
+    rank_total = sum(sm["n"] for sm in summaries)
     ctx_specs = {
         i: int(s["k"]) for i, s in enumerate(cfg["specs"]) if s["kind"] == "context"
     }
@@ -525,6 +540,7 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
         carries[j]["exp"] = dict(run_exp)
         carries[j]["bf_last"] = dict(run_bf_last)
         carries[j]["rows_before"] = run_rows
+        carries[j]["rank_total"] = rank_total
         carries[j]["ctx"] = {i: list(run_ctx[i]) for i in ctx_specs}
         run_rows += sm["n"]
         for i, k in ctx_specs.items():
@@ -722,9 +738,14 @@ def _compute_hot(t: pa.Table, cfg: dict, carry: dict) -> pa.Table:
                 filled = pc.fill_null(filled, pa.scalar(val, col.type))
             body = body.append_column(names[0], filled)
         elif s["kind"] == "rank":
-            # carry = body rows in all earlier segments of the entity
+            from nvtabular_ray.ops.rank import rank_from_positions
+
+            # carries: rows_before = body rows in earlier segments,
+            # rank_total = the entity's TOTAL body rows (known at fold time)
             rn = carry["rows_before"] + np.arange(1, len(idx) + 1, dtype=np.int64)
-            body = body.append_column(names[0], pa.array(rn, pa.int64()))
+            total = np.full(len(idx), carry["rank_total"], np.int64)
+            r = rank_from_positions(rn, total, s.get("method", "row_number"), s.get("n"))
+            body = body.append_column(names[0], pa.array(r))
         elif s["kind"] == "context":
             from nvtabular_ray.ops.context import concat_prev_k, render_pieces
 
@@ -958,10 +979,13 @@ def ordered_features(
       {"kind": "expanding", "col", "aggs": [...]}             -> {col}_cum_{agg}
       {"kind": "backfill", "col",
        "direction": "forward"|"backward", "out": ...}         -> {col}_filled (col's dtype)
-      {"kind": "rank", "out": "row_number"}                   -> int64 1-based position
-        (carry = prior segments' body row counts; under ts ties pass
-        ``sort_cols`` tie-breakers or the position is partition-dependent,
-        exactly as in the unsplit GroupRank)
+      {"kind": "rank", "method": "row_number"|"percent_rank"|"ntile",
+       "n": tiles, "out": ...}                                -> int64 position /
+        float64 pct / int64 tile (carries = prior segments' body row counts
+        + the entity total, known at fold time; dense_rank is unsplit-only —
+        a tie group could straddle a cut. Under ts ties pass ``sort_cols``
+        tie-breakers or the position is partition-dependent, exactly as in
+        the unsplit GroupRank)
 
     ``sort_cols``: extra tie-breakers after ts (needed only when ts has
     duplicates within an entity AND a lag/lead spec is used).

@@ -869,16 +869,16 @@ def group_rank(
     target_seg_rows: int = 250_000,
 ):
     """Per-entity rank features as a pipeline call (functional form of
-    ``ops.GroupRank``). ``hot_threshold`` supports ``row_number`` only
-    (prefix-foldable via row-count carries; dense/percent/ntile need
-    whole-entity state)."""
+    ``ops.GroupRank``). ``hot_threshold`` supports row_number /
+    percent_rank / ntile (row-count + entity-total carries); dense_rank is
+    unsplit-only — a tie group could straddle a segment cut."""
     keys = [key] if isinstance(key, str) else list(key)
     out = out_col or method
     if hot_threshold is not None:
-        if method != "row_number":
-            raise ValueError("hot_threshold supports method='row_number' only")
+        if method == "dense_rank":
+            raise ValueError("hot_threshold does not support method='dense_rank'")
         return _via_hot_split(
-            ds, keys, ts_col, [{"kind": "rank", "out": out}],
+            ds, keys, ts_col, [{"kind": "rank", "method": method, "n": n, "out": out}],
             None, hot_threshold, target_seg_rows, num_buckets,
         )
 

@@ -35,6 +35,8 @@ SPECS = [
     {"kind": "backfill", "col": "val", "direction": "backward", "out": "val_bfilled"},
     # r4 session 3: turn position through segment splits (carry = row counts)
     {"kind": "rank", "out": "turn_pos"},
+    {"kind": "rank", "method": "percent_rank", "out": "turn_pct"},
+    {"kind": "rank", "method": "ntile", "n": 4, "out": "turn_q"},
     # r4 session 3: previous-k context through splits (carry = rendered tail)
     {"kind": "context", "col": "text", "k": 3, "sep": "|"},
 ]
