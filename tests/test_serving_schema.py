@@ -139,3 +139,24 @@ def test_transform_dispatches_on_dataframe():
     pd.testing.assert_frame_equal(via_df[sorted(via_df.columns)], via_ds[sorted(via_ds.columns)])
     via_tab = wf.transform(pa.Table.from_pandas(df, preserve_index=False))
     assert isinstance(via_tab, pa.Table)
+
+
+def test_serving_context_and_rank_unsorted_batch(ray_session):
+    """In-process transform of an UNSORTED request batch through the
+    r4 ordered ops (context assembly + turn position)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nvtabular_ray import Workflow, ops
+
+    t = pa.table({"e": ["b", "a", "a", "b", "a"], "i": [1, 2, 1, 0, 3],
+                  "txt": ["q", "y", "x", "p", "z"]})
+    wf = Workflow(
+        (["txt"] >> ops.ContextConcat(partition_cols="e", sort_cols=["i"], k=2, sep="|"))
+        + (["i"] >> ops.GroupRank("e", ["i"], out_col="pos"))
+        + ["e", "i"]
+    )
+    wf.fit(rd.from_arrow(t))
+    out = wf.transform(t).to_pandas().sort_values(["e", "i"]).reset_index(drop=True)
+    assert out["txt_ctx2"].tolist() == [None, "x", "x|y", None, "p"]
+    assert out["pos"].tolist() == [1, 2, 3, 1, 2]
