@@ -166,3 +166,25 @@ def test_lineage_records_carry_counters(tmp_path):
         assert {"bytes_in", "bytes", "null_cells_out", "wall_ms"} <= set(r)
     # the two sub-threshold categories hash into the OOV slot somewhere
     assert sum(r.get("oov_rate_cat", 0) for r in recs) > 0
+
+
+def test_save_load_context_and_rank(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nvtabular_ray import Workflow, ops
+    from nvtabular_ray.state.artifacts import load_workflow
+
+    t = pa.table({"e": ["a", "a", "b"], "i": [1, 2, 1], "txt": ["x", "y", "p"]})
+    wf = Workflow(
+        (["txt"] >> ops.ContextConcat(partition_cols="e", sort_cols=["i"], k=2, sep="|"))
+        + (["i"] >> ops.GroupRank("e", ["i"], method="ntile", n=2, out_col="tile"))
+        + ["e", "i"]
+    )
+    wf.fit(rd.from_arrow(t))
+    wf.save(str(tmp_path / "wf"))
+    wf2 = load_workflow(str(tmp_path / "wf"))
+    a = wf.transform(t).to_pandas().sort_values(["e", "i"]).reset_index(drop=True)
+    b = wf2.transform(t).to_pandas().sort_values(["e", "i"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert a["txt_ctx2"].tolist() == [None, "x", None]
