@@ -1025,9 +1025,11 @@ def dedup_incremental(
 
         def drop_member(t: pa.Table) -> pa.Table:
             s = _ray.get(seen_ref) if _ray.is_initialized() else seen_ref
+            if len(s) == 0:  # empty seen corpus (bootstrap run): keep all
+                return t
             h = t.column(_H).to_numpy()
             pos = np.searchsorted(s, h)
-            member = (pos < len(s)) & (s[np.minimum(pos, max(len(s) - 1, 0))] == h)
+            member = (pos < len(s)) & (s[np.minimum(pos, len(s) - 1)] == h)
             return t.filter(pa.array(~member))
 
         survivors = new_h.map_batches(drop_member, batch_format="pyarrow", zero_copy_batch=True)

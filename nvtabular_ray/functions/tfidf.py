@@ -86,17 +86,30 @@ def build_vocabulary(
     id_col: str = "doc_id",
     min_df: int = 2,
     max_vocab: int | None = None,
-) -> pa.Table:
+    return_doc_count: bool = False,
+):
     """(term, df) document frequencies with df >= min_df, as one driver-side
     Arrow table (the broadcast side). The exchange is pre-aggregated: each
-    batch ships DISTINCT terms only."""
+    batch ships DISTINCT terms only. ``return_doc_count``: also return the
+    corpus document count, piggybacked on the same scan as a reserved
+    empty-string row ("" can never be a token — empties are filtered), so
+    idf needs NO extra pass over the corpus."""
 
     def partial(t: pa.Table) -> pa.Table:
         tf = _doc_term_tf(t, text_col, id_col)
         # one row per (doc, term) -> rows per term = partial df
         agg = tf.group_by(["term"]).aggregate([("term", "count")])
         return pa.table(
-            {"term": agg.column("term"), "df_partial": agg.column("term_count").cast(pa.int64())}
+            {
+                "term": pa.concat_arrays(
+                    [agg.column("term").combine_chunks().cast(pa.string()),
+                     pa.array([""], pa.string())]
+                ),
+                "df_partial": pa.concat_arrays(
+                    [agg.column("term_count").combine_chunks().cast(pa.int64()),
+                     pa.array([t.num_rows], pa.int64())]
+                ),
+            }
         )
 
     # merge partials with the driver fan-in every stat fit uses: the
@@ -107,8 +120,15 @@ def build_vocabulary(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     df = grouped_reduce(partials, ["term"], {"df_partial": "sum"}, memory_limit=2 << 30)
+    n_docs = 0
+    if len(df):
+        sentinel = df["term"] == ""
+        if sentinel.any():
+            n_docs = int(df.loc[sentinel, "df_partial"].iloc[0])
+        df = df[~sentinel]
     if not len(df):
-        return pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        vocab = pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        return (vocab, n_docs) if return_doc_count else vocab
     vocab = pa.table(
         {
             "term": pa.array(df["term"], pa.string()),
@@ -118,7 +138,8 @@ def build_vocabulary(
     vocab = vocab.filter(pc.greater_equal(vocab.column("df"), min_df))
     if max_vocab is not None and vocab.num_rows > max_vocab:
         vocab = vocab.sort_by([("df", "descending"), ("term", "ascending")]).slice(0, max_vocab)
-    return vocab.combine_chunks()
+    vocab = vocab.combine_chunks()
+    return (vocab, n_docs) if return_doc_count else vocab
 
 
 def distinctive_terms(
@@ -138,8 +159,9 @@ def distinctive_terms(
         raise ValueError(f"rank_by must be 'count' or 'score', got {rank_by!r}")
     import ray as _ray
 
-    vocab = build_vocabulary(ds, text_col, id_col, min_df=min_df, max_vocab=max_vocab)
-    n_docs = ds.count() if rank_by == "score" else None
+    vocab, n_docs = build_vocabulary(
+        ds, text_col, id_col, min_df=min_df, max_vocab=max_vocab, return_doc_count=True
+    )
     vocab_ref = _ray.put(vocab) if _ray.is_initialized() else vocab
 
     def score_batch(t: pa.Table) -> pa.Table:

@@ -135,8 +135,14 @@ class ContextConcat(Operator):
         n = table.num_rows
         value_cols = self._value_cols(col_selector)
         if n == 0:
+            # type must match non-empty batches (large_string passthrough)
+            # or blocks of one Dataset diverge in schema
+            def _t(c):
+                t = table.schema.field(c).type
+                return t if pa.types.is_large_string(t) else pa.string()
+
             return pa.table(
-                {f"{c}_{self.out_suffix}": pa.array([], pa.string()) for c in value_cols}
+                {f"{c}_{self.out_suffix}": pa.array([], _t(c)) for c in value_cols}
             )
         gid = group_ids_sorted(table, self.partition_cols)
         order = group_multi_order(table, gid, self.sort_cols)

@@ -331,10 +331,23 @@ class Groupby(Operator):
         return out
 
     def _aggregate_table_pandas(self, agg_dict, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         keys = self.groupby_cols
         sort_keys = self.sort_cols
         name_sep = self.name_sep
         ascending = self.ascending
+        # render concat sources with the ARROW cast, not str(): str(True) is
+        # 'True' / str(1.0) is '1.0' while pc.cast gives 'true' / '1' — the
+        # two paths must emit identical strings regardless of which path an
+        # unrelated median agg forces. A temp column keeps the source col
+        # numeric for its other aggs.
+        for col, col_aggs in agg_dict.items():
+            if "concat" in col_aggs:
+                c = t.column(col)
+                if not (pa.types.is_string(c.type) or pa.types.is_large_string(c.type)):
+                    c = pc.cast(c, pa.string())
+                t = t.append_column(f"__{col}_cstr__", c)
         df = t.to_pandas()
         # keys ascending (stable group output order), sort_cols honor the
         # user's `ascending` — only IN-GROUP order is semantic
@@ -373,10 +386,10 @@ class Groupby(Operator):
                 elif a == "concat":
                     sep = self.concat_sep
                     pieces[out_name] = (
-                        g[col]
+                        g[f"__{col}_cstr__"]
                         .agg(
                             lambda s: (
-                                sep.join(str(x) for x in s if not pd.isna(x))
+                                sep.join(x for x in s if not pd.isna(x))
                                 if s.notna().any()
                                 else None
                             )

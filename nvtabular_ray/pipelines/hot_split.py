@@ -73,7 +73,7 @@ BUCKET_COL = "__bucket__"
 _US = 1_000_000
 _EMPTY_SUMMARY = {"n": 0, "first_ts": None, "last_ts": None,
                   "breaks": {}, "tail": {}, "head": {}, "exp": {},
-                  "bf_last": {}, "bf_first": {}}
+                  "bf_last": {}, "bf_first": {}, "ctx_tail": {}}
 
 
 # --------------------------------------------------------------------------
@@ -128,7 +128,7 @@ def _validate_specs(specs: list[dict]):
             # straddle a cut, and the carry would need the boundary tuple
             if m not in ("row_number", "percent_rank", "ntile"):
                 raise ValueError(f"rank method must be row_number|percent_rank|ntile: {s}")
-            if m == "ntile" and int(s.get("n", 0)) < 1:
+            if m == "ntile" and int(s.get("n") or 0) < 1:
                 raise ValueError(f"ntile needs n >= 1: {s}")
         del names
 

@@ -25,7 +25,7 @@ _SIDE = "__side__"
 
 def _via_hot_split(
     ds, keys, ts_col, specs, rename_map, hot_threshold, target_seg_rows,
-    num_buckets, analyze_ds=None,
+    num_buckets, analyze_ds=None, sort_cols=None,
 ):
     """Route an ordered-feature call through hot-entity splitting
     (pipelines/hot_split.py): entities above ``hot_threshold`` rows are
@@ -39,7 +39,7 @@ def _via_hot_split(
     out = ordered_features(
         ds, keys[0], ts_col, specs,
         hot_threshold=hot_threshold, target_seg_rows=target_seg_rows,
-        num_buckets=num_buckets, analyze_ds=analyze_ds,
+        num_buckets=num_buckets, analyze_ds=analyze_ds, sort_cols=sort_cols,
     )
     if rename_map:
         def ren(t: pa.Table) -> pa.Table:
@@ -835,7 +835,8 @@ def context_concat(
         spec = {"kind": "context", "col": text_col, "k": int(k), "sep": sep,
                 "prefix_col": prefix_col, "prefix_sep": prefix_sep, "out": out}
         return _via_hot_split(
-            ds, keys, ts_col, [spec], None, hot_threshold, target_seg_rows, num_buckets,
+            ds, keys, ts_col, [spec], None, hot_threshold, target_seg_rows,
+            num_buckets, sort_cols=list(sort_cols or []),
         )
 
     from nvtabular_ray.ops.context import ContextConcat
@@ -880,6 +881,7 @@ def group_rank(
         return _via_hot_split(
             ds, keys, ts_col, [{"kind": "rank", "method": method, "n": n, "out": out}],
             None, hot_threshold, target_seg_rows, num_buckets,
+            sort_cols=list(sort_cols or []),
         )
 
     from nvtabular_ray.ops.rank import GroupRank

@@ -45,9 +45,12 @@ def test_incremental_keep_within_new_dups():
 
 
 def test_incremental_empty_seen_equals_exact_dedup():
-    empty = _ds(SEEN).filter(lambda r: False)
-    out = dedup_incremental(_ds(NEW), empty, ["text"], "doc_id").to_pandas()
-    assert sorted(out["doc_id"]) == [1, 2, 3, 4]
+    for bc in (False, True):  # broadcast path crashed on empty seen (review fix)
+        empty = _ds(SEEN).filter(lambda r: False)
+        out = dedup_incremental(
+            _ds(NEW), empty, ["text"], "doc_id", broadcast=bc
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2, 3, 4]
 
 
 def test_incremental_multi_key():

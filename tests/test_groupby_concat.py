@@ -41,3 +41,23 @@ def test_concat_pandas_path_via_median(ray_session):
 def test_concat_casts_non_string(ray_session):
     out = _run({"v": ["concat"]})
     assert out["v_concat"].tolist() == ["2|3|1", "5|4", "6"]
+
+
+def test_concat_rendering_identical_across_paths(ray_session):
+    # review fix: pandas fallback used str() (True/1.0) while arrow used
+    # pc.cast (true/1) — an unrelated median must not change concat output
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({"g": ["a", "a"], "ts": [1, 2], "b": [True, False], "v": [1.0, 2.0]})
+
+    def run(aggs):
+        node = ["g", "ts", "b", "v"] >> ops.Groupby(
+            groupby_cols="g", sort_cols="ts", aggs=aggs, concat_sep="|"
+        )
+        ds = rd.from_arrow(t)
+        return Workflow(node).fit(ds).transform(ds).to_pandas()
+
+    arrow_path = run({"b": ["concat"]})
+    pandas_path = run({"b": ["concat"], "v": ["median"]})
+    assert arrow_path["b_concat"].tolist() == pandas_path["b_concat"].tolist() == ["true|false"]
