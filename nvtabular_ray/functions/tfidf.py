@@ -87,13 +87,24 @@ def build_vocabulary(
     min_df: int = 2,
     max_vocab: int | None = None,
     return_doc_count: bool = False,
+    merge: str = "driver",
 ):
     """(term, df) document frequencies with df >= min_df, as one driver-side
     Arrow table (the broadcast side). The exchange is pre-aggregated: each
     batch ships DISTINCT terms only. ``return_doc_count``: also return the
     corpus document count, piggybacked on the same scan as a reserved
     empty-string row ("" can never be a token — empties are filtered), so
-    idf needs NO extra pass over the corpus."""
+    idf needs NO extra pass over the corpus.
+
+    ``merge="driver"`` (default): partials fan in on the driver
+    (grouped_reduce) — fastest at moderate vocab, guarded by a 2 GiB
+    accumulator limit. ``merge="bucketed"``: one term-keyed hash exchange
+    combines partials AND applies the ``min_df`` floor inside each bucket,
+    so only the post-floor vocabulary ever reaches the driver — the 100 TB
+    path, where the raw heavy-tail vocabulary (every typo is a term) would
+    blow the driver fan-in."""
+    if merge not in ("driver", "bucketed"):
+        raise ValueError(f"merge must be 'driver' or 'bucketed', got {merge!r}")
 
     def partial(t: pa.Table) -> pa.Table:
         tf = _doc_term_tf(t, text_col, id_col)
@@ -119,7 +130,32 @@ def build_vocabulary(
     from nvtabular_ray.functions.aggregates import grouped_reduce
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    df = grouped_reduce(partials, ["term"], {"df_partial": "sum"}, memory_limit=2 << 30)
+    if merge == "bucketed":
+        import ray as _ray
+
+        from nvtabular_ray.functions.aggregates import bucketed_aggregate
+
+        merged = bucketed_aggregate(
+            partials, ["term"], {"df_partial": "sum"}, names="keep"
+        )
+
+        def floor_filter(t: pa.Table) -> pa.Table:
+            keep = pc.or_(
+                pc.greater_equal(t.column("df_partial"), min_df),
+                pc.equal(t.column("term"), ""),  # keep the doc-count sentinel
+            )
+            return t.filter(keep)
+
+        floored = merged.map_batches(floor_filter, batch_format="pyarrow", zero_copy_batch=True)
+        tabs = [t for t in _ray.get(floored.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            df = pa.concat_tables(tabs).combine_chunks().to_pandas()
+        else:
+            import pandas as _pd
+
+            df = _pd.DataFrame(columns=["term", "df_partial"])
+    else:
+        df = grouped_reduce(partials, ["term"], {"df_partial": "sum"}, memory_limit=2 << 30)
     n_docs = 0
     if len(df):
         sentinel = df["term"] == ""

@@ -92,3 +92,15 @@ def test_docs_without_qualifying_terms_emit_no_rows():
     docs = ["xyzzy plugh", "aa bb", "aa bb"]
     out = distinctive_terms(_ds(docs), k=5, min_df=2).to_pandas()
     assert set(out["doc_id"]) == {1, 2}
+
+
+def test_bucketed_vocab_merge_matches_driver_merge():
+    a = build_vocabulary(_ds(DOCS), min_df=2).to_pandas()
+    b = build_vocabulary(_ds(DOCS), min_df=2, merge="bucketed").to_pandas()
+    ka = sorted(zip(a["term"], a["df"]))
+    kb = sorted(zip(b["term"], b["df"]))
+    assert ka == kb
+    # doc count piggyback survives the bucketed floor
+    _, n_a = build_vocabulary(_ds(DOCS), min_df=2, return_doc_count=True)
+    _, n_b = build_vocabulary(_ds(DOCS), min_df=2, return_doc_count=True, merge="bucketed")
+    assert n_a == n_b == len(DOCS)
