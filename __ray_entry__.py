@@ -171,6 +171,18 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_split_sentences(sf_dir: str):
+    """Sentence segmentation (explode + stable ordinals + trim + length
+    filter). The synthetic documents carry no punctuation, so the driver
+    row runs the same kernel with a whitespace delimiter — every doc
+    explodes into hundreds of fragments with dropped-short ordinal gaps —
+    while the default sentence-ender pattern is unit-tested."""
+    from nvtabular_ray.functions.text import split_sentences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return split_sentences(ds, min_chars=5, pattern=r"\s+")
+
+
 def _q_training_pairs(sf_dir: str):
     """Next-turn prediction pairs: (assembled context, current turn text)
     per turn, keeping only turns that HAVE context — the supervised-pair
@@ -1794,6 +1806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
         "training_pairs": _q_training_pairs,
+        "split_sentences": _q_split_sentences,
         "schema_tags": _q_schema_tags,
         "transcript_fused": _q_transcript_fused,
         "groupby_concat": _q_groupby_concat,
@@ -1823,7 +1836,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fillmedian": _q_fillmedian,
         "target_encode": _q_target_encode,
         "join_groupby": _q_join_groupby,
-        "repetition_filter": _q_repetition_filter,
         "gopher_rules": _q_gopher_rules,
         "target_encode_distributed": _q_target_encode_distributed,
         "join_groupby_distributed": _q_join_groupby_distributed,
@@ -1841,9 +1853,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # function-level unchanged since its r3 green row (the r4 categorify
         # hunks are distributed-only, covered by categorify_tokens_distributed)
         "categorify_tokens": _q_categorify_tokens,
-        # quality_score moved here session 3: its text.py function is
-        # r4-hunk-free (gopher/chunk edits are elsewhere in the file)
+        # quality_score + repetition_filter moved here session 3: their
+        # text.py functions are r4-hunk-free (gopher/chunk edits are
+        # elsewhere in the file; the gopher INSERT only shifts line numbers)
         "quality_score": _q_quality_score,
+        "repetition_filter": _q_repetition_filter,
         # embedding_near_dup + column_similarity moved here session 3: their
         # engine paths have no round-4 hunks (git diff 42805d0..HEAD); their
         # query-side change is the shared _round6i idiom, driver-covered by
@@ -1976,6 +1990,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
             FROM events
+        """,
+        "split_sentences": """
+            SELECT doc_id, sent_idx, sentence FROM (
+                SELECT doc_id,
+                       generate_subscripts(parts, 1)::BIGINT AS sent_idx,
+                       trim(unnest(parts), ' ' || chr(9) || chr(10) || chr(13))
+                           AS sentence
+                FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(text, '\\s+') AS parts
+                    FROM documents
+                )
+            ) WHERE length(sentence) >= 5
         """,
         "training_pairs": """
             SELECT event_id, props AS target,

@@ -536,3 +536,49 @@ def chunk_documents(
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_sentences(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+    pattern: str = r"[.!?]+\s*",
+):
+    """Sentence segmentation: explode each document into (id, sent_idx,
+    sentence) rows — ONE RE2 split kernel per batch, doc/ordinal columns
+    from the list offsets, no per-row Python. ``sent_idx`` is the 1-based
+    ordinal over the RAW split (stable under the ``min_chars`` filter, so
+    downstream joins can reference a sentence position even after short
+    fragments drop). Fragments are trimmed of ASCII whitespace and kept
+    when ``len >= min_chars`` — both steps chosen for exact SQL parity
+    (DuckDB ``regexp_split_to_array`` + ``trim(s, ' \\t\\n\\r')``; same
+    RE2 engine on both sides). New scope (corpus shaping, SURVEY §2.4)."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(t.column(text_col).combine_chunks(), "")
+        words = pc.split_pattern_regex(col, pattern)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = np.asarray(words.offsets, dtype=np.int64)
+        counts = np.diff(offsets)
+        # host quirk: array-count np.repeat is fast on float64 only
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.float64), counts).astype(np.int64)
+        ords = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            offsets[:-1].astype(np.float64), counts
+        ).astype(np.int64) + 1
+        sents = pc.utf8_trim(words.values, " \t\n\r")
+        keep = pc.greater_equal(pc.utf8_length(sents), min_chars).to_numpy(
+            zero_copy_only=False
+        )
+        out = pa.table(
+            {
+                id_col: t.column(id_col).take(pa.array(doc_idx)),
+                "sent_idx": pa.array(ords),
+                "sentence": sents,
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

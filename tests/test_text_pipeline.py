@@ -376,3 +376,38 @@ def test_gopher_rules_per_rule():
     )
     assert kept["doc_id"].tolist() == [0]
     assert list(kept.columns) == ["doc_id", "text"]
+
+
+def test_split_sentences_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nvtabular_ray.functions.text import split_sentences
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "Hello world. How are you?  Ok!x",
+                "no enders here",
+                None,
+                "A.  Tiny?Long sentence here.   ",
+            ],
+        }
+    )
+    out = (
+        split_sentences(rd.from_arrow(t), min_chars=2)
+        .to_pandas()
+        .sort_values(["doc_id", "sent_idx"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["doc_id"], out["sent_idx"], out["sentence"]))
+    assert got == [
+        (1, 1, "Hello world"),
+        (1, 2, "How are you"),
+        (1, 3, "Ok"),      # "!x": zero-space ender still splits; "x" dropped
+        (2, 1, "no enders here"),
+        # doc 3 (null text) emits no rows
+        (4, 2, "Tiny"),    # "A" (ord 1) dropped by min_chars — ordinals stable
+        (4, 3, "Long sentence here"),
+    ]
