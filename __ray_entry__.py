@@ -171,6 +171,36 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_context_budget(sf_dir: str):
+    """Token-budget context assembly: each turn's context = as many
+    most-recent turns as fit 120 whitespace-tokens. Oracle = cum-token
+    range join (prev_cum[a] - prev_cum[b] <= budget)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "props"])
+
+    def add_ntok(t: _pa.Table) -> _pa.Table:
+        # whitespace-token count, exactly len(regexp_split_to_array(props,' '))
+        # on the clean single-space corpus
+        n = _pc.add(_pc.count_substring(t.column("props"), " "), 1)
+        return t.append_column("ntok", _pc.cast(n, _pa.int64()))
+
+    ds = ds.map_batches(add_ntok, batch_format="pyarrow", zero_copy_batch=True)
+    ctx = ["props"] >> ops.ContextConcat(
+        partition_cols="user_id",
+        sort_cols=["ts", "event_id"],
+        k=None,
+        sep=" | ",
+        budget=120,
+        budget_col="ntok",
+    )
+    wf = Workflow(ctx + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
 def _q_split_sentences(sf_dir: str):
     """Sentence segmentation (explode + stable ordinals + trim + length
     filter). The synthetic documents carry no punctuation, so the driver
@@ -1807,6 +1837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_agg": _q_tumbling_agg,
         "training_pairs": _q_training_pairs,
         "split_sentences": _q_split_sentences,
+        "context_budget": _q_context_budget,
         "schema_tags": _q_schema_tags,
         "transcript_fused": _q_transcript_fused,
         "groupby_concat": _q_groupby_concat,
@@ -1833,7 +1864,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "normalize": _q_normalize,
         "minmax_logclip": _q_minmax_logclip,
-        "fillmedian": _q_fillmedian,
         "target_encode": _q_target_encode,
         "join_groupby": _q_join_groupby,
         "gopher_rules": _q_gopher_rules,
@@ -1858,6 +1888,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # elsewhere in the file; the gopher INSERT only shifts line numbers)
         "quality_score": _q_quality_score,
         "repetition_filter": _q_repetition_filter,
+        # fillmedian moved here session 3: ops/fill.py + functions/quantile.py
+        # have NO round-4 diffs; its _round6i idiom is window-covered
+        "fillmedian": _q_fillmedian,
         # embedding_near_dup + column_similarity moved here session 3: their
         # engine paths have no round-4 hunks (git diff 42805d0..HEAD); their
         # query-side change is the shared _round6i idiom, driver-covered by
@@ -1990,6 +2023,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
             FROM events
+        """,
+        "context_budget": """
+            WITH d AS (
+                SELECT event_id, user_id, ts, props,
+                       len(regexp_split_to_array(props, ' '))::BIGINT AS ntok,
+                       row_number() OVER w AS rn
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), c AS (
+                SELECT *,
+                       sum(ntok) OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS UNBOUNDED PRECEDING) - ntok AS prev_cum
+                FROM d
+            )
+            SELECT a.event_id,
+                   string_agg(b.props, ' | ' ORDER BY b.rn) AS props_ctxb120
+            FROM c a LEFT JOIN c b
+              ON a.user_id = b.user_id AND b.rn < a.rn
+             AND a.prev_cum - b.prev_cum <= 120
+            GROUP BY a.event_id
         """,
         "split_sentences": """
             SELECT doc_id, sent_idx, sentence FROM (

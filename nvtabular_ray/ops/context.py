@@ -81,38 +81,105 @@ def concat_prev_k(txt, gstart: np.ndarray, k: int, sep: str):
     return pc.if_else(has_piece, joined, pa.scalar(None, txt.type))
 
 
+def concat_budget(txt, gstart: np.ndarray, ntok: np.ndarray, budget: int, sep: str,
+                  k: int | None = None):
+    """Variable-frame skip-join: for each row, the ``sep``-join (oldest
+    first) of the non-null pieces in the LONGEST suffix of its entity's
+    earlier rows whose ``ntok`` total is <= ``budget`` (optionally capped
+    at ``k`` rows) — "as many most-recent turns as fit the token budget".
+    Window start via ONE searchsorted on the group-normalized cumulative
+    token axis (counts are non-negative so the prefix is monotone within
+    a group); the gather is built from valid-row offsets, then ONE
+    ``pc.binary_join`` per batch. Empty/all-null frame -> NULL."""
+    n = len(txt)
+    idx = np.arange(n, dtype=np.int64)
+    ntok = np.maximum(ntok.astype(np.int64, copy=False), 0)
+    c = np.cumsum(ntok, dtype=np.int64)
+    prev = c - ntok  # tokens before this row, global
+    base = prev - prev[gstart]  # group-local, monotone within the group
+    max_rel = int(base.max()) if n else 0
+    stride = max_rel + int(budget) + 2
+    gid = np.zeros(n, np.int64)
+    if n:
+        is_start = np.zeros(n, bool)
+        is_start[np.unique(gstart)] = True
+        gid = np.cumsum(is_start) - 1
+    axis = base + gid * stride
+    s = np.searchsorted(axis, axis - budget, side="left")
+    s = np.maximum(s, gstart)
+    if k is not None:
+        s = np.maximum(s, idx - int(k))
+    valid = pc.is_valid(txt).to_numpy(zero_copy_only=False)
+    V = np.flatnonzero(valid)
+    lo = np.searchsorted(V, s)
+    hi = np.searchsorted(V, idx)
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total:
+        # gather = concat of V[lo_i:hi_i] per row, oldest first
+        cum = np.concatenate([[0], np.cumsum(cnt)])
+        inner = np.arange(total, dtype=np.int64) - np.repeat(
+            cum[:-1].astype(np.float64), cnt
+        ).astype(np.int64)
+        gather = V[np.repeat(lo.astype(np.float64), cnt).astype(np.int64) + inner]
+        pieces = txt.take(pa.array(gather))
+    else:
+        pieces = txt.slice(0, 0)
+    offsets = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
+    lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pieces)
+    joined = pc.binary_join(lst, pa.scalar(sep, txt.type))
+    return pc.if_else(pa.array(cnt > 0), joined, pa.scalar(None, txt.type))
+
+
 class ContextConcat(Operator):
     def __init__(
         self,
         partition_cols: Union[str, list[str]],
-        k: int = 3,
+        k: Optional[int] = 3,
         sort_cols: Optional[Union[str, list[str]]] = None,
         sep: str = "\n",
         prefix_col: Optional[str] = None,
         prefix_sep: str = ": ",
         out_suffix: Optional[str] = None,
+        budget: Optional[int] = None,
+        budget_col: Optional[str] = None,
     ):
-        if k < 1:
+        if budget is not None:
+            # token-budget mode: frame = longest suffix of earlier rows
+            # whose budget_col total fits, optionally still capped at k rows
+            if budget_col is None:
+                raise ValueError("budget mode needs budget_col (per-row token counts)")
+            if budget < 0:
+                raise ValueError(f"budget must be >= 0, got {budget}")
+        elif k is None or k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
         self.partition_cols = (
             [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
         )
-        self.k = int(k)
+        self.k = None if k is None else int(k)
+        self.budget = None if budget is None else int(budget)
+        self.budget_col = budget_col
         self.sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols or [])
         self.sep = sep
         self.prefix_col = prefix_col
         self.prefix_sep = prefix_sep
-        self.out_suffix = out_suffix or f"ctx{self.k}"
+        self.out_suffix = out_suffix or (
+            f"ctxb{self.budget}" if self.budget is not None else f"ctx{self.k}"
+        )
 
     @property
     def dependencies(self):
         extra = [c for c in self.sort_cols if c not in self.partition_cols]
-        if self.prefix_col and self.prefix_col not in self.partition_cols + extra:
-            extra = extra + [self.prefix_col]
+        for c in (self.prefix_col, self.budget_col):
+            if c and c not in self.partition_cols + extra:
+                extra = extra + [c]
         return self.partition_cols + extra
 
     def _value_cols(self, col_selector):
-        skip = set(self.partition_cols) | set(self.sort_cols) | {self.prefix_col}
+        skip = (
+            set(self.partition_cols) | set(self.sort_cols)
+            | {self.prefix_col, self.budget_col}
+        )
         return [c for c in col_selector.names if c not in skip]
 
     def column_mapping(self, col_selector):
@@ -158,12 +225,25 @@ class ContextConcat(Operator):
         counts = np.diff(np.r_[starts, n])
         gstart = np.repeat(starts, counts)
 
+        ntok = None
+        if self.budget is not None:
+            ntok = (
+                pc.fill_null(table.column(self.budget_col).combine_chunks(), 0)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            if order is not None:
+                ntok = ntok[order]
+
         out = {}
         for c in value_cols:
             txt = render_pieces(table, c, self.prefix_col, self.prefix_sep)
             if order_idx is not None:
                 txt = txt.take(order_idx)
-            joined = concat_prev_k(txt, gstart, self.k, self.sep)
+            if self.budget is not None:
+                joined = concat_budget(txt, gstart, ntok, self.budget, self.sep, self.k)
+            else:
+                joined = concat_prev_k(txt, gstart, self.k, self.sep)
             if inv_idx is not None:
                 joined = joined.take(inv_idx)
             out[f"{c}_{self.out_suffix}"] = joined

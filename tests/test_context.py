@@ -109,3 +109,44 @@ def test_context_concat_prefix_null_emits_null_piece():
     op = ops.ContextConcat(partition_cols="e", sort_cols=["i"], k=2, sep="|", prefix_col="r")
     out = op.transform(ColumnSelector(["txt", "e", "i", "r"]), t)
     assert out.column("txt_ctx2").to_pylist() == [None, None, "u: y"]
+
+
+def test_context_budget_matches_brute_force():
+    import numpy as np
+
+    from nvtabular_ray.selector import ColumnSelector
+
+    rng = np.random.default_rng(5)
+    n = 300
+    e = np.sort(rng.integers(0, 6, n))
+    txt = [None if rng.random() < 0.1 else f"t{j}" for j in range(n)]
+    tok = rng.integers(0, 9, n)
+    t = pa.table(
+        {"e": pa.array(e), "i": pa.array(np.arange(n)),
+         "txt": pa.array(txt, pa.string()), "tok": pa.array(tok.astype("int64"))}
+    )
+    for k, budget in [(None, 12), (3, 12), (None, 0)]:
+        op = ops.ContextConcat(
+            "e", k=k, sort_cols=["i"], sep="|", budget=budget, budget_col="tok"
+        )
+        got = op.transform(ColumnSelector(["txt", "e", "i", "tok"]), t)
+        got = got.column(0).to_pylist()
+        want = []
+        for j in range(n):
+            s, total = j, 0
+            while (
+                s > 0 and e[s - 1] == e[j] and total + tok[s - 1] <= budget
+                and (k is None or j - (s - 1) <= k)
+            ):
+                total += tok[s - 1]
+                s -= 1
+            pieces = [txt[m] for m in range(s, j) if txt[m] is not None]
+            want.append("|".join(pieces) if pieces else None)
+        assert got == want, (k, budget)
+
+
+def test_context_budget_validates():
+    with pytest.raises(ValueError):
+        ops.ContextConcat("e", budget=10)  # budget_col required
+    with pytest.raises(ValueError):
+        ops.ContextConcat("e", k=None)  # k=None only valid with budget
