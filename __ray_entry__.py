@@ -171,6 +171,21 @@ def _q_normalize(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["q_norm"])
 
 
+def _q_top_tokens(sf_dir: str):
+    """Corpus heavy hitters: top-20 tokens by document frequency, exact,
+    via the bucketed vocabulary merge (min_df floor inside the term-keyed
+    exchange — the 100 TB path) + deterministic (df DESC, term ASC) cut."""
+    import pyarrow as _pa
+
+    from nvtabular_ray.functions.tfidf import build_vocabulary
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = build_vocabulary(ds, min_df=2, merge="bucketed")
+    top = vocab.sort_by([("df", "descending"), ("term", "ascending")]).slice(0, 20)
+    rank = _pa.array(range(1, top.num_rows + 1), _pa.int64())
+    return top.append_column("rank", rank)
+
+
 def _q_context_budget(sf_dir: str):
     """Token-budget context assembly: each turn's context = as many
     most-recent turns as fit 120 whitespace-tokens. Oracle = cum-token
@@ -1838,6 +1853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_pairs": _q_training_pairs,
         "split_sentences": _q_split_sentences,
         "context_budget": _q_context_budget,
+        "top_tokens": _q_top_tokens,
         "schema_tags": _q_schema_tags,
         "transcript_fused": _q_transcript_fused,
         "groupby_concat": _q_groupby_concat,
@@ -1863,7 +1879,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,
         "chunk_documents": _q_chunk_documents,
         "normalize": _q_normalize,
-        "minmax_logclip": _q_minmax_logclip,
         "target_encode": _q_target_encode,
         "join_groupby": _q_join_groupby,
         "gopher_rules": _q_gopher_rules,
@@ -1888,9 +1903,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # elsewhere in the file; the gopher INSERT only shifts line numbers)
         "quality_score": _q_quality_score,
         "repetition_filter": _q_repetition_filter,
-        # fillmedian moved here session 3: ops/fill.py + functions/quantile.py
-        # have NO round-4 diffs; its _round6i idiom is window-covered
+        # fillmedian + minmax_logclip moved here session 3: ops/fill.py,
+        # functions/quantile.py, ops/simple.py and ops/normalize.py have NO
+        # round-4 diffs; their _round6i idiom is window-covered
         "fillmedian": _q_fillmedian,
+        "minmax_logclip": _q_minmax_logclip,
         # embedding_near_dup + column_similarity moved here session 3: their
         # engine paths have no round-4 hunks (git diff 42805d0..HEAD); their
         # query-side change is the shared _round6i idiom, driver-covered by
@@ -2023,6 +2040,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value AS score, event_type AS event_type_cat,
                    user_id AS renamed_user_id
             FROM events
+        """,
+        "top_tokens": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+                FROM documents
+            ), dfq AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                FROM toks WHERE term <> '' GROUP BY 1
+            )
+            SELECT term, df, row_number() OVER (
+                ORDER BY df DESC, term ASC
+            )::BIGINT AS rank
+            FROM dfq WHERE df >= 2
+            ORDER BY rank LIMIT 20
         """,
         "context_budget": """
             WITH d AS (
