@@ -592,6 +592,19 @@ def _q_join_external(sf_dir: str):
     return out.select_columns(["c_custkey", "c_acctbal", "n_name"])
 
 
+def _q_join_shuffle(sf_dir: str):
+    """Large×large M:N shuffle join (pipelines/joins.py): both sides
+    hash-bucketed on the key with ONE exchange each, acero hash join per
+    co-bucket. The broadcast JoinExternal covers small right sides; this is
+    the 100 TB complement where neither side fits in a worker — the
+    reference has no such path (join_external.py warns past 3 partitions)."""
+    from nvtabular_ray.pipelines.joins import shuffle_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return shuffle_join(orders, items, on="o_orderkey", right_on="l_orderkey", how="inner")
+
+
 def _q_corpus_pipeline(sf_dir: str):
     """End-to-end corpus pipeline: clean -> quality-score (on the cleaned
     text) -> filter low quality -> MinHash near-dup clustering -> mark
@@ -1826,6 +1839,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     value_count, the broadcast categorify trio, sessionize, backfill)
     exercise files with no round-4 commits.
 
+    Session-4 curation: `join_shuffle` (new pipelines/joins.py code) joined
+    the head; `difference_lag` displaced past 50 — its round-4 hunk (the
+    group_multi_order / fused-transform refactor) is window-covered by
+    `transcript_fused`, which runs the identical DifferenceLag config
+    through the same compiled path.
+
     Session-3 curation: ten new rows joined the head (`context_concat`,
     `tfidf_terms`, `dedup_incremental`, `group_rank`, `mean_pool`,
     `l2_normalize`, `groupby_concat`, `transcript_fused`, `schema_tags`,
@@ -1859,7 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "groupby_concat": _q_groupby_concat,
         "mean_pool": _q_mean_pool,
         "l2_normalize": _q_l2_normalize,
-        "difference_lag": _q_difference_lag,
+        "join_shuffle": _q_join_shuffle,
         "decontaminate": _q_decontaminate,
         "token_shards": _q_token_shards,
         "resume_pipeline": _q_resume_pipeline,
@@ -1916,6 +1935,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_similarity": _q_column_similarity,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_pipeline": _q_corpus_pipeline,
+        # difference_lag moved here session 4 (for join_shuffle): its r4 hunk
+        # is the shared group_multi_order/fused-transform refactor, which the
+        # in-window transcript_fused row exercises with the IDENTICAL
+        # DifferenceLag config (shift=[1], partition user_id, sort ts)
+        # through the same Workflow-compiled bucketed path
+        "difference_lag": _q_difference_lag,
         # --- unchanged but young rows (first green in r3) -----------------
         # log_norm moved here session 3: its ops (LogOp+Normalize) are
         # window-covered by `normalize` and `minmax_logclip`
@@ -2896,6 +2921,11 @@ def oracle_sql() -> dict[str, str]:
         "join_external": """
             SELECT c.c_custkey, c.c_acctbal, n.n_name
             FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "join_shuffle": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+                   l.l_linenumber, l.l_quantity
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         """,
         "chunk_documents": """
             WITH d AS (

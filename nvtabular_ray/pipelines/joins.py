@@ -1,0 +1,258 @@
+"""Distributed M:N shuffle join: both sides large, one co-bucketed exchange.
+
+The reference only joins against a SMALL external table, broadcast to every
+partition (/root/reference/nvtabular/ops/join_external.py:35-221 — warns when
+the right side exceeds 3 partitions, :209-221, and left/inner only, :110-111).
+Our ``ops.JoinExternal`` keeps that broadcast path (plus semi/anti). This
+module is the missing half at 100 TB: when NEITHER side fits in a worker,
+hash-partition BOTH sides on the join key with one exchange each and run an
+Arrow (acero) hash join per co-bucket.
+
+Plan shape (idiomatic Ray; same raw-task exchange as
+``partitioned.bucketed_group_map`` — the Dataset API has no
+hash-repartition-by-key, which is exactly where raw tasks are warranted):
+
+    left  -> map_batches(cast keys) -> split_block(hash % B)  \\
+                                                               -> join_bucket(b)
+    right -> map_batches(cast keys) -> split_block(hash % B)  /
+
+Each side crosses the wire EXACTLY once; the per-bucket join is a single
+C++ acero hash join (build on the smaller bucket side). No padded-null
+union rides the exchange (contrast ``partitioned.rejoin_by_key``, which
+unions both sides into one stream because its 1:1 contract lets the bucket
+fn stay a Dataset ``map_groups``): here the two sides stream independently,
+so a row ships only its own columns.
+
+Semantics are ANSI SQL: null keys never match (inner drops them, left emits
+them unmatched, semi drops, anti keeps — acero hash-join parity verified in
+tests against DuckDB); duplicate keys multiply (M:N cross-match per key).
+
+Scale notes:
+- semi/anti ship ONLY the right key columns, pre-deduplicated per input
+  block (map-side combiner) and again inside the bucket — the right payload
+  never crosses the wire.
+- Per-bucket memory is size/num_buckets per side; the 2 GiB skew warning
+  mirrors ``bucketed_group_map``. A pathologically hot key still lands in
+  one bucket — that is fundamental to a hash join; for a hot SMALL side use
+  ``ops.JoinExternal`` (broadcast), for a hot probe side raise
+  ``num_buckets`` (probe rows of one key may split across tasks only if the
+  build side were replicated — not done here).
+- At 10^12 rows the exchange streams map-side (blocks split as they
+  arrive); only the per-bucket reduce is a barrier, inherent to hashing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+import pyarrow as pa
+
+from nvtabular_ray.functions.hashing import hash64_columns
+from nvtabular_ray.pipelines.partitioned import _default_num_buckets
+
+_ACERO_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+
+def _as_list(x) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def _arrow_schema(ds, side: str):
+    """(ds, pa.Schema) with Arrow types guaranteed. Parquet-backed datasets
+    are already Arrow; pandas-backed ones (``from_pandas`` with extension
+    dtypes) report pandas dtypes from ``schema()``, so route those through a
+    no-op pyarrow ``map_batches`` to pin the block format first.
+
+    Zero-row datasets that went through an exchange (``repartition`` etc.)
+    have their schema ERASED by Ray (blocks collapse to 0-column placeholder
+    tables) — there is nothing to recover, so fail loudly rather than emit a
+    wrong-shaped join."""
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is not None and all(isinstance(t, pa.DataType) for t in sch.types):
+        if sch.names:
+            return ds, pa.schema(list(zip(sch.names, sch.types)))
+        sch = None
+    if sch is not None:
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow", zero_copy_batch=True)
+        sch = ds.schema(fetch_if_missing=True)
+    if sch is None or not sch.names:
+        raise ValueError(
+            f"{side} side has no recoverable schema (a zero-row Ray plan "
+            "erases it); pass a schema-carrying dataset — e.g. read_parquet "
+            "or ray.data.from_arrow(schema.empty_table())"
+        )
+    return ds, pa.schema(list(zip(sch.names, sch.types)))
+
+
+def shuffle_join(
+    left,
+    right,
+    on: Union[str, list],
+    how: str = "inner",
+    right_on: Optional[Union[str, list]] = None,
+    num_buckets: Optional[int] = None,
+    rsuffix: str = "_r",
+):
+    """Join two ``ray.data.Dataset``s on key columns with one co-bucketed
+    hash exchange per side.
+
+    ``on``/``right_on``: key column names on each side (``right_on``
+    defaults to ``on``); right key columns are cast to the left key dtypes
+    when they differ (join keys must be comparable). ``how``: ``inner`` /
+    ``left`` / ``semi`` / ``anti`` (same surface as ``ops.JoinExternal``).
+    Output columns: left columns (keys keep LEFT names), then right non-key
+    columns — renamed with ``rsuffix`` on a name clash. ``semi``/``anti``
+    emit left columns only.
+
+    Project each side with ``select_columns`` BEFORE joining — the join
+    ships whatever you pass it (prune at the read, SURVEY §7.4.7).
+    """
+    import ray
+    import ray.data as rd
+
+    if how not in _ACERO_TYPE:
+        raise ValueError(f"how must be one of {sorted(_ACERO_TYPE)}, got {how!r}")
+    on = _as_list(on)
+    right_on = on if right_on is None else _as_list(right_on)
+    if len(on) != len(right_on):
+        raise ValueError(f"on ({on}) and right_on ({right_on}) length mismatch")
+
+    left, lschema = _arrow_schema(left, "left")
+    right, rschema = _arrow_schema(right, "right")
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    for c in on:
+        if c not in ltypes:
+            raise KeyError(f"left key column {c!r} not in {lschema.names}")
+    for c in right_on:
+        if c not in rtypes:
+            raise KeyError(f"right key column {c!r} not in {rschema.names}")
+
+    existence = how in ("semi", "anti")
+    if existence:
+        # the right payload never crosses the wire: keys only, block-deduped
+        right = right.select_columns(right_on)
+        rpayload: list[str] = []
+        out_fields = [(c, ltypes[c]) for c in lschema.names]
+    else:
+        rpayload = [c for c in rschema.names if c not in right_on]
+        clash = set(lschema.names)
+        out_fields = [(c, ltypes[c]) for c in lschema.names] + [
+            (c + rsuffix if c in clash else c, rtypes[c]) for c in rpayload
+        ]
+    out_names = [n for n, _ in out_fields]
+    out_schema = pa.schema([pa.field(n, t) for n, t in out_fields])
+
+    # align right key dtypes to the left's so the bucket hash and the acero
+    # join both see identical types (int32 vs int64 keys would otherwise
+    # hash to DIFFERENT buckets: hash64_columns dispatches on physical type)
+    key_casts = {
+        rc: ltypes[lc] for lc, rc in zip(on, right_on) if rtypes[rc] != ltypes[lc]
+    }
+    if key_casts:
+        import pyarrow.compute as pc
+
+        def cast_keys(t: pa.Table) -> pa.Table:
+            for c, typ in key_casts.items():
+                t = t.set_column(
+                    t.schema.get_field_index(c), c, pc.cast(t.column(c), typ)
+                )
+            return t
+
+        right = right.map_batches(cast_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    if existence:
+
+        def distinct_keys(t: pa.Table) -> pa.Table:
+            # map-side combiner: one distinct right key per block is enough
+            return t.group_by(right_on, use_threads=False).aggregate([])
+
+        right = right.map_batches(distinct_keys, batch_format="pyarrow")
+
+    if num_buckets is None:
+        from ray.data.dataset import MaterializedDataset
+
+        sz = None
+        if isinstance(left, MaterializedDataset) and isinstance(right, MaterializedDataset):
+            sz = left.size_bytes() + right.size_bytes()
+        num_buckets = _default_num_buckets(sz)
+    # num_returns=1 hands back a bare ref (no tuple to index into)
+    num_buckets = max(int(num_buckets), 2)
+    B = num_buckets
+    join_type = _ACERO_TYPE[how]
+
+    @ray.remote
+    def split_block(block, keys: list[str]):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        h = (hash64_columns(block, keys) % np.uint64(B)).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        srt = block.take(pa.array(order))
+        bounds = np.searchsorted(h[order], np.arange(B + 1))
+        return tuple(srt.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(B))
+
+    def stream_splits(ds, keys: list[str]) -> list:
+        out = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for ref, m in bundle.blocks:
+                if m.num_rows is not None and m.num_rows == 0:
+                    continue
+                out.append(split_block.options(num_returns=B).remote(ref, keys))
+        return out
+
+    empty_out = out_schema.empty_table()
+
+    @ray.remote
+    def join_bucket(b: int, nl: int, *shards):
+        lparts = [s for s in shards[:nl] if s.num_rows]
+        rparts = [s for s in shards[nl:] if s.num_rows]
+        if not lparts:
+            return empty_out
+        lt = lparts[0] if len(lparts) == 1 else pa.concat_tables(lparts, promote_options="default")
+        if lt.nbytes > 2 << 30:
+            import warnings
+
+            warnings.warn(
+                f"join bucket {b} holds {lt.nbytes >> 20} MiB of probe rows in "
+                "one task; raise num_buckets to keep per-task memory bounded",
+                ResourceWarning,
+            )
+        if not rparts:
+            # no build rows in this bucket: resolvable without a join
+            if how in ("inner", "semi"):
+                return empty_out
+            if how == "anti":
+                return lt.select(out_names)
+            # left outer: null-pad the right payload
+            for c, out_name in zip(rpayload, out_names[len(lschema.names):]):
+                lt = lt.append_column(out_name, pa.nulls(lt.num_rows, rtypes[c]))
+            return lt.select(out_names)
+        rt = rparts[0] if len(rparts) == 1 else pa.concat_tables(rparts, promote_options="default")
+        if existence and len(rparts) > 1:
+            rt = rt.group_by(right_on, use_threads=False).aggregate([])
+        out = lt.join(
+            rt,
+            keys=on,
+            right_keys=right_on,
+            join_type=join_type,
+            right_suffix=rsuffix,
+            use_threads=False,
+        )
+        return out.select(out_names)
+
+    lsplits = stream_splits(left, on)
+    rsplits = stream_splits(right, right_on)
+    if not lsplits:
+        return rd.from_arrow(empty_out)
+    nl = len(lsplits)
+    out_refs = [
+        join_bucket.remote(b, nl, *[s[b] for s in lsplits], *[s[b] for s in rsplits])
+        for b in range(B)
+    ]
+    return rd.from_arrow_refs(out_refs)

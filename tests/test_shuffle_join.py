@@ -1,0 +1,180 @@
+"""shuffle_join: distributed M:N hash join vs DuckDB ANSI semantics.
+
+The broadcast path (ops.JoinExternal) is for small right tables; these pin
+the co-bucketed large×large exchange: M:N key multiplication, null keys
+never matching, left/semi/anti parity, key-name/dtype mismatches, and the
+no-build-rows bucket fast paths.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from nvtabular_ray.pipelines.joins import shuffle_join
+
+
+def _mk_sides(seed=0, n_left=400, n_right=300):
+    rng = np.random.RandomState(seed)
+    lk = rng.randint(0, 25, n_left).astype(np.int64)
+    left = pd.DataFrame(
+        {
+            "k": pd.array(lk, dtype="Int64"),
+            "k2": rng.randint(0, 3, n_left).astype(np.int64),
+            "a": rng.rand(n_left),
+            "name": [f"l{i % 7}" for i in range(n_left)],
+        }
+    )
+    left.loc[rng.choice(n_left, 10, replace=False), "k"] = pd.NA
+    rk = rng.randint(5, 40, n_right).astype(np.int64)  # partial key overlap
+    right = pd.DataFrame(
+        {
+            "rk": pd.array(rk, dtype="Int64"),
+            "rk2": rng.randint(0, 3, n_right).astype(np.int64),
+            "b": rng.rand(n_right),
+            "name": [f"r{i % 5}" for i in range(n_right)],
+        }
+    )
+    right.loc[rng.choice(n_right, 8, replace=False), "rk"] = pd.NA
+    return left, right
+
+
+def _ds(df, blocks=5):
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def _check(got_ds, sql, l, r, cols):
+    got = got_ds.to_pandas()[cols]
+    con = duckdb.connect()
+    con.register("l", l)
+    con.register("r", r)
+    want = con.execute(sql).df()[cols]
+    con.close()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+@pytest.mark.parametrize("num_buckets", [2, 7])
+def test_inner_mn_nulls(num_buckets):
+    l, r = _mk_sides()
+    out = shuffle_join(
+        _ds(l), _ds(r), on="k", right_on="rk", how="inner", num_buckets=num_buckets
+    )
+    assert out.schema().names == ["k", "k2", "a", "name", "rk2", "b", "name_r"]
+    _check(
+        out,
+        """SELECT l.k, l.k2, l.a, l.name, r.rk2, r.b, r.name AS name_r
+           FROM l JOIN r ON l.k = r.rk""",
+        l,
+        r,
+        ["k", "k2", "a", "name", "rk2", "b", "name_r"],
+    )
+
+
+def test_left_outer_with_empty_buckets():
+    l, r = _mk_sides(seed=1)
+    # few right rows -> many buckets see zero build rows (null-pad fast path)
+    r_small = r.head(12)
+    out = shuffle_join(
+        _ds(l), _ds(r_small, blocks=2), on="k", right_on="rk", how="left", num_buckets=16
+    )
+    _check(
+        out,
+        """SELECT l.k, l.k2, l.a, l.name, r.rk2, r.b, r.name AS name_r
+           FROM l LEFT JOIN r ON l.k = r.rk""",
+        l,
+        r_small,
+        ["k", "k2", "a", "name", "rk2", "b", "name_r"],
+    )
+
+
+def test_multi_key_inner():
+    l, r = _mk_sides(seed=2)
+    out = shuffle_join(
+        _ds(l), _ds(r), on=["k", "k2"], right_on=["rk", "rk2"], how="inner", num_buckets=8
+    )
+    _check(
+        out,
+        """SELECT l.k, l.k2, l.a, l.name, r.b, r.name AS name_r
+           FROM l JOIN r ON l.k = r.rk AND l.k2 = r.rk2""",
+        l,
+        r,
+        ["k", "k2", "a", "name", "b", "name_r"],
+    )
+
+
+@pytest.mark.parametrize("how,op", [("semi", "EXISTS"), ("anti", "NOT EXISTS")])
+def test_semi_anti(how, op):
+    l, r = _mk_sides(seed=3)
+    out = shuffle_join(_ds(l), _ds(r), on="k", right_on="rk", how=how, num_buckets=8)
+    assert out.schema().names == ["k", "k2", "a", "name"]  # left columns only
+    _check(
+        out,
+        f"""SELECT l.* FROM l WHERE {op}
+            (SELECT 1 FROM r WHERE r.rk = l.k)""",
+        l,
+        r,
+        ["k", "k2", "a", "name"],
+    )
+
+
+def test_right_key_dtype_cast():
+    l, r = _mk_sides(seed=4)
+    r32 = r.dropna(subset=["rk"]).copy()
+    r32["rk"] = r32["rk"].astype(np.int32)  # int32 keys vs int64 left
+    out = shuffle_join(_ds(l), _ds(r32, blocks=3), on="k", right_on="rk", how="inner")
+    _check(
+        out,
+        """SELECT l.k, l.k2, l.a, l.name, r.rk2, r.b, r.name AS name_r
+           FROM l JOIN r ON l.k = r.rk""",
+        l,
+        r32,
+        ["k", "k2", "a", "name", "rk2", "b", "name_r"],
+    )
+
+
+def test_empty_right_side():
+    # an empty side must carry a real schema (parquet read / typed arrow
+    # table) — Ray erases the schema of zero-row exchanged plans
+    l, r = _mk_sides(seed=5)
+    r0_schema = pa.schema(
+        [("rk", pa.int64()), ("rk2", pa.int64()), ("b", pa.float64()), ("name", pa.string())]
+    )
+
+    def r0():
+        return rd.from_arrow(r0_schema.empty_table())
+
+    inner = shuffle_join(_ds(l), r0(), on="k", right_on="rk", how="inner")
+    assert inner.count() == 0
+    assert inner.schema().names == ["k", "k2", "a", "name", "rk2", "b", "name_r"]
+    lo = shuffle_join(_ds(l), r0(), on="k", right_on="rk", how="left")
+    got = lo.to_pandas()
+    assert len(got) == len(l)
+    assert got["b"].isna().all()
+    anti = shuffle_join(_ds(l), r0(), on="k", right_on="rk", how="anti")
+    assert anti.count() == len(l)
+
+
+def test_schema_erased_empty_side_raises():
+    # zero-row plans that crossed an exchange have NO recoverable schema;
+    # the join must fail loudly, not emit a wrong-shaped result
+    l, r = _mk_sides(seed=7)
+    erased = _ds(r.head(0), blocks=1)  # repartition of empty -> placeholder
+    with pytest.raises(ValueError, match="no recoverable schema"):
+        shuffle_join(_ds(l), erased, on="k", right_on="rk", how="inner")
+
+
+def test_rejects_bad_args():
+    l, r = _mk_sides(seed=6)
+    with pytest.raises(ValueError, match="how"):
+        shuffle_join(_ds(l), _ds(r), on="k", right_on="rk", how="outer")
+    with pytest.raises(KeyError, match="left key"):
+        shuffle_join(_ds(l), _ds(r), on="missing", right_on="rk")
+    with pytest.raises(ValueError, match="length"):
+        shuffle_join(_ds(l), _ds(r), on=["k", "k2"], right_on=["rk"])
