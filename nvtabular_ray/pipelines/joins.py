@@ -23,9 +23,10 @@ unions both sides into one stream because its 1:1 contract lets the bucket
 fn stay a Dataset ``map_groups``): here the two sides stream independently,
 so a row ships only its own columns.
 
-Semantics are ANSI SQL: null keys never match (inner drops them, left emits
-them unmatched, semi drops, anti keeps — acero hash-join parity verified in
-tests against DuckDB); duplicate keys multiply (M:N cross-match per key).
+Semantics are ANSI SQL: null keys never match (inner drops them, left/full
+emit them unmatched, semi drops, anti keeps — acero hash-join parity
+verified in tests against DuckDB); duplicate keys multiply (M:N cross-match
+per key); full outer coalesces keys under the left names.
 
 Scale notes:
 - semi/anti ship ONLY the right key columns, pre-deduplicated per input
@@ -54,6 +55,7 @@ from nvtabular_ray.pipelines.partitioned import _default_num_buckets
 _ACERO_TYPE = {
     "inner": "inner",
     "left": "left outer",
+    "full": "full outer",
     "semi": "left semi",
     "anti": "left anti",
 }
@@ -105,10 +107,13 @@ def shuffle_join(
     ``on``/``right_on``: key column names on each side (``right_on``
     defaults to ``on``); right key columns are cast to the left key dtypes
     when they differ (join keys must be comparable). ``how``: ``inner`` /
-    ``left`` / ``semi`` / ``anti`` (same surface as ``ops.JoinExternal``).
+    ``left`` / ``full`` / ``semi`` / ``anti`` (JoinExternal's surface plus
+    full outer; for a right join, swap the sides and use ``left``).
     Output columns: left columns (keys keep LEFT names), then right non-key
     columns — renamed with ``rsuffix`` on a name clash. ``semi``/``anti``
-    emit left columns only.
+    emit left columns only. ``full`` coalesces the key columns (SQL
+    ``COALESCE(l.k, r.rk) AS k`` — acero full-outer parity): a
+    right-unmatched row carries its key under the LEFT key name.
 
     Project each side with ``select_columns`` BEFORE joining — the join
     ships whatever you pass it (prune at the read, SURVEY §7.4.7).
@@ -208,11 +213,28 @@ def shuffle_join(
 
     empty_out = out_schema.empty_table()
 
+    def _right_only(rt: pa.Table) -> pa.Table:
+        # full outer, no probe rows in this bucket: every right row is
+        # unmatched — keys coalesce from the right, left payload null-pads
+        cols = []
+        key_of = dict(zip(on, right_on))
+        for c in lschema.names:
+            if c in key_of:
+                cols.append(rt.column(key_of[c]))
+            else:
+                cols.append(pa.nulls(rt.num_rows, ltypes[c]))
+        for c in rpayload:
+            cols.append(rt.column(c))
+        return pa.table(cols, schema=out_schema)
+
     @ray.remote
     def join_bucket(b: int, nl: int, *shards):
         lparts = [s for s in shards[:nl] if s.num_rows]
         rparts = [s for s in shards[nl:] if s.num_rows]
         if not lparts:
+            if how == "full" and rparts:
+                rt = rparts[0] if len(rparts) == 1 else pa.concat_tables(rparts, promote_options="default")
+                return _right_only(rt)
             return empty_out
         lt = lparts[0] if len(lparts) == 1 else pa.concat_tables(lparts, promote_options="default")
         if lt.nbytes > 2 << 30:
@@ -229,7 +251,7 @@ def shuffle_join(
                 return empty_out
             if how == "anti":
                 return lt.select(out_names)
-            # left outer: null-pad the right payload
+            # left/full outer: null-pad the right payload
             for c, out_name in zip(rpayload, out_names[len(lschema.names):]):
                 lt = lt.append_column(out_name, pa.nulls(lt.num_rows, rtypes[c]))
             return lt.select(out_names)
@@ -248,7 +270,7 @@ def shuffle_join(
 
     lsplits = stream_splits(left, on)
     rsplits = stream_splits(right, right_on)
-    if not lsplits:
+    if not lsplits and (how != "full" or not rsplits):
         return rd.from_arrow(empty_out)
     nl = len(lsplits)
     out_refs = [

@@ -41,12 +41,18 @@ def test_resample_grid_property(args):
 
     df, step = args
     ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3)
+    # collect via arrow refs: an ALL-empty result (every ts below its
+    # entity's first grid tick) to_pandas()es column-less (pinned Ray quirk)
+    import ray
+
+    tbls = [t for t in ray.get(resample_grid(ds, "e", "ts", ["v"], step).to_arrow_refs())
+            if t.num_columns]
     out = (
-        resample_grid(ds, "e", "ts", ["v"], step)
-        .to_pandas()
-        .sort_values(["e", "grid_ts"])
-        .reset_index(drop=True)
+        pa.concat_tables(tbls, promote_options="default").to_pandas()
+        if tbls
+        else pd.DataFrame(columns=["e", "grid_ts", "v"])
     )
+    out = out.sort_values(["e", "grid_ts"]).reset_index(drop=True)
     spec = _spec_resample(df, step)
     assert len(out) == len(spec)
     got = list(zip(out["e"], out["grid_ts"], out["v"]))

@@ -109,6 +109,40 @@ def test_multi_key_inner():
     )
 
 
+def test_full_outer_coalesced_keys():
+    # keys coalesce under the LEFT name (acero parity = COALESCE(l.k, r.rk));
+    # few right blocks so some buckets hit the right-only fast path
+    l, r = _mk_sides(seed=8)
+    out = shuffle_join(
+        _ds(l), _ds(r, blocks=2), on="k", right_on="rk", how="full", num_buckets=16
+    )
+    assert out.schema().names == ["k", "k2", "a", "name", "rk2", "b", "name_r"]
+    _check(
+        out,
+        """SELECT COALESCE(l.k, r.rk) AS k, l.k2, l.a, l.name,
+                  r.rk2, r.b, r.name AS name_r
+           FROM l FULL JOIN r ON l.k = r.rk""",
+        l,
+        r,
+        ["k", "k2", "a", "name", "rk2", "b", "name_r"],
+    )
+
+
+def test_full_outer_empty_left():
+    # no left blocks at all: every right row must still surface
+    l, r = _mk_sides(seed=9)
+    l0_schema = pa.schema(
+        [("k", pa.int64()), ("k2", pa.int64()), ("a", pa.float64()), ("name", pa.string())]
+    )
+    out = shuffle_join(
+        rd.from_arrow(l0_schema.empty_table()), _ds(r), on="k", right_on="rk", how="full"
+    )
+    got = out.to_pandas()
+    assert len(got) == len(r)
+    assert got["a"].isna().all()
+    assert sorted(got["b"]) == sorted(r["b"])
+
+
 @pytest.mark.parametrize("how,op", [("semi", "EXISTS"), ("anti", "NOT EXISTS")])
 def test_semi_anti(how, op):
     l, r = _mk_sides(seed=3)
