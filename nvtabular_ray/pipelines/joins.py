@@ -92,6 +92,67 @@ def _arrow_schema(ds, side: str):
     return ds, pa.schema(list(zip(sch.names, sch.types)))
 
 
+def detect_hot_key_hashes(ds, keys: Union[str, list], threshold: int, num_buckets: int = 64):
+    """Distributed survivor-only hot-key detection: 64-bit key hashes whose
+    total row count exceeds ``threshold``. Returns ``(hashes, counts)`` —
+    ``hashes`` sorted ``np.uint64``, ``counts`` ``np.int64``.
+
+    Same discipline as ``hot_split._hot_entity_counts``: per-block partial
+    counts (``np.unique``) exchange on ``hash % num_buckets`` and the
+    ``> threshold`` filter runs INSIDE the reduce, so the driver only ever
+    sees the hot survivors — never the full per-key count table (which at
+    10^12 rows is itself big data). Working on hashes rather than key values
+    keeps the exchange one fixed-width column for any key arity; a 64-bit
+    collision only ever adds a key to the hot set (correctness unaffected —
+    salting is exact regardless of WHICH keys are treated as hot)."""
+    import ray
+
+    keys = _as_list(keys)
+    ds = ds.select_columns(keys)
+    B2 = max(int(num_buckets), 1)
+
+    @ray.remote
+    def partial_counts(block):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        h = hash64_columns(block, keys)
+        uniq, cnt = np.unique(h, return_counts=True)
+        b = (uniq % np.uint64(B2)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        uniq, cnt, b = uniq[order], cnt[order], b[order]
+        bounds = np.searchsorted(b, np.arange(B2 + 1))
+        return tuple(
+            (uniq[s:e], cnt[s:e]) for s, e in zip(bounds[:-1], bounds[1:])
+        )
+
+    @ray.remote
+    def reduce_bucket(*parts):
+        hs = np.concatenate([p[0] for p in parts])
+        cs = np.concatenate([p[1] for p in parts])
+        if not len(hs):
+            return hs, cs
+        uniq, inv = np.unique(hs, return_inverse=True)
+        tot = np.bincount(inv, weights=cs.astype(np.float64)).astype(np.int64)
+        m = tot > threshold
+        return uniq[m], tot[m]
+
+    partials = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is not None and meta.num_rows == 0:
+                continue
+            partials.append(partial_counts.options(num_returns=B2).remote(ref))
+    if not partials:
+        return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
+    if B2 == 1:  # num_returns=1 hands back a bare ref, not a 1-tuple
+        partials = [(p,) for p in partials]
+    pairs = ray.get([reduce_bucket.remote(*[p[b] for p in partials]) for b in range(B2)])
+    hashes = np.concatenate([p[0] for p in pairs]).astype(np.uint64)
+    counts = np.concatenate([p[1] for p in pairs]).astype(np.int64)
+    order = np.argsort(hashes)
+    return hashes[order], counts[order]
+
+
 def shuffle_join(
     left,
     right,
@@ -100,6 +161,9 @@ def shuffle_join(
     right_on: Optional[Union[str, list]] = None,
     num_buckets: Optional[int] = None,
     rsuffix: str = "_r",
+    skew_threshold: Optional[int] = None,
+    analyze_ds=None,
+    max_replication: int = 16,
 ):
     """Join two ``ray.data.Dataset``s on key columns with one co-bucketed
     hash exchange per side.
@@ -117,6 +181,20 @@ def shuffle_join(
 
     Project each side with ``select_columns`` BEFORE joining — the join
     ships whatever you pass it (prune at the read, SURVEY §7.4.7).
+
+    ``skew_threshold``: opt-in hot-PROBE-key salting. Left keys with more
+    than this many rows (found by ``detect_hot_key_hashes`` — a filtered
+    count exchange; the driver only sees the hot survivors) are SALTED:
+    their probe rows round-robin across ``R = ceil(count/threshold)``
+    (capped at ``max_replication``) private sub-buckets and their build
+    rows replicate to all R, so no single task holds a hot key's whole
+    probe side. Exact for ``inner``/``left``/``semi``/``anti``; rejected
+    for ``full`` (a replicated right row unmatched in one sub-bucket but
+    matched in another would emit twice). Detection consumes ``left`` once
+    more — pass ``analyze_ds`` (the raw pruned source, hot_split's
+    ``analyze_ds`` convention) when ``left`` has expensive lazy upstream
+    stages. A hot BUILD key is different: its join output is inherently
+    huge; broadcast that side (``ops.JoinExternal``) instead.
     """
     import ray
     import ray.data as rd
@@ -192,23 +270,70 @@ def shuffle_join(
     B = num_buckets
     join_type = _ACERO_TYPE[how]
 
+    # --- hot-probe-key salting (opt-in) ---------------------------------
+    hot_ref = None
+    total_buckets = B
+    if skew_threshold is not None:
+        if how == "full":
+            raise ValueError(
+                "skew_threshold is not supported for how='full': a replicated "
+                "right row unmatched in one sub-bucket but matched in another "
+                "would be emitted twice"
+            )
+        hot_h, hot_n = detect_hot_key_hashes(
+            left if analyze_ds is None else analyze_ds, on, int(skew_threshold)
+        )
+        if len(hot_h):
+            reps = np.clip(
+                -(-hot_n // int(skew_threshold)), 2, int(max_replication)
+            ).astype(np.int64)
+            base = np.concatenate([[0], np.cumsum(reps)])[:-1].astype(np.int64)
+            total_buckets = B + int(reps.sum())
+            hot_ref = ray.put((hot_h, reps, base))
+    TB = total_buckets
+
     @ray.remote
-    def split_block(block, keys: list[str]):
+    def split_block(block, keys: list[str], replicate: bool, hot):
         if not isinstance(block, pa.Table):
             block = pa.Table.from_pandas(block, preserve_index=False)
-        h = (hash64_columns(block, keys) % np.uint64(B)).astype(np.int64)
-        order = np.argsort(h, kind="stable")
-        srt = block.take(pa.array(order))
-        bounds = np.searchsorted(h[order], np.arange(B + 1))
-        return tuple(srt.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(B))
+        h = hash64_columns(block, keys)
+        bucket = (h % np.uint64(B)).astype(np.int64)
+        idx = None
+        if hot is not None:
+            hot_h, reps, base = hot
+            p = np.minimum(np.searchsorted(hot_h, h), len(hot_h) - 1)
+            is_hot = hot_h[p] == h
+            if is_hot.any():
+                if replicate:
+                    # build side: hot rows go to ALL their R sub-buckets
+                    rows = np.where(is_hot)[0]
+                    r = reps[p[rows]]
+                    rep_rows = np.repeat(rows, r)
+                    starts = np.concatenate([[0], np.cumsum(r)])[:-1]
+                    off = np.arange(len(rep_rows), dtype=np.int64) - np.repeat(starts, r)
+                    rep_bucket = B + np.repeat(base[p[rows]], r) + off
+                    keep = np.where(~is_hot)[0]
+                    idx = np.concatenate([keep, rep_rows])
+                    bucket = np.concatenate([bucket[keep], rep_bucket])
+                else:
+                    # probe side: hot rows round-robin across their R
+                    r_eff = np.where(is_hot, reps[p], 1)
+                    salt = np.arange(len(h), dtype=np.int64) % r_eff
+                    bucket = np.where(is_hot, B + base[p] + salt, bucket)
+        order = np.argsort(bucket, kind="stable")
+        srt = block.take(pa.array(order if idx is None else idx[order]))
+        bounds = np.searchsorted(bucket[order], np.arange(TB + 1))
+        return tuple(srt.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(TB))
 
-    def stream_splits(ds, keys: list[str]) -> list:
+    def stream_splits(ds, keys: list[str], replicate: bool) -> list:
         out = []
         for bundle in ds.iter_internal_ref_bundles():
             for ref, m in bundle.blocks:
                 if m.num_rows is not None and m.num_rows == 0:
                     continue
-                out.append(split_block.options(num_returns=B).remote(ref, keys))
+                out.append(
+                    split_block.options(num_returns=TB).remote(ref, keys, replicate, hot_ref)
+                )
         return out
 
     empty_out = out_schema.empty_table()
@@ -268,13 +393,13 @@ def shuffle_join(
         )
         return out.select(out_names)
 
-    lsplits = stream_splits(left, on)
-    rsplits = stream_splits(right, right_on)
+    lsplits = stream_splits(left, on, replicate=False)
+    rsplits = stream_splits(right, right_on, replicate=True)
     if not lsplits and (how != "full" or not rsplits):
         return rd.from_arrow(empty_out)
     nl = len(lsplits)
     out_refs = [
         join_bucket.remote(b, nl, *[s[b] for s in lsplits], *[s[b] for s in rsplits])
-        for b in range(B)
+        for b in range(TB)
     ]
     return rd.from_arrow_refs(out_refs)

@@ -204,6 +204,64 @@ def test_schema_erased_empty_side_raises():
         shuffle_join(_ds(l), erased, on="k", right_on="rk", how="inner")
 
 
+def _mk_skewed(seed=10, n_left=3000, n_right=120):
+    rng = np.random.RandomState(seed)
+    lk = rng.randint(0, 20, n_left).astype(np.int64)
+    lk[: int(n_left * 0.6)] = 7  # one key owns 60% of the probe side
+    left = pd.DataFrame({"k": lk, "a": rng.rand(n_left)})
+    right = pd.DataFrame(
+        {"rk": rng.randint(0, 15, n_right).astype(np.int64), "b": rng.rand(n_right)}
+    )
+    return left, right
+
+
+def test_detect_hot_key_hashes():
+    from nvtabular_ray.functions.hashing import hash64_columns
+    from nvtabular_ray.pipelines.joins import detect_hot_key_hashes
+
+    l, _ = _mk_skewed()
+    hashes, counts = detect_hot_key_hashes(_ds(l, blocks=6), "k", threshold=500)
+    expect = hash64_columns(pa.table({"k": pa.array([7], pa.int64())}), ["k"])[0]
+    assert hashes.tolist() == [int(expect)]
+    assert counts.tolist() == [int((l["k"] == 7).sum())]
+    # below-threshold keys never reach the driver
+    hashes_all, counts_all = detect_hot_key_hashes(_ds(l, blocks=6), "k", threshold=0)
+    assert len(hashes_all) == l["k"].nunique()
+    assert counts_all.sum() == len(l)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_salted_join_matches_oracle(how):
+    # hot probe key salted across sub-buckets + replicated build rows must
+    # be EXACT — M:N multiplication included (key 7 also repeats in right)
+    l, r = _mk_skewed()
+    out = shuffle_join(
+        _ds(l, blocks=6),
+        _ds(r, blocks=3),
+        on="k",
+        right_on="rk",
+        how=how,
+        num_buckets=4,
+        skew_threshold=200,
+        max_replication=5,
+    )
+    if how in ("semi", "anti"):
+        op = "EXISTS" if how == "semi" else "NOT EXISTS"
+        sql = f"SELECT l.* FROM l WHERE {op} (SELECT 1 FROM r WHERE r.rk = l.k)"
+        cols = ["k", "a"]
+    else:
+        kw = "JOIN" if how == "inner" else "LEFT JOIN"
+        sql = f"SELECT l.k, l.a, r.b FROM l {kw} r ON l.k = r.rk"
+        cols = ["k", "a", "b"]
+    _check(out, sql, l, r, cols)
+
+
+def test_salted_full_raises():
+    l, r = _mk_skewed()
+    with pytest.raises(ValueError, match="full"):
+        shuffle_join(_ds(l), _ds(r), on="k", right_on="rk", how="full", skew_threshold=10)
+
+
 def test_rejects_bad_args():
     l, r = _mk_sides(seed=6)
     with pytest.raises(ValueError, match="how"):

@@ -270,6 +270,83 @@ def main_asof():
     ray.shutdown()
 
 
+JOIN_LEFT_ROWS = int(os.environ.get("SKEW_JOIN_LEFT_ROWS", "8000000"))
+JOIN_HOT_FRAC = float(os.environ.get("SKEW_JOIN_HOT_FRAC", "0.5"))
+JOIN_KEYS = 5000
+JOIN_CACHE = f"/tmp/nvtr_skewjoin_{JOIN_LEFT_ROWS}_{JOIN_HOT_FRAC}"
+
+
+def _gen_join():
+    if os.path.isdir(JOIN_CACHE):
+        return
+    rng = np.random.RandomState(7)
+    os.makedirs(f"{JOIN_CACHE}/left")
+    os.makedirs(f"{JOIN_CACHE}/right")
+    n_hot = int(JOIN_LEFT_ROWS * JOIN_HOT_FRAC)
+    k = rng.randint(0, JOIN_KEYS, JOIN_LEFT_ROWS).astype(np.int64)
+    k[:n_hot] = 7
+    rng.shuffle(k)
+    a = rng.rand(JOIN_LEFT_ROWS)
+    shard = JOIN_LEFT_ROWS // 16
+    for i in range(16):
+        s = slice(i * shard, JOIN_LEFT_ROWS if i == 15 else (i + 1) * shard)
+        pq.write_table(pa.table({"k": k[s], "a": a[s]}), f"{JOIN_CACHE}/left/{i}.parquet")
+    # 2 build rows per key -> M:N doubles every probe row, hot included
+    rk = np.repeat(np.arange(JOIN_KEYS, dtype=np.int64), 2)
+    pq.write_table(
+        pa.table({"rk": rk, "b": rng.rand(len(rk))}), f"{JOIN_CACHE}/right/0.parquet"
+    )
+
+
+def main_join():
+    import ray
+    import ray.data as rd
+
+    from nvtabular_ray.pipelines.joins import shuffle_join
+
+    _gen_join()
+    ray.init(address="local", num_cpus=CPUS, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    thr_salted = max(JOIN_LEFT_ROWS // (CPUS * 8), 1000)
+    results = {}
+    for name, thr in (("warmup", None), ("baseline_one_bucket", None),
+                      ("salted", thr_salted)):
+        left = rd.read_parquet(f"{JOIN_CACHE}/left")
+        right = rd.read_parquet(f"{JOIN_CACHE}/right")
+        t0 = time.perf_counter()
+        out = shuffle_join(
+            left, right, on="k", right_on="rk", how="inner",
+            num_buckets=CPUS * 4, skew_threshold=thr, max_replication=CPUS,
+        )
+        sums = out.sum(["a", "b"])
+        n = out.count()
+        sec = time.perf_counter() - t0
+        if name == "warmup":
+            continue
+        results[name] = {"sec": round(sec, 2), "sums": sums, "rows": n}
+        print(json.dumps({"leg": name, "sec": round(sec, 2), "rows": n, "cpus": CPUS}))
+
+    a, b = results["baseline_one_bucket"], results["salted"]
+    match = a["rows"] == b["rows"] and all(
+        np.isclose(a["sums"][c], b["sums"][c], rtol=1e-9) for c in ("sum(a)", "sum(b)")
+    )
+    print(json.dumps({
+        "metric": "salted_join_skew_speedup",
+        "left_rows": JOIN_LEFT_ROWS,
+        "hot_frac": JOIN_HOT_FRAC,
+        "out_rows": a["rows"],
+        "cpus": CPUS,
+        "baseline_sec": a["sec"],
+        "salted_sec": b["sec"],
+        "speedup": round(a["sec"] / b["sec"], 2),
+        "outputs_match": bool(match),
+    }))
+    ray.shutdown()
+
+
 def main():
     import ray
     import ray.data as rd
@@ -313,5 +390,7 @@ if __name__ == "__main__":
         main_flagship()
     elif "--asof" in sys.argv:
         main_asof()
+    elif "--join" in sys.argv:
+        main_join()
     else:
         main()
