@@ -597,12 +597,22 @@ def _q_join_shuffle(sf_dir: str):
     hash-bucketed on the key with ONE exchange each, acero hash join per
     co-bucket. The broadcast JoinExternal covers small right sides; this is
     the 100 TB complement where neither side fits in a worker — the
-    reference has no such path (join_external.py warns past 3 partitions)."""
+    reference has no such path (join_external.py warns past 3 partitions).
+
+    Probe side = lineitem with ``skew_threshold=3``: orderkeys with >3
+    items are detected hot (filtered count exchange, driver sees survivors
+    only) and salted — probe rows round-robin private sub-buckets, build
+    rows replicate to all of them — while <=3-row keys take the plain
+    route, so ONE oracle row proves both paths exact, M:N included."""
     from nvtabular_ray.pipelines.joins import shuffle_join
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
-    return shuffle_join(orders, items, on="o_orderkey", right_on="l_orderkey", how="inner")
+    out = shuffle_join(
+        items, orders, on="l_orderkey", right_on="o_orderkey", how="inner",
+        skew_threshold=3,
+    )
+    return out.rename_columns({"l_orderkey": "o_orderkey"})
 
 
 def _q_corpus_pipeline(sf_dir: str):

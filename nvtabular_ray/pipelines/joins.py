@@ -92,7 +92,13 @@ def _arrow_schema(ds, side: str):
     return ds, pa.schema(list(zip(sch.names, sch.types)))
 
 
-def detect_hot_key_hashes(ds, keys: Union[str, list], threshold: int, num_buckets: int = 64):
+def detect_hot_key_hashes(
+    ds,
+    keys: Union[str, list],
+    threshold: int,
+    num_buckets: int = 64,
+    max_hot_keys: Optional[int] = None,
+):
     """Distributed survivor-only hot-key detection: 64-bit key hashes whose
     total row count exceeds ``threshold``. Returns ``(hashes, counts)`` —
     ``hashes`` sorted ``np.uint64``, ``counts`` ``np.int64``.
@@ -104,12 +110,20 @@ def detect_hot_key_hashes(ds, keys: Union[str, list], threshold: int, num_bucket
     10^12 rows is itself big data). Working on hashes rather than key values
     keeps the exchange one fixed-width column for any key arity; a 64-bit
     collision only ever adds a key to the hot set (correctness unaffected —
-    salting is exact regardless of WHICH keys are treated as hot)."""
+    salting is exact regardless of WHICH keys are treated as hot).
+
+    ``max_hot_keys`` caps the survivor set at the N heaviest hitters —
+    applied per reduce bucket FIRST (each bucket ships at most N rows to
+    the driver, so a too-low threshold on a high-cardinality key cannot
+    flood the collect), then globally. Salting the hottest-N subset is
+    still exact; the un-salted near-threshold keys just stay on the plain
+    route."""
     import ray
 
     keys = _as_list(keys)
     ds = ds.select_columns(keys)
     B2 = max(int(num_buckets), 1)
+    cap = None if max_hot_keys is None else max(int(max_hot_keys), 1)
 
     @ray.remote
     def partial_counts(block):
@@ -134,7 +148,11 @@ def detect_hot_key_hashes(ds, keys: Union[str, list], threshold: int, num_bucket
         uniq, inv = np.unique(hs, return_inverse=True)
         tot = np.bincount(inv, weights=cs.astype(np.float64)).astype(np.int64)
         m = tot > threshold
-        return uniq[m], tot[m]
+        uniq, tot = uniq[m], tot[m]
+        if cap is not None and len(uniq) > cap:
+            top = np.argpartition(tot, -cap)[-cap:]
+            uniq, tot = uniq[top], tot[top]
+        return uniq, tot
 
     partials = []
     for bundle in ds.iter_internal_ref_bundles():
@@ -149,6 +167,9 @@ def detect_hot_key_hashes(ds, keys: Union[str, list], threshold: int, num_bucket
     pairs = ray.get([reduce_bucket.remote(*[p[b] for p in partials]) for b in range(B2)])
     hashes = np.concatenate([p[0] for p in pairs]).astype(np.uint64)
     counts = np.concatenate([p[1] for p in pairs]).astype(np.int64)
+    if cap is not None and len(hashes) > cap:
+        top = np.argpartition(counts, -cap)[-cap:]
+        hashes, counts = hashes[top], counts[top]
     order = np.argsort(hashes)
     return hashes[order], counts[order]
 
@@ -164,6 +185,7 @@ def shuffle_join(
     skew_threshold: Optional[int] = None,
     analyze_ds=None,
     max_replication: int = 16,
+    max_hot_keys: int = 64,
 ):
     """Join two ``ray.data.Dataset``s on key columns with one co-bucketed
     hash exchange per side.
@@ -195,6 +217,10 @@ def shuffle_join(
     ``analyze_ds`` convention) when ``left`` has expensive lazy upstream
     stages. A hot BUILD key is different: its join output is inherently
     huge; broadcast that side (``ops.JoinExternal``) instead.
+    ``max_hot_keys`` (default 64) keeps salting a heavy-hitter mechanism:
+    only the N hottest survivors get private sub-buckets, so total task
+    count stays bounded even when the threshold would qualify thousands of
+    keys (the rest take the plain route — still exact, just unsalted).
     """
     import ray
     import ray.data as rd
@@ -281,7 +307,10 @@ def shuffle_join(
                 "would be emitted twice"
             )
         hot_h, hot_n = detect_hot_key_hashes(
-            left if analyze_ds is None else analyze_ds, on, int(skew_threshold)
+            left if analyze_ds is None else analyze_ds,
+            on,
+            int(skew_threshold),
+            max_hot_keys=max_hot_keys,
         )
         if len(hot_h):
             reps = np.clip(

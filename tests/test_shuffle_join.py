@@ -256,6 +256,37 @@ def test_salted_join_matches_oracle(how):
     _check(out, sql, l, r, cols)
 
 
+def test_detect_hot_key_cap():
+    # max_hot_keys keeps only the heaviest hitters — bounded driver collect
+    from nvtabular_ray.pipelines.joins import detect_hot_key_hashes
+
+    l, _ = _mk_skewed()
+    full_h, full_c = detect_hot_key_hashes(_ds(l, blocks=6), "k", threshold=0)
+    capped_h, capped_c = detect_hot_key_hashes(
+        _ds(l, blocks=6), "k", threshold=0, max_hot_keys=3
+    )
+    assert len(capped_h) == 3
+    # the capped set is exactly the 3 largest counts of the full set
+    assert sorted(capped_c.tolist()) == sorted(full_c.tolist())[-3:]
+    assert set(capped_h.tolist()) <= set(full_h.tolist())
+
+
+def test_salted_join_capped_hot_keys():
+    # with a cap of 1 only the dominant key is salted; result still exact
+    l, r = _mk_skewed()
+    out = shuffle_join(
+        _ds(l, blocks=6),
+        _ds(r, blocks=3),
+        on="k",
+        right_on="rk",
+        how="inner",
+        num_buckets=4,
+        skew_threshold=50,  # would qualify many keys...
+        max_hot_keys=1,  # ...but only the hottest gets sub-buckets
+    )
+    _check(out, "SELECT l.k, l.a, r.b FROM l JOIN r ON l.k = r.rk", l, r, ["k", "a", "b"])
+
+
 def test_salted_full_raises():
     l, r = _mk_skewed()
     with pytest.raises(ValueError, match="full"):
