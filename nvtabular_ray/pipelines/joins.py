@@ -243,6 +243,32 @@ def shuffle_join(
         if c not in rtypes:
             raise KeyError(f"right key column {c!r} not in {rschema.names}")
 
+    # a key column whose PROBED block was all null reports type `null` (Ray
+    # infers the schema from one block); adopt the other side's key type so
+    # the hash and the acero join see a concrete type (null casts to
+    # anything, stays null — ANSI non-matching is preserved)
+    lnull_casts = {
+        lc: rtypes[rc]
+        for lc, rc in zip(on, right_on)
+        if pa.types.is_null(ltypes[lc]) and not pa.types.is_null(rtypes[rc])
+    }
+    if lnull_casts:
+        import pyarrow.compute as pc
+
+        ltypes.update(lnull_casts)
+
+        def cast_left_keys(t: pa.Table) -> pa.Table:
+            for c, typ in lnull_casts.items():
+                if pa.types.is_null(t.column(c).type):
+                    t = t.set_column(
+                        t.schema.get_field_index(c), c, pc.cast(t.column(c), typ)
+                    )
+            return t
+
+        left = left.map_batches(
+            cast_left_keys, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     existence = how in ("semi", "anti")
     if existence:
         # the right payload never crosses the wire: keys only, block-deduped

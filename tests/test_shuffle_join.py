@@ -256,6 +256,53 @@ def test_salted_join_matches_oracle(how):
     _check(out, sql, l, r, cols)
 
 
+def test_salted_join_hot_null_keys():
+    # the commonest real hot key is NULL: 60% null probe keys get salted
+    # (they hash somewhere) but must still emit exactly once, unmatched,
+    # in a left join — and vanish from inner
+    rng = np.random.RandomState(11)
+    n = 2000
+    lk = pd.array(rng.randint(0, 10, n), dtype="Int64")
+    lk[: int(n * 0.6)] = pd.NA
+    l = pd.DataFrame({"k": lk, "a": rng.rand(n)})
+    r = pd.DataFrame(
+        {"rk": pd.array(rng.randint(0, 8, 60), dtype="Int64"), "b": rng.rand(60)}
+    )
+    for how, kw in (("left", "LEFT JOIN"), ("inner", "JOIN")):
+        out = shuffle_join(
+            _ds(l, blocks=6), _ds(r, blocks=2), on="k", right_on="rk",
+            how=how, num_buckets=4, skew_threshold=100,
+        )
+        _check(out, f"SELECT l.k, l.a, r.b FROM l {kw} r ON l.k = r.rk", l, r,
+               ["k", "a", "b"])
+
+
+def test_salted_join_multi_key():
+    # composite-key salting: the hot (7, 1) pair dominates the probe side
+    rng = np.random.RandomState(12)
+    n = 3000
+    k1 = rng.randint(0, 6, n).astype(np.int64)
+    k2 = rng.randint(0, 4, n).astype(np.int64)
+    k1[: int(n * 0.5)], k2[: int(n * 0.5)] = 7, 1
+    l = pd.DataFrame({"k1": k1, "k2": k2, "a": rng.rand(n)})
+    r = pd.DataFrame(
+        {
+            "rk1": np.repeat(np.arange(8, dtype=np.int64), 8),
+            "rk2": np.tile(np.arange(4, dtype=np.int64), 16),
+            "b": rng.rand(64),
+        }
+    )
+    out = shuffle_join(
+        _ds(l, blocks=6), _ds(r, blocks=2), on=["k1", "k2"],
+        right_on=["rk1", "rk2"], how="inner", num_buckets=4, skew_threshold=300,
+    )
+    _check(
+        out,
+        "SELECT l.k1, l.k2, l.a, r.b FROM l JOIN r ON l.k1 = r.rk1 AND l.k2 = r.rk2",
+        l, r, ["k1", "k2", "a", "b"],
+    )
+
+
 def test_detect_hot_key_cap():
     # max_hot_keys keeps only the heaviest hitters — bounded driver collect
     from nvtabular_ray.pipelines.joins import detect_hot_key_hashes
