@@ -273,7 +273,8 @@ def main_asof():
 JOIN_LEFT_ROWS = int(os.environ.get("SKEW_JOIN_LEFT_ROWS", "8000000"))
 JOIN_HOT_FRAC = float(os.environ.get("SKEW_JOIN_HOT_FRAC", "0.5"))
 JOIN_KEYS = 5000
-JOIN_CACHE = f"/tmp/nvtr_skewjoin_{JOIN_LEFT_ROWS}_{JOIN_HOT_FRAC}"
+JOIN_RIGHT_DUP = int(os.environ.get("SKEW_JOIN_RIGHT_DUP", "2"))
+JOIN_CACHE = f"/tmp/nvtr_skewjoin_{JOIN_LEFT_ROWS}_{JOIN_HOT_FRAC}_{JOIN_RIGHT_DUP}"
 
 
 def _gen_join():
@@ -291,8 +292,10 @@ def _gen_join():
     for i in range(16):
         s = slice(i * shard, JOIN_LEFT_ROWS if i == 15 else (i + 1) * shard)
         pq.write_table(pa.table({"k": k[s], "a": a[s]}), f"{JOIN_CACHE}/left/{i}.parquet")
-    # 2 build rows per key -> M:N doubles every probe row, hot included
-    rk = np.repeat(np.arange(JOIN_KEYS, dtype=np.int64), 2)
+    # JOIN_RIGHT_DUP build rows per key -> M:N multiplies every probe
+    # row, hot included: the hot bucket's OUTPUT is where skew really
+    # hurts (one task building hot_frac*left*dup rows)
+    rk = np.repeat(np.arange(JOIN_KEYS, dtype=np.int64), JOIN_RIGHT_DUP)
     pq.write_table(
         pa.table({"rk": rk, "b": rng.rand(len(rk))}), f"{JOIN_CACHE}/right/0.parquet"
     )
@@ -337,6 +340,7 @@ def main_join():
         "metric": "salted_join_skew_speedup",
         "left_rows": JOIN_LEFT_ROWS,
         "hot_frac": JOIN_HOT_FRAC,
+        "right_dup": JOIN_RIGHT_DUP,
         "out_rows": a["rows"],
         "cpus": CPUS,
         "baseline_sec": a["sec"],
