@@ -610,7 +610,7 @@ def _q_join_shuffle(sf_dir: str):
     items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
     out = shuffle_join(
         items, orders, on="l_orderkey", right_on="o_orderkey", how="inner",
-        skew_threshold=3,
+        skew_threshold=3, max_hot_keys=8,
     )
     return out.rename_columns({"l_orderkey": "o_orderkey"})
 
