@@ -33,11 +33,11 @@ Scale notes:
   block (map-side combiner) and again inside the bucket — the right payload
   never crosses the wire.
 - Per-bucket memory is size/num_buckets per side; the 2 GiB skew warning
-  mirrors ``bucketed_group_map``. A pathologically hot key still lands in
-  one bucket — that is fundamental to a hash join; for a hot SMALL side use
-  ``ops.JoinExternal`` (broadcast), for a hot probe side raise
-  ``num_buckets`` (probe rows of one key may split across tasks only if the
-  build side were replicated — not done here).
+  mirrors ``bucketed_group_map``. By default a pathologically hot key lands
+  in one bucket; ``skew_threshold=`` opts into hot-PROBE-key salting (probe
+  rows of each detected hot key split across private sub-buckets, its build
+  rows replicated to all of them — exact for inner/left/semi/anti). For a
+  hot SMALL side use ``ops.JoinExternal`` (broadcast) instead.
 - At 10^12 rows the exchange streams map-side (blocks split as they
   arrive); only the per-bucket reduce is a barrier, inherent to hashing.
 """
@@ -135,9 +135,12 @@ def detect_hot_key_hashes(
         order = np.argsort(b, kind="stable")
         uniq, cnt, b = uniq[order], cnt[order], b[order]
         bounds = np.searchsorted(b, np.arange(B2 + 1))
-        return tuple(
+        out = tuple(
             (uniq[s:e], cnt[s:e]) for s, e in zip(bounds[:-1], bounds[1:])
         )
+        # num_returns=1 hands the caller ONE ref to the whole return value,
+        # so at B2=1 return the bare pair (the caller re-wraps it)
+        return out if B2 > 1 else out[0]
 
     @ray.remote
     def reduce_bucket(*parts):
@@ -162,7 +165,7 @@ def detect_hot_key_hashes(
             partials.append(partial_counts.options(num_returns=B2).remote(ref))
     if not partials:
         return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
-    if B2 == 1:  # num_returns=1 hands back a bare ref, not a 1-tuple
+    if B2 == 1:  # bare ref per block, resolving to the bare (uniq, cnt) pair
         partials = [(p,) for p in partials]
     pairs = ray.get([reduce_bucket.remote(*[p[b] for p in partials]) for b in range(B2)])
     hashes = np.concatenate([p[0] for p in pairs]).astype(np.uint64)
@@ -332,6 +335,10 @@ def shuffle_join(
                 "right row unmatched in one sub-bucket but matched in another "
                 "would be emitted twice"
             )
+        if int(max_replication) < 2:
+            # reps=0 would silently DROP every hot-key row (empty repeat on
+            # the build side, modulo-zero salt on the probe side)
+            raise ValueError(f"max_replication must be >= 2, got {max_replication}")
         hot_h, hot_n = detect_hot_key_hashes(
             left if analyze_ds is None else analyze_ds,
             on,
@@ -371,10 +378,20 @@ def shuffle_join(
                     idx = np.concatenate([keep, rep_rows])
                     bucket = np.concatenate([bucket[keep], rep_bucket])
                 else:
-                    # probe side: hot rows round-robin across their R
-                    r_eff = np.where(is_hot, reps[p], 1)
-                    salt = np.arange(len(h), dtype=np.int64) % r_eff
-                    bucket = np.where(is_hot, B + base[p] + salt, bucket)
+                    # probe side: hot rows round-robin across their R by
+                    # rank WITHIN the key (a global row-position salt
+                    # collapses under periodic layouts — e.g. hot rows at
+                    # even positions with R=2 all landing in sub-bucket 0)
+                    rows = np.where(is_hot)[0]
+                    o = np.argsort(p[rows], kind="stable")
+                    sp = p[rows][o]
+                    run_start = np.r_[0, np.flatnonzero(np.diff(sp)) + 1]
+                    run_id = np.zeros(len(sp), dtype=np.int64)
+                    run_id[run_start[1:]] = 1
+                    rank = np.arange(len(sp), dtype=np.int64) - run_start[
+                        np.cumsum(run_id)
+                    ]
+                    bucket[rows[o]] = B + base[sp] + rank % reps[sp]
         order = np.argsort(bucket, kind="stable")
         srt = block.take(pa.array(order if idx is None else idx[order]))
         bounds = np.searchsorted(bucket[order], np.arange(TB + 1))

@@ -340,6 +340,49 @@ def test_salted_full_raises():
         shuffle_join(_ds(l), _ds(r), on="k", right_on="rk", how="full", skew_threshold=10)
 
 
+def test_salted_max_replication_below_two_raises():
+    # reps=0 would silently drop every hot-key row; must refuse loudly
+    l, r = _mk_skewed()
+    for bad in (0, 1, -3):
+        with pytest.raises(ValueError, match="max_replication"):
+            shuffle_join(
+                _ds(l), _ds(r), on="k", right_on="rk", how="inner",
+                skew_threshold=10, max_replication=bad,
+            )
+
+
+def test_detect_hot_key_single_bucket():
+    # num_buckets=1: num_returns=1 returns ONE bare ref to the whole value
+    from nvtabular_ray.functions.hashing import hash64_columns
+    from nvtabular_ray.pipelines.joins import detect_hot_key_hashes
+
+    l, _ = _mk_skewed()
+    hashes, counts = detect_hot_key_hashes(_ds(l, blocks=6), "k", threshold=500, num_buckets=1)
+    expect = hash64_columns(pa.table({"k": pa.array([7], pa.int64())}), ["k"])[0]
+    assert hashes.tolist() == [int(expect)]
+    assert counts.tolist() == [int((l["k"] == 7).sum())]
+
+
+def test_salted_join_periodic_hot_layout():
+    # hot rows at strictly even positions: a global row-position salt would
+    # send every hot probe row to sub-bucket 0; rank-within-key round-robin
+    # must still be exact AND actually distribute
+    rng = np.random.RandomState(13)
+    n = 4000
+    lk = rng.randint(0, 10, n).astype(np.int64)
+    lk[::2] = 7  # hot key on every even row
+    l = pd.DataFrame({"k": lk, "a": rng.rand(n)})
+    r = pd.DataFrame(
+        {"rk": rng.randint(0, 10, 50).astype(np.int64), "b": rng.rand(50)}
+    )
+    out = shuffle_join(
+        _ds(l, blocks=4), _ds(r, blocks=2), on="k", right_on="rk", how="left",
+        num_buckets=3, skew_threshold=100, max_replication=4,
+    )
+    _check(out, "SELECT l.k, l.a, r.b FROM l LEFT JOIN r ON l.k = r.rk", l, r,
+           ["k", "a", "b"])
+
+
 def test_rejects_bad_args():
     l, r = _mk_sides(seed=6)
     with pytest.raises(ValueError, match="how"):
