@@ -189,6 +189,7 @@ def shuffle_join(
     analyze_ds=None,
     max_replication: int = 16,
     max_hot_keys: int = 64,
+    max_probe_bytes_per_task: Union[int, str, None] = "auto",
 ):
     """Join two ``ray.data.Dataset``s on key columns with one co-bucketed
     hash exchange per side.
@@ -224,12 +225,47 @@ def shuffle_join(
     only the N hottest survivors get private sub-buckets, so total task
     count stays bounded even when the threshold would qualify thousands of
     keys (the rest take the plain route — still exact, just unsalted).
+
+    ``max_probe_bytes_per_task`` — adaptive probe-chunking, ON by default
+    (``"auto"`` = 2 GiB, the same figure as the in-task skew warning).
+    The exchange already knows every bucket's probe size (each split task
+    returns a tiny per-bucket row-count vector alongside its shards), so
+    a bucket whose probe side exceeds the cap is joined by several tasks —
+    each takes a subset of the bucket's probe shards plus ALL its build
+    shards — with NO detection scan and no re-read of the input. Exactness
+    is the same argument as salting (each probe row meets the full build
+    side exactly once): exact for ``inner``/``left``/``semi``/``anti``;
+    for ``full`` the cap is ignored under ``"auto"`` and rejected when set
+    explicitly (a replicated unmatched build row would emit per chunk).
+    Chunk granularity is one shard (= one input block's slice), so a
+    single block can never be split — per-task probe memory is bounded by
+    max(cap, input block size). Sizes are accumulated on the driver in
+    O(num_buckets) memory (batched ref gets). Prefer this over
+    ``skew_threshold`` unless you need row-granular balance: it costs no
+    extra pass, adapts to actual bytes, and composes with salting (salted
+    sub-buckets are measured and chunked like any bucket).
     """
     import ray
     import ray.data as rd
 
     if how not in _ACERO_TYPE:
         raise ValueError(f"how must be one of {sorted(_ACERO_TYPE)}, got {how!r}")
+    if max_probe_bytes_per_task == "auto":
+        chunk_cap = None if how == "full" else (2 << 30)
+    elif max_probe_bytes_per_task is None:
+        chunk_cap = None
+    else:
+        chunk_cap = int(max_probe_bytes_per_task)
+        if chunk_cap <= 0:
+            raise ValueError(
+                f"max_probe_bytes_per_task must be positive, got {max_probe_bytes_per_task}"
+            )
+        if how == "full":
+            raise ValueError(
+                "max_probe_bytes_per_task is not supported for how='full': a "
+                "build row unmatched in one probe chunk but matched in another "
+                "would be emitted twice"
+            )
     on = _as_list(on)
     right_on = on if right_on is None else _as_list(right_on)
     if len(on) != len(right_on):
@@ -395,7 +431,16 @@ def shuffle_join(
         order = np.argsort(bucket, kind="stable")
         srt = block.take(pa.array(order if idx is None else idx[order]))
         bounds = np.searchsorted(bucket[order], np.arange(TB + 1))
-        return tuple(srt.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(TB))
+        # last return: per-bucket row counts + block bytes/rows, so the
+        # driver can chunk oversized buckets WITHOUT touching the shards
+        sizes = np.empty(TB + 2, dtype=np.int64)
+        sizes[:TB] = np.diff(bounds)
+        sizes[TB] = block.nbytes
+        sizes[TB + 1] = block.num_rows
+        return (
+            *(srt.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(TB)),
+            sizes,
+        )
 
     def stream_splits(ds, keys: list[str], replicate: bool) -> list:
         out = []
@@ -404,7 +449,9 @@ def shuffle_join(
                 if m.num_rows is not None and m.num_rows == 0:
                     continue
                 out.append(
-                    split_block.options(num_returns=TB).remote(ref, keys, replicate, hot_ref)
+                    split_block.options(num_returns=TB + 1).remote(
+                        ref, keys, replicate, hot_ref
+                    )
                 )
         return out
 
@@ -469,9 +516,31 @@ def shuffle_join(
     rsplits = stream_splits(right, right_on, replicate=True)
     if not lsplits and (how != "full" or not rsplits):
         return rd.from_arrow(empty_out)
-    nl = len(lsplits)
-    out_refs = [
-        join_bucket.remote(b, nl, *[s[b] for s in lsplits], *[s[b] for s in rsplits])
-        for b in range(TB)
-    ]
+
+    probe_bytes = None
+    if chunk_cap is not None and lsplits:
+        # O(num_buckets) driver memory: batched gets of the tiny size
+        # vectors, accumulated and discarded (this waits on the probe-side
+        # split tasks — the per-bucket reduce could not start earlier
+        # anyway, hashing's inherent barrier)
+        probe_bytes = np.zeros(TB, dtype=np.float64)
+        size_refs = [s[TB] for s in lsplits]
+        for i in range(0, len(size_refs), 256):
+            for v in ray.get(size_refs[i : i + 256]):
+                if v[TB + 1] > 0:
+                    probe_bytes += v[:TB].astype(np.float64) * (v[TB] / v[TB + 1])
+
+    out_refs = []
+    for b in range(TB):
+        lrefs = [s[b] for s in lsplits]
+        rrefs = [s[b] for s in rsplits]
+        n_chunks = 1
+        if probe_bytes is not None and probe_bytes[b] > chunk_cap:
+            n_chunks = min(int(np.ceil(probe_bytes[b] / chunk_cap)), len(lrefs))
+        if n_chunks <= 1:
+            out_refs.append(join_bucket.remote(b, len(lrefs), *lrefs, *rrefs))
+        else:
+            for g in range(n_chunks):
+                sub = lrefs[g::n_chunks]
+                out_refs.append(join_bucket.remote(b, len(sub), *sub, *rrefs))
     return rd.from_arrow_refs(out_refs)

@@ -40,13 +40,14 @@ def join_cases(draw):
     how = draw(st.sampled_from(["inner", "left", "semi", "anti"]))
     threshold = draw(st.sampled_from([1, 5, 50]))
     cap = draw(st.sampled_from([1, 3, 64]))
-    return left, right, how, threshold, cap
+    chunk_cap = draw(st.sampled_from([1, 1000, "auto"]))
+    return left, right, how, threshold, cap, chunk_cap
 
 
 @settings(**_SETTINGS)
 @given(join_cases())
 def test_salted_join_property(case):
-    left, right, how, threshold, cap = case
+    left, right, how, threshold, cap, chunk_cap = case
     if len(right):
         rds = rd.from_pandas(right).repartition(2)
     else:
@@ -67,6 +68,7 @@ def test_salted_join_property(case):
         skew_threshold=threshold,
         max_hot_keys=cap,
         max_replication=4,
+        max_probe_bytes_per_task=chunk_cap,
     )
     if how in ("semi", "anti"):
         op = "EXISTS" if how == "semi" else "NOT EXISTS"

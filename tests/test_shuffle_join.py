@@ -340,6 +340,60 @@ def test_salted_full_raises():
         shuffle_join(_ds(l), _ds(r), on="k", right_on="rk", how="full", skew_threshold=10)
 
 
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_chunked_join_matches_oracle(how):
+    # max_probe_bytes_per_task=1 forces EVERY bucket to fan out to one
+    # task per probe shard — maximal chunking must stay exact, M:N included
+    l, r = _mk_skewed()
+    out = shuffle_join(
+        _ds(l, blocks=6),
+        _ds(r, blocks=3),
+        on="k",
+        right_on="rk",
+        how=how,
+        num_buckets=4,
+        max_probe_bytes_per_task=1,
+    )
+    if how in ("semi", "anti"):
+        op = "EXISTS" if how == "semi" else "NOT EXISTS"
+        sql = f"SELECT l.* FROM l WHERE {op} (SELECT 1 FROM r WHERE r.rk = l.k)"
+        cols = ["k", "a"]
+    else:
+        kw = "JOIN" if how == "inner" else "LEFT JOIN"
+        sql = f"SELECT l.k, l.a, r.b FROM l {kw} r ON l.k = r.rk"
+        cols = ["k", "a", "b"]
+    _check(out, sql, l, r, cols)
+
+
+def test_chunked_plus_salted_compose():
+    # salted sub-buckets are measured and chunked like any bucket
+    l, r = _mk_skewed()
+    out = shuffle_join(
+        _ds(l, blocks=6), _ds(r, blocks=3), on="k", right_on="rk", how="inner",
+        num_buckets=4, skew_threshold=200, max_replication=3,
+        max_probe_bytes_per_task=1,
+    )
+    _check(out, "SELECT l.k, l.a, r.b FROM l JOIN r ON l.k = r.rk", l, r,
+           ["k", "a", "b"])
+
+
+def test_chunked_explicit_cap_full_raises():
+    l, r = _mk_sides(seed=20)
+    with pytest.raises(ValueError, match="full"):
+        shuffle_join(_ds(l), _ds(r), on="k", right_on="rk", how="full",
+                     max_probe_bytes_per_task=1 << 20)
+    # "auto" silently disables for full — must still work
+    out = shuffle_join(_ds(l), _ds(r), on="k", right_on="rk", how="full")
+    assert out.count() > 0
+
+
+def test_chunked_bad_cap_raises():
+    l, r = _mk_sides(seed=21)
+    with pytest.raises(ValueError, match="positive"):
+        shuffle_join(_ds(l), _ds(r), on="k", right_on="rk",
+                     max_probe_bytes_per_task=0)
+
+
 def test_salted_max_replication_below_two_raises():
     # reps=0 would silently drop every hot-key row; must refuse loudly
     l, r = _mk_skewed()

@@ -314,15 +314,20 @@ def main_join():
     DataContext.get_current().enable_progress_bars = False
 
     thr_salted = max(JOIN_LEFT_ROWS // (CPUS * 8), 1000)
+    # chunk cap sized so the hot bucket's probe side (~hot_frac*left*16B)
+    # fans out across the cores; "auto" (2 GiB) wouldn't trigger at bench
+    # sizes
+    cap_chunked = max(int(JOIN_LEFT_ROWS * JOIN_HOT_FRAC * 16) // CPUS, 1 << 20)
     results = {}
-    for name, thr in (("warmup", None), ("baseline_one_bucket", None),
-                      ("salted", thr_salted)):
+    for name, thr, cap in (("warmup", None, None), ("baseline_one_bucket", None, None),
+                           ("salted", thr_salted, None), ("chunked", None, cap_chunked)):
         left = rd.read_parquet(f"{JOIN_CACHE}/left")
         right = rd.read_parquet(f"{JOIN_CACHE}/right")
         t0 = time.perf_counter()
         out = shuffle_join(
             left, right, on="k", right_on="rk", how="inner",
             num_buckets=CPUS * 4, skew_threshold=thr, max_replication=CPUS,
+            max_probe_bytes_per_task=cap if cap is not None else "auto",
         )
         sums = out.sum(["a", "b"])
         n = out.count()
@@ -332,9 +337,11 @@ def main_join():
         results[name] = {"sec": round(sec, 2), "sums": sums, "rows": n}
         print(json.dumps({"leg": name, "sec": round(sec, 2), "rows": n, "cpus": CPUS}))
 
-    a, b = results["baseline_one_bucket"], results["salted"]
-    match = a["rows"] == b["rows"] and all(
-        np.isclose(a["sums"][c], b["sums"][c], rtol=1e-9) for c in ("sum(a)", "sum(b)")
+    a, b, c = results["baseline_one_bucket"], results["salted"], results["chunked"]
+    match = all(
+        a["rows"] == x["rows"]
+        and all(np.isclose(a["sums"][k], x["sums"][k], rtol=1e-9) for k in ("sum(a)", "sum(b)"))
+        for x in (b, c)
     )
     print(json.dumps({
         "metric": "salted_join_skew_speedup",
@@ -345,7 +352,9 @@ def main_join():
         "cpus": CPUS,
         "baseline_sec": a["sec"],
         "salted_sec": b["sec"],
-        "speedup": round(a["sec"] / b["sec"], 2),
+        "chunked_sec": c["sec"],
+        "speedup_salted": round(a["sec"] / b["sec"], 2),
+        "speedup_chunked": round(a["sec"] / c["sec"], 2),
         "outputs_match": bool(match),
     }))
     ray.shutdown()
