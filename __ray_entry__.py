@@ -603,14 +603,17 @@ def _q_join_shuffle(sf_dir: str):
     items are detected hot (filtered count exchange, driver sees survivors
     only) and salted — probe rows round-robin private sub-buckets, build
     rows replicate to all of them — while <=3-row keys take the plain
-    route, so ONE oracle row proves both paths exact, M:N included."""
+    route. ``max_probe_bytes_per_task=256 KiB`` additionally forces
+    adaptive probe-chunking (buckets split across tasks by the split-side
+    size vectors, no detection scan), so ONE oracle row proves the plain,
+    salted AND chunked routes exact, M:N included."""
     from nvtabular_ray.pipelines.joins import shuffle_join
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
     out = shuffle_join(
         items, orders, on="l_orderkey", right_on="o_orderkey", how="inner",
-        skew_threshold=3, max_hot_keys=8,
+        skew_threshold=3, max_hot_keys=8, max_probe_bytes_per_task=256 << 10,
     )
     return out.rename_columns({"l_orderkey": "o_orderkey"})
 
