@@ -618,6 +618,48 @@ def _q_join_shuffle(sf_dir: str):
     return out.rename_columns({"l_orderkey": "o_orderkey"})
 
 
+def _q_join_chain(sf_dir: str):
+    """Co-bucketed multi-way join (pipelines/joins.py shuffle_join_chain):
+    the fact-enrichment shape — lineitem probe side exchanged ONCE, then
+    joined per bucket against BOTH the order header (inner) and a
+    distributed per-order aggregate (left), sequential acero joins inside
+    one bucket task. Two chained shuffle_joins would re-exchange the
+    lineitem⋈orders intermediate; the chain ships each input exactly once.
+    Salting + probe-chunking active (same knobs as join_shuffle)."""
+    from nvtabular_ray.functions.aggregates import bucketed_aggregate
+    from nvtabular_ray.pipelines.joins import shuffle_join_chain
+
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    hdr = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    src = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey"], use_threads=False).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        name = {"l_quantity_sum": "sum_qty", "l_quantity_count": "n_items"}
+        return g.rename_columns([name.get(c, c) for c in g.column_names])
+
+    stats = bucketed_aggregate(
+        src.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"sum_qty": "sum", "n_items": "sum"},
+        names="keep",
+    )
+    out = shuffle_join_chain(
+        items,
+        [
+            (hdr, "o_orderkey", "inner"),
+            (stats, "l_orderkey", "left"),
+        ],
+        on="l_orderkey",
+        skew_threshold=3,
+        max_hot_keys=8,
+        max_probe_bytes_per_task=256 << 10,
+    )
+    return _round6i(out, ["sum_qty"])
+
+
 def _q_corpus_pipeline(sf_dir: str):
     """End-to-end corpus pipeline: clean -> quality-score (on the cleaned
     text) -> filter low quality -> MinHash near-dup clustering -> mark
@@ -1892,11 +1934,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_pool": _q_mean_pool,
         "l2_normalize": _q_l2_normalize,
         "join_shuffle": _q_join_shuffle,
+        "join_chain": _q_join_chain,
         "decontaminate": _q_decontaminate,
         "token_shards": _q_token_shards,
         "resume_pipeline": _q_resume_pipeline,
         "rolling_distinct": _q_rolling_distinct,
-        "rolling_leading": _q_rolling_leading,
+        # rolling_leading displaced below the window for join_chain: its r4
+        # hunks are the shared count/distinct dtype branches + windowed_agg
+        # bounds dedup, all executed by rolling_mean and rolling_distinct
+        # (in-window); no leading-bounds code changed since 42805d0
         "workflow_save_load": _q_workflow_save_load,
         "serving_batch": _q_serving_batch,
         "csv_roundtrip": _q_csv_roundtrip,
@@ -1926,6 +1972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash,
         "ngram_dedup": _q_ngram_dedup,
+        # --- past the 50-row gate from here down ------------------------
+        "rolling_leading": _q_rolling_leading,
         # categorify_tokens moved here session 3: its broadcast list path is
         # function-level unchanged since its r3 green row (the r4 categorify
         # hunks are distributed-only, covered by categorify_tokens_distributed)
@@ -2939,6 +2987,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
                    l.l_linenumber, l.l_quantity
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        """,
+        "join_chain": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+                   o.o_custkey, o.o_totalprice,
+                   CAST(ROUND(s.sum_qty * 1e6) AS BIGINT) AS sum_qty,
+                   s.n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            LEFT JOIN (
+                SELECT l_orderkey,
+                       sum(l_quantity) AS sum_qty,
+                       count(l_quantity) AS n_items
+                FROM lineitem GROUP BY l_orderkey
+            ) s ON l.l_orderkey = s.l_orderkey
         """,
         "chunk_documents": """
             WITH d AS (

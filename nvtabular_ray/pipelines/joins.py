@@ -92,6 +92,113 @@ def _arrow_schema(ds, side: str):
     return ds, pa.schema(list(zip(sch.names, sch.types)))
 
 
+def _split_to_buckets(block, keys: list, B: int, TB: int, hot, replicate: bool):
+    """Split one block into TB bucket shards by key hash, with optional
+    hot-key salting, plus a trailing per-bucket size vector.
+
+    ``hot`` is ``(hot_hashes_sorted, reps, base)`` or None. Probe rows
+    (``replicate=False``) of a hot key round-robin across its ``reps[k]``
+    private sub-buckets by rank WITHIN the key (a global row-position salt
+    collapses under periodic layouts — e.g. hot rows at even positions
+    with R=2 all landing in sub-bucket 0); build rows (``replicate=True``)
+    copy to ALL of them. Returns ``TB`` tables followed by an int64 vector
+    ``[rows_per_bucket..., block_nbytes, block_rows]`` so the driver can
+    chunk oversized buckets without touching the shards."""
+    if not isinstance(block, pa.Table):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    h = hash64_columns(block, keys)
+    bucket = (h % np.uint64(B)).astype(np.int64)
+    idx = None
+    if hot is not None:
+        hot_h, reps, base = hot
+        p = np.minimum(np.searchsorted(hot_h, h), len(hot_h) - 1)
+        is_hot = hot_h[p] == h
+        if is_hot.any():
+            if replicate:
+                # build side: hot rows go to ALL their R sub-buckets
+                rows = np.where(is_hot)[0]
+                r = reps[p[rows]]
+                rep_rows = np.repeat(rows, r)
+                starts = np.concatenate([[0], np.cumsum(r)])[:-1]
+                off = np.arange(len(rep_rows), dtype=np.int64) - np.repeat(starts, r)
+                rep_bucket = B + np.repeat(base[p[rows]], r) + off
+                keep = np.where(~is_hot)[0]
+                idx = np.concatenate([keep, rep_rows])
+                bucket = np.concatenate([bucket[keep], rep_bucket])
+            else:
+                rows = np.where(is_hot)[0]
+                o = np.argsort(p[rows], kind="stable")
+                sp = p[rows][o]
+                run_start = np.r_[0, np.flatnonzero(np.diff(sp)) + 1]
+                run_id = np.zeros(len(sp), dtype=np.int64)
+                run_id[run_start[1:]] = 1
+                rank = np.arange(len(sp), dtype=np.int64) - run_start[np.cumsum(run_id)]
+                bucket[rows[o]] = B + base[sp] + rank % reps[sp]
+    order = np.argsort(bucket, kind="stable")
+    srt = block.take(pa.array(order if idx is None else idx[order]))
+    bounds = np.searchsorted(bucket[order], np.arange(TB + 1))
+    sizes = np.empty(TB + 2, dtype=np.int64)
+    sizes[:TB] = np.diff(bounds)
+    sizes[TB] = block.nbytes
+    sizes[TB + 1] = block.num_rows
+    return (
+        *(srt.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(TB)),
+        sizes,
+    )
+
+
+def _resolve_chunk_cap(max_probe_bytes_per_task, how: str):
+    if max_probe_bytes_per_task == "auto":
+        return None if how == "full" else (2 << 30)
+    if max_probe_bytes_per_task is None:
+        return None
+    cap = int(max_probe_bytes_per_task)
+    if cap <= 0:
+        raise ValueError(
+            f"max_probe_bytes_per_task must be positive, got {max_probe_bytes_per_task}"
+        )
+    if how == "full":
+        raise ValueError(
+            "max_probe_bytes_per_task is not supported for how='full': a "
+            "build row unmatched in one probe chunk but matched in another "
+            "would be emitted twice"
+        )
+    return cap
+
+
+def _plan_salting(ray, probe_ds, on, skew_threshold, max_replication, max_hot_keys, B):
+    """Returns ``(hot_ref, TB)`` — the broadcast salting plan and the total
+    bucket count (B plus every hot key's private sub-buckets)."""
+    if int(max_replication) < 2:
+        # reps=0 would silently DROP every hot-key row (empty repeat on
+        # the build side, modulo-zero salt on the probe side)
+        raise ValueError(f"max_replication must be >= 2, got {max_replication}")
+    hot_h, hot_n = detect_hot_key_hashes(
+        probe_ds, on, int(skew_threshold), max_hot_keys=max_hot_keys
+    )
+    if not len(hot_h):
+        return None, B
+    reps = np.clip(
+        -(-hot_n // int(skew_threshold)), 2, int(max_replication)
+    ).astype(np.int64)
+    base = np.concatenate([[0], np.cumsum(reps)])[:-1].astype(np.int64)
+    return ray.put((hot_h, reps, base)), B + int(reps.sum())
+
+
+def _accumulate_probe_bytes(ray, lsplits, TB):
+    """O(num_buckets) driver memory: batched gets of the tiny size vectors,
+    accumulated and discarded (this waits on the probe-side split tasks —
+    the per-bucket reduce could not start earlier anyway, hashing's
+    inherent barrier)."""
+    probe_bytes = np.zeros(TB, dtype=np.float64)
+    size_refs = [s[TB] for s in lsplits]
+    for i in range(0, len(size_refs), 256):
+        for v in ray.get(size_refs[i : i + 256]):
+            if v[TB + 1] > 0:
+                probe_bytes += v[:TB].astype(np.float64) * (v[TB] / v[TB + 1])
+    return probe_bytes
+
+
 def detect_hot_key_hashes(
     ds,
     keys: Union[str, list],
@@ -250,22 +357,7 @@ def shuffle_join(
 
     if how not in _ACERO_TYPE:
         raise ValueError(f"how must be one of {sorted(_ACERO_TYPE)}, got {how!r}")
-    if max_probe_bytes_per_task == "auto":
-        chunk_cap = None if how == "full" else (2 << 30)
-    elif max_probe_bytes_per_task is None:
-        chunk_cap = None
-    else:
-        chunk_cap = int(max_probe_bytes_per_task)
-        if chunk_cap <= 0:
-            raise ValueError(
-                f"max_probe_bytes_per_task must be positive, got {max_probe_bytes_per_task}"
-            )
-        if how == "full":
-            raise ValueError(
-                "max_probe_bytes_per_task is not supported for how='full': a "
-                "build row unmatched in one probe chunk but matched in another "
-                "would be emitted twice"
-            )
+    chunk_cap = _resolve_chunk_cap(max_probe_bytes_per_task, how)
     on = _as_list(on)
     right_on = on if right_on is None else _as_list(right_on)
     if len(on) != len(right_on):
@@ -362,8 +454,7 @@ def shuffle_join(
     join_type = _ACERO_TYPE[how]
 
     # --- hot-probe-key salting (opt-in) ---------------------------------
-    hot_ref = None
-    total_buckets = B
+    hot_ref, TB = None, B
     if skew_threshold is not None:
         if how == "full":
             raise ValueError(
@@ -371,76 +462,19 @@ def shuffle_join(
                 "right row unmatched in one sub-bucket but matched in another "
                 "would be emitted twice"
             )
-        if int(max_replication) < 2:
-            # reps=0 would silently DROP every hot-key row (empty repeat on
-            # the build side, modulo-zero salt on the probe side)
-            raise ValueError(f"max_replication must be >= 2, got {max_replication}")
-        hot_h, hot_n = detect_hot_key_hashes(
+        hot_ref, TB = _plan_salting(
+            ray,
             left if analyze_ds is None else analyze_ds,
             on,
-            int(skew_threshold),
-            max_hot_keys=max_hot_keys,
+            skew_threshold,
+            max_replication,
+            max_hot_keys,
+            B,
         )
-        if len(hot_h):
-            reps = np.clip(
-                -(-hot_n // int(skew_threshold)), 2, int(max_replication)
-            ).astype(np.int64)
-            base = np.concatenate([[0], np.cumsum(reps)])[:-1].astype(np.int64)
-            total_buckets = B + int(reps.sum())
-            hot_ref = ray.put((hot_h, reps, base))
-    TB = total_buckets
 
     @ray.remote
     def split_block(block, keys: list[str], replicate: bool, hot):
-        if not isinstance(block, pa.Table):
-            block = pa.Table.from_pandas(block, preserve_index=False)
-        h = hash64_columns(block, keys)
-        bucket = (h % np.uint64(B)).astype(np.int64)
-        idx = None
-        if hot is not None:
-            hot_h, reps, base = hot
-            p = np.minimum(np.searchsorted(hot_h, h), len(hot_h) - 1)
-            is_hot = hot_h[p] == h
-            if is_hot.any():
-                if replicate:
-                    # build side: hot rows go to ALL their R sub-buckets
-                    rows = np.where(is_hot)[0]
-                    r = reps[p[rows]]
-                    rep_rows = np.repeat(rows, r)
-                    starts = np.concatenate([[0], np.cumsum(r)])[:-1]
-                    off = np.arange(len(rep_rows), dtype=np.int64) - np.repeat(starts, r)
-                    rep_bucket = B + np.repeat(base[p[rows]], r) + off
-                    keep = np.where(~is_hot)[0]
-                    idx = np.concatenate([keep, rep_rows])
-                    bucket = np.concatenate([bucket[keep], rep_bucket])
-                else:
-                    # probe side: hot rows round-robin across their R by
-                    # rank WITHIN the key (a global row-position salt
-                    # collapses under periodic layouts — e.g. hot rows at
-                    # even positions with R=2 all landing in sub-bucket 0)
-                    rows = np.where(is_hot)[0]
-                    o = np.argsort(p[rows], kind="stable")
-                    sp = p[rows][o]
-                    run_start = np.r_[0, np.flatnonzero(np.diff(sp)) + 1]
-                    run_id = np.zeros(len(sp), dtype=np.int64)
-                    run_id[run_start[1:]] = 1
-                    rank = np.arange(len(sp), dtype=np.int64) - run_start[
-                        np.cumsum(run_id)
-                    ]
-                    bucket[rows[o]] = B + base[sp] + rank % reps[sp]
-        order = np.argsort(bucket, kind="stable")
-        srt = block.take(pa.array(order if idx is None else idx[order]))
-        bounds = np.searchsorted(bucket[order], np.arange(TB + 1))
-        # last return: per-bucket row counts + block bytes/rows, so the
-        # driver can chunk oversized buckets WITHOUT touching the shards
-        sizes = np.empty(TB + 2, dtype=np.int64)
-        sizes[:TB] = np.diff(bounds)
-        sizes[TB] = block.nbytes
-        sizes[TB + 1] = block.num_rows
-        return (
-            *(srt.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(TB)),
-            sizes,
-        )
+        return _split_to_buckets(block, keys, B, TB, hot, replicate)
 
     def stream_splits(ds, keys: list[str], replicate: bool) -> list:
         out = []
@@ -519,16 +553,7 @@ def shuffle_join(
 
     probe_bytes = None
     if chunk_cap is not None and lsplits:
-        # O(num_buckets) driver memory: batched gets of the tiny size
-        # vectors, accumulated and discarded (this waits on the probe-side
-        # split tasks — the per-bucket reduce could not start earlier
-        # anyway, hashing's inherent barrier)
-        probe_bytes = np.zeros(TB, dtype=np.float64)
-        size_refs = [s[TB] for s in lsplits]
-        for i in range(0, len(size_refs), 256):
-            for v in ray.get(size_refs[i : i + 256]):
-                if v[TB + 1] > 0:
-                    probe_bytes += v[:TB].astype(np.float64) * (v[TB] / v[TB + 1])
+        probe_bytes = _accumulate_probe_bytes(ray, lsplits, TB)
 
     out_refs = []
     for b in range(TB):
@@ -543,4 +568,289 @@ def shuffle_join(
             for g in range(n_chunks):
                 sub = lrefs[g::n_chunks]
                 out_refs.append(join_bucket.remote(b, len(sub), *sub, *rrefs))
+    return rd.from_arrow_refs(out_refs)
+
+
+def shuffle_join_chain(
+    left,
+    rights,
+    on: Union[str, list],
+    num_buckets: Optional[int] = None,
+    rsuffix: str = "_r",
+    skew_threshold: Optional[int] = None,
+    analyze_ds=None,
+    max_replication: int = 16,
+    max_hot_keys: int = 64,
+    max_probe_bytes_per_task: Union[int, str, None] = "auto",
+):
+    """Join one probe side against SEVERAL build sides that share its key,
+    with ONE probe exchange total.
+
+    ``rights``: a list of ``(right_ds, right_on)`` / ``(right_ds,
+    right_on, how)`` tuples or dicts with keys ``right``, ``right_on``,
+    ``how`` (default ``"inner"``), ``rsuffix`` (default the global one).
+    Each step's ``how`` may be ``inner``/``left``/``semi``/``anti``
+    (``full`` is unsupported — the probe side of a chain must survive
+    unchanged through unmatched steps). All ``right_on`` key lists must
+    have the same arity as ``on`` and are cast to the left key dtypes.
+
+    Why this exists: ``A.join(B).join(C)`` as two ``shuffle_join`` calls
+    re-exchanges the (largest) intermediate A⋈B a second time. When B and
+    C both key on the SAME left column — the fact-table enrichment shape:
+    header lookup + per-key stats + eligibility filters — every join is
+    bucket-aligned under one hash, so a single task can run the whole
+    per-bucket chain: split A once, split each right once, then
+    sequential acero joins inside the bucket task. Exchange bytes drop
+    from 2·|A⋈B|+|A|+|B|+|C| to |A|+|B|+|C|; no intermediate ever
+    re-enters the object store.
+
+    Output columns: left columns, then each step's non-key payload in
+    order (suffixed with that step's ``rsuffix`` on a clash with any
+    earlier name; ``semi``/``anti`` steps add nothing). Hot-probe-key
+    salting (``skew_threshold``, detection on the RAW probe side) and
+    adaptive probe-chunking (``max_probe_bytes_per_task``) work exactly
+    as in ``shuffle_join`` — both are exact here because every step is
+    probe-preserving: a probe row meets every build side in full, once.
+    """
+    import ray
+    import ray.data as rd
+
+    on = _as_list(on)
+    if not rights:
+        raise ValueError("rights must be a non-empty list")
+    steps = []
+    for i, spec in enumerate(rights):
+        if isinstance(spec, dict):
+            r_ds = spec["right"]
+            r_on = spec.get("right_on", on)
+            r_how = spec.get("how", "inner")
+            r_sfx = spec.get("rsuffix", rsuffix)
+        else:
+            spec = tuple(spec)
+            r_ds, r_on = spec[0], spec[1] if len(spec) > 1 and spec[1] is not None else on
+            r_how = spec[2] if len(spec) > 2 else "inner"
+            r_sfx = rsuffix
+        if r_how not in ("inner", "left", "semi", "anti"):
+            raise ValueError(
+                f"rights[{i}]: how must be inner/left/semi/anti, got {r_how!r}"
+            )
+        r_on = _as_list(r_on)
+        if len(r_on) != len(on):
+            raise ValueError(f"rights[{i}]: right_on {r_on} arity != on {on}")
+        steps.append({"ds": r_ds, "on": r_on, "how": r_how, "sfx": r_sfx})
+
+    chunk_cap = _resolve_chunk_cap(max_probe_bytes_per_task, "inner")
+
+    left, lschema = _arrow_schema(left, "left")
+    ltypes = dict(zip(lschema.names, lschema.types))
+    for c in on:
+        if c not in ltypes:
+            raise KeyError(f"left key column {c!r} not in {lschema.names}")
+
+    import pyarrow.compute as pc
+
+    for i, st in enumerate(steps):
+        st["ds"], rschema = _arrow_schema(st["ds"], f"rights[{i}]")
+        st["types"] = dict(zip(rschema.names, rschema.types))
+        for c in st["on"]:
+            if c not in st["types"]:
+                raise KeyError(f"rights[{i}] key column {c!r} not in {rschema.names}")
+        st["names"] = list(rschema.names)
+
+    # a left key probed as all-null adopts the first concrete right type
+    lnull_casts = {}
+    for k, lc in enumerate(on):
+        if pa.types.is_null(ltypes[lc]):
+            for st in steps:
+                rt = st["types"][st["on"][k]]
+                if not pa.types.is_null(rt):
+                    lnull_casts[lc] = rt
+                    break
+    if lnull_casts:
+        ltypes.update(lnull_casts)
+
+        def cast_left_keys(t: pa.Table) -> pa.Table:
+            for c, typ in lnull_casts.items():
+                if pa.types.is_null(t.column(c).type):
+                    t = t.set_column(
+                        t.schema.get_field_index(c), c, pc.cast(t.column(c), typ)
+                    )
+            return t
+
+        left = left.map_batches(
+            cast_left_keys, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # accumulated output schema + per-step plan
+    out_fields = [(c, ltypes[c]) for c in lschema.names]
+    seen = set(lschema.names)
+    for i, st in enumerate(steps):
+        if st["how"] in ("semi", "anti"):
+            st["ds"] = st["ds"].select_columns(st["on"])
+            st["payload"], st["out_cols"] = [], []
+            continue
+        st["payload"] = [c for c in st["names"] if c not in st["on"]]
+        st["out_cols"] = []
+        for c in st["payload"]:
+            name = c + st["sfx"] if c in seen else c
+            if name in seen:
+                raise ValueError(
+                    f"rights[{i}] column {c!r} collides as {name!r}; give this "
+                    "step a distinct rsuffix"
+                )
+            seen.add(name)
+            st["out_cols"].append(name)
+            out_fields.append((name, st["types"][c]))
+    out_names = [n for n, _ in out_fields]
+    out_schema = pa.schema([pa.field(n, t) for n, t in out_fields])
+
+    # align every right's key dtypes to the left's
+    for i, st in enumerate(steps):
+        casts = {
+            rc: ltypes[lc]
+            for lc, rc in zip(on, st["on"])
+            if st["types"][rc] != ltypes[lc]
+        }
+        if casts:
+
+            def cast_keys(t: pa.Table, _casts=casts) -> pa.Table:
+                for c, typ in _casts.items():
+                    t = t.set_column(
+                        t.schema.get_field_index(c), c, pc.cast(t.column(c), typ)
+                    )
+                return t
+
+            st["ds"] = st["ds"].map_batches(
+                cast_keys, batch_format="pyarrow", zero_copy_batch=True
+            )
+        if st["how"] in ("semi", "anti"):
+
+            def distinct_keys(t: pa.Table, _on=tuple(st["on"])) -> pa.Table:
+                return t.group_by(list(_on), use_threads=False).aggregate([])
+
+            st["ds"] = st["ds"].map_batches(distinct_keys, batch_format="pyarrow")
+
+    if num_buckets is None:
+        num_buckets = _default_num_buckets(None)
+    num_buckets = max(int(num_buckets), 2)
+    B = num_buckets
+
+    hot_ref, TB = None, B
+    if skew_threshold is not None:
+        hot_ref, TB = _plan_salting(
+            ray,
+            left if analyze_ds is None else analyze_ds,
+            on,
+            skew_threshold,
+            max_replication,
+            max_hot_keys,
+            B,
+        )
+
+    @ray.remote
+    def split_block(block, keys: list, replicate: bool, hot):
+        return _split_to_buckets(block, keys, B, TB, hot, replicate)
+
+    def stream_splits(ds, keys: list, replicate: bool) -> list:
+        out = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for ref, m in bundle.blocks:
+                if m.num_rows is not None and m.num_rows == 0:
+                    continue
+                out.append(
+                    split_block.options(num_returns=TB + 1).remote(
+                        ref, keys, replicate, hot_ref
+                    )
+                )
+        return out
+
+    empty_out = out_schema.empty_table()
+    plan = [
+        (st["on"], _ACERO_TYPE[st["how"]], st["how"], st["sfx"], st["payload"],
+         st["out_cols"], [st["types"][c] for c in st["payload"]])
+        for st in steps
+    ]
+
+    @ray.remote
+    def join_bucket(b: int, counts: tuple, *shards):
+        nl = counts[0]
+        lparts = [s for s in shards[:nl] if s.num_rows]
+        if not lparts:
+            return empty_out
+        lt = (
+            lparts[0]
+            if len(lparts) == 1
+            else pa.concat_tables(lparts, promote_options="default")
+        )
+        if lt.nbytes > 2 << 30:
+            import warnings
+
+            warnings.warn(
+                f"join bucket {b} holds {lt.nbytes >> 20} MiB of probe rows in "
+                "one task; raise num_buckets to keep per-task memory bounded",
+                ResourceWarning,
+            )
+        pos = nl
+        for (s_on, s_type, s_how, s_sfx, s_payload, s_cols, s_types), c in zip(
+            plan, counts[1:]
+        ):
+            rparts = [s for s in shards[pos : pos + c] if s.num_rows]
+            pos += c
+            if not rparts:
+                if s_how in ("inner", "semi"):
+                    return empty_out
+                if s_how == "anti":
+                    continue
+                for name, typ in zip(s_cols, s_types):  # left: null-pad
+                    lt = lt.append_column(name, pa.nulls(lt.num_rows, typ))
+                continue
+            rt = (
+                rparts[0]
+                if len(rparts) == 1
+                else pa.concat_tables(rparts, promote_options="default")
+            )
+            if s_how in ("semi", "anti") and len(rparts) > 1:
+                rt = rt.group_by(s_on, use_threads=False).aggregate([])
+            lt = lt.join(
+                rt,
+                keys=on,
+                right_keys=s_on,
+                join_type=s_type,
+                right_suffix=s_sfx,
+                use_threads=False,
+            )
+            if not lt.num_rows and s_how in ("inner", "semi"):
+                return empty_out
+        return lt.select(out_names)
+
+    lsplits = stream_splits(left, on, replicate=False)
+    if not lsplits:
+        return rd.from_arrow(empty_out)
+    rsplits = [stream_splits(st["ds"], st["on"], replicate=True) for st in steps]
+
+    probe_bytes = None
+    if chunk_cap is not None:
+        probe_bytes = _accumulate_probe_bytes(ray, lsplits, TB)
+
+    out_refs = []
+    for b in range(TB):
+        lrefs = [s[b] for s in lsplits]
+        rrefs_flat, counts_r = [], []
+        for rs in rsplits:
+            rb = [s[b] for s in rs]
+            rrefs_flat.extend(rb)
+            counts_r.append(len(rb))
+        n_chunks = 1
+        if probe_bytes is not None and probe_bytes[b] > chunk_cap:
+            n_chunks = min(int(np.ceil(probe_bytes[b] / chunk_cap)), len(lrefs))
+        if n_chunks <= 1:
+            out_refs.append(
+                join_bucket.remote(b, (len(lrefs), *counts_r), *lrefs, *rrefs_flat)
+            )
+        else:
+            for g in range(n_chunks):
+                sub = lrefs[g::n_chunks]
+                out_refs.append(
+                    join_bucket.remote(b, (len(sub), *counts_r), *sub, *rrefs_flat)
+                )
     return rd.from_arrow_refs(out_refs)
