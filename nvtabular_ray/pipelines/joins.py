@@ -147,6 +147,74 @@ def _split_to_buckets(block, keys: list, B: int, TB: int, hot, replicate: bool):
     )
 
 
+def _check_unique_names(out_names: list, rsuffix: str):
+    """Acero's ``right_suffix`` renames only right columns clashing with the
+    LEFT table, so a right side carrying both ``x`` and a literal ``x_r``
+    (left has ``x``) emits two ``x_r`` columns and the final ``select``
+    dies with a KeyError inside the remote task. Refuse at plan time."""
+    seen, dups = set(), []
+    for n in out_names:
+        if n in seen:
+            dups.append(n)
+        seen.add(n)
+    if dups:
+        raise ValueError(
+            f"join output column names collide after suffixing: {sorted(set(dups))}; "
+            f"rename the clashing right columns or pass a different rsuffix "
+            f"(current: {rsuffix!r})"
+        )
+
+
+def _make_stream_splits(ray, split_block, TB: int):
+    """Shared probe/build split driver: one split task per non-empty input
+    block, each returning TB shards + the trailing size vector."""
+
+    def stream_splits(ds, keys: list, replicate: bool, hot_ref) -> list:
+        out = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for ref, m in bundle.blocks:
+                if m.num_rows is not None and m.num_rows == 0:
+                    continue
+                out.append(
+                    split_block.options(num_returns=TB + 1).remote(
+                        ref, keys, replicate, hot_ref
+                    )
+                )
+        return out
+
+    return stream_splits
+
+
+def _warn_fat_bucket(b: int, nbytes: int):
+    if nbytes > 2 << 30:
+        import warnings
+
+        warnings.warn(
+            f"join bucket {b} holds {nbytes >> 20} MiB of probe rows in "
+            "one task; raise num_buckets to keep per-task memory bounded",
+            ResourceWarning,
+        )
+
+
+def _pack_shards(sizes: np.ndarray, cap: float) -> list:
+    """Greedy LPT byte-aware packing: assign shards (descending size) to the
+    lightest group, opening a new group while the lightest is full. Bounds
+    every group at ~cap + one shard — a strided ``refs[g::G]`` split is
+    byte-blind and can stack all the big shards of an alternating
+    big/small layout into one group. Returns a list of index lists."""
+    order = np.argsort(sizes)[::-1]
+    groups, loads = [], []
+    for i in order:
+        g = int(np.argmin(loads)) if loads else -1
+        if g < 0 or (loads[g] + sizes[i] > cap and loads[g] > 0):
+            groups.append([int(i)])
+            loads.append(float(sizes[i]))
+        else:
+            groups[g].append(int(i))
+            loads[g] += float(sizes[i])
+    return groups
+
+
 def _resolve_chunk_cap(max_probe_bytes_per_task, how: str):
     if max_probe_bytes_per_task == "auto":
         return None if how == "full" else (2 << 30)
@@ -185,18 +253,37 @@ def _plan_salting(ray, probe_ds, on, skew_threshold, max_replication, max_hot_ke
     return ray.put((hot_h, reps, base)), B + int(reps.sum())
 
 
-def _accumulate_probe_bytes(ray, lsplits, TB):
-    """O(num_buckets) driver memory: batched gets of the tiny size vectors,
-    accumulated and discarded (this waits on the probe-side split tasks —
-    the per-bucket reduce could not start earlier anyway, hashing's
-    inherent barrier)."""
-    probe_bytes = np.zeros(TB, dtype=np.float64)
+def _plan_probe_chunks(ray, lsplits, TB: int, cap: float) -> dict:
+    """Byte-aware chunk plan for oversized buckets: ``{bucket: [shard-index
+    lists]}`` (absent = one task). Two passes over the tiny per-block size
+    vectors, batched gets: totals first (O(num_buckets) driver memory),
+    then per-shard bytes ONLY for the buckets past the cap
+    (O(blocks × oversized buckets)), greedy-LPT packed so no task exceeds
+    ~cap + one shard. This waits on the probe-side split tasks — the
+    per-bucket reduce could not start earlier anyway, hashing's inherent
+    barrier WITHIN one join (note: it does serialize the driver across
+    independent joins submitted back-to-back; pass
+    ``max_probe_bytes_per_task=None`` to opt out)."""
     size_refs = [s[TB] for s in lsplits]
+    totals = np.zeros(TB, dtype=np.float64)
+    widths = np.zeros(len(size_refs), dtype=np.float64)  # bytes/row per block
     for i in range(0, len(size_refs), 256):
-        for v in ray.get(size_refs[i : i + 256]):
+        for j, v in enumerate(ray.get(size_refs[i : i + 256])):
             if v[TB + 1] > 0:
-                probe_bytes += v[:TB].astype(np.float64) * (v[TB] / v[TB + 1])
-    return probe_bytes
+                widths[i + j] = v[TB] / v[TB + 1]
+                totals += v[:TB].astype(np.float64) * widths[i + j]
+    hot = np.flatnonzero(totals > cap)
+    chunks: dict = {}
+    if len(hot):
+        per = np.zeros((len(size_refs), len(hot)), dtype=np.float64)
+        for i in range(0, len(size_refs), 256):
+            for j, v in enumerate(ray.get(size_refs[i : i + 256])):
+                per[i + j] = v[hot].astype(np.float64) * widths[i + j]
+        for k, b in enumerate(hot):
+            groups = _pack_shards(per[:, k], float(cap))
+            if len(groups) > 1:  # a single giant shard cannot be split
+                chunks[int(b)] = groups
+    return chunks
 
 
 def detect_hot_key_hashes(
@@ -345,12 +432,17 @@ def shuffle_join(
     for ``full`` the cap is ignored under ``"auto"`` and rejected when set
     explicitly (a replicated unmatched build row would emit per chunk).
     Chunk granularity is one shard (= one input block's slice), so a
-    single block can never be split — per-task probe memory is bounded by
-    max(cap, input block size). Sizes are accumulated on the driver in
-    O(num_buckets) memory (batched ref gets). Prefer this over
-    ``skew_threshold`` unless you need row-granular balance: it costs no
-    extra pass, adapts to actual bytes, and composes with salting (salted
-    sub-buckets are measured and chunked like any bucket).
+    single block can never be split — oversized buckets are greedy-LPT
+    packed by estimated bytes, bounding per-task probe memory at ~cap +
+    one block. Sizes are accumulated on the driver in O(num_buckets)
+    memory (batched ref gets). Prefer this over ``skew_threshold`` unless
+    you need row-granular balance: it costs no extra pass, adapts to
+    actual bytes, and composes with salting (salted sub-buckets are
+    measured and chunked like any bucket). Caveat: the size collect
+    blocks the CALLING driver thread until the probe side is split —
+    within one join that barrier is inherent (the reduce needs every map
+    anyway), but if you submit several independent joins back-to-back and
+    want their exchanges to overlap, pass ``None`` here.
     """
     import ray
     import ray.data as rd
@@ -413,6 +505,7 @@ def shuffle_join(
             (c + rsuffix if c in clash else c, rtypes[c]) for c in rpayload
         ]
     out_names = [n for n, _ in out_fields]
+    _check_unique_names(out_names, rsuffix)
     out_schema = pa.schema([pa.field(n, t) for n, t in out_fields])
 
     # align right key dtypes to the left's so the bucket hash and the acero
@@ -476,18 +569,7 @@ def shuffle_join(
     def split_block(block, keys: list[str], replicate: bool, hot):
         return _split_to_buckets(block, keys, B, TB, hot, replicate)
 
-    def stream_splits(ds, keys: list[str], replicate: bool) -> list:
-        out = []
-        for bundle in ds.iter_internal_ref_bundles():
-            for ref, m in bundle.blocks:
-                if m.num_rows is not None and m.num_rows == 0:
-                    continue
-                out.append(
-                    split_block.options(num_returns=TB + 1).remote(
-                        ref, keys, replicate, hot_ref
-                    )
-                )
-        return out
+    stream_splits = _make_stream_splits(ray, split_block, TB)
 
     empty_out = out_schema.empty_table()
 
@@ -515,14 +597,7 @@ def shuffle_join(
                 return _right_only(rt)
             return empty_out
         lt = lparts[0] if len(lparts) == 1 else pa.concat_tables(lparts, promote_options="default")
-        if lt.nbytes > 2 << 30:
-            import warnings
-
-            warnings.warn(
-                f"join bucket {b} holds {lt.nbytes >> 20} MiB of probe rows in "
-                "one task; raise num_buckets to keep per-task memory bounded",
-                ResourceWarning,
-            )
+        _warn_fat_bucket(b, lt.nbytes)
         if not rparts:
             # no build rows in this bucket: resolvable without a join
             if how in ("inner", "semi"):
@@ -546,27 +621,25 @@ def shuffle_join(
         )
         return out.select(out_names)
 
-    lsplits = stream_splits(left, on, replicate=False)
-    rsplits = stream_splits(right, right_on, replicate=True)
+    lsplits = stream_splits(left, on, replicate=False, hot_ref=hot_ref)
+    rsplits = stream_splits(right, right_on, replicate=True, hot_ref=hot_ref)
     if not lsplits and (how != "full" or not rsplits):
         return rd.from_arrow(empty_out)
 
-    probe_bytes = None
+    chunks = {}
     if chunk_cap is not None and lsplits:
-        probe_bytes = _accumulate_probe_bytes(ray, lsplits, TB)
+        chunks = _plan_probe_chunks(ray, lsplits, TB, chunk_cap)
 
     out_refs = []
     for b in range(TB):
         lrefs = [s[b] for s in lsplits]
         rrefs = [s[b] for s in rsplits]
-        n_chunks = 1
-        if probe_bytes is not None and probe_bytes[b] > chunk_cap:
-            n_chunks = min(int(np.ceil(probe_bytes[b] / chunk_cap)), len(lrefs))
-        if n_chunks <= 1:
+        groups = chunks.get(b)
+        if not groups:
             out_refs.append(join_bucket.remote(b, len(lrefs), *lrefs, *rrefs))
         else:
-            for g in range(n_chunks):
-                sub = lrefs[g::n_chunks]
+            for idxs in groups:
+                sub = [lrefs[i] for i in idxs]
                 out_refs.append(join_bucket.remote(b, len(sub), *sub, *rrefs))
     return rd.from_arrow_refs(out_refs)
 
@@ -621,12 +694,21 @@ def shuffle_join_chain(
     steps = []
     for i, spec in enumerate(rights):
         if isinstance(spec, dict):
+            unknown = set(spec) - {"right", "right_on", "how", "rsuffix"}
+            if unknown:
+                # a typo ('hw' for 'how') must not silently run an inner join
+                raise ValueError(f"rights[{i}]: unknown spec keys {sorted(unknown)}")
             r_ds = spec["right"]
             r_on = spec.get("right_on", on)
             r_how = spec.get("how", "inner")
             r_sfx = spec.get("rsuffix", rsuffix)
         else:
             spec = tuple(spec)
+            if not 1 <= len(spec) <= 3:
+                raise ValueError(
+                    f"rights[{i}]: expected (right, right_on[, how]), got "
+                    f"{len(spec)} elements"
+                )
             r_ds, r_on = spec[0], spec[1] if len(spec) > 1 and spec[1] is not None else on
             r_how = spec[2] if len(spec) > 2 else "inner"
             r_sfx = rsuffix
@@ -691,12 +773,17 @@ def shuffle_join_chain(
             continue
         st["payload"] = [c for c in st["names"] if c not in st["on"]]
         st["out_cols"] = []
+        # mirror acero exactly: a right column is suffixed iff its ORIGINAL
+        # name clashes with the left table AT JOIN TIME (left + previous
+        # steps' additions) — same-step siblings are not in lt yet, so a
+        # sibling-aware planner would diverge from what acero emits
+        clash = set(seen)
         for c in st["payload"]:
-            name = c + st["sfx"] if c in seen else c
+            name = c + st["sfx"] if c in clash else c
             if name in seen:
                 raise ValueError(
                     f"rights[{i}] column {c!r} collides as {name!r}; give this "
-                    "step a distinct rsuffix"
+                    "step a distinct rsuffix or rename the clashing column"
                 )
             seen.add(name)
             st["out_cols"].append(name)
@@ -751,18 +838,7 @@ def shuffle_join_chain(
     def split_block(block, keys: list, replicate: bool, hot):
         return _split_to_buckets(block, keys, B, TB, hot, replicate)
 
-    def stream_splits(ds, keys: list, replicate: bool) -> list:
-        out = []
-        for bundle in ds.iter_internal_ref_bundles():
-            for ref, m in bundle.blocks:
-                if m.num_rows is not None and m.num_rows == 0:
-                    continue
-                out.append(
-                    split_block.options(num_returns=TB + 1).remote(
-                        ref, keys, replicate, hot_ref
-                    )
-                )
-        return out
+    stream_splits = _make_stream_splits(ray, split_block, TB)
 
     empty_out = out_schema.empty_table()
     plan = [
@@ -782,14 +858,7 @@ def shuffle_join_chain(
             if len(lparts) == 1
             else pa.concat_tables(lparts, promote_options="default")
         )
-        if lt.nbytes > 2 << 30:
-            import warnings
-
-            warnings.warn(
-                f"join bucket {b} holds {lt.nbytes >> 20} MiB of probe rows in "
-                "one task; raise num_buckets to keep per-task memory bounded",
-                ResourceWarning,
-            )
+        _warn_fat_bucket(b, lt.nbytes)
         pos = nl
         for (s_on, s_type, s_how, s_sfx, s_payload, s_cols, s_types), c in zip(
             plan, counts[1:]
@@ -823,14 +892,17 @@ def shuffle_join_chain(
                 return empty_out
         return lt.select(out_names)
 
-    lsplits = stream_splits(left, on, replicate=False)
+    lsplits = stream_splits(left, on, replicate=False, hot_ref=hot_ref)
     if not lsplits:
         return rd.from_arrow(empty_out)
-    rsplits = [stream_splits(st["ds"], st["on"], replicate=True) for st in steps]
+    rsplits = [
+        stream_splits(st["ds"], st["on"], replicate=True, hot_ref=hot_ref)
+        for st in steps
+    ]
 
-    probe_bytes = None
+    chunks = {}
     if chunk_cap is not None:
-        probe_bytes = _accumulate_probe_bytes(ray, lsplits, TB)
+        chunks = _plan_probe_chunks(ray, lsplits, TB, chunk_cap)
 
     out_refs = []
     for b in range(TB):
@@ -840,16 +912,14 @@ def shuffle_join_chain(
             rb = [s[b] for s in rs]
             rrefs_flat.extend(rb)
             counts_r.append(len(rb))
-        n_chunks = 1
-        if probe_bytes is not None and probe_bytes[b] > chunk_cap:
-            n_chunks = min(int(np.ceil(probe_bytes[b] / chunk_cap)), len(lrefs))
-        if n_chunks <= 1:
+        groups = chunks.get(b)
+        if not groups:
             out_refs.append(
                 join_bucket.remote(b, (len(lrefs), *counts_r), *lrefs, *rrefs_flat)
             )
         else:
-            for g in range(n_chunks):
-                sub = lrefs[g::n_chunks]
+            for idxs in groups:
+                sub = [lrefs[i] for i in idxs]
                 out_refs.append(
                     join_bucket.remote(b, (len(sub), *counts_r), *sub, *rrefs_flat)
                 )

@@ -163,6 +163,41 @@ def test_chain_key_dtype_cast():
     pd.testing.assert_frame_equal(key(a), key(b), check_dtype=False)
 
 
+def test_pack_shards_byte_aware():
+    # alternating big/small layout: strided g::G packing would stack both
+    # big shards in one group; LPT must separate them
+    from nvtabular_ray.pipelines.joins import _pack_shards
+
+    sizes = np.array([100.0, 1.0, 100.0, 1.0, 1.0, 1.0])
+    groups = _pack_shards(sizes, cap=110.0)
+    loads = sorted(sum(sizes[i] for i in g) for g in groups)
+    assert loads[-1] <= 110.0 + sizes.max()
+    big = [next(gi for gi, g in enumerate(groups) if i in g) for i in (0, 2)]
+    assert big[0] != big[1], "the two big shards must land in different groups"
+    assert sorted(i for g in groups for i in g) == list(range(6))
+    # a single giant shard cannot be split below shard granularity
+    assert len(_pack_shards(np.array([500.0]), cap=100.0)) == 1
+
+
+def test_suffix_collision_refused_at_plan_time():
+    # right carries both 'x' and a literal 'x_r' while left has 'x':
+    # acero would emit two 'x_r' columns and the select would crash in the
+    # remote task — must refuse loudly on the driver instead
+    l = pd.DataFrame({"k": np.arange(10, dtype=np.int64), "x": np.arange(10.0)})
+    r = pd.DataFrame(
+        {
+            "rk": np.arange(10, dtype=np.int64),
+            "x": np.arange(10.0),
+            "x_r": np.arange(10.0),
+        }
+    )
+    with pytest.raises(ValueError, match="collide"):
+        shuffle_join(_ds(l, 2), _ds(r, 2), on="k", right_on="rk", how="inner",
+                     num_buckets=2)
+    with pytest.raises(ValueError, match="collide"):
+        shuffle_join_chain(_ds(l, 2), [(_ds(r, 2), "rk")], on="k", num_buckets=2)
+
+
 def test_chain_rejects_bad_specs():
     left, hdr, _, _ = _frames(seed=13)
     with pytest.raises(ValueError, match="non-empty"):
@@ -177,3 +212,11 @@ def test_chain_rejects_bad_specs():
             _ds(left), [(_ds(hdr, 2), "hk"), (_ds(hdr, 2), "hk")], on="k",
             num_buckets=3,
         )
+    # a typo'd dict key must not silently change join semantics
+    with pytest.raises(ValueError, match="unknown spec keys"):
+        shuffle_join_chain(
+            _ds(left), [{"right": _ds(hdr), "right_on": "hk", "hw": "anti"}],
+            on="k",
+        )
+    with pytest.raises(ValueError, match="elements"):
+        shuffle_join_chain(_ds(left), [(_ds(hdr), "hk", "anti", "extra")], on="k")
