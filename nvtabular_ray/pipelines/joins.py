@@ -196,6 +196,21 @@ def _warn_fat_bucket(b: int, nbytes: int):
         )
 
 
+def _warn_fat_build(b: int, nbytes: int):
+    # probe-chunking cannot shrink the BUILD side (it replicates per chunk);
+    # a hot build key needs the broadcast join instead
+    if nbytes > 2 << 30:
+        import warnings
+
+        warnings.warn(
+            f"join bucket {b} holds {nbytes >> 20} MiB of BUILD rows in one "
+            "task; probe-chunking/salting cannot reduce this — if one key "
+            "dominates the build side, broadcast that side (ops.JoinExternal) "
+            "or raise num_buckets",
+            ResourceWarning,
+        )
+
+
 def _pack_shards(sizes: np.ndarray, cap: float) -> list:
     """Greedy LPT byte-aware packing: assign shards (descending size) to the
     lightest group, opening a new group while the lightest is full. Bounds
@@ -611,6 +626,7 @@ def shuffle_join(
         rt = rparts[0] if len(rparts) == 1 else pa.concat_tables(rparts, promote_options="default")
         if existence and len(rparts) > 1:
             rt = rt.group_by(right_on, use_threads=False).aggregate([])
+        _warn_fat_build(b, rt.nbytes)
         out = lt.join(
             rt,
             keys=on,
@@ -880,6 +896,7 @@ def shuffle_join_chain(
             )
             if s_how in ("semi", "anti") and len(rparts) > 1:
                 rt = rt.group_by(s_on, use_threads=False).aggregate([])
+            _warn_fat_build(b, rt.nbytes)
             lt = lt.join(
                 rt,
                 keys=on,
