@@ -1892,7 +1892,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     over untouched code sit past the window (those rows stand); the young
     rows rotated past 50 this round (multimodal_meta, groupby_list,
     value_count, the broadcast categorify trio, sessionize, backfill)
-    exercise files with no round-4 commits.
+    exercise files with no round-4 commits. Session 4 added the salted +
+    chunked `join_shuffle` and the new `join_chain` (co-bucketed
+    multi-way chain), displacing `rolling_leading` just past the gate —
+    its round-4 hunks are the shared count/distinct dtype branches and
+    the windowed_agg bounds dedup, all executed by the in-window
+    rolling_mean and rolling_distinct rows; no leading-bounds code
+    changed since 42805d0.
 
     Session-4 curation: `join_shuffle` (new pipelines/joins.py code) joined
     the head; `difference_lag` displaced past 50 — its round-4 hunk (the
