@@ -133,7 +133,16 @@ def _split_to_buckets(block, keys: list, B: int, TB: int, hot, replicate: bool):
                 run_id = np.zeros(len(sp), dtype=np.int64)
                 run_id[run_start[1:]] = 1
                 rank = np.arange(len(sp), dtype=np.int64) - run_start[np.cumsum(run_id)]
-                bucket[rows[o]] = B + base[sp] + rank % reps[sp]
+                # a per-block offset: rank alone restarts at 0 every block,
+                # so a hot key with FEWER rows per block than R (one row per
+                # time-ordered shard, say) would land every row in
+                # sub-bucket base+0. Mixing the block's own hashes spreads
+                # thin-per-block hot keys across blocks while keeping the
+                # within-block round-robin exact and deterministic.
+                blk_off = np.int64(
+                    (int(h[0]) ^ (int(h[-1]) >> 1) ^ len(h)) & 0x7FFFFFFF
+                )
+                bucket[rows[o]] = B + base[sp] + (rank + blk_off) % reps[sp]
     order = np.argsort(bucket, kind="stable")
     srt = block.take(pa.array(order if idx is None else idx[order]))
     bounds = np.searchsorted(bucket[order], np.arange(TB + 1))
@@ -145,6 +154,25 @@ def _split_to_buckets(block, keys: list, B: int, TB: int, hot, replicate: bool):
         *(srt.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(TB)),
         sizes,
     )
+
+
+def _adopt_null_key_types(ds, casts: dict):
+    """A key column probed as all-null (Ray one-block schema inference)
+    adopts the other side's concrete type: null casts to anything and stays
+    null, so ANSI non-matching is preserved while the hash and acero see a
+    real type. The per-batch re-check matters — later blocks may already
+    carry the concrete type."""
+    import pyarrow.compute as pc
+
+    def cast_left_keys(t: pa.Table) -> pa.Table:
+        for c, typ in casts.items():
+            if pa.types.is_null(t.column(c).type):
+                t = t.set_column(
+                    t.schema.get_field_index(c), c, pc.cast(t.column(c), typ)
+                )
+        return t
+
+    return ds.map_batches(cast_left_keys, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _check_unique_names(out_names: list, rsuffix: str):
@@ -165,7 +193,7 @@ def _check_unique_names(out_names: list, rsuffix: str):
         )
 
 
-def _make_stream_splits(ray, split_block, TB: int):
+def _make_stream_splits(split_block, TB: int):
     """Shared probe/build split driver: one split task per non-empty input
     block, each returning TB shards + the trailing size vector."""
 
@@ -217,7 +245,7 @@ def _pack_shards(sizes: np.ndarray, cap: float) -> list:
     every group at ~cap + one shard — a strided ``refs[g::G]`` split is
     byte-blind and can stack all the big shards of an alternating
     big/small layout into one group. Returns a list of index lists."""
-    order = np.argsort(sizes)[::-1]
+    order = [i for i in np.argsort(sizes)[::-1] if sizes[i] > 0]
     groups, loads = [], []
     for i in order:
         g = int(np.argmin(loads)) if loads else -1
@@ -249,15 +277,22 @@ def _resolve_chunk_cap(max_probe_bytes_per_task, how: str):
     return cap
 
 
-def _plan_salting(ray, probe_ds, on, skew_threshold, max_replication, max_hot_keys, B):
+def _plan_salting(
+    ray, probe_ds, on, skew_threshold, max_replication, max_hot_keys, B,
+    key_types=None,
+):
     """Returns ``(hot_ref, TB)`` — the broadcast salting plan and the total
     bucket count (B plus every hot key's private sub-buckets)."""
     if int(max_replication) < 2:
         # reps=0 would silently DROP every hot-key row (empty repeat on
         # the build side, modulo-zero salt on the probe side)
         raise ValueError(f"max_replication must be >= 2, got {max_replication}")
+    if int(skew_threshold) < 1:
+        # threshold 0 would ceil-divide by zero (numpy warns and yields 0)
+        raise ValueError(f"skew_threshold must be >= 1, got {skew_threshold}")
     hot_h, hot_n = detect_hot_key_hashes(
-        probe_ds, on, int(skew_threshold), max_hot_keys=max_hot_keys
+        probe_ds, on, int(skew_threshold), max_hot_keys=max_hot_keys,
+        key_types=key_types,
     )
     if not len(hot_h):
         return None, B
@@ -307,6 +342,7 @@ def detect_hot_key_hashes(
     threshold: int,
     num_buckets: int = 64,
     max_hot_keys: Optional[int] = None,
+    key_types: Optional[list] = None,
 ):
     """Distributed survivor-only hot-key detection: 64-bit key hashes whose
     total row count exceeds ``threshold``. Returns ``(hashes, counts)`` —
@@ -326,7 +362,13 @@ def detect_hot_key_hashes(
     the driver, so a too-low threshold on a high-cardinality key cannot
     flood the collect), then globally. Salting the hottest-N subset is
     still exact; the un-salted near-threshold keys just stay on the plain
-    route."""
+    route.
+
+    ``key_types``: expected Arrow types for ``keys`` in order (the PROBE
+    side's types). ``hash64_columns`` dispatches on physical type, so an
+    ``analyze_ds`` whose key is int32 while the probe carries int64 would
+    otherwise produce hashes that never match anything — salting would
+    silently no-op. Columns are cast before hashing when they differ."""
     import ray
 
     keys = _as_list(keys)
@@ -338,6 +380,15 @@ def detect_hot_key_hashes(
     def partial_counts(block):
         if not isinstance(block, pa.Table):
             block = pa.Table.from_pandas(block, preserve_index=False)
+        if key_types is not None:
+            import pyarrow.compute as pc
+
+            for c, typ in zip(keys, key_types):
+                if block.column(c).type != typ:
+                    block = block.set_column(
+                        block.schema.get_field_index(c), c,
+                        pc.cast(block.column(c), typ),
+                    )
         h = hash64_columns(block, keys)
         uniq, cnt = np.unique(h, return_counts=True)
         b = (uniq % np.uint64(B2)).astype(np.int64)
@@ -491,21 +542,8 @@ def shuffle_join(
         if pa.types.is_null(ltypes[lc]) and not pa.types.is_null(rtypes[rc])
     }
     if lnull_casts:
-        import pyarrow.compute as pc
-
         ltypes.update(lnull_casts)
-
-        def cast_left_keys(t: pa.Table) -> pa.Table:
-            for c, typ in lnull_casts.items():
-                if pa.types.is_null(t.column(c).type):
-                    t = t.set_column(
-                        t.schema.get_field_index(c), c, pc.cast(t.column(c), typ)
-                    )
-            return t
-
-        left = left.map_batches(
-            cast_left_keys, batch_format="pyarrow", zero_copy_batch=True
-        )
+        left = _adopt_null_key_types(left, lnull_casts)
 
     existence = how in ("semi", "anti")
     if existence:
@@ -578,13 +616,14 @@ def shuffle_join(
             max_replication,
             max_hot_keys,
             B,
+            key_types=[ltypes[c] for c in on],
         )
 
     @ray.remote
     def split_block(block, keys: list[str], replicate: bool, hot):
         return _split_to_buckets(block, keys, B, TB, hot, replicate)
 
-    stream_splits = _make_stream_splits(ray, split_block, TB)
+    stream_splits = _make_stream_splits(split_block, TB)
 
     empty_out = out_schema.empty_table()
 
@@ -766,18 +805,7 @@ def shuffle_join_chain(
                     break
     if lnull_casts:
         ltypes.update(lnull_casts)
-
-        def cast_left_keys(t: pa.Table) -> pa.Table:
-            for c, typ in lnull_casts.items():
-                if pa.types.is_null(t.column(c).type):
-                    t = t.set_column(
-                        t.schema.get_field_index(c), c, pc.cast(t.column(c), typ)
-                    )
-            return t
-
-        left = left.map_batches(
-            cast_left_keys, batch_format="pyarrow", zero_copy_batch=True
-        )
+        left = _adopt_null_key_types(left, lnull_casts)
 
     # accumulated output schema + per-step plan
     out_fields = [(c, ltypes[c]) for c in lschema.names]
@@ -848,17 +876,18 @@ def shuffle_join_chain(
             max_replication,
             max_hot_keys,
             B,
+            key_types=[ltypes[c] for c in on],
         )
 
     @ray.remote
     def split_block(block, keys: list, replicate: bool, hot):
         return _split_to_buckets(block, keys, B, TB, hot, replicate)
 
-    stream_splits = _make_stream_splits(ray, split_block, TB)
+    stream_splits = _make_stream_splits(split_block, TB)
 
     empty_out = out_schema.empty_table()
     plan = [
-        (st["on"], _ACERO_TYPE[st["how"]], st["how"], st["sfx"], st["payload"],
+        (st["on"], _ACERO_TYPE[st["how"]], st["how"], st["sfx"],
          st["out_cols"], [st["types"][c] for c in st["payload"]])
         for st in steps
     ]
@@ -876,7 +905,7 @@ def shuffle_join_chain(
         )
         _warn_fat_bucket(b, lt.nbytes)
         pos = nl
-        for (s_on, s_type, s_how, s_sfx, s_payload, s_cols, s_types), c in zip(
+        for (s_on, s_type, s_how, s_sfx, s_cols, s_types), c in zip(
             plan, counts[1:]
         ):
             rparts = [s for s in shards[pos : pos + c] if s.num_rows]

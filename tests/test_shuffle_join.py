@@ -303,6 +303,52 @@ def test_salted_join_multi_key():
     )
 
 
+def test_salted_thin_per_block_distributes():
+    # a hot key with ONE row per block: per-block rank restarts at 0, so
+    # without the per-block offset every probe row would land in sub-bucket
+    # base+0 — the offset must spread them across blocks
+    from nvtabular_ray.functions.hashing import hash64_columns
+    from nvtabular_ray.pipelines.joins import _split_to_buckets
+
+    hot_hash = hash64_columns(pa.table({"k": pa.array([7], pa.int64())}), ["k"])
+    reps = np.array([4], dtype=np.int64)
+    base = np.array([0], dtype=np.int64)
+    hot = (hot_hash.astype(np.uint64), reps, base)
+    B = 4
+    rng = np.random.RandomState(3)
+    seen_buckets = set()
+    for blk in range(24):
+        cold = rng.randint(100, 200, 5).astype(np.int64)
+        tbl = pa.table({"k": pa.array(np.r_[cold, 7]), "v": pa.array(rng.rand(6))})
+        *shards, sizes = _split_to_buckets(tbl, ["k"], B, B + 4, hot, replicate=False)
+        for sb in range(B, B + 4):
+            if shards[sb].num_rows:
+                seen_buckets.add(sb)
+    assert len(seen_buckets) > 1, "thin-per-block hot rows all collapsed into one sub-bucket"
+
+
+def test_salted_threshold_zero_raises():
+    l, r = _mk_skewed()
+    with pytest.raises(ValueError, match="skew_threshold"):
+        shuffle_join(_ds(l), _ds(r), on="k", right_on="rk", skew_threshold=0)
+
+
+def test_detect_hot_key_types_align():
+    # analyze side carries int32 keys while the probe is int64: without the
+    # key_types cast the hashes would never match the probe's
+    from nvtabular_ray.pipelines.joins import detect_hot_key_hashes
+
+    l, _ = _mk_skewed()
+    l32 = l.copy()
+    l32["k"] = l32["k"].astype(np.int32)
+    h64, c64 = detect_hot_key_hashes(_ds(l, blocks=4), "k", threshold=500)
+    h32, c32 = detect_hot_key_hashes(
+        _ds(l32, blocks=4), "k", threshold=500, key_types=[pa.int64()]
+    )
+    assert h32.tolist() == h64.tolist()
+    assert c32.tolist() == c64.tolist()
+
+
 def test_detect_hot_key_cap():
     # max_hot_keys keeps only the heaviest hitters — bounded driver collect
     from nvtabular_ray.pipelines.joins import detect_hot_key_hashes
