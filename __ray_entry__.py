@@ -1826,20 +1826,32 @@ def _q_join_groupby_multi_distributed(sf_dir: str):
 
 
 def _q_target_encode_multi_distributed(sf_dir: str):
-    """Multi-column joint cat group on the TargetEncoding scale path."""
+    """Multi-column joint cat group x multi-TARGET on the TargetEncoding
+    scale path: two continuous targets ride the same stat rows/exchange
+    (reference target_encoding.py:243-245 multi-target column naming)."""
     from nvtabular_ray import Workflow, ops
 
     ds = _read(
         sf_dir,
         "lineitem",
-        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity"],
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+        ],
     )
     node = [["l_returnflag", "l_linestatus"]] >> ops.TargetEncoding(
-        "l_quantity", kfold=1, p_smooth=20, out_col="te_rfls", out_dtype="float64",
+        ["l_quantity", "l_extendedprice"], kfold=1, p_smooth=20, out_dtype="float64",
         distributed=True,
     )
     wf = Workflow(node + ["l_orderkey", "l_linenumber"])
-    return _round6i(wf.fit(ds).transform(ds), ["te_rfls"])
+    return _round6i(
+        wf.fit(ds).transform(ds),
+        ["TE_l_returnflag_l_linestatus_l_quantity", "TE_l_returnflag_l_linestatus_l_extendedprice"],
+    )
 
 
 def _q_multimodal_meta(sf_dir: str):
@@ -1904,7 +1916,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the head; `difference_lag` displaced past 50 — its round-4 hunk (the
     group_multi_order / fused-transform refactor) is window-covered by
     `transcript_fused`, which runs the identical DifferenceLag config
-    through the same compiled path.
+    through the same compiled path. Late session 4 generalized
+    TargetEncoding to MULTI-TARGET (ops/target_encoding.py rewrite): the
+    in-window `target_encode_multi_distributed` row now runs TWO targets
+    over a joint column group on the distributed path, and `target_encode`/
+    `target_encode_distributed` (also in-window) re-prove the single-target
+    broadcast/distributed paths of the rewritten file; broadcast multi-target
+    equals per-target single runs by unit test (tests/test_te_multi_target.py).
 
     Session-3 curation: ten new rows joined the head (`context_concat`,
     `tfidf_terms`, `dedup_incremental`, `group_rank`, `mean_pool`,
@@ -2509,13 +2527,17 @@ def oracle_sql() -> dict[str, str]:
         "target_encode_multi_distributed": """
             WITH stats AS (
                 SELECT l_returnflag, l_linestatus,
-                       count(l_quantity) AS cnt, sum(l_quantity) AS s
+                       count(l_quantity) AS cnt_q, sum(l_quantity) AS s_q,
+                       count(l_extendedprice) AS cnt_e, sum(l_extendedprice) AS s_e
                 FROM lineitem GROUP BY l_returnflag, l_linestatus
             ),
-            g AS (SELECT avg(l_quantity) AS gmean FROM lineitem)
+            g AS (SELECT avg(l_quantity) AS gm_q, avg(l_extendedprice) AS gm_e
+                  FROM lineitem)
             SELECT l.l_orderkey, l.l_linenumber,
-                   CAST(ROUND((st.s + 20 * g.gmean) / (st.cnt + 20) * 1e6)
-                        AS BIGINT) AS te_rfls
+                   CAST(ROUND((st.s_q + 20 * g.gm_q) / (st.cnt_q + 20) * 1e6)
+                        AS BIGINT) AS TE_l_returnflag_l_linestatus_l_quantity,
+                   CAST(ROUND((st.s_e + 20 * g.gm_e) / (st.cnt_e + 20) * 1e6)
+                        AS BIGINT) AS TE_l_returnflag_l_linestatus_l_extendedprice
             FROM lineitem l JOIN stats st USING (l_returnflag, l_linestatus), g
         """,
         "categorify_tokens": """

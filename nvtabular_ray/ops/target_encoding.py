@@ -9,21 +9,30 @@ computed leave-one-fold-out (fold subtraction at target_encoding.py:340-356),
 NaN (unseen category) filled with the global mean, output float32 named
 ``TE_{group}_{target}``.
 
+Multi-target (reference target_encoding.py:243-245, 297-312): ``target`` may
+be a LIST of continuous columns; each (cat_group, target) pair yields one
+``TE_{group}_{target}`` column. One fold assignment and ONE stat pass are
+shared across targets (per-group stat rows carry a count+sum pair per
+target). Deliberate divergence: the reference shares a single ``count_y``
+per group across targets (:326); we count each target's NON-NULL rows so a
+null in target A never dilutes target B's mean — identical when targets
+have no nulls.
+
 Fold assignment (deliberate divergence, SURVEY.md §7.4.2): the reference's
 ``_add_fold`` seeds a RandomState over the *partition-local* row index
 (target_encoding.py:427-439) — fold membership changes with the partition
 layout. We define ``fold = stable_hash(fold_on columns) % kfold``:
 deterministic, partition-layout-free, identical in fit and transform.
 ``fold_on`` MUST name a row-unique key (e.g. ["conv_id","turn_idx"]) and is
-REQUIRED when kfold>1. The target column is never part of the fold hash:
+REQUIRED when kfold>1. Target columns are never part of the fold hash:
 folding on (category, target) would make leave-one-fold-out subtraction
 remove exactly the rows sharing the row's own target value — the TE output
 becomes a (smoothed) copy of the target, catastrophic train-time leakage.
 
 Ray design: fit = one map_batches pass of per-batch grouped (count,sum)
 partials per (group, fold) -> one small groupby shuffle -> driver holds both
-the per-(group,fold) and per-group stat tables (global mean derived from the
-same totals — no extra pass). Transform = broadcast merge per batch.
+the per-(group,fold) and per-group stat tables (global means derived from
+the same totals — no extra pass). Transform = broadcast merge per batch.
 """
 
 from __future__ import annotations
@@ -45,8 +54,8 @@ class TargetEncoding(BroadcastTableState, StatOperator):
 
     def __init__(
         self,
-        target: str,
-        target_mean: Optional[float] = None,
+        target,
+        target_mean=None,
         kfold: int = 3,
         fold_seed: int = 42,
         p_smooth: int = 20,
@@ -59,15 +68,25 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         split_out: Optional[int] = None,
     ):
         StatOperator.__init__(self)
-        if isinstance(target, (list, tuple)):
-            if len(target) != 1:
-                raise NotImplementedError("one target column supported")
-            target = target[0]
-        self.target = target
-        self.target_mean = target_mean  # user-supplied global mean (reference :132)
+        targets = [target] if isinstance(target, str) else list(target)
+        if not targets:
+            raise ValueError("TargetEncoding requires at least one target column")
+        if len(set(targets)) != len(targets):
+            raise ValueError("duplicate target columns")
+        self.targets = targets
+        # back-compat alias: single-target callers/tests read .target
+        self.target = targets[0]
+        # user-supplied global mean(s) (reference :132): float applies to
+        # every target; a dict maps target name -> mean
+        self.target_mean = target_mean
         self.kfold = kfold
         self.fold_seed = fold_seed
         self.p_smooth = p_smooth
+        if out_col is not None and len(targets) > 1:
+            raise ValueError(
+                "out_col with multiple targets is ambiguous; use the default "
+                "TE_{group}_{target} names"
+            )
         self.out_col = out_col
         self.out_dtype = out_dtype
         self.fold_on = list(fold_on) if fold_on else None
@@ -77,8 +96,8 @@ class TargetEncoding(BroadcastTableState, StatOperator):
                 "row-unique key (e.g. ['conv_id','turn_idx']): deriving folds "
                 "from the (category, target) pair leaks the target"
             )
-        if self.fold_on and target in self.fold_on:
-            raise ValueError("fold_on must not contain the target column (target leakage)")
+        if self.fold_on and any(t in self.fold_on for t in targets):
+            raise ValueError("fold_on must not contain a target column (target leakage)")
         self.drop_folds = drop_folds
         self.name_sep = name_sep
         # scale path: per-(category,fold) stat table too big to broadcast —
@@ -88,21 +107,46 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         self.split_out = split_out
         self.distributed_stats: dict[str, dict] = {}
         self.state_tables: dict[str, pa.Table] = {}
-        self.global_mean: Optional[float] = target_mean
+        self.global_means: dict[str, Optional[float]] = {
+            t: self._user_mean(t) for t in targets
+        }
+
+    def _user_mean(self, t: str):
+        if self.target_mean is None:
+            return None
+        if isinstance(self.target_mean, dict):
+            return self.target_mean.get(t)
+        return float(self.target_mean)
+
+    @property
+    def global_mean(self):
+        """Back-compat scalar view (first target's fitted global mean)."""
+        return self.global_means[self.targets[0]]
+
+    @global_mean.setter
+    def global_mean(self, v):
+        self.global_means[self.targets[0]] = v
 
     @property
     def dependencies(self):
-        deps = [self.target]
+        deps = list(self.targets)
         if self.fold_on:
             deps += [c for c in self.fold_on if c not in deps]
         for name in self.distributed_stats:
-            deps += [
-                f"__te_{name}_cnt_all__",
-                f"__te_{name}_sum_all__",
-                f"__te_{name}_cnt_f__",
-                f"__te_{name}_sum_f__",
-            ]
+            deps += self._dep_cols(name)
         return deps
+
+    def _dep_cols(self, name: str) -> list[str]:
+        """Shuffle-join output columns consumed by transform, 4 per target."""
+        out = []
+        for t in self.targets:
+            out += [
+                f"__te_{name}_{t}_cnt_all__",
+                f"__te_{name}_{t}_sum_all__",
+                f"__te_{name}_{t}_cnt_f__",
+                f"__te_{name}_{t}_sum_f__",
+            ]
+        return out
 
     def _groups(self, col_selector) -> list[tuple[str, list[str]]]:
         out = []
@@ -113,26 +157,27 @@ class TargetEncoding(BroadcastTableState, StatOperator):
                 out.append((self.name_sep.join(g), list(g)))
         return out
 
-    def _te_name(self, name: str, idx: int) -> str:
+    def _te_name(self, name: str, idx: int, target: str) -> str:
         if self.out_col:
             cols = self.out_col if isinstance(self.out_col, (list, tuple)) else [self.out_col]
             return cols[idx]
-        return f"TE_{name}_{self.target}"
+        return f"TE_{name}_{target}"
 
     def column_mapping(self, col_selector):
         mapping = {}
         for i, (name, group) in enumerate(self._groups(col_selector)):
-            mapping[self._te_name(name, i)] = [self.target, *group]
+            for t in self.targets:
+                mapping[self._te_name(name, i, t)] = [t, *group]
         if self.kfold > 1 and not self.drop_folds:
             mapping[FOLD_NAME] = []
         return mapping
 
     def compute_output_schema(self, col_selector, input_schema):
         te_type = pa.from_numpy_dtype(np.dtype(self.out_dtype))
-        out = {
-            self._te_name(name, i): te_type
-            for i, (name, _) in enumerate(self._groups(col_selector))
-        }
+        out = {}
+        for i, (name, _) in enumerate(self._groups(col_selector)):
+            for t in self.targets:
+                out[self._te_name(name, i, t)] = te_type
         if self.kfold > 1 and not self.drop_folds:
             out[FOLD_NAME] = pa.int64()
         return out
@@ -140,19 +185,30 @@ class TargetEncoding(BroadcastTableState, StatOperator):
     # ------------------------------------------------------------- fold --
     def _fold_np(self, table: pa.Table, input_cols: list[str]) -> np.ndarray:
         # fold_on is guaranteed set whenever kfold>1 (enforced in __init__);
-        # it never includes the target, so fold ⊥ target given the row key.
-        cols = self.fold_on or [c for c in input_cols if c in table.column_names and c != self.target]
+        # it never includes a target, so fold ⊥ target given the row key.
+        cols = self.fold_on or [
+            c for c in input_cols if c in table.column_names and c not in self.targets
+        ]
         # folds feed persisted stats + label-free serving: version-stable hash
         h = hash64_columns_stable(table, cols)
         # mix in the seed so different seeds give different (still stable) folds
         h = h ^ np.uint64(self.fold_seed * 0x9E3779B97F4A7C15 % (1 << 64))
         return (h % np.uint64(self.kfold)).astype(np.int64)
 
+    # ------------------------------------------------------- stat names --
+    @staticmethod
+    def _cy(t: str) -> str:
+        return f"count_y__{t}"
+
+    @staticmethod
+    def _sy(t: str) -> str:
+        return f"sum_y__{t}"
+
     # -------------------------------------------------------------- fit --
     def fit(self, col_selector, ds) -> None:
         from nvtabular_ray.functions.aggregates import grouped_reduce
 
-        input_cols = list(col_selector.names) + [self.target] + (self.fold_on or [])
+        input_cols = list(col_selector.names) + self.targets + (self.fold_on or [])
         if self.distributed:
             for name, group in self._groups(col_selector):
                 self._fit_distributed(ds, name, group, input_cols)
@@ -161,28 +217,34 @@ class TargetEncoding(BroadcastTableState, StatOperator):
 
             def partial(t: pa.Table, group=tuple(group)) -> pa.Table:
                 # arrow group_by (NUL-exact string keys; aggregates.py note)
-                sel = t.select(list(group) + [self.target])
+                sel = t.select(list(group) + self.targets)
                 sel = sel.append_column(FOLD_NAME, pa.array(self._fold_np(t, input_cols)))
-                res = sel.group_by(list(group) + [FOLD_NAME], use_threads=False).aggregate(
-                    [(self.target, "count"), (self.target, "sum")]
-                )
-                ren = {f"{self.target}_count": "count", f"{self.target}_sum": "sum"}
+                aggs = []
+                for tg in self.targets:
+                    aggs += [(tg, "count"), (tg, "sum")]
+                res = sel.group_by(list(group) + [FOLD_NAME], use_threads=False).aggregate(aggs)
+                ren = {}
+                for tg in self.targets:
+                    ren[f"{tg}_count"] = self._cy(tg)
+                    ren[f"{tg}_sum"] = self._sy(tg)
                 return res.rename_columns([ren.get(n, n) for n in res.column_names])
 
             parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            stat_cols = [self._cy(t) for t in self.targets] + [self._sy(t) for t in self.targets]
             fold_stats = grouped_reduce(
-                parts, list(group) + [FOLD_NAME], {"count": "sum", "sum": "sum"}
-            ).rename(columns={"count": "count_y", "sum": "sum_y"})
+                parts, list(group) + [FOLD_NAME], {c: "sum" for c in stat_cols}
+            )
             all_stats = (
-                fold_stats.groupby(list(group), dropna=False, observed=True)[["count_y", "sum_y"]]
+                fold_stats.groupby(list(group), dropna=False, observed=True)[stat_cols]
                 .sum()
                 .reset_index()
-                .rename(columns={"count_y": "count_y_all", "sum_y": "sum_y_all"})
+                .rename(columns={c: f"{c}_all" for c in stat_cols})
             )
-            if self.global_mean is None:
-                total_cnt = float(all_stats["count_y_all"].sum())
-                total_sum = float(all_stats["sum_y_all"].sum())
-                self.global_mean = total_sum / total_cnt if total_cnt else 0.0
+            for t in self.targets:
+                if self.global_means[t] is None:
+                    total_cnt = float(all_stats[f"{self._cy(t)}_all"].sum())
+                    total_sum = float(all_stats[f"{self._sy(t)}_all"].sum())
+                    self.global_means[t] = total_sum / total_cnt if total_cnt else 0.0
             self.state_tables[f"{name}__folds"] = pa.Table.from_pandas(
                 fold_stats, preserve_index=False
             )
@@ -196,33 +258,41 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         the join back happens in ``pre_transform_stage``. Requires an
         explicit ``fold_on`` when kfold>1 so fold assignment can't depend on
         which columns happen to ride a batch. Multi-column groups hash the
-        whole key tuple as the exchange key (reference ``cat_groups`` of
-        lists, /root/reference/nvtabular/ops/target_encoding.py:35-61)."""
+        whole key tuple as the exchange key; multiple targets ride the SAME
+        stat rows as extra count/sum pairs — no extra shuffle (reference
+        ``cat_groups`` of lists + multi-target,
+        /root/reference/nvtabular/ops/target_encoding.py:35-61,243-245)."""
         if self.kfold > 1 and not self.fold_on:
             raise ValueError("distributed TargetEncoding with kfold>1 requires fold_on=[...]")
         keys = list(group)
 
         def partial(t: pa.Table) -> pa.Table:
-            sel = t.select(keys + [self.target])
+            sel = t.select(keys + self.targets)
             sel = sel.append_column(FOLD_NAME, pa.array(self._fold_np(t, input_cols)))
-            res = sel.group_by(keys + [FOLD_NAME], use_threads=False).aggregate(
-                [(self.target, "count"), (self.target, "sum")]
-            )
-            ren = {f"{self.target}_count": "count", f"{self.target}_sum": "sum"}
+            aggs = []
+            for tg in self.targets:
+                aggs += [(tg, "count"), (tg, "sum")]
+            res = sel.group_by(keys + [FOLD_NAME], use_threads=False).aggregate(aggs)
+            ren = {}
+            for tg in self.targets:
+                ren[f"{tg}_count"] = self._cy(tg)
+                ren[f"{tg}_sum"] = self._sy(tg)
             return res.rename_columns([ren.get(n, n) for n in res.column_names])
 
         parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         # task-based hash exchange (not Ray's sort groupby); the exchange
-        # materializes its buckets, so the two global sums and the parquet
+        # materializes its buckets, so the global sums and the parquet
         # write below all read the same (cardinality x folds)-row refs
         # instead of re-executing the scan.
         from nvtabular_ray.functions.aggregates import bucketed_aggregate
 
-        merged = bucketed_aggregate(parts, keys + [FOLD_NAME], {"count": "sum", "sum": "sum"})
-        if self.global_mean is None:
-            total_cnt = float(merged.sum("sum(count)") or 0.0)
-            total_sum = float(merged.sum("sum(sum)") or 0.0)
-            self.global_mean = total_sum / total_cnt if total_cnt else 0.0
+        stat_cols = [self._cy(t) for t in self.targets] + [self._sy(t) for t in self.targets]
+        merged = bucketed_aggregate(parts, keys + [FOLD_NAME], {c: "sum" for c in stat_cols})
+        for t in self.targets:
+            if self.global_means[t] is None:
+                total_cnt = float(merged.sum(f"sum({self._cy(t)})") or 0.0)
+                total_sum = float(merged.sum(f"sum({self._sy(t)})") or 0.0)
+                self.global_means[t] = total_sum / total_cnt if total_cnt else 0.0
 
         import os
         import tempfile
@@ -232,8 +302,8 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         def tidy(t: pa.Table) -> pa.Table:
             out = {k: t.column(k) for k in keys}
             out[FOLD_NAME] = t.column(FOLD_NAME)
-            out["count_y"] = _pc.cast(t.column("sum(count)"), pa.float64())
-            out["sum_y"] = _pc.cast(t.column("sum(sum)"), pa.float64())
+            for c in stat_cols:
+                out[c] = _pc.cast(t.column(f"sum({c})"), pa.float64())
             return pa.table(out)
 
         stat_ds = merged.map_batches(tidy, batch_format="pyarrow")
@@ -250,8 +320,8 @@ class TargetEncoding(BroadcastTableState, StatOperator):
     def _join_stats(self, ds, name: str, info: dict):
         """ONE bucketed shuffle by hash(category): co-locates data rows with
         ALL fold rows of their category, so per-category totals are summed
-        inside the bucket (no second shuffle); resolves the four __te_*
-        dependency columns consumed by ``transform``."""
+        inside the bucket (no second shuffle); resolves the 4-per-target
+        __te_* dependency columns consumed by ``transform``."""
         import ray.data as rd
 
         from nvtabular_ray.arrow_utils import dataset_arrow_schema, as_single_chunk
@@ -262,18 +332,15 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         )
 
         keys = list(info.get("keys") or [info["key"]])
-        deps = [
-            f"__te_{name}_cnt_all__",
-            f"__te_{name}_sum_all__",
-            f"__te_{name}_cnt_f__",
-            f"__te_{name}_sum_f__",
-        ]
+        deps = self._dep_cols(name)
         stat = rd.read_parquet(info["path"])
         num_buckets = self.split_out or _default_num_buckets()
         schema = dataset_arrow_schema(ds)
         data_names = list(schema.names)
         data_types = dict(zip(schema.names, schema.types))
         input_cols = data_names
+        cy_cols = [self._cy(t) for t in self.targets]
+        sy_cols = [self._sy(t) for t in self.targets]
 
         def bucket_of(tbl: pa.Table) -> np.ndarray:
             # whole key tuple hashed as the exchange key
@@ -289,7 +356,7 @@ class TargetEncoding(BroadcastTableState, StatOperator):
                     else np.zeros(t.num_rows, np.int64)
                 ),
             )
-            for d in deps + ["__te_cnt__", "__te_sum__"]:
+            for d in deps + cy_cols + sy_cols:
                 t = t.append_column(d, pa.nulls(t.num_rows, pa.float64()))
             t = t.append_column("__vside__", pa.array(np.zeros(t.num_rows, np.int8)))
             return t
@@ -306,47 +373,54 @@ class TargetEncoding(BroadcastTableState, StatOperator):
             out["__te_fold__"] = t.column(FOLD_NAME).cast(pa.int64())
             for d in deps:
                 out[d] = pa.nulls(t.num_rows, pa.float64())
-            out["__te_cnt__"] = t.column("count_y")
-            out["__te_sum__"] = t.column("sum_y")
+            for c in cy_cols + sy_cols:
+                out[c] = t.column(c)
             out["__vside__"] = pa.array(np.ones(t.num_rows, np.int8))
             return pa.table(out)
 
-        order = data_names + ["__vbkt__", "__te_fold__"] + deps + [
-            "__te_cnt__", "__te_sum__", "__vside__"
-        ]
+        order = (
+            data_names
+            + ["__vbkt__", "__te_fold__"]
+            + deps
+            + cy_cols
+            + sy_cols
+            + ["__vside__"]
+        )
         both = (
             ds.map_batches(pad_data, batch_format="pyarrow", zero_copy_batch=True)
             .select_columns(order)
             .union(stat.map_batches(pad_stat, batch_format="pyarrow").select_columns(order))
         )
+        targets = list(self.targets)
 
         def per_bucket(t: pa.Table) -> pa.Table:
             side = t.column("__vside__").to_numpy(zero_copy_only=False)
             sdf = (
                 t.filter(pa.array(side == 1))
-                .select(keys + ["__te_fold__", "__te_cnt__", "__te_sum__"])
+                .select(keys + ["__te_fold__"] + cy_cols + sy_cols)
                 .to_pandas()
             )
             all_df = (
-                sdf.groupby(keys, dropna=False, observed=True)[["__te_cnt__", "__te_sum__"]]
+                sdf.groupby(keys, dropna=False, observed=True)[cy_cols + sy_cols]
                 .sum()
                 .reset_index()
-                .rename(columns={"__te_cnt__": "__a_cnt__", "__te_sum__": "__a_sum__"})
+                .rename(columns={c: f"{c}_all" for c in cy_cols + sy_cols})
             )
             dtab = t.filter(pa.array(side == 0))
             left = dtab.select(keys + ["__te_fold__"]).to_pandas()
             m_all = left.merge(all_df, on=keys, how="left")
             m_f = left.merge(sdf, on=keys + ["__te_fold__"], how="left")
-            drop = ["__vbkt__", "__te_fold__", "__te_cnt__", "__te_sum__", "__vside__"] + deps
+            drop = ["__vbkt__", "__te_fold__", "__vside__"] + deps + cy_cols + sy_cols
             out = dtab.drop_columns(drop)
-            cols = {
-                deps[0]: m_all["__a_cnt__"],
-                deps[1]: m_all["__a_sum__"],
-                deps[2]: m_f["__te_cnt__"],
-                deps[3]: m_f["__te_sum__"],
-            }
-            for d, series in cols.items():
-                out = out.append_column(d, pa.Array.from_pandas(series, type=pa.float64()))
+            for j, tg in enumerate(targets):
+                cols = {
+                    deps[4 * j + 0]: m_all[f"{TargetEncoding._cy(tg)}_all"],
+                    deps[4 * j + 1]: m_all[f"{TargetEncoding._sy(tg)}_all"],
+                    deps[4 * j + 2]: m_f[TargetEncoding._cy(tg)],
+                    deps[4 * j + 3]: m_f[TargetEncoding._sy(tg)],
+                }
+                for d, series in cols.items():
+                    out = out.append_column(d, pa.Array.from_pandas(series, type=pa.float64()))
             return out
 
         return bucketed_group_map(both, ["__vbkt__"], [], per_bucket, num_buckets=num_buckets)
@@ -355,67 +429,77 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         super().clear()
         self.state_tables = {}
         self.distributed_stats = {}
-        self.global_mean = self.target_mean
+        self.global_means = {t: self._user_mean(t) for t in self.targets}
         self._refs = {}
 
     # -------------------------------------------------------- transform --
     @property
     def optional_dependencies(self):
-        # reference serving semantics (target_encoding.py:359-368): when the
+        # reference serving semantics (target_encoding.py:359-368): when a
         # target column is ABSENT from the transform input (inference
         # traffic has no label), encode with the global per-category stats —
         # no fold subtraction. Only optional once fitted; fit needs it.
-        return [self.target] if getattr(self, "fitted", False) else []
+        return list(self.targets) if getattr(self, "fitted", False) else []
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         input_cols = list(col_selector.names) + self.dependencies
-        has_target = self.target in table.column_names
-        fold = self._fold_np(table, input_cols) if (self.kfold > 1 and has_target) else None
+        fold = None
         out = {}
         for i, (name, group) in enumerate(self._groups(col_selector)):
             if name in self.distributed_stats:
-                # stats resolved by the pre_transform_stage shuffle join
-                cnt_all = table.column(f"__te_{name}_cnt_all__").to_pandas()
-                sum_all_s = table.column(f"__te_{name}_sum_all__").to_pandas()
-                cnt_f = table.column(f"__te_{name}_cnt_f__").to_pandas()
-                sum_f_s = table.column(f"__te_{name}_sum_f__").to_pandas()
-                unseen = cnt_all.isna().to_numpy()
-                ca = cnt_all.to_numpy(dtype="float64", na_value=0.0)
-                sa = sum_all_s.to_numpy(dtype="float64", na_value=0.0)
-                cf = cnt_f.to_numpy(dtype="float64", na_value=0.0)
-                sf = sum_f_s.to_numpy(dtype="float64", na_value=0.0)
-                if self.kfold <= 1 or not has_target:
-                    cf = np.zeros(len(ca))
-                    sf = np.zeros(len(ca))
-                gmean = self.global_mean
-                denom = (ca - cf) + self.p_smooth
-                te = ((sa - sf) + self.p_smooth * gmean) / denom
-                te = np.where(denom > 0, te, gmean)
-                te[unseen] = gmean
-                out[self._te_name(name, i)] = pa.array(te.astype(self.out_dtype))
+                deps = self._dep_cols(name)
+                for j, tg in enumerate(self.targets):
+                    has_target = tg in table.column_names
+                    cnt_all = table.column(deps[4 * j + 0]).to_pandas()
+                    sum_all_s = table.column(deps[4 * j + 1]).to_pandas()
+                    cnt_f = table.column(deps[4 * j + 2]).to_pandas()
+                    sum_f_s = table.column(deps[4 * j + 3]).to_pandas()
+                    unseen = cnt_all.isna().to_numpy()
+                    ca = cnt_all.to_numpy(dtype="float64", na_value=0.0)
+                    sa = sum_all_s.to_numpy(dtype="float64", na_value=0.0)
+                    cf = cnt_f.to_numpy(dtype="float64", na_value=0.0)
+                    sf = sum_f_s.to_numpy(dtype="float64", na_value=0.0)
+                    if self.kfold <= 1 or not has_target:
+                        cf = np.zeros(len(ca))
+                        sf = np.zeros(len(ca))
+                    gmean = self.global_means[tg]
+                    denom = (ca - cf) + self.p_smooth
+                    te = ((sa - sf) + self.p_smooth * gmean) / denom
+                    te = np.where(denom > 0, te, gmean)
+                    te[unseen] = gmean
+                    out[self._te_name(name, i, tg)] = pa.array(te.astype(self.out_dtype))
                 continue
             left = table.select(group).to_pandas()
             all_stats = self.state_pandas(f"{name}__all")
             merged = left.merge(all_stats, on=group, how="left")
-            cnt_all = merged["count_y_all"].to_numpy(dtype="float64", na_value=0.0)
-            sum_all = merged["sum_y_all"].to_numpy(dtype="float64", na_value=0.0)
-            if self.kfold > 1 and has_target:
+            need_folds = self.kfold > 1 and any(
+                t in table.column_names for t in self.targets
+            )
+            mf = None
+            if need_folds:
+                if fold is None:
+                    fold = self._fold_np(table, input_cols)
                 left[FOLD_NAME] = fold
                 fold_stats = self.state_pandas(f"{name}__folds")
                 mf = left.merge(fold_stats, on=list(group) + [FOLD_NAME], how="left")
-                cnt_f = mf["count_y"].to_numpy(dtype="float64", na_value=0.0)
-                sum_f = mf["sum_y"].to_numpy(dtype="float64", na_value=0.0)
-            else:
-                cnt_f = np.zeros(len(left))
-                sum_f = np.zeros(len(left))
-            gmean = self.global_mean
-            denom = (cnt_all - cnt_f) + self.p_smooth
-            te = ((sum_all - sum_f) + self.p_smooth * gmean) / denom
-            # unseen categories: count_all==count_fold==0 -> smoothed to gmean
-            te = np.where(denom > 0, te, gmean)
-            unseen = merged["count_y_all"].isna().to_numpy()
-            te[unseen] = gmean
-            out[self._te_name(name, i)] = pa.array(te.astype(self.out_dtype))
+            for tg in self.targets:
+                has_target = tg in table.column_names
+                cnt_all = merged[f"{self._cy(tg)}_all"].to_numpy(dtype="float64", na_value=0.0)
+                sum_all = merged[f"{self._sy(tg)}_all"].to_numpy(dtype="float64", na_value=0.0)
+                if self.kfold > 1 and has_target:
+                    cnt_f = mf[self._cy(tg)].to_numpy(dtype="float64", na_value=0.0)
+                    sum_f = mf[self._sy(tg)].to_numpy(dtype="float64", na_value=0.0)
+                else:
+                    cnt_f = np.zeros(len(left))
+                    sum_f = np.zeros(len(left))
+                gmean = self.global_means[tg]
+                denom = (cnt_all - cnt_f) + self.p_smooth
+                te = ((sum_all - sum_f) + self.p_smooth * gmean) / denom
+                # unseen categories: count_all==count_fold==0 -> smoothed to gmean
+                te = np.where(denom > 0, te, gmean)
+                unseen = merged[f"{self._cy(tg)}_all"].isna().to_numpy()
+                te[unseen] = gmean
+                out[self._te_name(name, i, tg)] = pa.array(te.astype(self.out_dtype))
         if self.kfold > 1 and not self.drop_folds:
             if fold is None:
                 # fold derives from fold_on alone — serving traffic without
