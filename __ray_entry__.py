@@ -160,6 +160,26 @@ def _q_categorify_combo(sf_dir: str):
     return wf.fit(ds).transform(ds)
 
 
+def _q_categorify_combo_distributed(sf_dir: str):
+    """encode_type='combo' on the distributed (vocab-bigger-than-driver)
+    path: the tuple vocabulary never reaches the driver; encoding is the
+    injective-composite narrow exchange (ops/categorify.py
+    _fit_combo_distributed/_encode_codes_combo)."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+    )
+    wf = Workflow(
+        (
+            [["l_returnflag", "l_linestatus"]]
+            >> ops.Categorify(encode_type="combo", distributed=True, split_out=8)
+        )
+        + ["l_orderkey", "l_linenumber"]
+    )
+    return wf.fit(ds).transform(ds)
+
+
 def _q_normalize(sf_dir: str):
     from nvtabular_ray import Workflow, ops
 
@@ -1980,7 +2000,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
         "chunk_documents": _q_chunk_documents,
-        "normalize": _q_normalize,
         "target_encode": _q_target_encode,
         "join_groupby": _q_join_groupby,
         "gopher_rules": _q_gopher_rules,
@@ -1989,6 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_groupby_multi_distributed": _q_join_groupby_multi_distributed,
         "target_encode_multi_distributed": _q_target_encode_multi_distributed,
         "categorify_distributed": _q_categorify_distributed,
+        "categorify_combo_distributed": _q_categorify_combo_distributed,
         "dup_span": _q_dup_span,
         "categorify_tokens_distributed": _q_categorify_tokens_distributed,
         "dedup_exact": _q_dedup_exact,
@@ -1997,6 +2017,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _q_simhash,
         "ngram_dedup": _q_ngram_dedup,
         # --- past the 50-row gate from here down ------------------------
+        # normalize displaced late session 4 for categorify_combo_distributed:
+        # ops/normalize.py has no round-4 hunks; its query-side change is the
+        # shared _round6i idiom, driver-covered by the nine other idiom rows
+        # inside the window (same argument as embedding_near_dup below)
+        "normalize": _q_normalize,
         "rolling_leading": _q_rolling_leading,
         # categorify_tokens moved here session 3: its broadcast list path is
         # function-level unchanged since its r3 green row (the r4 categorify
@@ -2933,6 +2958,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN vocab v USING (event_type)
         """,
         "categorify_combo": """
+            WITH vocab AS (
+                SELECT l_returnflag, l_linestatus,
+                       ROW_NUMBER() OVER (
+                           ORDER BY count(*) DESC, l_returnflag ASC, l_linestatus ASC
+                       ) + 2 AS code
+                FROM lineitem GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l.l_orderkey, l.l_linenumber, v.code AS l_returnflag_l_linestatus
+            FROM lineitem l JOIN vocab v USING (l_returnflag, l_linestatus)
+        """,
+        "categorify_combo_distributed": """
             WITH vocab AS (
                 SELECT l_returnflag, l_linestatus,
                        ROW_NUMBER() OVER (

@@ -107,8 +107,21 @@ def dataset_arrow_schema(ds) -> pa.Schema:
             continue
         try:
             fields.append(pa.field(name, pa.from_numpy_dtype(typ)))
+            continue
         except (pa.ArrowNotImplementedError, TypeError):
-            fields.append(pa.field(name, pa.string()))
+            pass
+        # pandas EXTENSION dtypes (Int64Dtype, BooleanDtype, ...) are not
+        # numpy dtypes; map through their numpy storage type — falling
+        # straight to pa.string() here typed a nullable-Int64 column as
+        # string and broke every downstream schema union on it
+        npdt = getattr(typ, "numpy_dtype", None)
+        if npdt is not None:
+            try:
+                fields.append(pa.field(name, pa.from_numpy_dtype(npdt)))
+                continue
+            except (pa.ArrowNotImplementedError, TypeError):
+                pass
+        fields.append(pa.field(name, pa.string()))
     return pa.schema(fields)
 
 

@@ -61,6 +61,21 @@ def _make_name(*args, sep="_"):
     return sep.join(args)
 
 
+def _combo_composite(t: pa.Table, cols: list[str]) -> pa.Array:
+    """Injective string encoding of a column TUPLE, for joining combo
+    groups through a single-value exchange: each member is rendered as
+    ``{codepoint_len}:{value}`` and the parts joined with ':'; the length
+    prefixes make parsing unambiguous even when values contain ':'.
+    Null propagation: ANY null member -> null composite (combo rows with a
+    null member encode as the null code, matching the broadcast path)."""
+    args = []
+    for c in cols:
+        s = pc.cast(as_single_chunk(t.column(c)), pa.string())
+        args.append(pc.cast(pc.utf8_length(s), pa.string()))
+        args.append(s)
+    return pc.binary_join_element_wise(*args, ":")
+
+
 # per-worker-process vocab cache for cat_cache="disk" (one read per process,
 # shared by every actor/task in it — the Ray analog of the reference's
 # worker-level cat_cache LRU, categorify.py:1627-1643)
@@ -212,10 +227,8 @@ class Categorify(StatOperator):
         singles = [(n, c) for n, c in todo if not (len(c) > 1 and self.encode_type == "combo")]
 
         if self.distributed:
-            if combos:
-                raise NotImplementedError(
-                    "distributed Categorify does not support encode_type='combo'"
-                )
+            for name, cols in combos:
+                self._fit_combo_distributed(ds, name, cols, types)
             for name, cols in singles:
                 self._fit_distributed(ds, name, cols, value_type)
             self._write_artifacts()
@@ -372,6 +385,121 @@ class Categorify(StatOperator):
         vocab_df = vocab_df.rename(columns={"count": "count"})
         self._finalize_vocab(name, list(cols), vocab_df, nulls, value_cols=list(cols))
 
+    def _fit_combo_distributed(self, ds, name: str, cols: list[str], types) -> None:
+        """Distributed fit for ``encode_type="combo"`` multi-column groups:
+        the vocabulary is the set of DISTINCT COLUMN TUPLES, kept a Ray
+        Dataset end-to-end (same scale plan as ``_fit_distributed``):
+        per-batch tuple counts -> one hash exchange keyed on the whole
+        tuple -> distributed (count desc, cols asc) sort -> rank-from-
+        metadata code assignment -> sharded vocab parquet holding the
+        ORIGINAL member columns (so code order matches the broadcast
+        ``_fit_combo``/``_finalize_vocab`` tie-break exactly). Rows with
+        ANY null member are null-encoded, never vocab rows (broadcast
+        parity, reference categorify.py joint/combo semantics :52-55)."""
+        import ray
+
+        for c in cols:
+            if is_list_type(types[c]):
+                raise NotImplementedError(
+                    "distributed combo Categorify does not support list member columns"
+                )
+
+        def partial(t: pa.Table, cols=tuple(cols)) -> pa.Table:
+            res = t.select(list(cols)).group_by(list(cols), use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+            res = res.rename_columns(
+                ["count" if n == "count_all" else n for n in res.column_names]
+            )
+            anynull = pc.is_null(res.column(cols[0]))
+            for c in cols[1:]:
+                anynull = pc.or_(anynull, pc.is_null(res.column(c)))
+            nulls = int(
+                pc.sum(pc.if_else(anynull, res.column("count"), pa.scalar(0, pa.int64()))).as_py()
+                or 0
+            )
+            res = res.filter(pc.invert(anynull))
+            if res.num_rows == 0 and nulls:
+                # all-null batch: sentinel row (all-null tuple, count 0)
+                # carries the null count through the exchange
+                res = pa.table(
+                    {
+                        **{c: pa.nulls(1, res.schema.field(c).type) for c in cols},
+                        "count": pa.array([0], pa.int64()),
+                    }
+                )
+            nulls_col = ([nulls] + [0] * (res.num_rows - 1)) if res.num_rows else []
+            return res.append_column("nulls", pa.array(nulls_col, pa.int64()))
+
+        parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        from nvtabular_ray.functions.aggregates import bucketed_aggregate
+
+        counts = bucketed_aggregate(parts, list(cols), {"count": "sum", "nulls": "sum"})
+        nulls_total = int(counts.sum("sum(nulls)") or 0)
+        thresh = self.freq_threshold if self.freq_threshold and self.freq_threshold > 1 else None
+
+        def tidy(t: pa.Table) -> pa.Table:
+            t = pa.table({**{c: t.column(c) for c in cols}, "count": t.column("sum(count)")})
+            # count >= 1 drops the all-null sentinel rows from the vocab
+            return t.filter(pc.greater_equal(t.column("count"), thresh or 1))
+
+        ranked = counts.map_batches(tidy, batch_format="pyarrow").sort(
+            ["count"] + list(cols), descending=[True] + [False] * len(cols)
+        )
+        if self.max_size:
+            keep = self.max_size - OOV_OFFSET - self.num_oov
+            if keep < 1:
+                raise ValueError("max_size cannot be less than num_buckets + 3")
+            ranked = ranked.limit(keep)
+
+        root = self.out_path or tempfile.mkdtemp(prefix="nvtr_vocab_")
+        path = os.path.join(root, f"vocab.{name}")
+        os.makedirs(path, exist_ok=True)
+        base = self.vocab_base
+        size_col = f"{name}_size"
+
+        @ray.remote
+        def write_shard(block: pa.Table, offset: int, shard_path: str) -> int:
+            codes = pa.array(np.arange(block.num_rows, dtype=np.int64) + offset + base)
+            pq.write_table(
+                pa.table(
+                    {
+                        **{c: block.column(c) for c in cols},
+                        size_col: block.column("count"),
+                        "__code__": codes,
+                    }
+                ),
+                shard_path,
+            )
+            return block.num_rows
+
+        mat = ranked.materialize()
+        futures, offset = [], 0
+        i = 0
+        for bundle in mat.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                n = meta.num_rows
+                if n is None:
+                    n = ray.get(ref).num_rows
+                if n == 0:
+                    continue
+                futures.append(
+                    write_shard.remote(ref, offset, os.path.join(path, f"part-{i:05d}.parquet"))
+                )
+                offset += n
+                i += 1
+        ray.get(futures)
+        self.distributed_vocabs[name] = {
+            "path": path,
+            "cols": list(cols),
+            "num_rows": offset,
+            "combo": True,
+        }
+        self.null_counts[name] = nulls_total
+        dep = f"__catcode_{name}__"
+        if dep not in self.dependencies:
+            self.dependencies.append(dep)
+
     # ---------------------------------------------- distributed (scale) --
     def _fit_distributed(self, ds, name: str, cols: list[str], value_type) -> None:
         """Vocabulary-bigger-than-driver-memory path (SURVEY.md §7.4.5; the
@@ -525,6 +653,24 @@ class Categorify(StatOperator):
 
         cols_meta = []
         for name, info in self.distributed_vocabs.items():
+            if info.get("combo"):
+                # one code per TUPLE: a single narrow exchange keyed on the
+                # injective tuple composite resolves the whole group
+                cols_meta.append(
+                    {
+                        "colid": len(cols_meta),
+                        "col": None,
+                        "cols": list(info["cols"]),
+                        "dep": f"__catcode_{name}__",
+                        "is_list": False,
+                        "use_large": False,
+                        "vtype": None,
+                        "vtypes": [data_types[c] for c in info["cols"]],
+                        "combo": True,
+                        "info": info,
+                    }
+                )
+                continue
             for col in info["cols"]:
                 ctype = data_types[col]
                 is_l = is_list_type(ctype)
@@ -540,7 +686,7 @@ class Categorify(StatOperator):
                     }
                 )
 
-        if len(cols_meta) == 1 and not cols_meta[0]["is_list"]:
+        if len(cols_meta) == 1 and not cols_meta[0]["is_list"] and not cols_meta[0].get("combo"):
             # single scalar column: the legacy one-exchange plan is optimal
             # (full rows ride THE value exchange directly; the unified plan
             # would pay a snapshot + an extra reassembly exchange for no
@@ -681,6 +827,9 @@ class Categorify(StatOperator):
 
         from nvtabular_ray.pipelines.partitioned import bucketed_group_map
 
+        if m.get("combo"):
+            return self._encode_codes_combo(stamped, m, num_buckets)
+
         col, vtype, colid = m["col"], m["vtype"], m["colid"]
         num_oov = self.num_oov
         vocab = rd.read_parquet(m["info"]["path"])
@@ -787,6 +936,102 @@ class Categorify(StatOperator):
                     "__colid__": pa.array(
                         np.full(dtab.num_rows, colid, np.int32)
                     ),
+                }
+            )
+
+        return bucketed_group_map(
+            both, ["__vbkt__"], [], encode_bucket, num_buckets=num_buckets
+        )
+
+    def _encode_codes_combo(self, stamped, m: dict, num_buckets: int):
+        """Combo-group narrow exchange: (uid, tuple-composite) rows union the
+        sharded tuple vocab by hash(composite); per bucket ``index_in`` on
+        the injective composite resolves one code per ROW. OOV tuples hash
+        the ORIGINAL member columns with the version-stable hash so codes
+        match the broadcast ``_encode_combo`` exactly; any-null-member rows
+        composite to null -> NULL code."""
+        import ray.data as rd
+
+        from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+        gcols, colid, vtypes = m["cols"], m["colid"], m["vtypes"]
+        num_oov = self.num_oov
+        vocab = rd.read_parquet(m["info"]["path"])
+        narrow = stamped.select_columns(["__uid__"] + gcols)
+
+        def expand(t: pa.Table) -> pa.Table:
+            comp = _combo_composite(t, gcols)
+            h = hash64(comp)
+            n = t.num_rows
+            # stable per-row tuple hash rides the exchange so the bucket can
+            # assign broadcast-identical OOV codes (int64 view, exact bits)
+            oovh = hash64_columns_stable(t, gcols).view(np.int64)
+            return pa.table(
+                {
+                    "__vbkt__": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+                    "__val__": comp,
+                    "__uid__": t.column("__uid__"),
+                    "__pos__": pa.nulls(n, pa.int64()),
+                    "__vcode__": pa.nulls(n, pa.int64()),
+                    "__oovh__": pa.array(oovh),
+                    "__vside__": pa.array(np.zeros(n, np.int8)),
+                }
+            )
+
+        def pad_vocab(t: pa.Table) -> pa.Table:
+            cast_tbl = pa.table(
+                {c: as_single_chunk(t.column(c)).cast(vt) for c, vt in zip(gcols, vtypes)}
+            )
+            comp = _combo_composite(cast_tbl, gcols)
+            h = hash64(comp)
+            n = t.num_rows
+            return pa.table(
+                {
+                    "__vbkt__": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+                    "__val__": comp,
+                    "__uid__": pa.nulls(n, pa.int64()),
+                    "__pos__": pa.nulls(n, pa.int64()),
+                    "__vcode__": t.column("__code__").cast(pa.int64()),
+                    "__oovh__": pa.array(np.zeros(n, np.int64)),
+                    "__vside__": pa.array(np.ones(n, np.int8)),
+                }
+            )
+
+        both = narrow.map_batches(
+            expand, batch_format="pyarrow", zero_copy_batch=True
+        ).union(vocab.map_batches(pad_vocab, batch_format="pyarrow"))
+
+        def encode_bucket(t: pa.Table) -> pa.Table:
+            side = t.column("__vside__").to_numpy(zero_copy_only=False)
+            vtab = t.filter(pa.array(side == 1))
+            dtab = t.filter(pa.array(side == 0))
+            vocab_vals = as_single_chunk(vtab.column("__val__"))
+            vocab_codes = vtab.column("__vcode__").to_numpy(zero_copy_only=False)
+            values = as_single_chunk(dtab.column("__val__"))
+            idx = (
+                pc.index_in(values, value_set=vocab_vals)
+                .to_numpy(zero_copy_only=False)
+                .astype("float64")
+            )
+            found = ~np.isnan(idx)
+            nulls = pc.is_null(values).to_numpy(zero_copy_only=False)
+            codes = np.empty(len(values), dtype=np.int64)
+            codes[found] = vocab_codes[idx[found].astype(np.int64)].astype(np.int64)
+            oov = (~found) & (~nulls)
+            if oov.any():
+                oovh = (
+                    dtab.column("__oovh__")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+                codes[oov] = (oovh[oov] % np.uint64(num_oov)).astype(np.int64) + OOV_OFFSET
+            codes[nulls] = NULL_OFFSET
+            return pa.table(
+                {
+                    "__uid__": dtab.column("__uid__"),
+                    "__pos__": dtab.column("__pos__"),
+                    "__code__": pa.array(codes, pa.int64()),
+                    "__colid__": pa.array(np.full(dtab.num_rows, colid, np.int32)),
                 }
             )
 
@@ -1053,8 +1298,11 @@ class Categorify(StatOperator):
             if name in self.distributed_vocabs:
                 # codes were resolved by the join_encode shuffle stage and
                 # ride in as dependency columns — just project them
-                for c in cols:
-                    out[c] = table.column(f"__catcode_{c}__")
+                if len(cols) > 1 and self.encode_type == "combo":
+                    out[name] = table.column(f"__catcode_{name}__")
+                else:
+                    for c in cols:
+                        out[c] = table.column(f"__catcode_{c}__")
             elif len(cols) > 1 and self.encode_type == "combo":
                 out[name] = self._encode_combo(name, cols, table)
             else:

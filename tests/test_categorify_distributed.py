@@ -136,15 +136,25 @@ def test_distributed_save_load_roundtrip(tmp_path):
     assert (a["kind"].to_numpy() == b["kind"].to_numpy()).all()
 
 
-def test_distributed_combo_rejected():
+def test_distributed_combo_matches_broadcast():
+    """combo + distributed=True is supported since round 4 (tuple vocab via
+    the injective-composite exchange); full coverage lives in
+    tests/test_categorify_combo_distributed.py — this pins the basic
+    equivalence on the shared fixture."""
     df = _events()
     ds = _arrow_ds(df)
-    wf = Workflow(
+    wf_d = Workflow(
         ([["user_id", "kind"]] >> ops.Categorify(encode_type="combo", distributed=True))
         + ["event_id"]
     )
-    with pytest.raises(NotImplementedError):
-        wf.fit(ds)
+    wf_b = Workflow(
+        ([["user_id", "kind"]] >> ops.Categorify(encode_type="combo")) + ["event_id"]
+    )
+    out_d = wf_d.fit(ds).transform(ds).to_pandas().sort_values("event_id")
+    out_b = wf_b.fit(ds).transform(ds).to_pandas().sort_values("event_id")
+    np.testing.assert_array_equal(
+        out_d["user_id_kind"].to_numpy(), out_b["user_id_kind"].to_numpy()
+    )
 
 
 def test_distributed_join_groupby_matches_broadcast():
