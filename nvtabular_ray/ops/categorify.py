@@ -231,6 +231,8 @@ class Categorify(StatOperator):
                 self._fit_combo_distributed(ds, name, cols, types)
             for name, cols in singles:
                 self._fit_distributed(ds, name, cols, value_type)
+            if self.single_table:
+                self._compute_single_offsets(col_selector)
             self._write_artifacts()
             return
 
@@ -354,13 +356,18 @@ class Categorify(StatOperator):
         """single_table: stack every group's encoding window into one shared
         index space — group i's window [null, oov, vocab] starts where group
         i-1's ends (reference categorify.py:410-415, fit_finalize idx_count).
-        Pad index 0 stays global."""
-        if self.distributed_vocabs:
-            raise NotImplementedError("single_table is not supported with distributed=True")
+        Pad index 0 stays global. Works with distributed=True too: the
+        offsets only need each group's CARDINALITY, which the distributed
+        fit records as driver-small metadata (num_rows) — the vocab rows
+        themselves never leave the cluster."""
         running = 0
         for name, _cols in self._groups(col_selector):
             self._single_offsets[name] = running
-            running += (self.vocab_base - 1) + self.vocab_tables[name].num_rows
+            if name in self.distributed_vocabs:
+                card = self.distributed_vocabs[name]["num_rows"]
+            else:
+                card = self.vocab_tables[name].num_rows
+            running += (self.vocab_base - 1) + card
 
     def _fit_combo(self, ds, name: str, cols: list[str]) -> None:
         from nvtabular_ray.functions.aggregates import grouped_reduce

@@ -72,6 +72,33 @@ def test_single_table_disjoint_ranges(df):
     assert (out["s"] == plain["s"]).all()  # first column unshifted
 
 
+def test_single_table_distributed_matches_broadcast(df):
+    """single_table works on the distributed path: offsets come from the
+    driver-small per-group cardinality metadata, not the vocab rows."""
+    ds = _ds(df)
+    out_b = (
+        Workflow((["s", "i"] >> ops.Categorify(single_table=True)) + ["rid"])
+        .fit(ds)
+        .transform(ds)
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    out_d = (
+        Workflow(
+            (["s", "i"] >> ops.Categorify(single_table=True, distributed=True, split_out=4))
+            + ["rid"]
+        )
+        .fit(ds)
+        .transform(ds)
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    for c in ["s", "i"]:
+        np.testing.assert_array_equal(out_b[c].to_numpy(), out_d[c].to_numpy())
+
+
 def test_cat_cache_disk(df, tmp_path):
     import nvtabular_ray.ops.categorify as C
 
