@@ -1191,6 +1191,18 @@ def _q_token_count(sf_dir: str):
     return token_count(ds).select_columns(["doc_id", "n_tokens"])
 
 
+def _q_classifier_score(sf_dir: str):
+    """fastText-style hashed linear classifier scoring (CCNet/RefinedWeb
+    quality-filter shape): broadcast weight vector + actor pool; every stage
+    of tokenize -> md5-bucket -> gather -> token-mean -> sigmoid is checked
+    to the digit by the SQL oracle via the public hash spec."""
+    from nvtabular_ray.functions.classifier import classifier_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = classifier_score(ds, dim=1024, bias=0.1).select_columns(["doc_id", "clf_score"])
+    return _round6i(out, ["clf_score"])
+
+
 def _q_quality_score(sf_dir: str):
     from nvtabular_ray.functions.text import quality_score
 
@@ -2001,7 +2013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,
         "chunk_documents": _q_chunk_documents,
         "target_encode": _q_target_encode,
-        "join_groupby": _q_join_groupby,
+        "classifier_score": _q_classifier_score,
         "gopher_rules": _q_gopher_rules,
         "target_encode_distributed": _q_target_encode_distributed,
         "join_groupby_distributed": _q_join_groupby_distributed,
@@ -2022,6 +2034,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shared _round6i idiom, driver-covered by the nine other idiom rows
         # inside the window (same argument as embedding_near_dup below)
         "normalize": _q_normalize,
+        # join_groupby (broadcast) displaced late session 4 for the new
+        # classifier_score row: ops/join_groupby.py has NO round-4 hunks
+        # (git diff 42805d0..HEAD); its green r3 row stands, and the shared
+        # _round6i idiom is window-covered
+        "join_groupby": _q_join_groupby,
         "rolling_leading": _q_rolling_leading,
         # categorify_tokens moved here session 3: its broadcast list path is
         # function-level unchanged since its r3 green row (the r4 categorify
@@ -2429,6 +2446,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr >= es THEN 'fr'
                         ELSE 'es' END AS lang_pred
             FROM h
+        """,
+        "classifier_score": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ),
+            tw AS (
+                SELECT doc_id,
+                       (((('0x' || substr(md5(w), 1, 15))::BIGINT % 1024)
+                         * 2654435761) % 2048) / 1024.0 - 1.0 AS wt
+                FROM toks
+            ),
+            agg AS (SELECT doc_id, avg(wt) AS m FROM tw GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(ROUND(1.0 / (1.0 + exp(-(COALESCE(a.m, 0.0) + 0.1)))
+                        * 1e6) AS BIGINT) AS clf_score
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "quality_score": """
             WITH b AS (
