@@ -175,6 +175,23 @@ def _adopt_null_key_types(ds, casts: dict):
     return ds.map_batches(cast_left_keys, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _concrete_key_cols(t: pa.Table, keys: list, types: dict) -> pa.Table:
+    """Even when the dataset-level schema probed a concrete key type, an
+    individual BLOCK whose key column is all null carries Arrow type `null`
+    (Ray infers block schemas independently, e.g. after a repartition); a
+    bucket assembled only from such blocks hands acero a null-typed join
+    key, which it rejects. Cast those columns to the planned type — values
+    stay null, so ANSI non-matching is unchanged."""
+    import pyarrow.compute as pc
+
+    for c in keys:
+        typ = types[c]
+        col = t.column(c)
+        if pa.types.is_null(col.type) and not pa.types.is_null(typ):
+            t = t.set_column(t.schema.get_field_index(c), c, pc.cast(col, typ))
+    return t
+
+
 def _check_unique_names(out_names: list, rsuffix: str):
     """Acero's ``right_suffix`` renames only right columns clashing with the
     LEFT table, so a right side carrying both ``x`` and a literal ``x_r``
@@ -648,9 +665,10 @@ def shuffle_join(
         if not lparts:
             if how == "full" and rparts:
                 rt = rparts[0] if len(rparts) == 1 else pa.concat_tables(rparts, promote_options="default")
-                return _right_only(rt)
+                return _right_only(_concrete_key_cols(rt, right_on, rtypes))
             return empty_out
         lt = lparts[0] if len(lparts) == 1 else pa.concat_tables(lparts, promote_options="default")
+        lt = _concrete_key_cols(lt, on, ltypes)
         _warn_fat_bucket(b, lt.nbytes)
         if not rparts:
             # no build rows in this bucket: resolvable without a join
@@ -663,6 +681,7 @@ def shuffle_join(
                 lt = lt.append_column(out_name, pa.nulls(lt.num_rows, rtypes[c]))
             return lt.select(out_names)
         rt = rparts[0] if len(rparts) == 1 else pa.concat_tables(rparts, promote_options="default")
+        rt = _concrete_key_cols(rt, right_on, rtypes)
         if existence and len(rparts) > 1:
             rt = rt.group_by(right_on, use_threads=False).aggregate([])
         _warn_fat_build(b, rt.nbytes)
@@ -903,6 +922,7 @@ def shuffle_join_chain(
             if len(lparts) == 1
             else pa.concat_tables(lparts, promote_options="default")
         )
+        lt = _concrete_key_cols(lt, on, ltypes)
         _warn_fat_bucket(b, lt.nbytes)
         pos = nl
         for (s_on, s_type, s_how, s_sfx, s_cols, s_types), c in zip(
@@ -922,6 +942,9 @@ def shuffle_join_chain(
                 rparts[0]
                 if len(rparts) == 1
                 else pa.concat_tables(rparts, promote_options="default")
+            )
+            rt = _concrete_key_cols(
+                rt, s_on, {rc: ltypes[lc] for lc, rc in zip(on, s_on)}
             )
             if s_how in ("semi", "anti") and len(rparts) > 1:
                 rt = rt.group_by(s_on, use_threads=False).aggregate([])
