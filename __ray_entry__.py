@@ -1203,6 +1203,18 @@ def _q_classifier_score(sf_dir: str):
     return _round6i(out, ["clf_score"])
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """CCNet-style hashed-bigram LM perplexity scoring (the other half of
+    the classic quality-filter pair next to classifier_score): broadcast
+    log-prob table + actor pool; tokenize -> bigram join -> md5-bucket ->
+    gather -> doc-mean -> exp, all replayed to the digit by the oracle."""
+    from nvtabular_ray.functions.classifier import lm_perplexity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = lm_perplexity(ds, dim=1024).select_columns(["doc_id", "ppl"])
+    return _round6i(out, ["ppl"])
+
+
 def _q_quality_score(sf_dir: str):
     from nvtabular_ray.functions.text import quality_score
 
@@ -2010,7 +2022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_split_features": _q_hot_split_features,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
-        "ann_lsh": _q_ann_lsh,
+        "lm_perplexity": _q_lm_perplexity,
         "chunk_documents": _q_chunk_documents,
         "target_encode": _q_target_encode,
         "classifier_score": _q_classifier_score,
@@ -2034,6 +2046,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shared _round6i idiom, driver-covered by the nine other idiom rows
         # inside the window (same argument as embedding_near_dup below)
         "normalize": _q_normalize,
+        # ann_lsh displaced session 5 for the new lm_perplexity row: the r4
+        # ANN hunks (_combine_topk/_final_topk + empty-partial schema) stay
+        # double-covered in-window by ann_topk and ann_ivf; ann_lsh's own
+        # hyperplane-bucketing path is hunk-free since its r2 green row
+        "ann_lsh": _q_ann_lsh,
         # join_groupby (broadcast) displaced late session 4 for the new
         # classifier_score row: ops/join_groupby.py has NO round-4 hunks
         # (git diff 42805d0..HEAD); its green r3 row stands, and the shared
@@ -2446,6 +2463,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr >= es THEN 'fr'
                         ELSE 'es' END AS lang_pred
             FROM h
+        """,
+        "lm_perplexity": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS L
+                FROM documents
+            ),
+            bi AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(L)),
+                                             i -> L[i] || ' ' || L[i+1])) AS bg
+                FROM t
+            ),
+            lp AS (
+                SELECT doc_id,
+                       -(((('0x' || substr(md5(bg), 1, 15))::BIGINT % 1024)
+                          * 2654435761) % 2048) / 256.0 AS l
+                FROM bi
+            ),
+            agg AS (SELECT doc_id, avg(l) AS m FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(ROUND(exp(-COALESCE(a.m, 0.0)) * 1e6) AS BIGINT) AS ppl
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "classifier_score": """
             WITH toks AS (

@@ -117,3 +117,98 @@ def classifier_score(
         zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+def default_logprobs(dim: int) -> np.ndarray:
+    """Deterministic, SQL-replicable per-bucket log-probabilities in (-8, 0]:
+
+        lp[j] = -((j * 2654435761) % 2048) / 256.0
+
+    (same Knuth-constant idiom as :func:`default_weights`; a SQL engine
+    reproduces it as ``-((b * 2654435761) % 2048) / 256.0``). Real
+    deployments pass counts-derived log-probs from a trained n-gram LM —
+    the scoring path is identical."""
+    j = np.arange(dim, dtype=np.int64)
+    return -((j * 2654435761) % 2048).astype(np.float64) / 256.0
+
+
+class HashedBigramLM:
+    """Actor-pool stage: CCNet-style n-gram LM perplexity scoring.
+
+    ppl(doc) = exp(-mean_i lp[bucket(w_i + ' ' + w_{i+1})]) over the doc's
+    whitespace-token bigrams; docs with fewer than 2 tokens score exp(0)=1.
+    The bucket is the repo's PUBLIC md5_60 spec over the space-joined bigram
+    string, so an independent SQL engine replays the whole path. The log-prob
+    table is broadcast (``ray.put`` once, resolved per actor in __init__)."""
+
+    def __init__(self, logprobs, dim: int, text_col: str, out_col: str):
+        import ray
+
+        if isinstance(logprobs, ray.ObjectRef):
+            logprobs = ray.get(logprobs)
+        self.lp = np.ascontiguousarray(logprobs, dtype=np.float64)
+        if len(self.lp) != dim:
+            raise ValueError(f"logprobs length {len(self.lp)} != dim {dim}")
+        self.dim = dim
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from nvtabular_ray.functions.text import _flat_tokens
+
+        offsets, toks = _flat_tokens(t.column(self.text_col))
+        nonempty = np.asarray(pc.greater(pc.utf8_length(toks), 0))
+        n_rows = len(offsets) - 1
+        # per-row FILTERED token runs: drop empty tokens, keep adjacency
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
+        frow = row_of[nonempty]
+        ftoks = pc.array_filter(toks, pa.array(nonempty))
+        mean_lp = np.zeros(n_rows, dtype=np.float64)
+        if len(ftoks) > 1:
+            # bigram exists where positions i, i+1 sit in the same row
+            same = frow[:-1] == frow[1:]
+            if same.any():
+                same_arr = pa.array(same)
+                left = pc.array_filter(ftoks.slice(0, len(ftoks) - 1), same_arr)
+                right = pc.array_filter(ftoks.slice(1), same_arr)
+                bigrams = pc.binary_join_element_wise(left, right, " ")
+                lp = self.lp[(md5_60(bigrams) % np.uint64(self.dim)).astype(np.int64)]
+                brow = frow[:-1][same]
+                # segment mean per row over the flat bigram run
+                sums = np.bincount(brow, weights=lp, minlength=n_rows)
+                counts = np.bincount(brow, minlength=n_rows)
+                np.divide(sums, counts, out=mean_lp, where=counts > 0)
+        ppl = np.exp(-mean_lp)
+        return t.append_column(self.out_col, pa.array(ppl, pa.float64()))
+
+
+def lm_perplexity(
+    ds,
+    text_col: str = "text",
+    dim: int = 1024,
+    logprobs: Optional[np.ndarray] = None,
+    out_col: str = "ppl",
+    concurrency: int = 4,
+    batch_size: int = 4096,
+):
+    """Append ``out_col`` = hashed-bigram LM perplexity per row (the CCNet
+    quality-filter shape: score every doc with a cheap LM, filter on ppl)."""
+    import ray
+
+    lp = default_logprobs(dim) if logprobs is None else np.asarray(logprobs, dtype=np.float64)
+    lp_ref = ray.put(lp)
+    return ds.map_batches(
+        HashedBigramLM,
+        fn_constructor_kwargs={
+            "logprobs": lp_ref,
+            "dim": dim,
+            "text_col": text_col,
+            "out_col": out_col,
+        },
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )

@@ -67,3 +67,53 @@ def test_classifier_score_bucket_spec(ray_session):
 
     exp = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 16 for s in ["alpha", "beta", "gamma"]]
     np.testing.assert_array_equal(got, exp)
+
+
+def _ppl_py(text, lp, dim):
+    import hashlib
+
+    toks = [t for t in (text or "").split() if t]
+    if len(toks) < 2:
+        return 1.0
+    ls = [
+        lp[int(hashlib.md5((a + " " + b).encode()).hexdigest()[:15], 16) % dim]
+        for a, b in zip(toks, toks[1:])
+    ]
+    return float(np.exp(-np.mean(ls)))
+
+
+def test_lm_perplexity_matches_python_spec(ray_session):
+    from nvtabular_ray.functions.classifier import default_logprobs, lm_perplexity
+
+    dim = 128
+    lp = default_logprobs(dim)
+    texts = [
+        "the quick brown fox jumps",
+        "",
+        None,
+        "one",
+        "  padded   tokens  here ",
+        "unicode tökens ärger straße wieder",
+        "a b a b a b",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": pd.array(texts, dtype="string")})
+    out = (
+        lm_perplexity(rd.from_pandas(df), dim=dim, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expect = [_ppl_py(t, lp, dim) for t in texts]
+    np.testing.assert_allclose(out["ppl"].to_numpy(), expect, rtol=1e-12)
+    # <2-token docs (empty, null, single) score exp(0) = 1
+    for i in (1, 2, 3):
+        assert out.loc[i, "ppl"] == 1.0
+
+
+def test_default_logprobs_sql_formula():
+    from nvtabular_ray.functions.classifier import default_logprobs
+
+    lp = default_logprobs(2048)
+    j = np.arange(2048)
+    np.testing.assert_allclose(lp, -((j * 2654435761) % 2048) / 256.0)
+    assert lp.max() <= 0.0 and lp.min() > -8.0
