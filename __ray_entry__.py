@@ -1094,6 +1094,26 @@ def _q_dedup_exact(sf_dir: str):
     return out.select_columns(["doc_id", "n_chars"])
 
 
+def _q_conversation_dedup(sf_dir: str):
+    """Whole-conversation exact dedup (re-ingested-thread scenario): events
+    unioned with a re-keyed copy of themselves (user_id + 10000), so every
+    copy's ORDERED event_type sequence fingerprint collides with its
+    original's; keeper = min(user_id) per fingerprint. Two narrow
+    exchanges — entity-bucketed ordered concat, then (entity, fp) pairs."""
+    import pyarrow.compute as pc
+
+    from nvtabular_ray.functions.dedup import conversation_dedup
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def rekey(t):
+        i = t.schema.get_field_index("user_id")
+        return t.set_column(i, "user_id", pc.add(t.column("user_id"), 10000))
+
+    both = ds.union(ds.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True))
+    return conversation_dedup(both)
+
+
 def _q_text_stats(sf_dir: str):
     from nvtabular_ray.functions.text import text_stats
 
@@ -2021,7 +2041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_mean": _q_rolling_mean,
         "hot_split_features": _q_hot_split_features,
         "ann_topk": _q_ann_topk,
-        "ann_ivf": _q_ann_ivf,
+        "conversation_dedup": _q_conversation_dedup,
         "lm_perplexity": _q_lm_perplexity,
         "chunk_documents": _q_chunk_documents,
         "target_encode": _q_target_encode,
@@ -2046,11 +2066,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shared _round6i idiom, driver-covered by the nine other idiom rows
         # inside the window (same argument as embedding_near_dup below)
         "normalize": _q_normalize,
-        # ann_lsh displaced session 5 for the new lm_perplexity row: the r4
-        # ANN hunks (_combine_topk/_final_topk + empty-partial schema) stay
-        # double-covered in-window by ann_topk and ann_ivf; ann_lsh's own
-        # hyperplane-bucketing path is hunk-free since its r2 green row
+        # ann_lsh + ann_ivf displaced session 5 for the new lm_perplexity and
+        # conversation_dedup rows: the r4 ANN hunks (_combine_topk/_final_topk
+        # + empty-partial schema) are shared code still covered in-window by
+        # ann_topk; the lsh/ivf-specific paths (hyperplane bucketing, coarse
+        # k-means + nprobe) are hunk-free since their r2 green rows
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         # join_groupby (broadcast) displaced late session 4 for the new
         # classifier_score row: ops/join_groupby.py has NO round-4 hunks
         # (git diff 42805d0..HEAD); its green r3 row stands, and the shared
@@ -2463,6 +2485,23 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr >= es THEN 'fr'
                         ELSE 'es' END AS lang_pred
             FROM h
+        """,
+        "conversation_dedup": """
+            WITH both_ev AS (
+                SELECT user_id, ts, event_id, event_type FROM events
+                UNION ALL
+                SELECT user_id + 10000, ts, event_id, event_type FROM events
+            ),
+            seq AS (
+                SELECT user_id,
+                       ('0x' || substr(md5(COALESCE(string_agg(event_type,
+                            chr(31) ORDER BY ts, event_id), '')), 1, 15))::BIGINT AS fp
+                FROM both_ev GROUP BY user_id
+            ),
+            k AS (SELECT fp, min(user_id) AS keeper FROM seq GROUP BY fp)
+            SELECT s.user_id, s.fp, k.keeper,
+                   CAST(s.user_id = k.keeper AS BIGINT) AS is_keeper
+            FROM seq s JOIN k USING (fp)
         """,
         "lm_perplexity": """
             WITH t AS (

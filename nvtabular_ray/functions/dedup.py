@@ -1091,3 +1091,79 @@ def _first_per_hash(order_col: str):
         return agg.select([c for c in t.column_names if c != _H])
 
     return pick_first
+
+
+def conversation_dedup(
+    ds,
+    entity_col: str = "user_id",
+    order_cols: tuple = ("ts", "event_id"),
+    content_col: str = "event_type",
+    sep: str = "\x1f",
+    num_buckets=None,
+):
+    """Whole-conversation exact dedup: two conversations are duplicates when
+    their ORDERED content sequences are byte-identical (the transcript-level
+    analogue of document exact-dedup — same thread re-ingested under a new
+    id, mirrored channels, replayed sessions).
+
+    Plan (both stages narrow, no full-payload shuffle):
+      1. per-entity ordered concat of ``content_col`` — ONE bucketed
+         exchange keyed on the entity (the Groupby 'concat' aggregate);
+      2. fingerprint = md5_60(sequence) (PUBLIC spec, SQL-replayable);
+      3. keeper = min(entity) per fingerprint — a second exchange over the
+         narrow (entity, fp) pairs only, one row per CONVERSATION (not per
+         turn), so stage-2 traffic is ~|entities| regardless of turns.
+
+    Returns (entity, fp, keeper, is_keeper:int64) — callers filter
+    ``is_keeper == 1`` or join back to drop duplicate conversations.
+    """
+    from nvtabular_ray import Workflow, ops
+    from nvtabular_ray.functions.hashing import md5_60
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+    node = [entity_col, *order_cols, content_col] >> ops.Groupby(
+        groupby_cols=entity_col,
+        sort_cols=list(order_cols),
+        aggs={content_col: ["concat"]},
+        concat_sep=sep,
+    )
+    seq = Workflow(node).fit(ds).transform(ds)
+    seq_col = f"{content_col}_concat"
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        fp = md5_60(t.column(seq_col)).astype(np.int64)
+        out = pa.table({entity_col: t.column(entity_col), "fp": pa.array(fp)})
+        return out.append_column(_H, pa.array(hash64_columns(out, ["fp"]).astype(np.int64)))
+
+    pairs = seq.map_batches(add_fp, batch_format="pyarrow", zero_copy_batch=True)
+
+    def mark(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_H]).sort_by(
+            [("fp", "ascending"), (entity_col, "ascending")]
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    entity_col: t.column(entity_col),
+                    "fp": t.column("fp"),
+                    "keeper": pa.array([], t.column(entity_col).type),
+                    "is_keeper": pa.array([], pa.int64()),
+                }
+            )
+        fp = t.column("fp").to_numpy()
+        first = np.empty(len(fp), dtype=bool)
+        first[0] = True
+        np.not_equal(fp[1:], fp[:-1], out=first[1:])
+        # sorted by entity within fp: the group's first row is its keeper
+        ent = t.column(entity_col).to_numpy()
+        keeper = ent[np.maximum.accumulate(np.where(first, np.arange(len(fp)), 0))]
+        return pa.table(
+            {
+                entity_col: t.column(entity_col),
+                "fp": t.column("fp"),
+                "keeper": pa.array(keeper),
+                "is_keeper": pa.array(first.astype(np.int64)),
+            }
+        )
+
+    return bucketed_group_map(pairs, [_H], [], mark, num_buckets=num_buckets)
