@@ -809,6 +809,16 @@ def _q_top_k_per_group(sf_dir: str):
     )
 
 
+def _q_sample_per_group(sf_dir: str):
+    """Eval-set carving: a deterministic 5-document sample of every lang,
+    ranked by the public md5_60 hash of doc_id (reproducible on any
+    cluster shape), ties by doc_id."""
+    from nvtabular_ray.functions.sampling import sample_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return sample_per_group(ds, "lang", "doc_id", 5)
+
+
 def _q_hash_split(sf_dir: str):
     """Deterministic entity-level train/valid/test split by user_id: every
     event of one user lands in the same split, reproducibly."""
@@ -2066,6 +2076,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shared _round6i idiom, driver-covered by the nine other idiom rows
         # inside the window (same argument as embedding_near_dup below)
         "normalize": _q_normalize,
+        # sample_per_group (session 5) sits below the gate by design: it is
+        # a pure composition of two green-proven pieces — top_k_per_group
+        # (r3 green row, sampling.py r4-hunk-free) over the public md5_60
+        # rank (pinned by the hash_sample/hash_split rows) — and is
+        # oracle-checkable any round it rotates in
+        "sample_per_group": _q_sample_per_group,
         # ann_lsh + ann_ivf displaced session 5 for the new lm_perplexity and
         # conversation_dedup rows: the r4 ANN hunks (_combine_topk/_final_topk
         # + empty-partial schema) are shared code still covered in-window by
@@ -3509,6 +3525,15 @@ def oracle_sql() -> dict[str, str]:
                    we AS (PARTITION BY user_id ORDER BY ts
                           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                           EXCLUDE GROUP)
+        """,
+        "sample_per_group": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                            ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                      1, 15))::BIGINT ASC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 5
         """,
         "top_k_per_group": """
             SELECT doc_id, lang, source, n_chars FROM (

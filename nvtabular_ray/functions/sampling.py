@@ -169,3 +169,40 @@ def top_k_per_group(
     return bucketed_group_map(
         pre, keys, [], topk_table, num_buckets=num_buckets, presort=False
     )
+
+
+def sample_per_group(ds, keys, id_col: str, k: int, num_buckets=None):
+    """Deterministic ``k``-row sample of every key group — the eval-set /
+    per-domain carving step ("5 documents per language", "100 convs per
+    source"). Rows rank by the PUBLIC md5_60 hash of ``id_col`` (a uniform,
+    reproducible shuffle order — same sample on any cluster shape or
+    arrival order, ties broken by the id itself), and each group keeps its
+    ``k`` smallest. The fixed-COUNT complement of :func:`hash_sample`'s
+    fixed-fraction semantics; SQL analog::
+
+        row_number() OVER (PARTITION BY keys
+                           ORDER BY md5_60(id), id) <= k
+
+    Scale plan is :func:`top_k_per_group`'s: a combiner caps every batch at
+    k rows per key before ONE bucketed exchange finalizes per group."""
+    import pyarrow.compute as pc
+
+    from nvtabular_ray.functions.hashing import md5_60
+
+    col = "__samp_h__"
+
+    def add_h(t: pa.Table) -> pa.Table:
+        c = t.column(id_col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if not (pa.types.is_string(c.type) or pa.types.is_large_string(c.type)):
+            c = pc.cast(c, pa.string())
+        return t.append_column(col, pa.array(md5_60(c).astype(np.int64)))
+
+    hds = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    out = top_k_per_group(
+        hds, keys, col, k, descending=False, tie_cols=[id_col], num_buckets=num_buckets
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns([col]), batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -295,3 +295,47 @@ def test_ann_lsh_no_bucket_matches_returns_empty(ray_session):
     assert tab.num_rows == 0
     assert tab.schema.names == ["vec_id", "sim"]
     assert tab.schema.field("vec_id").type == pa.int64()
+
+
+def test_sample_per_group_deterministic(ray_session):
+    """k rows per group, membership a pure function of (group, id): same
+    result under any partitioning; matches the row_number-over-md5 spec."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from nvtabular_ray.functions.sampling import sample_per_group
+
+    n = 500
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": np.array(["en", "de", "fr", "es"])[np.arange(n) % 4],
+        "payload": np.arange(n) * 1.5,
+    })
+
+    def spec(k):
+        h = df["doc_id"].map(
+            lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+        )
+        s = df.assign(_h=h).sort_values(["_h", "doc_id"])
+        return {
+            tuple(sorted(g["doc_id"].head(k)))
+            for _, g in s.groupby("lang", sort=False)
+        }
+
+    for parts in (1, 7):
+        out = (
+            sample_per_group(rd.from_pandas(df).repartition(parts), "lang", "doc_id", 3)
+            .to_pandas()
+        )
+        got = {
+            tuple(sorted(g["doc_id"])) for _, g in out.groupby("lang", sort=False)
+        }
+        assert got == spec(3), parts
+        assert set(out.columns) == {"doc_id", "lang", "payload"}
+        assert (out.groupby("lang").size() == 3).all()
+    # k larger than the group keeps the whole group
+    small = df.head(6)
+    out = sample_per_group(rd.from_pandas(small), "lang", "doc_id", 10).to_pandas()
+    assert len(out) == 6
