@@ -1116,6 +1116,15 @@ def conversation_dedup(
 
     Returns (entity, fp, keeper, is_keeper:int64) — callers filter
     ``is_keeper == 1`` or join back to drop duplicate conversations.
+
+    Partitioning assumption (documented bound): stage 1 renders each
+    conversation's full sequence as ONE string inside its bucket, so
+    per-task memory is O(largest conversation's content), not O(bucket).
+    That holds to ~10^7-turn entities on 64 GiB workers; a 10^8-turn
+    mega-conversation needs a chained fingerprint (per-segment md5 folded
+    in ts order — hot-split carry shape) instead of materialized concat,
+    at the cost of SQL-oracle replayability. Not implemented until a
+    workload needs it; this guard documents the cliff.
     """
     from nvtabular_ray import Workflow, ops
     from nvtabular_ray.functions.hashing import md5_60
