@@ -93,7 +93,7 @@ def classifier_score(
     weights: Optional[np.ndarray] = None,
     bias: float = 0.0,
     out_col: str = "clf_score",
-    concurrency: int = 4,
+    concurrency=(1, 4),
     batch_size: int = 4096,
 ):
     """Append ``out_col`` = sigmoid(token-mean hashed-bucket weight + bias)
@@ -190,7 +190,7 @@ def lm_perplexity(
     dim: int = 1024,
     logprobs: Optional[np.ndarray] = None,
     out_col: str = "ppl",
-    concurrency: int = 4,
+    concurrency=(1, 4),
     batch_size: int = 4096,
 ):
     """Append ``out_col`` = hashed-bigram LM perplexity per row (the CCNet
