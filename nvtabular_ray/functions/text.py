@@ -171,7 +171,10 @@ class _LangId:
         return t.append_column("lang_pred", pa.array(preds, pa.string()))
 
 
-def detect_language(ds, concurrency: int = 4):
+def detect_language(ds, concurrency=(1, 4)):
+    # autoscaling pool: a FIXED pool of size >= cluster CPUs pre-reserves
+    # every core and starves the upstream input tasks (deadlock on small
+    # nodes); (1, n) starts at one actor and grows with available slots
     return ds.map_batches(_LangId, batch_size=4096, batch_format="pyarrow", concurrency=concurrency)
 
 

@@ -247,9 +247,11 @@ class DecodeAudioStage:
         )
 
 
-def decode_images(ds, column: str = "image", concurrency: int = 4, batch_size: int = 256, **kw):
+def decode_images(ds, column: str = "image", concurrency=(1, 4), batch_size: int = 256, **kw):
     """The canonical stateful multimodal stage wiring: callable CLASS + actor
-    pool + small batches (large payloads)."""
+    pool + small batches (large payloads). The pool autoscales from one
+    actor — a fixed pool sized >= the cluster's CPUs would pre-reserve every
+    core and starve the upstream read (deadlock on small nodes)."""
     return ds.map_batches(
         DecodeImageStage,
         fn_constructor_kwargs=dict(column=column, **kw),
