@@ -2013,7 +2013,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     pieces), log_norm (LogOp+Normalize covered by normalize/minmax_logclip),
     drop_low_cardinality, text_clean, pii_redact, pack_sequences,
     asof_join_forward/_tolerance, range_join (docstring-only or additive
-    changes in their files)."""
+    changes in their files).
+
+    Session-5 curation: four new rows — `classifier_score`, `lm_perplexity`
+    (broadcast-model scorer pair), `conversation_dedup` (ordered-sequence
+    fingerprint dedup) — joined the head, displacing `join_groupby`
+    (broadcast; no r4 hunks in ops/join_groupby.py) and the ann_lsh/ann_ivf
+    pair (their lsh/ivf-specific paths are hunk-free since r2; the r4 shared
+    ANN reduce stays covered by the in-window ann_topk). `sample_per_group`
+    sits just past the gate by design: a pure composition of the r3-green
+    top_k_per_group (sampling.py r4-hunk-free) and the public md5_60 rank
+    already pinned by hash_sample/hash_split rows."""
     return {
         # --- round-4 changed code: must be inside the 50-row window ------
         "context_concat": _q_context_concat,
