@@ -1961,6 +1961,32 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(emb, qvec, k=10, nlist=16, nprobe=16).select_columns(["vec_id"])
 
 
+def _q_knn_join(sf_dir: str):
+    """Broadcast-index exact cosine kNN JOIN (self-join, self excluded):
+    every embedding row gets its 3 nearest neighbors. The index side is
+    ray.put once as pre-chunked normalized matrices; the query side streams
+    — no shuffle, linear in query rows."""
+    from nvtabular_ray.functions.ann import knn_join
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_join(emb, emb, k=3, exclude_self=True, out_query_col="query_id")
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def _q_knn_join_ivf(sf_dir: str):
+    """IVF-partitioned kNN join at full probe (nprobe=nlist): exercises the
+    big-x-big path — coarse quantizer fit, two-sided cell exchange, per-cell
+    exact kernel, narrow per-query merge — while the output is exactly the
+    true top-2 (oracle = exact SQL). Reduced-probe recall is pytest-covered."""
+    from nvtabular_ray.functions.ann import knn_join_ivf
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_join_ivf(
+        emb, emb, k=2, nlist=6, nprobe=6, exclude_self=True, out_query_col="query_id"
+    )
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-query correctness window covers every
     query whose code changed THIS round (no query's latest green row may
@@ -2061,6 +2087,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_mean": _q_rolling_mean,
         "hot_split_features": _q_hot_split_features,
         "ann_topk": _q_ann_topk,
+        "knn_join": _q_knn_join,
+        "knn_join_ivf": _q_knn_join_ivf,
         "conversation_dedup": _q_conversation_dedup,
         "lm_perplexity": _q_lm_perplexity,
         "chunk_documents": _q_chunk_documents,
@@ -2068,8 +2096,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_score": _q_classifier_score,
         "gopher_rules": _q_gopher_rules,
         "target_encode_distributed": _q_target_encode_distributed,
-        "join_groupby_distributed": _q_join_groupby_distributed,
-        "join_groupby_multi_distributed": _q_join_groupby_multi_distributed,
         "target_encode_multi_distributed": _q_target_encode_multi_distributed,
         "categorify_distributed": _q_categorify_distributed,
         "categorify_combo_distributed": _q_categorify_combo_distributed,
@@ -2081,6 +2107,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _q_simhash,
         "ngram_dedup": _q_ngram_dedup,
         # --- past the 50-row gate from here down ------------------------
+        # join_groupby_distributed + join_groupby_multi_distributed displaced
+        # session 6 for the new knn_join/knn_join_ivf rows: ops/join_groupby.py
+        # and pipelines/partitioned.py have NO round-4 hunks (git diff
+        # 42805d0..HEAD), so their green r3 rows stand; the exchange machinery
+        # they ride is window-covered by a dozen other bucketed queries
+        "join_groupby_distributed": _q_join_groupby_distributed,
+        "join_groupby_multi_distributed": _q_join_groupby_multi_distributed,
         # normalize displaced late session 4 for categorify_combo_distributed:
         # ops/normalize.py has no round-4 hunks; its query-side change is the
         # shared _round6i idiom, driver-covered by the nine other idiom rows
@@ -3399,6 +3432,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id ASC
             LIMIT 10
+        """,
+        "knn_join": """
+            -- exact cosine kNN self-join, self excluded; ids+rank only (sim
+            -- ordering is ulp-robust on random vectors, sim VALUES are not
+            -- bit-comparable across engines — same discipline as ann_topk)
+            WITH s AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) DESC,
+                                    b.vec_id ASC
+                       ) AS "rank"
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            )
+            SELECT query_id, neighbor_id, "rank" FROM s WHERE "rank" <= 3
+        """,
+        "knn_join_ivf": """
+            WITH s AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) DESC,
+                                    b.vec_id ASC
+                       ) AS "rank"
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            )
+            SELECT query_id, neighbor_id, "rank" FROM s WHERE "rank" <= 2
         """,
         "reduce_dtype": """
             SELECT event_id, CAST(value AS REAL) AS value FROM events

@@ -237,3 +237,308 @@ def lsh_topk(
 
     partials = ds.map_batches(prune_and_score, batch_format="pyarrow", zero_copy_batch=True)
     return _final_topk(partials, k, id_col)
+
+
+# --------------------------------------------------------------------------
+# kNN JOIN: every row of a query table gets its k nearest neighbors from an
+# index table (reference scope: NVTabular has no vector join; this is the
+# table-to-table generalization of brute_force_topk that a training-data
+# pipeline needs for hard-negative mining / near-dup candidate generation).
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _rowwise_topk_merge(
+    cand_sims: np.ndarray, cand_ids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k over the candidate axis (axis 1), UNordered — final
+    (sim desc, id asc) ordering happens once at the end. argpartition is
+    O(n) per row vs argsort's O(n log n)."""
+    n_cand = cand_sims.shape[1]
+    if n_cand <= k:
+        return cand_sims, cand_ids
+    part = np.argpartition(-cand_sims, k - 1, axis=1)[:, :k]
+    return (
+        np.take_along_axis(cand_sims, part, axis=1),
+        np.take_along_axis(cand_ids, part, axis=1),
+    )
+
+
+def _knn_kernel(
+    qmat: np.ndarray,
+    qids: np.ndarray,
+    chunks: list[tuple[np.ndarray, np.ndarray]],
+    k: int,
+    exclude_self: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Chunked exact cosine top-k of each qmat row against the index chunks.
+
+    Returns flat (query_row_index, neighbor_id, rank, sim) arrays, rank
+    1-based per query ordered by (sim desc, neighbor_id asc). Peak memory is
+    b x chunk_rows doubles — the b x n_index full similarity matrix is never
+    materialized, which is what makes a million-row broadcast index usable
+    under a worker heap."""
+    b = qmat.shape[0]
+    best_sims = np.empty((b, 0), dtype=np.float64)
+    best_ids = np.empty((b, 0), dtype=np.int64)
+    for ids_chunk, mat_chunk in chunks:
+        sims = qmat @ mat_chunk.T
+        ids_b = np.broadcast_to(ids_chunk, sims.shape).copy()
+        if exclude_self:
+            sims = np.where(qids[:, None] == ids_chunk[None, :], -np.inf, sims)
+        best_sims, best_ids = _rowwise_topk_merge(
+            np.concatenate([best_sims, sims], axis=1),
+            np.concatenate([best_ids, ids_b], axis=1),
+            k,
+        )
+    kk = best_sims.shape[1]
+    if kk == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, np.empty(0, dtype=np.float64)
+    # final per-row ordering: stable argsort by -sim over id-ascending input
+    # = ties broken by neighbor id ascending (deterministic across runs and
+    # partitionings)
+    id_order = np.argsort(best_ids, axis=1, kind="stable")
+    best_ids = np.take_along_axis(best_ids, id_order, axis=1)
+    best_sims = np.take_along_axis(best_sims, id_order, axis=1)
+    sim_order = np.argsort(-best_sims, axis=1, kind="stable")
+    best_ids = np.take_along_axis(best_ids, sim_order, axis=1)
+    best_sims = np.take_along_axis(best_sims, sim_order, axis=1)
+    # drop -inf slots (query had fewer than k real candidates, e.g.
+    # exclude_self on a tiny index); -inf sorts last so surviving ranks
+    # stay contiguous 1..m
+    qrow = np.repeat(np.arange(b, dtype=np.int64), kk)
+    rank = np.tile(np.arange(1, kk + 1, dtype=np.int64), b)
+    flat_sims = best_sims.ravel()
+    keep = np.isfinite(flat_sims)
+    return qrow[keep], best_ids.ravel()[keep], rank[keep], flat_sims[keep]
+
+
+def _index_chunks(index, id_col: str, embedding_col: str, chunk_rows: int):
+    """Materialize the index side to [(ids, L2-normalized float64 matrix)]
+    chunks. Accepts a pyarrow Table or a (small) Dataset — this is the
+    broadcast side, it must fit in one worker's heap; use knn_join_ivf when
+    both sides are large."""
+    if hasattr(index, "to_arrow_refs"):
+        import ray as _ray
+
+        tabs = [
+            t
+            for t in _ray.get(index.select_columns([id_col, embedding_col]).to_arrow_refs())
+            if t.num_rows
+        ]
+        index = (
+            pa.concat_tables(tabs, promote_options="default")
+            if tabs
+            else pa.table(
+                {id_col: pa.array([], pa.int64()), embedding_col: pa.array([], pa.list_(pa.float64()))}
+            )
+        )
+    ids = index.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    mat = _normalize_rows(list_to_numpy_2d(index.column(embedding_col)))
+    return [
+        (ids[i : i + chunk_rows], mat[i : i + chunk_rows])
+        for i in range(0, len(ids), max(chunk_rows, 1))
+    ] or [(ids, mat)]
+
+
+def knn_join(
+    query_ds,
+    index,
+    k: int = 5,
+    *,
+    query_id_col: str = "vec_id",
+    index_id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    exclude_self: bool = False,
+    index_chunk_rows: int = 1 << 17,
+    out_query_col: str | None = None,
+):
+    """Exact cosine k-nearest-neighbor JOIN: for every query row, the top-k
+    rows of ``index`` by cosine similarity. Output columns
+    (query id, neighbor_id, rank, sim), rank 1-based by (sim desc, id asc).
+
+    Scale plan: the index side is broadcast ONCE (``ray.put`` of pre-chunked
+    normalized float64 matrices — workers read it zero-copy from the local
+    object store), the query side streams through a stateless map_batches;
+    no shuffle at all, so this scales linearly in query rows. Per-task peak
+    memory is batch_rows x index_chunk_rows doubles, independent of total
+    index size. The broadcast side must fit in worker memory (~0.5 GiB per
+    million 64-dim float64 rows); for big-both-sides use ``knn_join_ivf``."""
+    import ray
+
+    qcol = out_query_col or (query_id_col if query_id_col != index_id_col else "query_id")
+    chunks = _index_chunks(index, index_id_col, embedding_col, index_chunk_rows)
+    chunks_ref = ray.put(chunks) if ray.is_initialized() else chunks
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ch = ray.get(chunks_ref) if ray.is_initialized() else chunks_ref
+        qids = t.column(query_id_col).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        qmat = _normalize_rows(list_to_numpy_2d(t.column(embedding_col)))
+        qrow, nid, rank, sim = _knn_kernel(qmat, qids, ch, k, exclude_self)
+        return pa.table(
+            {
+                qcol: pa.array(qids[qrow]),
+                "neighbor_id": pa.array(nid),
+                "rank": pa.array(rank),
+                "sim": pa.array(sim),
+            }
+        )
+
+    return query_ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_join_ivf(
+    query_ds,
+    index_ds,
+    k: int = 5,
+    *,
+    nlist: int = 16,
+    nprobe: int = 4,
+    query_id_col: str = "vec_id",
+    index_id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    exclude_self: bool = False,
+    num_buckets: int | None = None,
+    index: "IVFIndex | None" = None,
+    out_query_col: str | None = None,
+):
+    """IVF-partitioned kNN join for BIG query x BIG index: neither side is
+    broadcast. Approximate at nprobe < nlist (each query scans only its
+    nprobe nearest coarse cells); EXACT when nprobe >= nlist.
+
+    Scale plan: (1) train a coarse quantizer on an index-side sample
+    (driver-side, tiny); (2) tag every index row with its cell and every
+    query row with its nprobe nearest cells (a bounded nprobe-times
+    replication — the classic IVF trade: replication factor nprobe, scan
+    fraction ~nprobe/nlist); (3) ONE hash exchange co-locates each cell's
+    index rows with the query rows probing it; (4) the per-cell exact kernel
+    emits <= k candidates per (query, cell); (5) a second NARROW exchange on
+    query id (k*nprobe candidate rows per query, embeddings long dropped)
+    merges to the global top-k. Cell skew inherits bucketed_group_map's
+    2 GiB reduce-task guard; raise nlist if a cell outgrows a worker."""
+    import ray
+
+
+    from nvtabular_ray.pipelines.partitioned import bucketed_group_map
+
+    qcol = out_query_col or (query_id_col if query_id_col != index_id_col else "query_id")
+    if index is None:
+        index = IVFIndex.train(index_ds, nlist=nlist, embedding_col=embedding_col)
+    nprobe = min(nprobe, len(index.centroids))
+    idx_ref = ray.put(index) if ray.is_initialized() else index
+
+    def tag_index(t: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref) if ray.is_initialized() else idx_ref
+        emb = list_to_numpy_2d(t.column(embedding_col))
+        cell = ix.assign(emb) if len(emb) else np.empty(0, dtype=np.int64)
+        ids = t.column(index_id_col).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return pa.table(
+            {
+                "_cell": pa.array(cell.astype(np.int64)),
+                "_side": pa.array(np.ones(len(ids), dtype=np.int8)),
+                "_id": pa.array(ids),
+                embedding_col: t.column(embedding_col),
+            }
+        )
+
+    def tag_query(t: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref) if ray.is_initialized() else idx_ref
+        emb = _normalize_rows(list_to_numpy_2d(t.column(embedding_col)))
+        n = len(emb)
+        if n == 0:
+            return pa.table(
+                {
+                    "_cell": pa.array([], pa.int64()),
+                    "_side": pa.array([], pa.int8()),
+                    "_id": pa.array([], pa.int64()),
+                    embedding_col: t.column(embedding_col),
+                }
+            )
+        csims = emb @ ix.centroids.T
+        probes = np.argsort(-csims, axis=1, kind="stable")[:, :nprobe]
+        rep = np.repeat(np.arange(n, dtype=np.int64), nprobe)
+        qids = t.column(query_id_col).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return pa.table(
+            {
+                "_cell": pa.array(probes.ravel().astype(np.int64)),
+                "_side": pa.array(np.zeros(n * nprobe, dtype=np.int8)),
+                "_id": pa.array(qids[rep]),
+                embedding_col: t.column(embedding_col).take(pa.array(rep)),
+            }
+        )
+
+    tagged_i = index_ds.map_batches(tag_index, batch_format="pyarrow", zero_copy_batch=True)
+    tagged_q = query_ds.map_batches(tag_query, batch_format="pyarrow", zero_copy_batch=True)
+    union = tagged_q.union(tagged_i)
+
+    def per_cell(t: pa.Table) -> pa.Table:
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        qt = t.filter(pa.array(side == 0))
+        it = t.filter(pa.array(side == 1))
+        empty = pa.table(
+            {
+                qcol: pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if qt.num_rows == 0 or it.num_rows == 0:
+            return empty
+        ids = it.column("_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        mat = _normalize_rows(list_to_numpy_2d(it.column(embedding_col)))
+        qids = qt.column("_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        # a query row probing two cells that hash into the SAME exchange
+        # bucket arrives here twice — dedupe by id or its top-k candidates
+        # (and the final ranks) duplicate
+        _, first = np.unique(qids, return_index=True)
+        if len(first) != len(qids):
+            qt = qt.take(pa.array(np.sort(first)))
+            qids = qids[np.sort(first)]
+        qmat = _normalize_rows(list_to_numpy_2d(qt.column(embedding_col)))
+        qrow, nid, _rank, sim = _knn_kernel(qmat, qids, [(ids, mat)], k, exclude_self)
+        return pa.table(
+            {qcol: pa.array(qids[qrow]), "neighbor_id": pa.array(nid), "sim": pa.array(sim)}
+        )
+
+    candidates = bucketed_group_map(
+        union,
+        partition_cols=["_cell"],
+        sort_cols=["_side", "_id"],
+        fn=per_cell,
+        num_buckets=num_buckets,
+        presort=False,
+    )
+
+    def merge_query(t: pa.Table) -> pa.Table:
+        qids = t.column(qcol).to_numpy(zero_copy_only=False)
+        nids = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        sims = t.column("sim").to_numpy(zero_copy_only=False)
+        # per-query (sim desc, neighbor asc) rank, then keep rank <= k;
+        # cells partition the index so (query, neighbor) pairs are unique
+        order = np.lexsort((nids, -sims, qids))
+        qs, ns, ss = qids[order], nids[order], sims[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        rank = np.arange(len(qs), dtype=np.int64) - np.repeat(starts, np.diff(np.r_[starts, len(qs)])) + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                qcol: pa.array(qs[keep]),
+                "neighbor_id": pa.array(ns[keep]),
+                "rank": pa.array(rank[keep]),
+                "sim": pa.array(ss[keep]),
+            }
+        )
+
+    return bucketed_group_map(
+        candidates,
+        partition_cols=[qcol],
+        sort_cols=[],
+        fn=merge_query,
+        num_buckets=num_buckets,
+        presort=False,
+    )
