@@ -1997,6 +1997,18 @@ def _first_k_embeddings(sf_dir: str, k: int) -> np.ndarray:
     return list_to_numpy_2d(tab.column("embedding"))
 
 
+def _q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): hashed-unigram log
+    importance ratios summed per doc + deterministic public-hash Gumbel
+    noise, top-200 selection = sampling w/o replacement prop. to exp(logw).
+    Scoring is broadcast-model actor-pool (no shuffle); the top-n is the
+    shuffle-free per-block-partial fan-in merge."""
+    from nvtabular_ray.functions.dsir import dsir_resample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dsir_resample(ds, 200).select_columns(["doc_id"])
+
+
 def _q_kmeans_assign(sf_dir: str):
     """Nearest-centroid assignment (stateless broadcast pass): centroids =
     the 4 lowest-vec_id embeddings, L2 metric, ties -> lowest cluster id."""
@@ -2162,7 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "categorify_tokens_distributed": _q_categorify_tokens_distributed,
         "dedup_exact": _q_dedup_exact,
         "line_dedup": _q_line_dedup,
-        "minhash_dedup": _q_minhash_dedup,
+        "dsir_select": _q_dsir_select,
         "ngram_dedup": _q_ngram_dedup,
         # --- past the 50-row gate from here down ------------------------
         # target_encode_distributed + simhash_dedup displaced session 6 for
@@ -2175,6 +2187,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-verified green at HEAD by tools/check_oracles.py this session
         "target_encode_distributed": _q_target_encode_distributed,
         "simhash_dedup": _q_simhash,
+        # minhash_dedup displaced session 6 for the new dsir_select row, by
+        # the same argument as simhash above: its only r4 hunk is the byte-
+        # identical name-based doc_min select still window-covered by
+        # ngram_dedup; re-verified green at HEAD by tools/check_oracles.py
+        # this session
+        "minhash_dedup": _q_minhash_dedup,
         # kmeans_assign sits below the gate by design: its path (broadcast
         # centroids -> argmin assignment) is a strict subset of the in-window
         # kmeans_fit row, which ends in the same assign_clusters pass
@@ -3521,6 +3539,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
             )
             SELECT query_id, neighbor_id, "rank" FROM s WHERE "rank" <= 3
+        """,
+        "dsir_select": """
+            -- DSIR Gumbel-top-k: per-token hashed log ratio summed per doc,
+            -- plus deterministic Gumbel noise from md5_60(doc_id); top 200
+            -- by (key desc, doc_id asc). Mirrors functions/dsir.py exactly
+            -- (same md5_60 spec as classifier_score / lm_perplexity).
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ),
+            lw AS (
+                SELECT doc_id,
+                       SUM((((('0x' || substr(md5(w), 1, 15))::BIGINT % 1024)
+                             * 2654435761) % 2048) / 2048.0 - 0.5) AS s
+                FROM toks GROUP BY doc_id
+            ),
+            scored AS (
+                SELECT d.doc_id,
+                       COALESCE(lw.s, 0.0)
+                       + (-ln(-ln(((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                                    % 4503599627370496) + 0.5) / 4503599627370496.0))) AS key
+                FROM documents d LEFT JOIN lw USING (doc_id)
+            )
+            SELECT doc_id FROM scored ORDER BY key DESC, doc_id ASC LIMIT 200
         """,
         "kmeans_assign": """
             -- nearest-of-4 pinned centroids (the 4 lowest-vec_id
