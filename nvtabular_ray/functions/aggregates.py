@@ -24,6 +24,77 @@ import pyarrow as pa
 _AGG_FUNCS = {"sum": "sum", "min": "min", "max": "max"}
 
 
+def combine_partial(t: pa.Table, keys: list[str], agg_spec: dict[str, str]) -> pa.Table:
+    """One merge step over partial rows: arrow group_by (NOT pandas — its
+    StringHashTable merges keys differing only at/after an embedded NUL,
+    found by the Categorify property test) with output columns renamed back
+    to the input names, so the step is idempotent/composable."""
+    aggs = [(c, a) for c, a in agg_spec.items()]
+    rename = {f"{c}_{a}": c for c, a in aggs}
+    out_order = keys + [c for c, _ in aggs]
+    res = t.group_by(keys, use_threads=False).aggregate(aggs)
+    res = res.rename_columns([rename.get(n, n) for n in res.column_names])
+    return res.select(out_order)
+
+
+def fused_grouped_reduce(
+    blob_ds,
+    specs: list[tuple[list[str], dict[str, str]]],
+    compact_every: int = 64,
+) -> list:
+    """Reduce ONE scan's multi-op partials: ``blob_ds`` rows are
+    (tag int64, blob = pickled pa.Table of that tag's per-block partial);
+    ``specs[tag] = (keys, agg_spec)``. Returns one merged pandas frame per
+    tag (None where a tag never appeared). Same shuffle-free shape as
+    grouped_reduce — direct block refs, fan-in-``compact_every`` task tree —
+    but every stat op's partials ride the SAME pass, so k stat fits cost one
+    input scan instead of k."""
+    import pickle
+
+    import ray as _ray
+
+    def _merge_blob_tabs(tabs: list) -> pa.Table:
+        per_tag: dict[int, list[pa.Table]] = {}
+        for t in tabs:
+            if t is None or not t.num_rows or "blob" not in t.column_names:
+                continue
+            tags = t.column("tag").to_pylist()
+            blobs = t.column("blob").to_pylist()
+            for tg, b in zip(tags, blobs):
+                per_tag.setdefault(int(tg), []).append(pickle.loads(b))
+        out_tags, out_blobs = [], []
+        for tg, parts in sorted(per_tag.items()):
+            keys, spec = specs[tg]
+            merged = combine_partial(
+                pa.concat_tables(parts, promote_options="default"), keys, spec
+            )
+            out_tags.append(tg)
+            out_blobs.append(pickle.dumps(merged))
+        return pa.table(
+            {"tag": pa.array(out_tags, pa.int64()), "blob": pa.array(out_blobs, pa.binary())}
+        )
+
+    refs = list(blob_ds.to_arrow_refs())
+    if len(refs) > compact_every:
+
+        @_ray.remote(num_cpus=0.5)
+        def merge_task(*tabs: pa.Table) -> pa.Table:
+            return _merge_blob_tabs(list(tabs))
+
+        while len(refs) > compact_every:
+            refs = [
+                merge_task.remote(*refs[i : i + compact_every])
+                for i in range(0, len(refs), compact_every)
+            ]
+    final = _merge_blob_tabs(_ray.get(refs) if refs else [])
+    import pickle as _p
+
+    out: list = [None] * len(specs)
+    for tg, b in zip(final.column("tag").to_pylist(), final.column("blob").to_pylist()):
+        out[int(tg)] = _p.loads(b).to_pandas()
+    return out
+
+
 def grouped_reduce(
     partials_ds,
     keys: list[str],
@@ -50,14 +121,8 @@ def grouped_reduce(
     # strings with C-string semantics, silently MERGING keys that differ only
     # at/after an embedded NUL byte ("" == "\x00") — found by the hypothesis
     # Categorify property test. Arrow grouping is binary-exact.
-    aggs = [(c, a) for c, a in agg_spec.items()]
-    rename = {f"{c}_{a}": c for c, a in aggs}
-    out_order = keys + [c for c, _ in aggs]
-
     def combine_tbl(t: pa.Table) -> pa.Table:
-        res = t.group_by(keys, use_threads=False).aggregate(aggs)
-        res = res.rename_columns([rename.get(n, n) for n in res.column_names])
-        return res.select(out_order)
+        return combine_partial(t, keys, agg_spec)
 
     # Reduce the per-block partial refs directly — no extra Ray stage. The
     # previous shape (a fan-in map_batches + an iter_batches stream) added

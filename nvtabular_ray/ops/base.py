@@ -180,6 +180,23 @@ class BroadcastTableState:
                 self._state()[name] = ray.get(ref)
 
 
+class FitPlan:
+    """One fuseable fit unit: ``partial`` maps a batch of the op's (already
+    prepped) input columns to a small per-block partial table; the engine
+    merges partials with ``combine_partial(keys, agg_spec)`` (all mergeable
+    algebra, so merge order/partitioning can't change the result) and calls
+    ``finalize`` once with the merged pandas frame to store state on the op.
+    """
+
+    __slots__ = ("partial", "keys", "agg_spec", "finalize")
+
+    def __init__(self, partial, keys: list, agg_spec: dict, finalize):
+        self.partial = partial
+        self.keys = list(keys)
+        self.agg_spec = dict(agg_spec)
+        self.finalize = finalize
+
+
 class StatOperator(Operator):
     """An operator with a distributed fit phase producing state."""
 
@@ -190,6 +207,15 @@ class StatOperator(Operator):
         """Compute statistics over ``ds`` (a ray.data.Dataset of this op's
         input columns, upstream ops already applied) and store them on self."""
         raise NotImplementedError
+
+    def fit_partials(self, col_selector: ColumnSelector, ds: Any):
+        """Optional fusion protocol: return a list of :class:`FitPlan` when
+        this op's fit is expressible as partial -> mergeable-reduce ->
+        finalize (``ds`` is for schema inspection only), else None. When
+        every ready stat op at a Workflow.fit level returns plans, the
+        engine runs ONE input scan emitting all their partials instead of
+        one scan per op — k stat fits for the price of one read."""
+        return None
 
     def clear(self) -> None:
         self.fitted = False

@@ -256,61 +256,13 @@ class Categorify(StatOperator):
                 fallback.append((name, cols))
 
         if fuseable:
-            group_of = [(name, c) for name, cols in fuseable for c in cols]
-
-            def partial(t: pa.Table, group_of=tuple(group_of)) -> pa.Table:
-                names_out, vals_out, cnts_out, nulls_out = [], [], [], []
-                for gname, c in group_of:
-                    arr = as_single_chunk(t.column(c))
-                    if is_list_type(arr.type):
-                        arr = arr.flatten()
-                    nulls = arr.null_count
-                    vc = pc.value_counts(arr.drop_null())
-                    v = pc.cast(vc.field("values"), pa.string())
-                    k = len(v)
-                    if k == 0 and nulls:
-                        # all-null batch: carry the null count on a sentinel
-                        # row (null value, count 0) so it isn't dropped
-                        names_out.append(pa.array([gname], pa.string()))
-                        vals_out.append(pa.array([None], pa.string()))
-                        cnts_out.append(pa.array([0], pa.int64()))
-                        nulls_out.append(pa.array([nulls], pa.int64()))
-                        continue
-                    names_out.append(pa.array([gname] * k, pa.string()))
-                    vals_out.append(v)
-                    cnts_out.append(pc.cast(vc.field("counts"), pa.int64()))
-                    nulls_out.append(
-                        pa.array(([nulls] + [0] * (k - 1)) if k else [], pa.int64())
-                    )
-                return pa.table(
-                    {
-                        "g": pa.concat_arrays(names_out),
-                        "value": pa.concat_arrays(vals_out),
-                        "count": pa.concat_arrays(cnts_out),
-                        "nulls": pa.concat_arrays(nulls_out),
-                    }
-                )
-
+            plan = self._fuseable_plan(fuseable, value_type)
             merged = grouped_reduce(
-                ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
-                ["g", "value"],
-                {"count": "sum", "nulls": "sum"},
+                ds.map_batches(plan.partial, batch_format="pyarrow", zero_copy_batch=True),
+                plan.keys,
+                plan.agg_spec,
             )
-            for name, cols in fuseable:
-                vocab_df = merged[merged["g"] == name].drop(columns=["g"]).reset_index(drop=True)
-                self._check_vocab_size(name, vocab_df)
-                nulls = int(vocab_df["nulls"].sum())
-                # drop the all-null-batch sentinel rows (count 0); genuine
-                # vocab entries always have count >= 1
-                vocab_df = vocab_df[vocab_df["count"] > 0].reset_index(drop=True)
-                vocab_df = vocab_df.drop(columns=["nulls"])
-                # cast string-transported values back to the column dtype
-                vt = value_type(cols[0])
-                if not (pa.types.is_string(vt) or pa.types.is_large_string(vt)):
-                    vocab_df["value"] = (
-                        pc.cast(pa.Array.from_pandas(vocab_df["value"]), vt).to_pandas()
-                    )
-                self._finalize_vocab(name, cols[0] if len(cols) == 1 else name, vocab_df, nulls)
+            plan.finalize(merged)
 
         for name, cols in fallback:
 
@@ -351,6 +303,112 @@ class Categorify(StatOperator):
         if self.single_table:
             self._compute_single_offsets(col_selector)
         self._write_artifacts()
+
+    def _fuseable_plan(self, fuseable, value_type):
+        """FUSED single/joint fit as a FitPlan: ONE pass + ONE groupby for
+        ALL fuseable columns. Values ride the merge as strings keyed by
+        group name; string/int/bool round-trip exactly (float categoricals
+        fall back to per-group)."""
+        from nvtabular_ray.ops.base import FitPlan
+
+        group_of = [(name, c) for name, cols in fuseable for c in cols]
+
+        def partial(t: pa.Table, group_of=tuple(group_of)) -> pa.Table:
+            names_out, vals_out, cnts_out, nulls_out = [], [], [], []
+            for gname, c in group_of:
+                arr = as_single_chunk(t.column(c))
+                if is_list_type(arr.type):
+                    arr = arr.flatten()
+                nulls = arr.null_count
+                vc = pc.value_counts(arr.drop_null())
+                v = pc.cast(vc.field("values"), pa.string())
+                k = len(v)
+                if k == 0 and nulls:
+                    # all-null batch: carry the null count on a sentinel
+                    # row (null value, count 0) so it isn't dropped
+                    names_out.append(pa.array([gname], pa.string()))
+                    vals_out.append(pa.array([None], pa.string()))
+                    cnts_out.append(pa.array([0], pa.int64()))
+                    nulls_out.append(pa.array([nulls], pa.int64()))
+                    continue
+                names_out.append(pa.array([gname] * k, pa.string()))
+                vals_out.append(v)
+                cnts_out.append(pc.cast(vc.field("counts"), pa.int64()))
+                nulls_out.append(
+                    pa.array(([nulls] + [0] * (k - 1)) if k else [], pa.int64())
+                )
+            return pa.table(
+                {
+                    "g": pa.concat_arrays(names_out),
+                    "value": pa.concat_arrays(vals_out),
+                    "count": pa.concat_arrays(cnts_out),
+                    "nulls": pa.concat_arrays(nulls_out),
+                }
+            )
+
+        def finalize(merged, fuseable=tuple(fuseable)):
+            for name, cols in fuseable:
+                vocab_df = merged[merged["g"] == name].drop(columns=["g"]).reset_index(drop=True)
+                self._check_vocab_size(name, vocab_df)
+                nulls = int(vocab_df["nulls"].sum())
+                # drop the all-null-batch sentinel rows (count 0); genuine
+                # vocab entries always have count >= 1
+                vocab_df = vocab_df[vocab_df["count"] > 0].reset_index(drop=True)
+                vocab_df = vocab_df.drop(columns=["nulls"])
+                # cast string-transported values back to the column dtype
+                vt = value_type(cols[0])
+                if not (pa.types.is_string(vt) or pa.types.is_large_string(vt)):
+                    vocab_df["value"] = (
+                        pc.cast(pa.Array.from_pandas(vocab_df["value"]), vt).to_pandas()
+                    )
+                self._finalize_vocab(name, cols[0] if len(cols) == 1 else name, vocab_df, nulls)
+
+        return FitPlan(partial, ["g", "value"], {"count": "sum", "nulls": "sum"}, finalize)
+
+    def fit_partials(self, col_selector, ds):
+        """Fusion protocol: a single plan covering every fuseable single/
+        joint group. Opts out (None) whenever any combo, float-typed
+        fallback, or distributed path is involved — those keep their own
+        fit machinery."""
+        if self.distributed:
+            return None
+        schema = dataset_arrow_schema(ds)
+        types = dict(zip(schema.names, schema.types))
+
+        def value_type(c):
+            t = types[c]
+            return t.value_type if (pa.types.is_list(t) or pa.types.is_large_list(t)) else t
+
+        todo = [
+            (name, cols)
+            for name, cols in self._groups(col_selector)
+            if not (name in self.vocab_tables and self.fitted)
+        ]
+        if not todo:
+            return None
+        if any(len(c) > 1 and self.encode_type == "combo" for _, c in todo):
+            return None
+        for _, cols in todo:
+            if not all(
+                pa.types.is_string(value_type(c))
+                or pa.types.is_large_string(value_type(c))
+                or pa.types.is_integer(value_type(c))
+                or pa.types.is_boolean(value_type(c))
+                for c in cols
+            ):
+                return None
+        inner = self._fuseable_plan(todo, value_type)
+
+        def finalize(df):
+            inner.finalize(df)
+            # fit()'s tail: offsets + artifacts must run on the fused path too
+            if self.single_table:
+                self._compute_single_offsets(col_selector)
+            self._write_artifacts()
+
+        from nvtabular_ray.ops.base import FitPlan
+
+        return [FitPlan(inner.partial, inner.keys, inner.agg_spec, finalize)]
 
     def _compute_single_offsets(self, col_selector) -> None:
         """single_table: stack every group's encoding window into one shared

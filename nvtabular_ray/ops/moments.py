@@ -57,6 +57,10 @@ def _partials_batch(table: pa.Table, cols: list[str]) -> pa.Table:
     )
 
 
+MOMENTS_KEYS = ["col"]
+MOMENTS_SPEC = {"count": "sum", "sum": "sum", "sumsq": "sum", "min": "min", "max": "max"}
+
+
 def column_moments(ds, cols: list[str]) -> dict[str, dict[str, float]]:
     """Returns {col: {count, mean, std(ddof=1), var, min, max, sum}}.
 
@@ -67,13 +71,13 @@ def column_moments(ds, cols: list[str]) -> dict[str, dict[str, float]]:
     partials = ds.map_batches(
         lambda t: _partials_batch(t, cols), batch_format="pyarrow", zero_copy_batch=True
     )
-    merged = grouped_reduce(
-        partials,
-        ["col"],
-        {"count": "sum", "sum": "sum", "sumsq": "sum", "min": "min", "max": "max"},
-    ).to_dict("records")
+    merged = grouped_reduce(partials, MOMENTS_KEYS, MOMENTS_SPEC)
+    return finalize_moments(merged)
+
+
+def finalize_moments(merged_df) -> dict[str, dict[str, float]]:
     out: dict[str, dict[str, float]] = {}
-    for row in merged:
+    for row in merged_df.to_dict("records"):
         n = int(row["count"])
         s = float(row["sum"])
         sq = float(row["sumsq"])

@@ -32,6 +32,26 @@ class Normalize(StatOperator):
             self.means[col] = st["mean"]
             self.stds[col] = st["std"]
 
+    def fit_partials(self, col_selector, ds):
+        from nvtabular_ray.ops.base import FitPlan
+        from nvtabular_ray.ops.moments import (
+            MOMENTS_KEYS,
+            MOMENTS_SPEC,
+            _partials_batch,
+            finalize_moments,
+        )
+
+        cols = list(col_selector.names)
+
+        def finalize(df):
+            for col, st in finalize_moments(df).items():
+                self.means[col] = st["mean"]
+                self.stds[col] = st["std"]
+
+        return [
+            FitPlan(lambda t: _partials_batch(t, cols), MOMENTS_KEYS, MOMENTS_SPEC, finalize)
+        ]
+
     def clear(self):
         super().clear()
         self.means, self.stds = {}, {}
@@ -73,6 +93,26 @@ class NormalizeMinMax(StatOperator):
         for col, st in stats.items():
             self.mins[col] = st["min"]
             self.maxs[col] = st["max"]
+
+    def fit_partials(self, col_selector, ds):
+        from nvtabular_ray.ops.base import FitPlan
+        from nvtabular_ray.ops.moments import (
+            MOMENTS_KEYS,
+            MOMENTS_SPEC,
+            _partials_batch,
+            finalize_moments,
+        )
+
+        cols = list(col_selector.names)
+
+        def finalize(df):
+            for col, st in finalize_moments(df).items():
+                self.mins[col] = st["min"]
+                self.maxs[col] = st["max"]
+
+        return [
+            FitPlan(lambda t: _partials_batch(t, cols), MOMENTS_KEYS, MOMENTS_SPEC, finalize)
+        ]
 
     def clear(self):
         super().clear()

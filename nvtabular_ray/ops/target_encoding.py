@@ -213,6 +213,20 @@ class TargetEncoding(BroadcastTableState, StatOperator):
             for name, group in self._groups(col_selector):
                 self._fit_distributed(ds, name, group, input_cols)
             return
+        for plan in self.fit_partials(col_selector, ds):
+            parts = ds.map_batches(plan.partial, batch_format="pyarrow", zero_copy_batch=True)
+            plan.finalize(grouped_reduce(parts, plan.keys, plan.agg_spec))
+
+    def fit_partials(self, col_selector, ds=None):
+        """Broadcast-path fits as fuseable plans (one per column group);
+        the distributed path keeps its own sharded-stat exchange."""
+        if self.distributed:
+            return None
+        from nvtabular_ray.ops.base import FitPlan
+
+        input_cols = list(col_selector.names) + self.targets + (self.fold_on or [])
+        stat_cols = [self._cy(t) for t in self.targets] + [self._sy(t) for t in self.targets]
+        plans = []
         for name, group in self._groups(col_selector):
 
             def partial(t: pa.Table, group=tuple(group)) -> pa.Table:
@@ -229,28 +243,29 @@ class TargetEncoding(BroadcastTableState, StatOperator):
                     ren[f"{tg}_sum"] = self._sy(tg)
                 return res.rename_columns([ren.get(n, n) for n in res.column_names])
 
-            parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-            stat_cols = [self._cy(t) for t in self.targets] + [self._sy(t) for t in self.targets]
-            fold_stats = grouped_reduce(
-                parts, list(group) + [FOLD_NAME], {c: "sum" for c in stat_cols}
+            def finalize(fold_stats, name=name, group=tuple(group)):
+                all_stats = (
+                    fold_stats.groupby(list(group), dropna=False, observed=True)[stat_cols]
+                    .sum()
+                    .reset_index()
+                    .rename(columns={c: f"{c}_all" for c in stat_cols})
+                )
+                for t in self.targets:
+                    if self.global_means[t] is None:
+                        total_cnt = float(all_stats[f"{self._cy(t)}_all"].sum())
+                        total_sum = float(all_stats[f"{self._sy(t)}_all"].sum())
+                        self.global_means[t] = total_sum / total_cnt if total_cnt else 0.0
+                self.state_tables[f"{name}__folds"] = pa.Table.from_pandas(
+                    fold_stats, preserve_index=False
+                )
+                self.state_tables[f"{name}__all"] = pa.Table.from_pandas(
+                    all_stats, preserve_index=False
+                )
+
+            plans.append(
+                FitPlan(partial, list(group) + [FOLD_NAME], {c: "sum" for c in stat_cols}, finalize)
             )
-            all_stats = (
-                fold_stats.groupby(list(group), dropna=False, observed=True)[stat_cols]
-                .sum()
-                .reset_index()
-                .rename(columns={c: f"{c}_all" for c in stat_cols})
-            )
-            for t in self.targets:
-                if self.global_means[t] is None:
-                    total_cnt = float(all_stats[f"{self._cy(t)}_all"].sum())
-                    total_sum = float(all_stats[f"{self._sy(t)}_all"].sum())
-                    self.global_means[t] = total_sum / total_cnt if total_cnt else 0.0
-            self.state_tables[f"{name}__folds"] = pa.Table.from_pandas(
-                fold_stats, preserve_index=False
-            )
-            self.state_tables[f"{name}__all"] = pa.Table.from_pandas(
-                all_stats, preserve_index=False
-            )
+        return plans
 
     def _fit_distributed(self, ds, name: str, group: list[str], input_cols) -> None:
         """Stat-table-bigger-than-memory path: per-(category,fold) count/sum

@@ -241,14 +241,114 @@ class Workflow:
             # on the 37M/12M-turn flagship fit). ``overlap_fits=True``
             # restores the old behavior for fits that are scan-bound again
             # (e.g. many stat ops over columns too wide to prune).
-            if len(ready) == 1 or not overlap_fits:
-                for node in ready:
-                    fit_one(node)
+            # FUSED fit: ops exposing fit_partials (Categorify broadcast,
+            # TargetEncoding broadcast, Normalize/NormalizeMinMax) share ONE
+            # input scan — a single map_batches emits every plan's per-block
+            # partial (tagged pickled tables, a few KB each) and a tag-aware
+            # fan-in tree merges them. k stat fits for one read: the
+            # flagship's 3-fit phase is one pass instead of three.
+            planned, rest = [], []
+            for node in ready:
+                info = self._upstream_prep(ds, node)
+                plans = None
+                if info is not None:
+                    plans = node.op.fit_partials(
+                        node.input_selector, self._upstream_dataset(ds, node)
+                    )
+                if plans:
+                    planned.append((node, plans, info))
+                else:
+                    rest.append(node)
+            if sum(len(p) for _, p, _ in planned) >= 2:
+                self._run_fused_fits(ds, planned)
             else:
-                with ThreadPoolExecutor(max_workers=min(8, len(ready))) as ex:
-                    list(ex.map(fit_one, ready))
+                rest = [n for n, _, _ in planned] + rest
+
+            if len(rest) == 1 or not overlap_fits:
+                for node in rest:
+                    fit_one(node)
+            elif rest:
+                with ThreadPoolExecutor(max_workers=min(8, len(rest))) as ex:
+                    list(ex.map(fit_one, rest))
             pending = [n for n in pending if not n.op.fitted]
         return self
+
+    def _run_fused_fits(self, ds, planned):
+        """Execute many FitPlans over ONE scan of the union of their input
+        columns; per-node prep (projection or upstream-op evaluation) runs
+        inside the same task before each plan's partial."""
+        import pickle
+
+        import pandas as pd
+
+        from nvtabular_ray.arrow_utils import pruned_projection
+        from nvtabular_ray.functions.aggregates import fused_grouped_reduce
+
+        specs, entries = [], []
+        union_cols: list[str] = []
+        for _node, plans, (cols, prep) in planned:
+            for c in cols:
+                if c not in union_cols:
+                    union_cols.append(c)
+            for plan in plans:
+                specs.append((plan.keys, plan.agg_spec))
+                entries.append((prep, plan.partial))
+
+        def multi_partial(t: pa.Table) -> pa.Table:
+            tags, blobs = [], []
+            for i, (prep, part) in enumerate(entries):
+                tags.append(i)
+                blobs.append(pickle.dumps(part(prep(t))))
+            return pa.table(
+                {"tag": pa.array(tags, pa.int64()), "blob": pa.array(blobs, pa.binary())}
+            )
+
+        blob_ds = pruned_projection(ds, union_cols).map_batches(
+            multi_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        merged = fused_grouped_reduce(blob_ds, specs)
+        i = 0
+        for node, plans, _info in planned:
+            for plan in plans:
+                df = merged[i]
+                i += 1
+                if df is None:  # zero-block input: finalize on an empty frame
+                    df = pd.DataFrame(columns=plan.keys + list(plan.agg_spec))
+                plan.finalize(df)
+            node.op.fitted = True
+
+    def _upstream_prep(self, ds, node: Node):
+        """(root_cols, prep(Table)->Table) for running ``node``'s stat
+        partial inside a shared scan, or None when the node's upstream needs
+        a pre_transform_stage shuffle (distributed-state ancestors) and
+        cannot ride a plain fused pass. ``prep`` accepts a SUPERSET batch
+        (the fused scan projects the union of all planned nodes' columns)."""
+        parents = node.parents
+        for p in parents:
+            for anc in p.topo_order():
+                if anc.kind == "op" and getattr(anc.op, "pre_transform_stage", None) is not None:
+                    return None
+        sel_cols = list(node.input_selector.names) + [
+            c for c in node.op.dependencies if c not in node.input_selector.names
+        ]
+        needed_roots = set()
+        for p in parents:
+            needed_roots.update(p.root_columns())
+        needed_roots.update(node.op.dependencies)
+        root_cols = [c for c in _existing_columns(ds) if c in needed_roots]
+
+        if all(p.kind == "selection" and not p.parents for p in parents):
+            return sel_cols, lambda t: t.select(sel_cols)
+
+        def partial_eval(batch: pa.Table) -> pa.Table:
+            parts = [_eval_dag(batch, p) for p in parents]
+            inp = hstack(parts)
+            deps = [c for c in node.op.dependencies if c not in inp.column_names]
+            if deps:
+                inp = hstack([inp, batch.select(deps)])
+            return inp.select(sel_cols)
+
+        return root_cols, partial_eval
 
     def _upstream_dataset(self, ds, node: Node):
         """Lazy Dataset holding ``node``'s input columns (+deps)."""
