@@ -133,6 +133,108 @@ def apply_unary(arr, fn) -> pa.Array:
     return fn(arr)
 
 
+def null_safe_group_by(
+    t: pa.Table,
+    keys: list,
+    aggs: list,
+    use_threads: bool = False,
+) -> pa.Table:
+    """``t.group_by(keys).aggregate(aggs)`` that is correct when a key column
+    contains nulls.
+
+    pyarrow 16.1 has an upstream bug: MULTI-key ``Table.group_by`` where one
+    key column contains nulls emits ~one duplicate null-key group per 32-row
+    internal mini-batch (repro: 666 rows, keys (string-with-nulls, int64) ->
+    64 groups instead of 12). Single-key grouping with nulls and null-free
+    multi-key grouping are both correct, so this helper short-circuits to a
+    plain group_by for those shapes. Otherwise each nullable key column is
+    null-filled with an arbitrary in-type value and paired with an int8
+    validity column that joins the group keys — the validity key keeps a real
+    value that equals the fill sentinel in a distinct group from true nulls —
+    then nulls are restored and the validity columns dropped, so output
+    schema and column order match the plain call exactly.
+
+    The reference engines get null-as-first-class-group semantics for free
+    from pandas/cuDF groupby(dropna=False)
+    (/root/reference/nvtabular/ops/categorify.py:52-55)."""
+    keys = list(keys)
+    gb = lambda tab, ks: tab.group_by(ks, use_threads=use_threads).aggregate(aggs)  # noqa: E731
+    if len(keys) <= 1:
+        return gb(t, keys)
+    nullable = [k for k in keys if t.column(k).null_count > 0]
+    if not nullable:
+        return gb(t, keys)
+    import pyarrow.compute as pc
+
+    work = t
+    restore = []  # (key, validity_name, orig_type, all_null)
+    for k in nullable:
+        col = work.column(k)
+        vname = f"__nsgb_valid_{k}__"
+        idx = work.schema.get_field_index(k)
+        valid = pc.is_valid(col).combine_chunks()
+        dn = col.drop_null()
+        if len(dn) == 0:
+            # all-null key: any constant column groups identically; int8
+            # zeros avoid needing a scalar of an arbitrary type
+            work = work.set_column(
+                idx, k, pa.array(np.zeros(work.num_rows, dtype=np.int8))
+            )
+            restore.append((k, vname, col.type, True))
+        else:
+            work = work.set_column(idx, k, pc.fill_null(col, dn[0]))
+            restore.append((k, vname, col.type, False))
+        work = work.append_column(vname, valid)
+    res = gb(work, keys + [v for _, v, _, _ in restore])
+    for k, vname, orig_type, all_null in restore:
+        idx = res.schema.get_field_index(k)
+        if all_null:
+            res = res.set_column(
+                idx, k, pa.nulls(res.num_rows, type=orig_type)
+            )
+        else:
+            col = res.column(k)
+            res = res.set_column(
+                idx,
+                k,
+                pc.if_else(res.column(vname), col, pa.scalar(None, type=col.type)),
+            )
+    return res.drop_columns([v for _, v, _, _ in restore])
+
+
+def null_safe_merge_keys(t: pa.Table, keys: list) -> tuple:
+    """Append null-safe equi-join key columns for ``keys`` and return
+    ``(table, merge_keys)``.
+
+    Pandas ``merge`` on nullable keys is a trap twice over: an all-null
+    object key column round-trips through ``groupby().reset_index()`` as
+    float64 NaN (dtype-mismatch ValueError against the object side), and
+    None-vs-NaN equivalence inside object-key hashtables is version
+    folklore. Columns with nulls get a ``(fill, validity int8)`` pair —
+    same encoding as :func:`null_safe_group_by`, exact for any fill value
+    because validity disambiguates — so every merge key is non-null and
+    dtype-stable. Null-free key columns are passed through untouched.
+    Callers must drop the appended ``__mk_/__mv_`` columns from output."""
+    import pyarrow.compute as pc
+
+    merge_keys = []
+    for k in keys:
+        col = as_single_chunk(t.column(k))
+        if col.null_count == 0:
+            merge_keys.append(k)
+            continue
+        vname, fname = f"__mv_{k}__", f"__mk_{k}__"
+        valid = pc.is_valid(col).cast(pa.int8())
+        dn = col.drop_null()
+        if len(dn) == 0:
+            filled = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        else:
+            filled = pc.fill_null(col, dn[0])
+        t = t.append_column(fname, filled).append_column(vname, valid)
+        merge_keys += [fname, vname]
+    return t, merge_keys
+
+
 def pruned_projection(ds, cols: list):
     """``select_columns`` that actually prunes the parquet READ.
 

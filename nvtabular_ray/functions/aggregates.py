@@ -28,11 +28,17 @@ def combine_partial(t: pa.Table, keys: list[str], agg_spec: dict[str, str]) -> p
     """One merge step over partial rows: arrow group_by (NOT pandas — its
     StringHashTable merges keys differing only at/after an embedded NUL,
     found by the Categorify property test) with output columns renamed back
-    to the input names, so the step is idempotent/composable."""
+    to the input names, so the step is idempotent/composable. Null-safe:
+    multi-key stat merges (TargetEncoding [group, fold], JoinGroupby
+    multi-col) carry null categories as first-class groups, the exact shape
+    pyarrow 16.1's multi-key group_by splits (arrow_utils.null_safe_group_by
+    docstring)."""
+    from nvtabular_ray.arrow_utils import null_safe_group_by
+
     aggs = [(c, a) for c, a in agg_spec.items()]
     rename = {f"{c}_{a}": c for c, a in aggs}
     out_order = keys + [c for c, _ in aggs]
-    res = t.group_by(keys, use_threads=False).aggregate(aggs)
+    res = null_safe_group_by(t, keys, aggs)
     res = res.rename_columns([rename.get(n, n) for n in res.column_names])
     return res.select(out_order)
 
@@ -194,7 +200,10 @@ def bucketed_aggregate(
     }
 
     def combine(t: pa.Table) -> pa.Table:
-        res = t.group_by(keys, use_threads=False).aggregate(spec)
+        from nvtabular_ray.arrow_utils import null_safe_group_by
+
+        # null-safe: distributed TE/JoinGroupby merge on nullable multi-keys
+        res = null_safe_group_by(t, keys, spec)
         return res.rename_columns([ren.get(n, n) for n in res.column_names])
 
     return bucketed_group_map(partials_ds, keys, [], combine, num_buckets=num_buckets)

@@ -47,9 +47,13 @@ def exact_dedup(ds, key_cols: list[str], order_col: str):
         # pandas round-trip, dtypes exact
         srt = t.sort_by([(order_col, "ascending")])
         others = [c for c in t.column_names if c not in key_cols]
-        agg = srt.group_by(key_cols, use_threads=False).aggregate(
-            [(c, "first") for c in others]
-        )
+        # null-safe: multi-column key sets with nulls hit pyarrow 16.1's
+        # multi-key null-group splitting, which would let duplicate null-key
+        # rows SURVIVE dedup (arrow_utils.null_safe_group_by docstring); the
+        # helper keeps use_threads=False so ordered "first" is preserved
+        from nvtabular_ray.arrow_utils import null_safe_group_by
+
+        agg = null_safe_group_by(srt, key_cols, [(c, "first") for c in others])
         # select by NAME before the positional rename: aggregate()'s key
         # column position is pyarrow-version-dependent
         agg = agg.select(key_cols + [f"{c}_first" for c in others])
@@ -201,9 +205,12 @@ def dup_span_fraction(
     def partials(t: pa.Table) -> pa.Table:
         # unique (gram, doc) pairs with occurrence counts; every occurrence
         # of a gram is in THIS bucket, so distinct-doc counts are global
-        pairs = t.group_by(["gram", id_col], use_threads=False).aggregate(
-            [("gram", "count")]
-        )
+        # null-safe: gram is always non-null (built from token flats) but a
+        # user-supplied id column may carry nulls — multi-key shape of the
+        # pyarrow 16.1 null-group bug (arrow_utils.null_safe_group_by)
+        from nvtabular_ray.arrow_utils import null_safe_group_by
+
+        pairs = null_safe_group_by(t, ["gram", id_col], [("gram", "count")])
         occ = pairs.column("gram_count")
         docs_per = pairs.group_by(["gram"], use_threads=False).aggregate(
             [("gram", "count")]

@@ -70,6 +70,9 @@ def _doc_term_tf(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
     pairs = pa.table(
         {"_doc": pa.array(doc_idx[nonempty]), "term": toks.filter(pa.array(nonempty))}
     )
+    # multi-key group is null-free by construction (_doc is arange-derived,
+    # term filtered non-empty) so pyarrow 16.1's multi-key null-group bug
+    # cannot bite here (arrow_utils.null_safe_group_by docstring)
     agg = pairs.group_by(["_doc", "term"]).aggregate([("_doc", "count")])
     return pa.table(
         {

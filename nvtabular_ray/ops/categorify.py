@@ -431,10 +431,15 @@ class Categorify(StatOperator):
         from nvtabular_ray.functions.aggregates import grouped_reduce
 
         def partial(t: pa.Table, cols=tuple(cols)) -> pa.Table:
-            # arrow group_by, not pandas (NUL-exact string keys; see
-            # functions/aggregates.py note)
-            res = t.select(list(cols)).group_by(list(cols), use_threads=False).aggregate(
-                [([], "count_all")]
+            # null-safe arrow group_by, not pandas (NUL-exact string keys; see
+            # functions/aggregates.py note). Null-member tuples were already
+            # correct here (duplicate null rows sum away in combine/finalize)
+            # but the helper keeps partials exact under pyarrow 16.1's
+            # multi-key null-group bug (arrow_utils.null_safe_group_by)
+            from nvtabular_ray.arrow_utils import null_safe_group_by
+
+            res = null_safe_group_by(
+                t.select(list(cols)), list(cols), [([], "count_all")]
             )
             return res.rename_columns(
                 ["count" if n == "count_all" else n for n in res.column_names]
@@ -470,8 +475,13 @@ class Categorify(StatOperator):
                 )
 
         def partial(t: pa.Table, cols=tuple(cols)) -> pa.Table:
-            res = t.select(list(cols)).group_by(list(cols), use_threads=False).aggregate(
-                [([], "count_all")]
+            # null-safe multi-key grouping (arrow_utils.null_safe_group_by);
+            # duplicate null-tuple rows would sum away below, but exact
+            # partials keep the exchange minimal
+            from nvtabular_ray.arrow_utils import null_safe_group_by
+
+            res = null_safe_group_by(
+                t.select(list(cols)), list(cols), [([], "count_all")]
             )
             res = res.rename_columns(
                 ["count" if n == "count_all" else n for n in res.column_names]

@@ -155,7 +155,12 @@ class Groupby(Operator):
                         f"{col}_max": f"__{col}_max__",
                     }
                 )
-            res = sel.group_by(keys, use_threads=False).aggregate(batch_aggs)
+            # keys are null-free here (mask filter above) so this
+            # short-circuits; null-safe routing guards against pyarrow 16.1's
+            # multi-key null-group bug if the dropna semantics ever change
+            from nvtabular_ray.arrow_utils import null_safe_group_by
+
+            res = null_safe_group_by(sel, keys, batch_aggs)
             return res.rename_columns([ren.get(n, n) for n in res.column_names])
 
         from nvtabular_ray.functions.aggregates import bucketed_aggregate

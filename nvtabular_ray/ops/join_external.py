@@ -76,7 +76,11 @@ class JoinExternal(BroadcastTableState, Operator):
             # silently MULTIPLIES left rows (and desyncs any sibling branch)
             import pyarrow.compute as pc
 
-            n_distinct = ext.group_by(self.on_ext, use_threads=False).aggregate([]).num_rows
+            # null-safe distinct (multi-col keys with nulls would otherwise
+            # over-count distinct rows and false-positive this guard)
+            from nvtabular_ray.arrow_utils import null_safe_group_by
+
+            n_distinct = null_safe_group_by(ext, self.on_ext, []).num_rows
             if n_distinct != ext.num_rows:
                 raise ValueError(
                     f"external table has duplicate {self.on_ext} keys "

@@ -51,7 +51,13 @@ def _grouped_stats_partial(t: pa.Table, group_cols: list[str], cont_cols: list[s
     aggs = [([], "count_all")]
     for c in cont_cols:
         aggs += [(c, "sum"), (f"__{c}_sq__", "sum"), (c, "min"), (c, "max")]
-    res = sel.group_by(group_cols, use_threads=False).aggregate(aggs)
+    # keys are null-free here (mask filter above), so this short-circuits to
+    # a plain group_by — routed through the null-safe helper anyway so a
+    # future change to the dropna semantics can't reintroduce pyarrow 16.1's
+    # multi-key null-group splitting (arrow_utils.null_safe_group_by)
+    from nvtabular_ray.arrow_utils import null_safe_group_by
+
+    res = null_safe_group_by(sel, group_cols, aggs)
     ren = {"count_all": "__count__"}
     for c in cont_cols:
         ren[f"{c}_sum"] = f"__{c}_sum__"

@@ -230,13 +230,18 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         for name, group in self._groups(col_selector):
 
             def partial(t: pa.Table, group=tuple(group)) -> pa.Table:
-                # arrow group_by (NUL-exact string keys; aggregates.py note)
+                # null_safe arrow group_by (NUL-exact string keys, aggregates.py
+                # note; null categories are first-class groups and the [group,
+                # fold] key shape hits pyarrow 16.1's multi-key null-group
+                # splitting bug — arrow_utils.null_safe_group_by docstring)
+                from nvtabular_ray.arrow_utils import null_safe_group_by
+
                 sel = t.select(list(group) + self.targets)
                 sel = sel.append_column(FOLD_NAME, pa.array(self._fold_np(t, input_cols)))
                 aggs = []
                 for tg in self.targets:
                     aggs += [(tg, "count"), (tg, "sum")]
-                res = sel.group_by(list(group) + [FOLD_NAME], use_threads=False).aggregate(aggs)
+                res = null_safe_group_by(sel, list(group) + [FOLD_NAME], aggs)
                 ren = {}
                 for tg in self.targets:
                     ren[f"{tg}_count"] = self._cy(tg)
@@ -282,12 +287,16 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         keys = list(group)
 
         def partial(t: pa.Table) -> pa.Table:
+            from nvtabular_ray.arrow_utils import null_safe_group_by
+
             sel = t.select(keys + self.targets)
             sel = sel.append_column(FOLD_NAME, pa.array(self._fold_np(t, input_cols)))
             aggs = []
             for tg in self.targets:
                 aggs += [(tg, "count"), (tg, "sum")]
-            res = sel.group_by(keys + [FOLD_NAME], use_threads=False).aggregate(aggs)
+            # null-safe: [keys..., fold] is exactly the multi-key nullable
+            # shape pyarrow 16.1 splits (arrow_utils.null_safe_group_by)
+            res = null_safe_group_by(sel, keys + [FOLD_NAME], aggs)
             ren = {}
             for tg in self.targets:
                 ren[f"{tg}_count"] = self._cy(tg)
@@ -409,23 +418,33 @@ class TargetEncoding(BroadcastTableState, StatOperator):
         targets = list(self.targets)
 
         def per_bucket(t: pa.Table) -> pa.Table:
+            from nvtabular_ray.arrow_utils import null_safe_merge_keys
+
+            # null categories are first-class TE groups (reference
+            # target_encoding.py:54-61); encode nullable keys as
+            # (fill, validity) pairs BEFORE pandas sees them — an all-null
+            # object key otherwise comes out of groupby().reset_index() as
+            # float64 NaN and the merge dtype-mismatches (found by
+            # tests/test_null_safe_group_by.py distributed case)
+            t, mkeys = null_safe_merge_keys(t, keys)
             side = t.column("__vside__").to_numpy(zero_copy_only=False)
             sdf = (
                 t.filter(pa.array(side == 1))
-                .select(keys + ["__te_fold__"] + cy_cols + sy_cols)
+                .select(mkeys + ["__te_fold__"] + cy_cols + sy_cols)
                 .to_pandas()
             )
             all_df = (
-                sdf.groupby(keys, dropna=False, observed=True)[cy_cols + sy_cols]
+                sdf.groupby(mkeys, dropna=False, observed=True)[cy_cols + sy_cols]
                 .sum()
                 .reset_index()
                 .rename(columns={c: f"{c}_all" for c in cy_cols + sy_cols})
             )
             dtab = t.filter(pa.array(side == 0))
-            left = dtab.select(keys + ["__te_fold__"]).to_pandas()
-            m_all = left.merge(all_df, on=keys, how="left")
-            m_f = left.merge(sdf, on=keys + ["__te_fold__"], how="left")
+            left = dtab.select(mkeys + ["__te_fold__"]).to_pandas()
+            m_all = left.merge(all_df, on=mkeys, how="left")
+            m_f = left.merge(sdf, on=mkeys + ["__te_fold__"], how="left")
             drop = ["__vbkt__", "__te_fold__", "__vside__"] + deps + cy_cols + sy_cols
+            drop += [c for c in mkeys if c not in keys]
             out = dtab.drop_columns(drop)
             for j, tg in enumerate(targets):
                 cols = {

@@ -49,6 +49,7 @@ from typing import Optional, Union
 import numpy as np
 import pyarrow as pa
 
+from nvtabular_ray.arrow_utils import null_safe_group_by
 from nvtabular_ray.functions.hashing import hash64_columns
 from nvtabular_ray.pipelines.partitioned import _default_num_buckets
 
@@ -599,8 +600,11 @@ def shuffle_join(
     if existence:
 
         def distinct_keys(t: pa.Table) -> pa.Table:
-            # map-side combiner: one distinct right key per block is enough
-            return t.group_by(right_on, use_threads=False).aggregate([])
+            # map-side combiner: one distinct right key per block is enough.
+            # null-safe: pyarrow 16.1 multi-key group_by duplicates null-key
+            # rows; harmless for join semantics (null keys never match) but
+            # the helper keeps the build side minimal (arrow_utils docstring)
+            return null_safe_group_by(t, right_on, [])
 
         right = right.map_batches(distinct_keys, batch_format="pyarrow")
 
@@ -683,7 +687,7 @@ def shuffle_join(
         rt = rparts[0] if len(rparts) == 1 else pa.concat_tables(rparts, promote_options="default")
         rt = _concrete_key_cols(rt, right_on, rtypes)
         if existence and len(rparts) > 1:
-            rt = rt.group_by(right_on, use_threads=False).aggregate([])
+            rt = null_safe_group_by(rt, right_on, [])  # null-safe multi-key distinct
         _warn_fat_build(b, rt.nbytes)
         out = lt.join(
             rt,
@@ -876,7 +880,8 @@ def shuffle_join_chain(
         if st["how"] in ("semi", "anti"):
 
             def distinct_keys(t: pa.Table, _on=tuple(st["on"])) -> pa.Table:
-                return t.group_by(list(_on), use_threads=False).aggregate([])
+                # null-safe multi-key distinct (arrow_utils.null_safe_group_by)
+                return null_safe_group_by(t, list(_on), [])
 
             st["ds"] = st["ds"].map_batches(distinct_keys, batch_format="pyarrow")
 
@@ -947,7 +952,7 @@ def shuffle_join_chain(
                 rt, s_on, {rc: ltypes[lc] for lc, rc in zip(on, s_on)}
             )
             if s_how in ("semi", "anti") and len(rparts) > 1:
-                rt = rt.group_by(s_on, use_threads=False).aggregate([])
+                rt = null_safe_group_by(rt, s_on, [])  # null-safe multi-key distinct
             _warn_fat_build(b, rt.nbytes)
             lt = lt.join(
                 rt,
