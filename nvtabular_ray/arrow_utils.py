@@ -252,7 +252,7 @@ def pruned_projection(ds, cols: list):
         dag = ds._logical_plan.dag
         if type(dag).__name__ == "Read" and not dag.input_dependencies:
             dsrc = getattr(dag, "_datasource", None)
-            if type(dsrc).__name__ == "ParquetDatasource":
+            if type(dsrc).__name__ == "ParquetDatasource" and _plain_parquet_read(dsrc):
                 have = getattr(dsrc, "_data_columns", None)
                 paths = getattr(dsrc, "_unresolved_paths", None)
                 subset = have is None or set(cols) <= set(have)
@@ -263,3 +263,37 @@ def pruned_projection(ds, cols: list):
     except Exception:
         pass
     return ds.select_columns(cols)
+
+
+def _plain_parquet_read(dsrc) -> bool:
+    """True only when re-issuing ``read_parquet(paths, columns=...)`` is
+    provably equivalent to the captured datasource: every read option the
+    user could have passed must be at its default. A filtered read
+    (``filter=``), custom schema/filesystem/partitioning, block_udf,
+    include_paths or file shuffle re-issued without those options would
+    feed SILENTLY WRONG data to every stat fit (round-4 advice: the old
+    guard checked only columns/paths and dropped ``filter=``)."""
+    if getattr(dsrc, "_to_batches_kwargs", None):
+        return False  # filter=, batch_size=, ... would be dropped
+    for attr in ("_block_udf", "_read_schema", "_file_metadata_shuffler"):
+        if getattr(dsrc, attr, None) is not None:
+            return False
+    if getattr(dsrc, "_include_paths", False):
+        return False
+    if getattr(dsrc, "_partition_columns", None):
+        return False
+    fs = getattr(dsrc, "_filesystem", None)
+    # local paths re-resolve to the identical LocalFileSystem; any other
+    # (S3, GCS, wrapped/custom) may carry credentials or behavior the
+    # re-issued read would lose — fall back to select_columns
+    if fs is not None and type(fs).__name__ != "LocalFileSystem":
+        return False
+    part = getattr(dsrc, "_partitioning", None)
+    if part is not None and not (
+        getattr(part, "style", None) == "hive"
+        and not getattr(part, "base_dir", None)
+        and not getattr(part, "field_names", None)
+        and not getattr(part, "field_types", None)
+    ):
+        return False
+    return True

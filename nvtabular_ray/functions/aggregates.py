@@ -43,10 +43,34 @@ def combine_partial(t: pa.Table, keys: list[str], agg_spec: dict[str, str]) -> p
     return res.select(out_order)
 
 
+def _check_ref_sizes(refs, memory_limit: int, keys) -> None:
+    """Raise MemoryError from object-store SIZE METADATA (no pull) when the
+    refs about to be ray.get onto the driver exceed ``memory_limit``.
+    Best-effort: refs not yet in the location index report size None and
+    are skipped; the caller's post-get nbytes check remains the backstop."""
+    import ray as _ray
+
+    try:
+        locs = _ray.experimental.get_object_locations(list(refs), timeout_ms=2000)
+    except Exception:
+        return
+    total = sum(
+        (info or {}).get("object_size") or 0 for info in locs.values()
+    )
+    if total > memory_limit:
+        raise MemoryError(
+            f"grouped_reduce: compacted partials over keys {keys} total "
+            f"{total >> 20} MiB in the object store (> {memory_limit >> 20} "
+            "MiB limit) — the distinct key space is too large to collect "
+            "on the driver; use a sketching/bucketed path instead"
+        )
+
+
 def fused_grouped_reduce(
     blob_ds,
     specs: list[tuple[list[str], dict[str, str]]],
     compact_every: int = 64,
+    memory_limit: int | None = None,
 ) -> list:
     """Reduce ONE scan's multi-op partials: ``blob_ds`` rows are
     (tag int64, blob = pickled pa.Table of that tag's per-block partial);
@@ -92,6 +116,8 @@ def fused_grouped_reduce(
                 merge_task.remote(*refs[i : i + compact_every])
                 for i in range(0, len(refs), compact_every)
             ]
+    if memory_limit is not None and refs:
+        _check_ref_sizes(refs, memory_limit, [s[0] for s in specs])
     final = _merge_blob_tabs(_ray.get(refs) if refs else [])
     import pickle as _p
 
@@ -164,6 +190,11 @@ def grouped_reduce(
                 merge_task.remote(*refs[i : i + compact_every])
                 for i in range(0, len(refs), compact_every)
             ]
+    if memory_limit is not None and refs:
+        # check object-store metadata BEFORE ray.get pulls up to
+        # compact_every full-key-space tables onto the driver (the old
+        # post-get check could OOM the driver before it ever fired)
+        _check_ref_sizes(refs, memory_limit, keys)
     tabs = _ray.get(refs) if refs else []
     if memory_limit is not None:
         total = sum(t.nbytes for t in tabs if t is not None)

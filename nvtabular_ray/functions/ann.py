@@ -283,6 +283,9 @@ def _knn_kernel(
     materialized, which is what makes a million-row broadcast index usable
     under a worker heap."""
     b = qmat.shape[0]
+    if b == 0:  # zero queries: matmul below would shape-error on (0, 0)
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, np.empty(0, dtype=np.float64)
     best_sims = np.empty((b, 0), dtype=np.float64)
     best_ids = np.empty((b, 0), dtype=np.int64)
     for ids_chunk, mat_chunk in chunks:
@@ -376,6 +379,18 @@ def knn_join(
     chunks_ref = ray.put(chunks) if ray.is_initialized() else chunks
 
     def per_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # empty blocks are routine after upstream filters/unions;
+            # list_to_numpy_2d would yield a (0,0) matrix and the kernel's
+            # matmul would shape-error (round-4 advice)
+            return pa.table(
+                {
+                    qcol: pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
         ch = ray.get(chunks_ref) if ray.is_initialized() else chunks_ref
         qids = t.column(query_id_col).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         qmat = _normalize_rows(list_to_numpy_2d(t.column(embedding_col)))
@@ -477,9 +492,16 @@ def knn_join_ivf(
     union = tagged_q.union(tagged_i)
 
     def per_cell(t: pa.Table) -> pa.Table:
+        # the exchange may hash SEVERAL cells into one bucket; iterate the
+        # distinct cells so each query scans exactly its probed cells —
+        # before this, candidates were the union of co-bucketed cells, so
+        # reduced-probe results varied with num_buckets (round-4 advice;
+        # now partition-invariant: results depend only on nlist/nprobe).
+        # A query probing two co-bucketed cells appears once per cell group
+        # — correct, its global top-k merges in merge_query, and (query,
+        # neighbor) pairs stay unique because cells partition the index.
         side = t.column("_side").to_numpy(zero_copy_only=False)
-        qt = t.filter(pa.array(side == 0))
-        it = t.filter(pa.array(side == 1))
+        cells = t.column("_cell").to_numpy(zero_copy_only=False)
         empty = pa.table(
             {
                 qcol: pa.array([], pa.int64()),
@@ -487,23 +509,26 @@ def knn_join_ivf(
                 "sim": pa.array([], pa.float64()),
             }
         )
-        if qt.num_rows == 0 or it.num_rows == 0:
+        outs = []
+        for c in np.unique(cells):
+            cmask = cells == c
+            qt = t.filter(pa.array(cmask & (side == 0)))
+            it = t.filter(pa.array(cmask & (side == 1)))
+            if qt.num_rows == 0 or it.num_rows == 0:
+                continue
+            ids = it.column("_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            mat = _normalize_rows(list_to_numpy_2d(it.column(embedding_col)))
+            qids = qt.column("_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            qmat = _normalize_rows(list_to_numpy_2d(qt.column(embedding_col)))
+            qrow, nid, _rank, sim = _knn_kernel(qmat, qids, [(ids, mat)], k, exclude_self)
+            outs.append(
+                pa.table(
+                    {qcol: pa.array(qids[qrow]), "neighbor_id": pa.array(nid), "sim": pa.array(sim)}
+                )
+            )
+        if not outs:
             return empty
-        ids = it.column("_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        mat = _normalize_rows(list_to_numpy_2d(it.column(embedding_col)))
-        qids = qt.column("_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        # a query row probing two cells that hash into the SAME exchange
-        # bucket arrives here twice — dedupe by id or its top-k candidates
-        # (and the final ranks) duplicate
-        _, first = np.unique(qids, return_index=True)
-        if len(first) != len(qids):
-            qt = qt.take(pa.array(np.sort(first)))
-            qids = qids[np.sort(first)]
-        qmat = _normalize_rows(list_to_numpy_2d(qt.column(embedding_col)))
-        qrow, nid, _rank, sim = _knn_kernel(qmat, qids, [(ids, mat)], k, exclude_self)
-        return pa.table(
-            {qcol: pa.array(qids[qrow]), "neighbor_id": pa.array(nid), "sim": pa.array(sim)}
-        )
+        return pa.concat_tables(outs)
 
     candidates = bucketed_group_map(
         union,

@@ -306,7 +306,9 @@ class Workflow:
         blob_ds = pruned_projection(ds, union_cols).map_batches(
             multi_partial, batch_format="pyarrow", zero_copy_batch=True
         )
-        merged = fused_grouped_reduce(blob_ds, specs)
+        # 4 GiB driver guard: fused partials span every rider op's key
+        # space; checked from object-store metadata before the final get
+        merged = fused_grouped_reduce(blob_ds, specs, memory_limit=4 << 30)
         i = 0
         for node, plans, _info in planned:
             for plan in plans:
