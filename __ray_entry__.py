@@ -104,6 +104,33 @@ def _mean_cmp6(ds, out_col, sum_col, count_col):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _fold_sql(col_expr: str, kfold: int = 3, seed: int = 42) -> str:
+    """DuckDB replica of TargetEncoding's fold assignment for a NUMERIC
+    ``fold_on`` column: SplitMix64 (the engine's published stable-hash
+    spec, hashing.py:_splitmix64) xor seed-mix, mod kfold. 64-bit modular
+    multiplication is expressed HUGEINT-safely by splitting the constant:
+    (a*m) % 2^64 = ((a*m_hi % 2^32) * 2^32 + a*m_lo) % 2^64 — every
+    intermediate stays under 2^97 < HUGEINT max."""
+    m64 = "18446744073709551616::HUGEINT"
+
+    def mulmod(a: str, m: int) -> str:
+        m_hi, m_lo = m >> 32, m & 0xFFFFFFFF
+        return (
+            f"((((({a}) * {m_hi}::HUGEINT) % 4294967296::HUGEINT) * "
+            f"4294967296::HUGEINT + ({a}) * {m_lo}::HUGEINT) % {m64})"
+        )
+
+    def xorshift(z: str, k: int) -> str:
+        return f"xor(({z}), (({z}) // {1 << k}::HUGEINT))"
+
+    z = f"((({col_expr}) + 11400714819323198485::HUGEINT) % {m64})"
+    z = mulmod(xorshift(z, 30), 0xBF58476D1CE4E5B9)
+    z = mulmod(xorshift(z, 27), 0x94D049BB133111EB)
+    z = xorshift(z, 31)
+    mix = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    return f"(xor({z}, {mix}::HUGEINT) % {kfold})"
+
+
 # --------------------------------------------------------------------------- #
 def entry() -> Any:
     """Flagship: ordered per-entity feature engineering on sf0.001 events
@@ -576,6 +603,36 @@ def _q_target_encode(sf_dir: str):
     )
     wf = Workflow(node + ["l_orderkey", "l_linenumber"])
     return _round6i(wf.fit(ds).transform(ds), ["te_rf"])
+
+
+def _q_target_encode_nullable(sf_dir: str):
+    """Out-of-fold TE (kfold=3) on a NULL-bearing categorical: the fit
+    partial groups on the multi-key [group, fold] with nulls in the key —
+    the exact shape of pyarrow 16.1's null-group-splitting bug (round-4
+    verdict §1), routed through arrow_utils.null_safe_group_by. Null is a
+    first-class category (reference target_encoding.py:54-61). ~30% of
+    event_type values are deterministically null-injected (user_id%10<3);
+    the oracle replicates the SplitMix64 fold hash in SQL (_fold_sql) and
+    null-safe-joins the stats with IS NOT DISTINCT FROM."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        keep = pa.array((uid % 10) >= 3)
+        et = t.column("event_type").combine_chunks()
+        t = t.append_column(
+            "etype_n", pc.if_else(keep, et, pa.scalar(None, pa.string()))
+        )
+        return t.drop_columns(["event_type", "user_id"])
+
+    ds2 = ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    node = ["etype_n"] >> ops.TargetEncoding(
+        "value", kfold=3, fold_on=["event_id"], p_smooth=20, out_dtype="float64"
+    )
+    wf = Workflow(node + ["event_id"])
+    return _round6i(wf.fit(ds2).transform(ds2), ["TE_etype_n_value"])
 
 
 def _q_join_groupby(sf_dir: str):
@@ -1189,6 +1246,59 @@ def _q_data_stats(sf_dir: str):
         {"col": c, "cardinality": int(st["cardinality"]), "nulls_pct": float(st["per_nan"])}
         for c, st in op.output.items()
     ]
+    return pd.DataFrame(rows).sort_values("col").reset_index(drop=True)
+
+
+def _q_data_gen_contract(sf_dir: str):
+    """Statistical contract for the synthetic generator (the one SURVEY §2
+    surface with no driver row): DataStats-profile the real events table,
+    DatasetGen a 20k-row look-alike (distributed range->map_batches, 4
+    shards), re-profile the GENERATED data with DataStats, and emit one
+    contract row per column — exact row count, bounds respected, mean
+    within tolerance, string cardinality bounded by the profile, injected
+    null fraction within 3 points of the requested 10%. The oracle pins
+    the contract as constants: what is checked is the generator's
+    distribution machinery end-to-end, not the RNG draws."""
+    import pandas as pd
+
+    from nvtabular_ray import Workflow, ops
+    from nvtabular_ray.tools.data_gen import DatasetGen
+
+    cols = ["user_id", "event_type", "value"]
+    ds = _read(sf_dir, "events", columns=cols)
+    wf = Workflow(cols >> ops.DataStats())
+    wf.fit(ds)
+    prof = {c: dict(st) for c, st in wf._op_nodes()[0].op.output.items()}
+    prof["value"]["per_nan"] = 10.0  # exercise the null-injection path
+    n = 20_000
+    gen = DatasetGen(prof, seed=7).generate(n, shard_rows=5_000)
+    wf2 = Workflow(cols >> ops.DataStats())
+    wf2.fit(gen)
+    got = wf2._op_nodes()[0].op.output
+    n_gen = gen.count()
+    rows = []
+    for c in cols:
+        p, g = prof[c], got[c]
+        is_str = p["dtype"] in ("string", "large_string")
+        if is_str:
+            bounds_ok, mean_ok = True, True
+            card_ok = g["cardinality"] <= p["cardinality"]
+        else:
+            bounds_ok = g["min"] >= p["min"] - 1e-9 and g["max"] <= p["max"] + 1e-9
+            tol = 0.1 * (abs(p["mean"]) + p.get("std", 0.0) + 1.0)
+            mean_ok = abs(g["mean"] - p["mean"]) <= tol
+            card_ok = True  # numeric gen draws a distribution, not a vocab
+        nulls_ok = abs(g["per_nan"] - p["per_nan"]) <= 3.0
+        rows.append(
+            {
+                "col": c,
+                "n_rows": int(n_gen),
+                "bounds_ok": int(bounds_ok),
+                "mean_ok": int(mean_ok),
+                "card_ok": int(card_ok),
+                "nulls_ok": int(nulls_ok),
+            }
+        )
     return pd.DataFrame(rows).sort_values("col").reset_index(drop=True)
 
 
@@ -2165,6 +2275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "chunk_documents": _q_chunk_documents,
         "target_encode": _q_target_encode,
+        "target_encode_nullable": _q_target_encode_nullable,
+        "data_gen_contract": _q_data_gen_contract,
         "classifier_score": _q_classifier_score,
         "gopher_rules": _q_gopher_rules,
         "target_encode_multi_distributed": _q_target_encode_multi_distributed,
@@ -3298,6 +3410,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((st.s + 20 * g.gmean) / (st.cnt + 20) * 1e6)
                         AS BIGINT) AS te_rf
             FROM lineitem l JOIN stats st USING (l_returnflag), g
+        """,
+        "data_gen_contract": """
+            WITH exp AS (
+                SELECT 'event_type' AS col
+                UNION ALL SELECT 'user_id'
+                UNION ALL SELECT 'value'
+            )
+            SELECT col, 20000::BIGINT AS n_rows, 1::BIGINT AS bounds_ok,
+                   1::BIGINT AS mean_ok, 1::BIGINT AS card_ok,
+                   1::BIGINT AS nulls_ok
+            FROM exp ORDER BY col
+        """,
+        "target_encode_nullable": f"""
+            WITH base AS (
+                SELECT event_id,
+                       CASE WHEN user_id % 10 >= 3 THEN event_type END AS etype_n,
+                       value,
+                       {_fold_sql("event_id::HUGEINT", kfold=3, seed=42)} AS f
+                FROM events
+            ),
+            st AS (
+                SELECT etype_n, f, count(value) AS cnt, sum(value) AS s
+                FROM base GROUP BY etype_n, f
+            ),
+            allst AS (
+                SELECT etype_n, sum(cnt) AS cnt_all, sum(s) AS s_all
+                FROM st GROUP BY etype_n
+            ),
+            g AS (SELECT avg(value) AS gmean FROM base)
+            SELECT b.event_id,
+                   CAST(ROUND(((a.s_all - COALESCE(fs.s, 0)) + 20 * g.gmean)
+                        / ((a.cnt_all - COALESCE(fs.cnt, 0)) + 20) * 1e6)
+                        AS BIGINT) AS TE_etype_n_value
+            FROM base b
+            JOIN allst a ON b.etype_n IS NOT DISTINCT FROM a.etype_n
+            LEFT JOIN st fs ON b.etype_n IS NOT DISTINCT FROM fs.etype_n
+                           AND b.f = fs.f, g
         """,
         "join_groupby": """
             WITH st AS (
