@@ -2170,72 +2170,102 @@ def _q_pq_codes(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-query correctness window covers every
     query whose code changed THIS round (no query's latest green row may
-    predate the last edit to the code it exercises): round 4 changed the
-    float-oracle rounding idiom (every _round6i/_mean_cmp6 query), the
-    expanding-sum kernel, the ANN top-k reduce, chunk_documents' copy
-    path, distributed-Categorify null-list handling, the dedup/
-    hot-split group_by renames, and the RollingAgg/ExpandingAgg transform
-    refactor (the shared _column_window_results path) — plus the new
-    `rename`, `decontaminate`, `token_shards`, `resume_pipeline`,
-    `rolling_distinct`, `workflow_save_load`, `serving_batch`,
-    `csv_roundtrip`, `jsonl_source`, `shuffled_write`, `line_dedup`,
-    `dup_span` and `gopher_rules`
-    queries and the two ANN variants whose last green row was round 2. Long-green queries
-    over untouched code sit past the window (those rows stand); the young
-    rows rotated past 50 this round (multimodal_meta, groupby_list,
-    value_count, the broadcast categorify trio, sessionize, backfill)
-    exercise files with no round-4 commits. Session 4 added the salted +
-    chunked `join_shuffle` and the new `join_chain` (co-bucketed
-    multi-way chain), displacing `rolling_leading` just past the gate —
-    its round-4 hunks are the shared count/distinct dtype branches and
-    the windowed_agg bounds dedup, all executed by the in-window
-    rolling_mean and rolling_distinct rows; no leading-bounds code
-    changed since 42805d0.
+    predate the last edit to the code it exercises).
 
-    Session-4 curation: `join_shuffle` (new pipelines/joins.py code) joined
-    the head; `difference_lag` displaced past 50 — its round-4 hunk (the
-    group_multi_order / fused-transform refactor) is window-covered by
-    `transcript_fused`, which runs the identical DifferenceLag config
-    through the same compiled path. Late session 4 generalized
-    TargetEncoding to MULTI-TARGET (ops/target_encoding.py rewrite): the
-    in-window `target_encode_multi_distributed` row now runs TWO targets
-    over a joint column group on the distributed path, and `target_encode`/
-    `target_encode_distributed` (also in-window) re-prove the single-target
-    broadcast/distributed paths of the rewritten file; broadcast multi-target
-    equals per-target single runs by unit test (tests/test_te_multi_target.py).
+    Round-5 (session 7) curation. The round's engine changes: the
+    null-safe multi-key grouping helper (arrow_utils.null_safe_group_by)
+    routed through every grouped-fit partial and merge (TargetEncoding
+    broadcast+distributed, combine_partial/bucketed_aggregate, JoinGroupby
+    and Groupby stats partials, Categorify combo partials, the shuffle-join
+    distinct-key builders, exact-dedup pick_first, the JoinExternal
+    duplicate guard); the TE per-bucket null-safe merge keys
+    (null_safe_merge_keys); the pruned_projection read-option guard +
+    fused-fit memory guard (every Workflow stat fit); and the kNN fixes
+    (empty-batch guard, per-cell IVF candidate restriction). Head rows
+    1-28 cover all of that directly: the NEW target_encode_nullable row
+    (kfold=3 on a ~30%-null key — the exact bug shape, SQL fold-hash
+    replica) and data_gen_contract (generator round-trip), the full TE
+    trio + distributed TE (per_bucket rewrite), JoinGroupby + Groupby
+    stats partials, broadcast + distributed combo Categorify, the two
+    fit-machinery Categorify rows, exact/ngram dedup (pick_first and the
+    gram-pair group), the three shuffle-join rows + JoinExternal, the five
+    ANN/kNN rows (ann_lsh/ann_ivf rotated back in per verdict item 4),
+    minhash/simhash (verdict item 4), and kmeans_fit/kmeans_assign/
+    pq_codes + sample_per_group (kmeans_assign and sample_per_group get
+    their FIRST driver rows — verdict item 5). tfidf_terms pins
+    combine_partial via grouped_reduce (its own file change is
+    comment-only).
 
-    Session-3 curation: ten new rows joined the head (`context_concat`,
-    `tfidf_terms`, `dedup_incremental`, `group_rank`, `mean_pool`,
-    `l2_normalize`, `groupby_concat`, `transcript_fused`, `schema_tags`,
-    plus `difference_lag` and `rolling_leading` pulled back in for the
-    group_multi_order / _column_window_results refactors they share).
-    Every query whose FIRST green row would be round 4 is inside the
-    window (asserted by the session script against the head-50 set).
-    Displaced past 50, each verified by `git diff 42805d0..HEAD` to
-    exercise only function-level-unchanged code since its r3 green row:
-    categorify_tokens (broadcast list path; the r4 categorify hunks are
-    distributed-only), semantic_dedup (its hunk is the dedup_incremental
-    APPEND after the function), corpus_pipeline (composes in-window-checked
-    pieces), log_norm (LogOp+Normalize covered by normalize/minmax_logclip),
-    drop_low_cardinality, text_clean, pii_redact, pack_sequences,
-    asof_join_forward/_tolerance, range_join (docstring-only or additive
-    changes in their files).
+    Rows 29-50 are the r4-young rows whose files have NO round-5 hunks
+    (functions/text.py, context.py, rank.py, packing.py, dsir.py,
+    classifier.py, temporal_ops.py, hot_split.py, pooling.py,
+    decontaminate.py, state/resume.py): their green r4 rows are fresh, and
+    they keep the _round6i idiom and the bucketed-exchange machinery
+    window-covered.
 
-    Session-5 curation: four new rows — `classifier_score`, `lm_perplexity`
-    (broadcast-model scorer pair), `conversation_dedup` (ordered-sequence
-    fingerprint dedup) — joined the head, displacing `join_groupby`
-    (broadcast; no r4 hunks in ops/join_groupby.py) and the ann_lsh/ann_ivf
-    pair (their lsh/ivf-specific paths are hunk-free since r2; the r4 shared
-    ANN reduce stays covered by the in-window ann_topk). `sample_per_group`
-    sits just past the gate by design: a pure composition of the r3-green
-    top_k_per_group (sampling.py r4-hunk-free) and the public md5_60 rank
-    already pinned by hash_sample/hash_split rows."""
+    Displaced past 50 this round (green r4 rows stand; every displaced
+    file verified r5-hunk-free with git diff fcec9a8..HEAD): resample,
+    tumbling_agg, training_pairs, split_sentences, context_budget,
+    top_tokens, schema_tags (temporal/metadata files untouched), rename,
+    csv_roundtrip, jsonl_source, shuffled_write (sources/io.py untouched),
+    serving_batch + workflow_save_load (workflow.py's only r5 hunk is the
+    fused-fit memory_limit argument, executed by every in-window stat-fit
+    row; state/artifacts.py untouched)."""
     return {
-        # --- round-4 changed code: must be inside the 50-row window ------
-        "context_concat": _q_context_concat,
+        # --- round-5 changed code: must be inside the 50-row window ----
+        "target_encode_nullable": _q_target_encode_nullable,
+        "data_gen_contract": _q_data_gen_contract,
+        "target_encode": _q_target_encode,
+        "target_encode_distributed": _q_target_encode_distributed,
+        "target_encode_multi_distributed": _q_target_encode_multi_distributed,
+        "join_groupby": _q_join_groupby,
+        "groupby_stats": _q_groupby_stats,
+        "categorify_combo": _q_categorify_combo,
+        "categorify_combo_distributed": _q_categorify_combo_distributed,
+        "categorify_distributed": _q_categorify_distributed,
+        "categorify_tokens_distributed": _q_categorify_tokens_distributed,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_dedup": _q_ngram_dedup,
+        "join_shuffle": _q_join_shuffle,
+        "join_chain": _q_join_chain,
+        "join_external": _q_join_external,
+        "ann_topk": _q_ann_topk,
+        "knn_join": _q_knn_join,
+        "knn_join_ivf": _q_knn_join_ivf,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash,
+        "kmeans_fit": _q_kmeans_fit,
+        "kmeans_assign": _q_kmeans_assign,
+        "pq_codes": _q_pq_codes,
+        "sample_per_group": _q_sample_per_group,
         "tfidf_terms": _q_tfidf_terms,
+        # --- r4-young rows kept in-window (files r5-hunk-free) --------
+        "context_concat": _q_context_concat,
         "dedup_incremental": _q_dedup_incremental,
         "group_rank": _q_group_rank,
+        "mean_pool": _q_mean_pool,
+        "l2_normalize": _q_l2_normalize,
+        "decontaminate": _q_decontaminate,
+        "token_shards": _q_token_shards,
+        "resume_pipeline": _q_resume_pipeline,
+        "rolling_distinct": _q_rolling_distinct,
+        "expanding_agg": _q_expanding_agg,
+        "rolling_mean": _q_rolling_mean,
+        "hot_split_features": _q_hot_split_features,
+        "conversation_dedup": _q_conversation_dedup,
+        "lm_perplexity": _q_lm_perplexity,
+        "chunk_documents": _q_chunk_documents,
+        "classifier_score": _q_classifier_score,
+        "gopher_rules": _q_gopher_rules,
+        "dup_span": _q_dup_span,
+        "line_dedup": _q_line_dedup,
+        "dsir_select": _q_dsir_select,
+        "transcript_fused": _q_transcript_fused,
+        "groupby_concat": _q_groupby_concat,
+        # --- past the 50-row gate from here down: displaced this round
+        #     (green r4 rows stand; files verified r5-hunk-free) -------
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
         "training_pairs": _q_training_pairs,
@@ -2243,134 +2273,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_budget": _q_context_budget,
         "top_tokens": _q_top_tokens,
         "schema_tags": _q_schema_tags,
-        "transcript_fused": _q_transcript_fused,
-        "groupby_concat": _q_groupby_concat,
-        "mean_pool": _q_mean_pool,
-        "l2_normalize": _q_l2_normalize,
-        "join_shuffle": _q_join_shuffle,
-        "join_chain": _q_join_chain,
-        "decontaminate": _q_decontaminate,
-        "token_shards": _q_token_shards,
-        "resume_pipeline": _q_resume_pipeline,
-        "rolling_distinct": _q_rolling_distinct,
-        # rolling_leading displaced below the window for join_chain: its r4
-        # hunks are the shared count/distinct dtype branches + windowed_agg
-        # bounds dedup, all executed by rolling_mean and rolling_distinct
-        # (in-window); no leading-bounds code changed since 42805d0
-        "workflow_save_load": _q_workflow_save_load,
-        "serving_batch": _q_serving_batch,
+        "rename": _q_rename,
         "csv_roundtrip": _q_csv_roundtrip,
         "jsonl_source": _q_jsonl_source,
+        "serving_batch": _q_serving_batch,
+        "workflow_save_load": _q_workflow_save_load,
         "shuffled_write": _q_shuffled_write,
-        "rename": _q_rename,
-        "expanding_agg": _q_expanding_agg,
-        "rolling_mean": _q_rolling_mean,
-        "hot_split_features": _q_hot_split_features,
-        "ann_topk": _q_ann_topk,
-        "knn_join": _q_knn_join,
-        "knn_join_ivf": _q_knn_join_ivf,
-        "kmeans_fit": _q_kmeans_fit,
-        "pq_codes": _q_pq_codes,
-        "conversation_dedup": _q_conversation_dedup,
-        "lm_perplexity": _q_lm_perplexity,
-        "chunk_documents": _q_chunk_documents,
-        "target_encode": _q_target_encode,
-        "target_encode_nullable": _q_target_encode_nullable,
-        "data_gen_contract": _q_data_gen_contract,
-        "classifier_score": _q_classifier_score,
-        "gopher_rules": _q_gopher_rules,
-        "target_encode_multi_distributed": _q_target_encode_multi_distributed,
-        "categorify_distributed": _q_categorify_distributed,
-        "categorify_combo_distributed": _q_categorify_combo_distributed,
-        "dup_span": _q_dup_span,
-        "categorify_tokens_distributed": _q_categorify_tokens_distributed,
-        "dedup_exact": _q_dedup_exact,
-        "line_dedup": _q_line_dedup,
-        "dsir_select": _q_dsir_select,
-        "ngram_dedup": _q_ngram_dedup,
-        # --- past the 50-row gate from here down ------------------------
-        # target_encode_distributed + simhash_dedup displaced session 6 for
-        # the new kmeans_fit/pq_codes rows: (a) _fit_distributed loops over
-        # self.targets uniformly — the in-window multi-target row runs the
-        # IDENTICAL code with a longer list, and the broadcast single-target
-        # row stays in-window; (b) simhash's only r4 hunk is the byte-
-        # identical name-based doc_min select also present in ngram_dedup
-        # (in-window) and minhash_dedup (in-window); both displaced rows were
-        # re-verified green at HEAD by tools/check_oracles.py this session
-        "target_encode_distributed": _q_target_encode_distributed,
-        "simhash_dedup": _q_simhash,
-        # minhash_dedup displaced session 6 for the new dsir_select row, by
-        # the same argument as simhash above: its only r4 hunk is the byte-
-        # identical name-based doc_min select still window-covered by
-        # ngram_dedup; re-verified green at HEAD by tools/check_oracles.py
-        # this session
-        "minhash_dedup": _q_minhash_dedup,
-        # kmeans_assign sits below the gate by design: its path (broadcast
-        # centroids -> argmin assignment) is a strict subset of the in-window
-        # kmeans_fit row, which ends in the same assign_clusters pass
-        "kmeans_assign": _q_kmeans_assign,
-        # join_groupby_distributed + join_groupby_multi_distributed displaced
-        # session 6 for the new knn_join/knn_join_ivf rows: ops/join_groupby.py
-        # and pipelines/partitioned.py have NO round-4 hunks (git diff
-        # 42805d0..HEAD), so their green r3 rows stand; the exchange machinery
-        # they ride is window-covered by a dozen other bucketed queries
+        # --- long-green rows over untouched code (prior-round args
+        #     preserved in git history at fcec9a8) ----------------------
         "join_groupby_distributed": _q_join_groupby_distributed,
         "join_groupby_multi_distributed": _q_join_groupby_multi_distributed,
-        # normalize displaced late session 4 for categorify_combo_distributed:
-        # ops/normalize.py has no round-4 hunks; its query-side change is the
-        # shared _round6i idiom, driver-covered by the nine other idiom rows
-        # inside the window (same argument as embedding_near_dup below)
         "normalize": _q_normalize,
-        # sample_per_group (session 5) sits below the gate by design: it is
-        # a pure composition of two green-proven pieces — top_k_per_group
-        # (r3 green row, sampling.py r4-hunk-free) over the public md5_60
-        # rank (pinned by the hash_sample/hash_split rows) — and is
-        # oracle-checkable any round it rotates in
-        "sample_per_group": _q_sample_per_group,
-        # ann_lsh + ann_ivf displaced session 5 for the new lm_perplexity and
-        # conversation_dedup rows: the r4 ANN hunks (_combine_topk/_final_topk
-        # + empty-partial schema) are shared code still covered in-window by
-        # ann_topk; the lsh/ivf-specific paths (hyperplane bucketing, coarse
-        # k-means + nprobe) are hunk-free since their r2 green rows
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        # join_groupby (broadcast) displaced late session 4 for the new
-        # classifier_score row: ops/join_groupby.py has NO round-4 hunks
-        # (git diff 42805d0..HEAD); its green r3 row stands, and the shared
-        # _round6i idiom is window-covered
-        "join_groupby": _q_join_groupby,
         "rolling_leading": _q_rolling_leading,
-        # categorify_tokens moved here session 3: its broadcast list path is
-        # function-level unchanged since its r3 green row (the r4 categorify
-        # hunks are distributed-only, covered by categorify_tokens_distributed)
         "categorify_tokens": _q_categorify_tokens,
-        # quality_score + repetition_filter moved here session 3: their
-        # text.py functions are r4-hunk-free (gopher/chunk edits are
-        # elsewhere in the file; the gopher INSERT only shifts line numbers)
         "quality_score": _q_quality_score,
         "repetition_filter": _q_repetition_filter,
-        # fillmedian + minmax_logclip moved here session 3: ops/fill.py,
-        # functions/quantile.py, ops/simple.py and ops/normalize.py have NO
-        # round-4 diffs; their _round6i idiom is window-covered
         "fillmedian": _q_fillmedian,
         "minmax_logclip": _q_minmax_logclip,
-        # embedding_near_dup + column_similarity moved here session 3: their
-        # engine paths have no round-4 hunks (git diff 42805d0..HEAD); their
-        # query-side change is the shared _round6i idiom, driver-covered by
-        # the nine other idiom rows inside the window
         "embedding_near_dup": _q_embedding_near_dup,
         "column_similarity": _q_column_similarity,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_pipeline": _q_corpus_pipeline,
-        # difference_lag moved here session 4 (for join_shuffle): its r4 hunk
-        # is the shared group_multi_order/fused-transform refactor, which the
-        # in-window transcript_fused row exercises with the IDENTICAL
-        # DifferenceLag config (shift=[1], partition user_id, sort ts)
-        # through the same Workflow-compiled bucketed path
         "difference_lag": _q_difference_lag,
-        # --- unchanged but young rows (first green in r3) -----------------
-        # log_norm moved here session 3: its ops (LogOp+Normalize) are
-        # window-covered by `normalize` and `minmax_logclip`
         "log_norm": _q_log_norm,
         "drop_low_cardinality": _q_drop_low_cardinality,
         "text_clean": _q_text_clean,
@@ -2382,20 +2306,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bucketize": _q_quantile_bucketize,
         "top_k_per_group": _q_top_k_per_group,
         "categorify_event_type": _q_categorify_event_type,
-        "categorify_combo": _q_categorify_combo,
         "categorify_freq_threshold": _q_categorify_freq_threshold,
         "sessionize": _q_sessionize,
         "backfill": _q_backfill,
-        # --- past the driver's 50-query window (green rows stand;
-        #     code untouched this round) -----------------------------------
         "multimodal_meta": _q_multimodal_meta,
         "groupby_list": _q_groupby_list,
         "value_count": _q_value_count,
         "asof_join": _q_asof_join,
         "groupby_agg": _q_groupby_agg,
-        "groupby_stats": _q_groupby_stats,
         "tpch_q1": _q_tpch_q1,
-        "join_external": _q_join_external,
         "data_stats": _q_data_stats,
         "difference_lead": _q_difference_lead,
         "rolling_count": _q_rolling_count,
