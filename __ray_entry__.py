@@ -635,6 +635,32 @@ def _q_target_encode_nullable(sf_dir: str):
     return _round6i(wf.fit(ds2).transform(ds2), ["TE_etype_n_value"])
 
 
+def _q_shift_lag(sf_dir: str):
+    """Raw dtype-preserving lag/lead (ops/shift.py, new r5): previous/next
+    VALUE of string, float and timestamp columns within the entity, fused
+    into the single bucketed (user_id, ts, event_id) exchange — SQL
+    lag()/lead() OVER parity including boundary nulls."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    node = ["event_type", "value", "ts"] >> ops.Shift(
+        "user_id", shift=[1, -1], sort_cols=["ts", "event_id"]
+    )
+    wf = Workflow(node + ["event_id"])
+    out = wf.fit(ds).transform(ds)
+    out = out.select_columns(
+        [
+            "event_id",
+            "event_type_shift_1",
+            "event_type_shift_-1",
+            "value_shift_1",
+            "value_shift_-1",
+            "ts_shift_1",
+        ]
+    )
+    return _round6i(out, ["value_shift_1", "value_shift_-1"])
+
+
 def _q_join_groupby(sf_dir: str):
     from nvtabular_ray import Workflow, ops
 
@@ -2200,7 +2226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     A/B), so join_groupby_distributed + join_groupby_multi_distributed
     joined the head (covering the new and the retained route
     respectively), displacing context_concat and groupby_concat (files
-    r5-hunk-free, r4 green rows stand).
+    r5-hunk-free, r4 green rows stand). The new Shift op (ops/shift.py,
+    raw dtype-preserving lag/lead) added the shift_lag row to the head,
+    displacing group_rank (ops/rank.py r5-hunk-free, r4 green row
+    stands).
 
     Rows 29-50 are the r4-young rows whose files have NO round-5 hunks
     (functions/text.py, context.py, rank.py, packing.py, dsir.py,
@@ -2221,6 +2250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 changed code: must be inside the 50-row window ----
         "target_encode_nullable": _q_target_encode_nullable,
         "data_gen_contract": _q_data_gen_contract,
+        "shift_lag": _q_shift_lag,
         "target_encode": _q_target_encode,
         "target_encode_distributed": _q_target_encode_distributed,
         "target_encode_multi_distributed": _q_target_encode_multi_distributed,
@@ -2251,7 +2281,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": _q_tfidf_terms,
         # --- r4-young rows kept in-window (files r5-hunk-free) --------
         "dedup_incremental": _q_dedup_incremental,
-        "group_rank": _q_group_rank,
         "mean_pool": _q_mean_pool,
         "l2_normalize": _q_l2_normalize,
         "decontaminate": _q_decontaminate,
@@ -2273,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the 50-row gate from here down: displaced this round
         #     (green r4 rows stand; files verified r5-hunk-free) -------
         "context_concat": _q_context_concat,
+        "group_rank": _q_group_rank,
         "groupby_concat": _q_groupby_concat,
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
@@ -3335,6 +3365,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((st.s + 20 * g.gmean) / (st.cnt + 20) * 1e6)
                         AS BIGINT) AS te_rf
             FROM lineitem l JOIN stats st USING (l_returnflag), g
+        """,
+        "shift_lag": """
+            SELECT event_id,
+                   lag(event_type) OVER w AS event_type_shift_1,
+                   lead(event_type) OVER w AS "event_type_shift_-1",
+                   CAST(ROUND(lag(value) OVER w * 1e6) AS BIGINT)
+                       AS value_shift_1,
+                   CAST(ROUND(lead(value) OVER w * 1e6) AS BIGINT)
+                       AS "value_shift_-1",
+                   lag(ts) OVER w AS ts_shift_1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "data_gen_contract": """
             WITH exp AS (

@@ -6,6 +6,7 @@ from nvtabular_ray.ops.column_similarity import ColumnSimilarity
 from nvtabular_ray.ops.context import ContextConcat
 from nvtabular_ray.ops.data_stats import DataStats
 from nvtabular_ray.ops.difference_lag import DifferenceLag
+from nvtabular_ray.ops.shift import Shift
 from nvtabular_ray.ops.drop_low_cardinality import DropLowCardinality
 from nvtabular_ray.ops.list_ops import ListSlice, ValueCount
 from nvtabular_ray.ops.metadata import (
@@ -66,6 +67,7 @@ __all__ = [
     "ContextConcat",
     "GroupRank",
     "DifferenceLag",
+    "Shift",
     "Dropna",
     "Groupby",
     "JoinExternal",
