@@ -661,6 +661,47 @@ def _q_shift_lag(sf_dir: str):
     return _round6i(out, ["value_shift_1", "value_shift_-1"])
 
 
+def _q_last_where(sf_dir: str):
+    """LastWhere (ops/last_where.py, new r5): per row, the most recent
+    value of props/value/ts among the entity's 'click' events strictly
+    before it — SQL last_value(CASE WHEN ... END IGNORE NULLS) OVER
+    (ROWS UNBOUNDED PRECEDING AND 1 PRECEDING) parity, dtype-preserving
+    (string, double, timestamp). The op's row-level semantics and the
+    oracle's per-column IGNORE NULLS coincide here because the selected
+    event columns are non-null in the fixture (last_where.py docstring)."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "props", "value"]
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_click", pc.equal(t.column("event_type"), pa.scalar("click"))
+        )
+
+    ds2 = ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    node = ["props", "value", "ts"] >> ops.LastWhere(
+        "user_id", cond_col="is_click", sort_cols=["ts", "event_id"]
+    )
+    wf = Workflow(node + ["event_id"])
+    out = wf.fit(ds2).transform(ds2)
+    return _round6i(out, ["value_last_where"])
+
+
+def _q_ewma(sf_dir: str):
+    """Ewma (ops/ewma.py, new r5): trailing exponentially weighted mean of
+    value per user (alpha=0.25, adjust=False) — oracle is a RECURSIVE CTE
+    applying the identical double recurrence (verified bit-identical to
+    pandas' Cython ewm)."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    node = ["value"] >> ops.Ewma("user_id", alpha=0.25, sort_cols=["ts", "event_id"])
+    wf = Workflow(node + ["event_id"])
+    return _round6i(wf.fit(ds).transform(ds), ["value_ewma"])
+
+
 def _q_join_groupby(sf_dir: str):
     from nvtabular_ray import Workflow, ops
 
@@ -2226,10 +2267,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     A/B), so join_groupby_distributed + join_groupby_multi_distributed
     joined the head (covering the new and the retained route
     respectively), displacing context_concat and groupby_concat (files
-    r5-hunk-free, r4 green rows stand). The new Shift op (ops/shift.py,
-    raw dtype-preserving lag/lead) added the shift_lag row to the head,
-    displacing group_rank (ops/rank.py r5-hunk-free, r4 green row
-    stands).
+    r5-hunk-free, r4 green rows stand). Three NEW r5 ops added head rows:
+    shift_lag (ops/shift.py, raw dtype-preserving lag/lead), last_where
+    (ops/last_where.py, conditional last-matching-row fields,
+    IGNORE-NULLS-style oracle) and ewma (ops/ewma.py, recursive-CTE
+    oracle verified bit-identical to pandas' Cython ewm) — displacing
+    group_rank, decontaminate and token_shards (rank.py /
+    decontaminate.py / packing.py all r5-hunk-free, r4 green rows
+    stand).
 
     Rows 29-50 are the r4-young rows whose files have NO round-5 hunks
     (functions/text.py, context.py, rank.py, packing.py, dsir.py,
@@ -2251,6 +2296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode_nullable": _q_target_encode_nullable,
         "data_gen_contract": _q_data_gen_contract,
         "shift_lag": _q_shift_lag,
+        "last_where": _q_last_where,
+        "ewma": _q_ewma,
         "target_encode": _q_target_encode,
         "target_encode_distributed": _q_target_encode_distributed,
         "target_encode_multi_distributed": _q_target_encode_multi_distributed,
@@ -2283,8 +2330,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "mean_pool": _q_mean_pool,
         "l2_normalize": _q_l2_normalize,
-        "decontaminate": _q_decontaminate,
-        "token_shards": _q_token_shards,
         "resume_pipeline": _q_resume_pipeline,
         "rolling_distinct": _q_rolling_distinct,
         "expanding_agg": _q_expanding_agg,
@@ -2303,6 +2348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     (green r4 rows stand; files verified r5-hunk-free) -------
         "context_concat": _q_context_concat,
         "group_rank": _q_group_rank,
+        "decontaminate": _q_decontaminate,
+        "token_shards": _q_token_shards,
         "groupby_concat": _q_groupby_concat,
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
@@ -3365,6 +3412,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((st.s + 20 * g.gmean) / (st.cnt + 20) * 1e6)
                         AS BIGINT) AS te_rf
             FROM lineitem l JOIN stats st USING (l_returnflag), g
+        """,
+        "last_where": """
+            SELECT event_id,
+                   last_value(CASE WHEN event_type = 'click' THEN props END
+                              IGNORE NULLS) OVER w AS props_last_where,
+                   CAST(ROUND(last_value(CASE WHEN event_type = 'click'
+                                              THEN value END IGNORE NULLS)
+                              OVER w * 1e6) AS BIGINT) AS value_last_where,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS) OVER w AS ts_last_where
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        "ewma": """
+            WITH RECURSIVE base AS (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, rn, event_id, value::DOUBLE AS ewm
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.user_id, b.rn, b.event_id,
+                       0.25 * b.value + 0.75 * r.ewm
+                FROM base b JOIN r ON b.user_id = r.user_id
+                                  AND b.rn = r.rn + 1
+            )
+            SELECT event_id, CAST(ROUND(ewm * 1e6) AS BIGINT) AS value_ewma
+            FROM r
         """,
         "shift_lag": """
             SELECT event_id,

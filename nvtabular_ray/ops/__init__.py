@@ -6,6 +6,8 @@ from nvtabular_ray.ops.column_similarity import ColumnSimilarity
 from nvtabular_ray.ops.context import ContextConcat
 from nvtabular_ray.ops.data_stats import DataStats
 from nvtabular_ray.ops.difference_lag import DifferenceLag
+from nvtabular_ray.ops.ewma import Ewma
+from nvtabular_ray.ops.last_where import LastWhere
 from nvtabular_ray.ops.shift import Shift
 from nvtabular_ray.ops.drop_low_cardinality import DropLowCardinality
 from nvtabular_ray.ops.list_ops import ListSlice, ValueCount
@@ -68,6 +70,8 @@ __all__ = [
     "GroupRank",
     "DifferenceLag",
     "Shift",
+    "LastWhere",
+    "Ewma",
     "Dropna",
     "Groupby",
     "JoinExternal",

@@ -1,0 +1,137 @@
+"""LastWhere (conditional last value strictly before the row) and Ewma
+(trailing exponentially weighted mean) vs pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from nvtabular_ray import Workflow, ops
+
+
+@pytest.fixture()
+def df():
+    rng = np.random.default_rng(11)
+    n = 6000
+    return pd.DataFrame(
+        {
+            "u": rng.integers(0, 50, n),
+            "ts": rng.integers(0, 10**6, n),
+            "rid": np.arange(n, dtype=np.int64),
+            "is_tool": rng.random(n) < 0.3,
+            "tool": rng.choice(["a", "b", "c"], n),
+            "x": np.where(rng.random(n) < 0.05, np.nan, rng.normal(size=n) * 10),
+        }
+    )
+
+
+def _run(df, node):
+    return (
+        Workflow(node + ["rid"])
+        .fit(rd.from_pandas(df))
+        .transform(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+
+
+def test_last_where_matches_pandas(ray_session, df):
+    out = _run(
+        df,
+        ["tool", "x", "ts"]
+        >> ops.LastWhere("u", cond_col="is_tool", sort_cols=["ts", "rid"]),
+    )
+    # ROW-level oracle: every output column comes from the SAME matched row
+    # (the last cond row strictly before), so a NaN value AT a matching row
+    # is returned as-is — unlike SQL IGNORE NULLS, which would skip it
+    # per-column (the two coincide when matched rows are non-null)
+    exp = df.sort_values(["u", "ts", "rid"]).copy()
+    ridx = pd.Series(
+        np.arange(len(exp), dtype=np.float64), index=exp.index
+    ).where(exp["is_tool"])
+    last_idx = (
+        ridx.groupby(exp["u"].to_numpy())
+        .apply(lambda s: s.shift(1).ffill())
+        .reset_index(level=0, drop=True)
+        .reindex(exp.index)
+    )
+    for c in ["tool", "x", "ts"]:
+        vals = exp[c].to_numpy()
+        li = last_idx.to_numpy()
+        got = np.array(
+            [vals[int(i)] if not np.isnan(i) else None for i in li], dtype=object
+        )
+        exp[f"{c}_last_where"] = got
+    exp = exp.sort_values("rid").reset_index(drop=True)
+    for c in ["tool", "x", "ts"]:
+        a, b = out[f"{c}_last_where"], exp[f"{c}_last_where"]
+        b_isna = b.isna() | b.apply(
+            lambda v: isinstance(v, float) and np.isnan(v)
+        )
+        assert (a.isna() == b_isna).all(), c
+        m = ~a.isna()
+        if a.dtype == object:
+            assert (a[m] == b[m]).all(), c
+        else:
+            np.testing.assert_allclose(
+                a[m].astype(float), b[m].astype(float).to_numpy()
+            )
+
+
+def test_last_where_include_current(ray_session, df):
+    out = _run(
+        df,
+        ["tool"]
+        >> ops.LastWhere(
+            "u", cond_col="is_tool", sort_cols=["ts", "rid"], include_current=True
+        ),
+    )
+    exp = df.sort_values(["u", "ts", "rid"]).copy()
+    masked = exp["tool"].where(exp["is_tool"])
+    exp["e"] = masked.groupby(exp["u"]).ffill()
+    exp = exp.sort_values("rid").reset_index(drop=True)
+    a = out["tool_last_where"]
+    assert (a.isna() == exp["e"].isna()).all()
+    m = ~a.isna()
+    assert (a[m] == exp["e"][m]).all()
+
+
+def test_last_where_null_cond_is_false(ray_session):
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1],
+            "ts": [1, 2, 3],
+            "rid": [0, 1, 2],
+            "c": pd.array([True, None, True], dtype="boolean"),
+            "v": [10.0, 20.0, 30.0],
+        }
+    )
+    out = _run(df, ["v"] >> ops.LastWhere("u", cond_col="c", sort_cols=["ts", "rid"]))
+    assert out["v_last_where"].tolist()[0] != out["v_last_where"].tolist()[0] or pd.isna(
+        out["v_last_where"][0]
+    )
+    assert out["v_last_where"][1] == 10.0  # null cond row sees row 0
+    assert out["v_last_where"][2] == 10.0  # row 1's null cond did NOT match
+
+
+@pytest.mark.parametrize("adjust", [False, True])
+def test_ewma_matches_pandas(ray_session, df, adjust):
+    out = _run(
+        df, ["x"] >> ops.Ewma("u", alpha=0.3, sort_cols=["ts", "rid"], adjust=adjust)
+    )
+    exp = df.sort_values(["u", "ts", "rid"]).copy()
+    exp["e"] = exp.groupby("u")["x"].transform(
+        lambda s: s.ewm(alpha=0.3, adjust=adjust).mean()
+    )
+    exp = exp.sort_values("rid").reset_index(drop=True)
+    a, b = out["x_ewma"].to_numpy(), exp["e"].to_numpy()
+    assert (np.isnan(a) == np.isnan(b)).all()
+    np.testing.assert_allclose(a[~np.isnan(a)], b[~np.isnan(b)])
+
+
+def test_ewma_alpha_validation():
+    with pytest.raises(ValueError):
+        ops.Ewma("u", alpha=0.0)
+    with pytest.raises(ValueError):
+        ops.Ewma("u", alpha=1.5)
