@@ -73,7 +73,8 @@ BUCKET_COL = "__bucket__"
 _US = 1_000_000
 _EMPTY_SUMMARY = {"n": 0, "first_ts": None, "last_ts": None,
                   "breaks": {}, "tail": {}, "head": {}, "exp": {},
-                  "bf_last": {}, "bf_first": {}, "ctx_tail": {}}
+                  "bf_last": {}, "bf_first": {}, "ctx_tail": {},
+                  "sh_tail": {}, "sh_head": {}, "lw": {}, "ewma": {}}
 
 
 # --------------------------------------------------------------------------
@@ -98,6 +99,12 @@ def _spec_out_names(spec: dict) -> list[str]:
         return [spec.get("out") or spec.get("method", "row_number")]
     if k == "context":
         return [spec.get("out") or f"{spec['col']}_ctx{int(spec['k'])}"]
+    if k == "shift":
+        return [spec.get("out") or f"{spec['col']}_shift_{spec['shift']}"]
+    if k == "last_where":
+        return [spec.get("out") or f"{spec['col']}_last_where"]
+    if k == "ewma":
+        return [spec.get("out") or f"{spec['col']}_ewma"]
     raise ValueError(f"unknown spec kind {k!r}")
 
 
@@ -130,6 +137,18 @@ def _validate_specs(specs: list[dict]):
                 raise ValueError(f"rank method must be row_number|percent_rank|ntile: {s}")
             if m == "ntile" and int(s.get("n") or 0) < 1:
                 raise ValueError(f"ntile needs n >= 1: {s}")
+        if s["kind"] == "shift" and int(s["shift"]) == 0:
+            raise ValueError(f"shift=0 is the identity: {s}")
+        if s["kind"] == "ewma":
+            a = float(s["alpha"])
+            if not (0.0 < a <= 1.0):
+                raise ValueError(f"ewma alpha must be in (0, 1]: {s}")
+            if s.get("adjust", False):
+                # the carry is Markov (one scalar per entity) only for the
+                # adjust=False recurrence; adjust=True state is a weight
+                # PAIR whose cross-segment fold is a different algebra —
+                # use ops.Ewma unsplit for adjust=True
+                raise ValueError("hot-split ewma supports adjust=False only")
         del names
 
 
@@ -159,6 +178,57 @@ def _lag_cols(specs: list[dict]) -> tuple[dict, dict]:
             elif k < 0:
                 head[s["col"]] = max(head.get(s["col"], 0), -k)
     return tail, head
+
+
+def _shift_cols(specs: list[dict]) -> tuple[dict, dict]:
+    """Raw-shift carries: ({col: max lag depth}, {col: max lead depth})
+    — dtype-preserving, so carried as Python value lists (ctx_tail
+    precedent), unlike _lag_cols' float64 diff tails."""
+    tail: dict[str, int] = {}
+    head: dict[str, int] = {}
+    for s in specs:
+        if s["kind"] == "shift":
+            k = int(s["shift"])
+            if k > 0:
+                tail[s["col"]] = max(tail.get(s["col"], 0), k)
+            else:
+                head[s["col"]] = max(head.get(s["col"], 0), -k)
+    return tail, head
+
+
+def _shift_take_indices(gid: np.ndarray, k: int) -> pa.Array:
+    """Null-masked int64 take indices for a raw shift of ``k`` over
+    (key, sort)-ordered rows with change-point gids (ops/shift.py kernel)."""
+    n = len(gid)
+    src = np.arange(n, dtype=np.int64) - k
+    inside = (src >= 0) & (src < n)
+    valid = inside & (gid[np.clip(src, 0, n - 1)] == gid)
+    return pa.array(np.clip(src, 0, None), pa.int64(), mask=~valid)
+
+
+def _last_where_indices(
+    gid: np.ndarray, cond: np.ndarray, include_current: bool
+) -> tuple[pa.Array, np.ndarray]:
+    """(null-masked take indices, no-match-yet mask) for last-matching-row
+    lookup over sorted gids (ops/last_where.py cummax kernel)."""
+    n = len(gid)
+    pos = np.arange(n, dtype=np.int64)
+    enc = np.where(cond, gid * n + pos, np.int64(-1))
+    cm = np.maximum.accumulate(enc)
+    if not include_current:
+        cm = np.concatenate([[np.int64(-1)], cm[:-1]]) if n else cm
+    valid = (cm >= 0) & (cm // n == gid)
+    idx = pa.array(np.clip(cm % np.maximum(n, 1), 0, None), pa.int64(), mask=~valid)
+    return idx, ~valid
+
+
+def _ewma_plain(vals: np.ndarray, gser, alpha: float) -> np.ndarray:
+    """pandas Cython grouped ewm (adjust=False) over gid-sorted values."""
+    import pandas as _pd
+
+    return (
+        _pd.Series(vals).groupby(gser).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+    )
 
 
 def _exp_cols(specs: list[dict]) -> list[str]:
@@ -452,6 +522,24 @@ def _compute_cold(t: pa.Table, cfg: dict) -> pa.Table:
                 names[0],
                 concat_prev_k(rendered, gstart, int(s["k"]), s.get("sep", "\n")),
             )
+        elif s["kind"] == "shift":
+            idx_sh = _shift_take_indices(gid, int(s["shift"]))
+            t = t.append_column(
+                names[0], pc.take(t.column(s["col"]).combine_chunks(), idx_sh)
+            )
+        elif s["kind"] == "last_where":
+            cond = pc.fill_null(
+                t.column(s["cond"]).combine_chunks().cast(pa.bool_()), False
+            ).to_numpy(zero_copy_only=False)
+            idx_lw, _ = _last_where_indices(gid, cond, bool(s.get("include_current")))
+            t = t.append_column(
+                names[0], pc.take(t.column(s["col"]).combine_chunks(), idx_lw)
+            )
+        elif s["kind"] == "ewma":
+            import pandas as _pd
+
+            ew = _ewma_plain(vals(s["col"]), _pd.Series(gid), float(s["alpha"]))
+            t = t.append_column(names[0], pa.array(ew, pa.float64(), from_pandas=True))
     return t
 
 
@@ -462,7 +550,8 @@ def _summarize_segment(t: pa.Table, cfg: dict) -> dict:
     scale = _US if is_ts else 1
     out = {"n": body.num_rows, "first_ts": None, "last_ts": None,
            "breaks": {}, "tail": {}, "head": {}, "exp": {},
-           "bf_last": {}, "bf_first": {}, "ctx_tail": {}}
+           "bf_last": {}, "bf_first": {}, "ctx_tail": {},
+           "sh_tail": {}, "sh_head": {}, "lw": {}, "ewma": {}}
     if body.num_rows == 0:
         return out
     out["first_ts"] = int(ts_us[0])
@@ -479,6 +568,55 @@ def _summarize_segment(t: pa.Table, cfg: dict) -> dict:
                 body, s["col"], s.get("prefix_col"), s.get("prefix_sep", ": ")
             )
             out["ctx_tail"][i] = rendered.slice(max(0, len(rendered) - k)).to_pylist()
+        elif s["kind"] == "last_where":
+            cond = pc.fill_null(
+                body.column(s["cond"]).combine_chunks().cast(pa.bool_()), False
+            ).to_numpy(zero_copy_only=False)
+            nz = np.flatnonzero(cond)
+            has = len(nz) > 0
+            # the matched ROW's value, null included (row-level semantics,
+            # ops/last_where.py docstring)
+            out["lw"][i] = (
+                has,
+                body.column(s["col"])[int(nz[-1])].as_py() if has else None,
+            )
+        elif s["kind"] == "ewma":
+            v = (
+                body.column(s["col"])
+                .combine_chunks()
+                .cast(pa.float64())
+                .to_numpy(zero_copy_only=False)
+            )
+            if np.isnan(v).any():
+                raise ValueError(
+                    "hot-split ewma requires a non-null value column: a "
+                    "null inside a hot entity makes the carry depend on "
+                    "pandas' absolute-position NaN weighting, which does "
+                    "not fold across segments — FillMissing upstream or "
+                    "use ops.Ewma without hot_threshold"
+                )
+            a = float(s["alpha"])
+            import pandas as _pd
+
+            # plain = pandas semantics from segment start (y0 = x0): the
+            # entity's FIRST segment state. seeded-zero = the recurrence
+            # applied to every row from y=0, so a later segment's exit
+            # state is the affine map  y_out = (1-a)^n * y_in + B  (the
+            # recurrence is linear in the carried state).
+            plain = _pd.Series(v).ewm(alpha=a, adjust=False).mean().iloc[-1]
+            seeded = (
+                _pd.Series(np.concatenate([[0.0], v]))
+                .ewm(alpha=a, adjust=False)
+                .mean()
+                .iloc[-1]
+            )
+            out["ewma"][i] = (len(v), float(plain), float(seeded))
+    sh_tail, sh_head = _shift_cols(cfg["specs"])
+    for col, k in sh_tail.items():
+        c = body.column(col)
+        out["sh_tail"][col] = c.slice(max(0, len(c) - k)).to_pylist()
+    for col, k in sh_head.items():
+        out["sh_head"][col] = body.column(col).slice(0, k).to_pylist()
     tail, head = _lag_cols(cfg["specs"])
     for col, k in tail.items():
         v = body.column(col).combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
@@ -532,6 +670,14 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
         i: int(s["k"]) for i, s in enumerate(cfg["specs"]) if s["kind"] == "context"
     }
     run_ctx = {i: [] for i in ctx_specs}
+    sh_tail_cols, sh_head_cols = _shift_cols(cfg["specs"])
+    run_sh_tail = {c: [] for c in sh_tail_cols}
+    lw_specs = [i for i, s in enumerate(cfg["specs"]) if s["kind"] == "last_where"]
+    run_lw = {i: (False, None) for i in lw_specs}
+    ewma_specs = {
+        i: float(s["alpha"]) for i, s in enumerate(cfg["specs"]) if s["kind"] == "ewma"
+    }
+    run_ewma = {i: None for i in ewma_specs}  # None = no prior state
     ts_scale = _US if cfg["is_ts"] else 1
     for j, sm in enumerate(summaries):
         carries[j]["prev_last_ts"] = prev_last_ts
@@ -542,9 +688,26 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
         carries[j]["rows_before"] = run_rows
         carries[j]["rank_total"] = rank_total
         carries[j]["ctx"] = {i: list(run_ctx[i]) for i in ctx_specs}
+        carries[j]["sh_tail"] = {
+            c: list(run_sh_tail[c])[-k:] for c, k in sh_tail_cols.items()
+        }
+        carries[j]["lw"] = dict(run_lw)
+        carries[j]["ewma_y"] = dict(run_ewma)
         run_rows += sm["n"]
         for i, k in ctx_specs.items():
             run_ctx[i] = (run_ctx[i] + sm["ctx_tail"].get(i, []))[-k:]
+        for c, k in sh_tail_cols.items():
+            run_sh_tail[c] = (run_sh_tail[c] + sm["sh_tail"].get(c, []))[-k:]
+        for i in lw_specs:
+            has, val = sm["lw"].get(i, (False, None))
+            if has:
+                run_lw[i] = (has, val)
+        for i, a in ewma_specs.items():
+            e = sm["ewma"].get(i)
+            if e is not None:
+                n_seg, plain, seeded = e
+                y = run_ewma[i]
+                run_ewma[i] = plain if y is None else seeded + (1.0 - a) ** n_seg * y
         if sm["n"] == 0:
             continue
         for c in bf_cols:
@@ -575,15 +738,21 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
 
     # backward state for leads / backward fill
     run_head = {c: np.empty(0, np.float64) for c in head_cols}
+    run_sh_head = {c: [] for c in sh_head_cols}
     run_bf_first = {c: (False, None) for c in bf_cols}
     for j in range(m - 1, -1, -1):
         carries[j]["head"] = {c: run_head[c][:k].copy() for c, k in head_cols.items()}
+        carries[j]["sh_head"] = {
+            c: list(run_sh_head[c])[:k] for c, k in sh_head_cols.items()
+        }
         carries[j]["bf_first"] = dict(run_bf_first)
         sm = summaries[j]
         if sm["n"] == 0:
             continue
         for c in head_cols:
             run_head[c] = np.concatenate([sm["head"].get(c, []), run_head[c]])[: head_cols[c]]
+        for c, k in sh_head_cols.items():
+            run_sh_head[c] = (sm["sh_head"].get(c, []) + run_sh_head[c])[:k]
         for c in bf_cols:
             has, val = sm["bf_first"].get(c, (False, None))
             if has:
@@ -760,6 +929,72 @@ def _compute_hot(t: pa.Table, cfg: dict, carry: dict) -> pa.Table:
                 ext, np.zeros(len(ext), np.int64), int(s["k"]), s.get("sep", "\n")
             )
             body = body.append_column(names[0], joined.slice(len(carried)))
+        elif s["kind"] == "shift":
+            k = int(s["shift"])
+            col = body.column(s["col"]).combine_chunks()
+            nb = len(col)
+            if k > 0:
+                carried = carry["sh_tail"].get(s["col"], [])[-k:]
+                ext = pa.concat_arrays([pa.array(carried, col.type), col])
+                off = len(carried)
+                src = np.arange(nb, dtype=np.int64) + off - k
+                valid = src >= 0
+            else:
+                carried = carry["sh_head"].get(s["col"], [])[: -k]
+                ext = pa.concat_arrays([col, pa.array(carried, col.type)])
+                src = np.arange(nb, dtype=np.int64) - k
+                valid = src < len(ext)
+            idx_sh = pa.array(np.clip(src, 0, max(len(ext) - 1, 0)), pa.int64(), mask=~valid)
+            body = body.append_column(names[0], pc.take(ext, idx_sh))
+        elif s["kind"] == "last_where":
+            cond = pc.fill_null(
+                body.column(s["cond"]).combine_chunks().cast(pa.bool_()), False
+            ).to_numpy(zero_copy_only=False)
+            col = body.column(s["col"]).combine_chunks()
+            idx_lw, no_match = _last_where_indices(
+                np.zeros(len(cond), np.int64), cond, bool(s.get("include_current"))
+            )
+            taken = pc.take(col, idx_lw)
+            has, val = carry["lw"].get(spec_i, (False, None))
+            if has and no_match.any():
+                # rows before the segment's first match read the carried
+                # row's value (null included — row-level semantics)
+                taken = pc.if_else(
+                    pa.array(no_match), pa.scalar(val, col.type), taken
+                )
+            body = body.append_column(names[0], taken)
+        elif s["kind"] == "ewma":
+            a = float(s["alpha"])
+            v = (
+                body.column(s["col"])
+                .combine_chunks()
+                .cast(pa.float64())
+                .to_numpy(zero_copy_only=False)
+            )
+            if np.isnan(v).any():
+                raise ValueError(
+                    "hot-split ewma requires a non-null value column "
+                    "(see _summarize_segment)"
+                )
+            import pandas as _pd
+
+            y_in = carry["ewma_y"].get(spec_i)
+            if y_in is None:
+                ew = _pd.Series(v).ewm(alpha=a, adjust=False).mean().to_numpy()
+            else:
+                # linearity of the adjust=False recurrence: the seeded-zero
+                # run plus the carried state decayed per-row
+                base = (
+                    _pd.Series(np.concatenate([[0.0], v]))
+                    .ewm(alpha=a, adjust=False)
+                    .mean()
+                    .to_numpy()[1:]
+                )
+                decay = (1.0 - a) ** np.arange(1, len(v) + 1, dtype=np.float64)
+                ew = base + decay * y_in
+            body = body.append_column(
+                names[0], pa.array(ew, pa.float64(), from_pandas=True)
+            )
     return body
 
 
@@ -986,6 +1221,16 @@ def ordered_features(
         a tie group could straddle a cut. Under ts ties pass ``sort_cols``
         tie-breakers or the position is partition-dependent, exactly as in
         the unsplit GroupRank)
+      {"kind": "shift", "col", "shift": ±k}                   -> {col}_shift_{k}
+        (col's dtype — raw lag/lead value; carries = k raw boundary values
+        per direction, dtype-preserving like context tails)
+      {"kind": "last_where", "col", "cond": bool_col,
+       "include_current": False}                              -> {col}_last_where
+        (col's dtype; forward carry = the last matched row's value)
+      {"kind": "ewma", "col", "alpha": a}                     -> {col}_ewma
+        (float64; adjust=False only — the recurrence is linear in the
+        carried state, so a segment folds as y_out = (1-a)^n y_in + B;
+        requires a non-null value column on the hot path)
 
     ``sort_cols``: extra tie-breakers after ts (needed only when ts has
     duplicates within an entity AND a lag/lead spec is used).

@@ -39,6 +39,11 @@ SPECS = [
     {"kind": "rank", "method": "ntile", "n": 4, "out": "turn_q"},
     # r4 session 3: previous-k context through splits (carry = rendered tail)
     {"kind": "context", "col": "text", "k": 3, "sep": "|"},
+    # r5: raw shift (dtype-preserving) / conditional last / ewma carries
+    {"kind": "shift", "col": "text", "shift": 2},
+    {"kind": "shift", "col": "val", "shift": -3, "out": "val_lead3"},
+    {"kind": "last_where", "col": "val2", "cond": "is_evt"},
+    {"kind": "ewma", "col": "val2", "alpha": 0.3},
 ]
 
 
@@ -55,6 +60,8 @@ def _make_table(n_hot=4000, n_cold=12, rows_cold=120, seed=7) -> pa.Table:
                 "conv_id": name,
                 "ts": pd.to_datetime(ts, unit="s"),
                 "val": val,
+                "val2": rng.normal(size=n) * 5,  # non-null (ewma hot path)
+                "is_evt": rng.random(n) < 0.2,
                 "text": [f"{name}-{i}" for i in range(n)],
             }
         )
