@@ -702,6 +702,23 @@ def _q_ewma(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["value_ewma"])
 
 
+def _q_rolling_first_last(sf_dir: str):
+    """RollingAgg first/last (new r5 aggs): the value at the trailing
+    6h window's first/last row per user, tie-deterministic via
+    tie_cols=[event_id]. Oracle = correlated subqueries ordered by
+    (ts, event_id) — SQL RANGE windows cannot carry a composite ORDER,
+    so the subquery form is the deterministic equivalent."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    node = ["value"] >> ops.RollingAgg(
+        "user_id", "ts", 21600, aggs=("first", "last", "count"), tie_cols=["event_id"]
+    )
+    wf = Workflow(node + ["event_id"])
+    out = wf.fit(ds).transform(ds)
+    return _round6i(out, ["value_w21600s_first", "value_w21600s_last"])
+
+
 def _q_join_groupby(sf_dir: str):
     from nvtabular_ray import Workflow, ops
 
@@ -2274,7 +2291,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     oracle verified bit-identical to pandas' Cython ewm) — displacing
     group_rank, decontaminate and token_shards (rank.py /
     decontaminate.py / packing.py all r5-hunk-free, r4 green rows
-    stand).
+    stand). RollingAgg gained first/last window aggs + tie_cols
+    (correlated-subquery oracle, rolling_first_last head row), displacing
+    resume_pipeline (state/resume.py r5-hunk-free, r4 green row
+    stands).
 
     Rows 29-50 are the r4-young rows whose files have NO round-5 hunks
     (functions/text.py, context.py, rank.py, packing.py, dsir.py,
@@ -2298,6 +2318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shift_lag": _q_shift_lag,
         "last_where": _q_last_where,
         "ewma": _q_ewma,
+        "rolling_first_last": _q_rolling_first_last,
         "target_encode": _q_target_encode,
         "target_encode_distributed": _q_target_encode_distributed,
         "target_encode_multi_distributed": _q_target_encode_multi_distributed,
@@ -2330,7 +2351,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "mean_pool": _q_mean_pool,
         "l2_normalize": _q_l2_normalize,
-        "resume_pipeline": _q_resume_pipeline,
         "rolling_distinct": _q_rolling_distinct,
         "expanding_agg": _q_expanding_agg,
         "rolling_mean": _q_rolling_mean,
@@ -2350,6 +2370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_rank": _q_group_rank,
         "decontaminate": _q_decontaminate,
         "token_shards": _q_token_shards,
+        "resume_pipeline": _q_resume_pipeline,
         "groupby_concat": _q_groupby_concat,
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
@@ -3412,6 +3433,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((st.s + 20 * g.gmean) / (st.cnt + 20) * 1e6)
                         AS BIGINT) AS te_rf
             FROM lineitem l JOIN stats st USING (l_returnflag), g
+        """,
+        "rolling_first_last": """
+            SELECT e.event_id,
+                   CAST(ROUND((
+                       SELECT f.value FROM events f
+                       WHERE f.user_id = e.user_id
+                         AND f.ts >= e.ts - INTERVAL 21600 SECOND
+                         AND f.ts <= e.ts
+                       ORDER BY f.ts ASC, f.event_id ASC LIMIT 1
+                   ) * 1e6) AS BIGINT) AS value_w21600s_first,
+                   CAST(ROUND((
+                       SELECT f.value FROM events f
+                       WHERE f.user_id = e.user_id
+                         AND f.ts >= e.ts - INTERVAL 21600 SECOND
+                         AND f.ts <= e.ts
+                       ORDER BY f.ts DESC, f.event_id DESC LIMIT 1
+                   ) * 1e6) AS BIGINT) AS value_w21600s_last,
+                   (SELECT count(f.value) FROM events f
+                    WHERE f.user_id = e.user_id
+                      AND f.ts >= e.ts - INTERVAL 21600 SECOND
+                      AND f.ts <= e.ts) AS value_w21600s_count
+            FROM events e
         """,
         "last_where": """
             SELECT event_id,

@@ -356,6 +356,16 @@ def _agg_over_bounds(
     for a in aggs:
         if a in ("count", "sum", "mean", "std", "var"):
             continue
+        if a in ("first", "last"):
+            # value at the frame's first/last ROW (raw — a NaN row yields
+            # NaN, matching SQL first_value/last_value without IGNORE
+            # NULLS); empty frame -> NaN. Under equal-ts window peers the
+            # picked row follows the batch's in-group order — pass
+            # tie-breaker sort columns upstream for determinism.
+            pos = w if a == "first" else end - 1
+            nonempty = end > w
+            out[a] = np.where(nonempty, values[np.clip(pos, 0, len(values) - 1)], np.nan)
+            continue
         if a not in ("min", "max"):
             raise ValueError(f"unsupported agg {a!r}")
         out[a] = range_min_max(values, w, end, a)

@@ -13,7 +13,7 @@ trailing windows — no pandas groupby in the per-row path.
 
 from __future__ import annotations
 
-from typing import Union
+from typing import Optional, Union
 
 import numpy as np
 import pyarrow as pa
@@ -142,7 +142,14 @@ class RollingAgg(Operator):
     ``aggs`` may include ``"distinct"`` — windowed ``count(DISTINCT v)``
     over any column type (the column is dictionary-encoded, never cast to
     float): e.g. "distinct tools the agent used in the last hour". Nulls
-    are not counted (SQL parity)."""
+    are not counted (SQL parity).
+
+    ``aggs`` may include ``"first"``/``"last"`` — the value at the
+    window's first/last row ("latest latency reading in the trailing
+    hour"). Equal-ts rows are window PEERS (RANGE semantics), so which
+    peer is first/last follows the in-group row order: pass ``tie_cols``
+    (extra sort columns after ts, e.g. a row id) whenever timestamps can
+    tie, or the picked peer is partition-dependent."""
 
     def __init__(
         self,
@@ -151,6 +158,7 @@ class RollingAgg(Operator):
         window_seconds: float,
         aggs=("count", "sum", "mean"),
         direction: str = "trailing",
+        tie_cols: Optional[Union[str, list[str]]] = None,
     ):
         if direction not in ("trailing", "leading"):
             raise ValueError(f"direction must be trailing|leading, got {direction!r}")
@@ -161,15 +169,22 @@ class RollingAgg(Operator):
         self.window_seconds = window_seconds
         self.aggs = list(aggs)
         self.direction = direction
-        self.sort_cols = [ts_col]
+        self.tie_cols = [tie_cols] if isinstance(tie_cols, str) else list(tie_cols or [])
+        self.sort_cols = [ts_col] + self.tie_cols
 
     @property
     def dependencies(self):
-        return self.partition_cols + [self.ts_col]
+        return self.partition_cols + [self.ts_col] + [
+            c for c in self.tie_cols if c not in self.partition_cols
+        ]
 
     def _value_cols(self, col_selector):
         return [
-            c for c in col_selector.names if c not in self.partition_cols and c != self.ts_col
+            c
+            for c in col_selector.names
+            if c not in self.partition_cols
+            and c != self.ts_col
+            and c not in self.tie_cols
         ]
 
     def _out_name(self, col: str, agg: str) -> str:
@@ -192,7 +207,14 @@ class RollingAgg(Operator):
         gid = group_ids_sorted(table, self.partition_cols)
         ts, is_ts = _ts_to_int_us(table.column(self.ts_col))
         window = int(self.window_seconds * 1_000_000) if is_ts else int(self.window_seconds)
-        order = group_time_order(gid, ts)
+        if self.tie_cols:
+            # full (ts, *tie_cols) in-group order so first/last pick a
+            # deterministic peer among equal timestamps
+            from nvtabular_ray.functions.grouped_np import group_multi_order
+
+            order = group_multi_order(table, gid, self.sort_cols)
+        else:
+            order = group_time_order(gid, ts)
         ts_k, gid_k = (ts, gid) if order is None else (ts[order], gid[order])
         bounds_fn = (
             grouped_window_bounds if self.direction == "trailing" else grouped_window_bounds_leading

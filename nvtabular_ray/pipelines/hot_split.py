@@ -115,8 +115,12 @@ def _validate_specs(specs: list[dict]):
             # bounded-window "distinct" is halo-exact, so rolling supports
             # it; EXPANDING distinct cannot fold through scalar carries (the
             # carry would be the unbounded set of values already seen)
+            # rolling additionally supports distinct (bounded windows are
+            # halo-exact) and first/last (the frame row is always inside
+            # [segment - halo, segment + halo]); expanding first/last would
+            # need a carried boundary row — unsplit-only for now
             ok = ("count", "sum", "mean", "min", "max", "std", "var") + (
-                ("distinct",) if s["kind"] == "rolling" else ()
+                ("distinct", "first", "last") if s["kind"] == "rolling" else ()
             )
             bad = [a for a in s["aggs"] if a not in ok]
             if bad:

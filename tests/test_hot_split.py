@@ -44,6 +44,7 @@ SPECS = [
     {"kind": "shift", "col": "val", "shift": -3, "out": "val_lead3"},
     {"kind": "last_where", "col": "val2", "cond": "is_evt"},
     {"kind": "ewma", "col": "val2", "alpha": 0.3},
+    {"kind": "rolling", "col": "val2", "window": 500, "aggs": ["first", "last"]},
 ]
 
 

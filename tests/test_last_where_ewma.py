@@ -135,3 +135,35 @@ def test_ewma_alpha_validation():
         ops.Ewma("u", alpha=0.0)
     with pytest.raises(ValueError):
         ops.Ewma("u", alpha=1.5)
+
+
+def test_rolling_first_last_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(4)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 30, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**5, n), unit="s"),
+            "rid": np.arange(n, dtype=np.int64),
+            "x": rng.normal(size=n),
+        }
+    )
+    node = ["x"] >> ops.RollingAgg(
+        "u", "ts", 600, aggs=("first", "last"), tie_cols=["rid"]
+    )
+    out = _run(df, node)
+    srt = df.sort_values(["u", "ts", "rid"]).reset_index(drop=True)
+    firsts, lasts = {}, {}
+    for _, g in srt.groupby("u"):
+        ts = g["ts"].astype("int64").to_numpy()
+        xs = g["x"].to_numpy()
+        rids = g["rid"].to_numpy()
+        for i in range(len(g)):
+            m = (ts >= ts[i] - 600 * 10**9) & (ts <= ts[i])
+            idxs = np.flatnonzero(m)
+            firsts[rids[i]] = xs[idxs[0]]
+            lasts[rids[i]] = xs[idxs[-1]]
+    np.testing.assert_allclose(
+        out["x_w600s_first"], [firsts[r] for r in out["rid"]]
+    )
+    np.testing.assert_allclose(out["x_w600s_last"], [lasts[r] for r in out["rid"]])
