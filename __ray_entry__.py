@@ -702,6 +702,26 @@ def _q_ewma(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["value_ewma"])
 
 
+def _q_session_features(sf_dir: str):
+    """Sessionize emit features (new r5): session id + 0-based turn index
+    inside the session + seconds since session start, one fused pass,
+    tie-deterministic via tie_cols=[event_id]. Oracle: two-level window —
+    gap-break cumsum for the session id, then row_number/first_value
+    partitioned by (user, session)."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    node = ["ts"] >> ops.Sessionize(
+        "user_id",
+        "ts",
+        gap=6 * 3600,
+        emit=("turn_in_session", "sec_since_session_start"),
+        tie_cols=["event_id"],
+    )
+    wf = Workflow(node + ["event_id"])
+    return _round6i(wf.fit(ds).transform(ds), ["sec_since_session_start"])
+
+
 def _q_rolling_first_last(sf_dir: str):
     """RollingAgg first/last (new r5 aggs): the value at the trailing
     6h window's first/last row per user, tie-deterministic via
@@ -2319,6 +2339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_where": _q_last_where,
         "ewma": _q_ewma,
         "rolling_first_last": _q_rolling_first_last,
+        "sessionize": _q_sessionize,
+        "session_features": _q_session_features,
         "target_encode": _q_target_encode,
         "target_encode_distributed": _q_target_encode_distributed,
         "target_encode_multi_distributed": _q_target_encode_multi_distributed,
@@ -2348,7 +2370,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_group": _q_sample_per_group,
         "tfidf_terms": _q_tfidf_terms,
         # --- r4-young rows kept in-window (files r5-hunk-free) --------
-        "dedup_incremental": _q_dedup_incremental,
         "mean_pool": _q_mean_pool,
         "l2_normalize": _q_l2_normalize,
         "rolling_distinct": _q_rolling_distinct,
@@ -2361,7 +2382,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_score": _q_classifier_score,
         "gopher_rules": _q_gopher_rules,
         "dup_span": _q_dup_span,
-        "line_dedup": _q_line_dedup,
         "dsir_select": _q_dsir_select,
         "transcript_fused": _q_transcript_fused,
         # --- past the 50-row gate from here down: displaced this round
@@ -2371,6 +2391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "token_shards": _q_token_shards,
         "resume_pipeline": _q_resume_pipeline,
+        "dedup_incremental": _q_dedup_incremental,
+        "line_dedup": _q_line_dedup,
         "groupby_concat": _q_groupby_concat,
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
@@ -2411,7 +2433,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_k_per_group": _q_top_k_per_group,
         "categorify_event_type": _q_categorify_event_type,
         "categorify_freq_threshold": _q_categorify_freq_threshold,
-        "sessionize": _q_sessionize,
         "backfill": _q_backfill,
         "multimodal_meta": _q_multimodal_meta,
         "groupby_list": _q_groupby_list,
@@ -3433,6 +3454,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((st.s + 20 * g.gmean) / (st.cnt + 20) * 1e6)
                         AS BIGINT) AS te_rf
             FROM lineitem l JOIN stats st USING (l_returnflag), g
+        """,
+        "session_features": """
+            WITH d AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN epoch(ts - lag(ts) OVER w) > 21600 THEN 1
+                            ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) - 1
+                               AS BIGINT) AS session_id
+                FROM d
+            )
+            SELECT event_id, session_id,
+                   (row_number() OVER ws - 1)::BIGINT AS turn_in_session,
+                   CAST(ROUND(epoch(ts - first_value(ts) OVER ws) * 1e6)
+                        AS BIGINT) AS sec_since_session_start
+            FROM s
+            WINDOW ws AS (PARTITION BY user_id, session_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "rolling_first_last": """
             SELECT e.event_id,

@@ -91,7 +91,14 @@ class Sessionize(Operator):
     """0-based per-entity session index; new session when the time since the
     previous row of the same entity exceeds ``gap`` (seconds for timestamp
     columns, raw units for numeric ts columns). Leakage-free: depends only on
-    current/earlier rows of the entity."""
+    current/earlier rows of the entity.
+
+    ``emit`` adds within-session position features in the SAME pass (all
+    past-only): ``"turn_in_session"`` — 0-based row index inside the
+    session; ``"sec_since_session_start"`` — elapsed time from the
+    session's first row (float seconds for timestamp columns, raw units
+    otherwise). Unsplit/fused path only — the hot-split "sessionize" spec
+    carries session COUNTS, not the open session's start row."""
 
     def __init__(
         self,
@@ -99,6 +106,8 @@ class Sessionize(Operator):
         ts_col: str,
         gap: float,
         out_col: str = "session_id",
+        emit: tuple = (),
+        tie_cols: Optional[Union[str, list[str]]] = None,
     ):
         self.partition_cols = (
             [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
@@ -106,29 +115,78 @@ class Sessionize(Operator):
         self.ts_col = ts_col
         self.gap = gap
         self.out_col = out_col
-        self.sort_cols = [ts_col]
+        bad = [e for e in emit if e not in ("turn_in_session", "sec_since_session_start")]
+        if bad:
+            raise ValueError(
+                f"unknown emit features {bad}; supported: "
+                "turn_in_session, sec_since_session_start"
+            )
+        self.emit = tuple(emit)
+        # tie-breakers matter only for turn_in_session under equal-ts rows
+        # (session_id and elapsed time are tie-insensitive)
+        self.tie_cols = [tie_cols] if isinstance(tie_cols, str) else list(tie_cols or [])
+        self.sort_cols = [ts_col] + self.tie_cols
 
     @property
     def dependencies(self):
-        return self.partition_cols + [self.ts_col]
+        return self.partition_cols + [self.ts_col] + [
+            c for c in self.tie_cols if c not in self.partition_cols
+        ]
 
     def column_mapping(self, col_selector):
-        return {self.out_col: [self.ts_col]}
+        out = {self.out_col: [self.ts_col]}
+        for e in self.emit:
+            out[e] = [self.ts_col]
+        return out
+
+    def compute_output_schema(self, col_selector, input_schema):
+        out = {self.out_col: pa.int64()}
+        for e in self.emit:
+            out[e] = pa.int64() if e == "turn_in_session" else pa.float64()
+        return out
 
     def output_dtype(self):
-        return pa.int64()
+        return None  # per-column (compute_output_schema)
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         gid = group_ids_sorted(table, self.partition_cols)
         ts, is_ts = _ts_to_int_us(table.column(self.ts_col))
         gap_units = int(self.gap * 1_000_000) if is_ts else int(self.gap)
-        order = group_time_order(gid, ts)
-        if order is None:
-            sid = grouped_sessionize(ts, gid, gap_units)
+        if self.tie_cols:
+            from nvtabular_ray.functions.grouped_np import group_multi_order
+
+            order = group_multi_order(table, gid, self.sort_cols)
         else:
-            sid = np.empty(len(ts), np.int64)
-            sid[order] = grouped_sessionize(ts[order], gid[order], gap_units)
-        return pa.table({self.out_col: pa.array(sid, pa.int64())})
+            order = group_time_order(gid, ts)
+        ts_k, gid_k = (ts, gid) if order is None else (ts[order], gid[order])
+        sid_k = grouped_sessionize(ts_k, gid_k, gap_units)
+        cols = {}
+
+        def put(name, arr_k, dtype):
+            if order is not None:
+                back = np.empty(len(arr_k), arr_k.dtype)
+                back[order] = arr_k
+                arr_k = back
+            cols[name] = pa.array(arr_k.astype(dtype, copy=False))
+
+        put(self.out_col, sid_k, np.int64)
+        if self.emit:
+            # session change points over the sorted view: (entity, session)
+            # boundaries are where gid or sid steps
+            n = len(sid_k)
+            new_sess = np.ones(n, dtype=bool)
+            if n:
+                new_sess[1:] = (gid_k[1:] != gid_k[:-1]) | (sid_k[1:] != sid_k[:-1])
+            starts = np.flatnonzero(new_sess)
+            start_of = np.repeat(starts, np.diff(np.r_[starts, n]))
+            if "turn_in_session" in self.emit:
+                put("turn_in_session", np.arange(n, dtype=np.int64) - start_of, np.int64)
+            if "sec_since_session_start" in self.emit:
+                elapsed = (ts_k - ts_k[start_of]).astype(np.float64)
+                if is_ts:
+                    elapsed /= 1_000_000.0
+                put("sec_since_session_start", elapsed, np.float64)
+        return pa.table(cols)
 
 
 class RollingAgg(Operator):

@@ -167,3 +167,32 @@ def test_rolling_first_last_matches_bruteforce(ray_session):
         out["x_w600s_first"], [firsts[r] for r in out["rid"]]
     )
     np.testing.assert_allclose(out["x_w600s_last"], [lasts[r] for r in out["rid"]])
+
+
+def test_sessionize_emit_features(ray_session):
+    rng = np.random.default_rng(9)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 40, n),
+            "ts": pd.to_datetime(np.sort(rng.integers(0, 10**6, n)), unit="s"),
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    ).sample(frac=1.0, random_state=1).reset_index(drop=True)
+    node = ["ts"] >> ops.Sessionize(
+        "u", "ts", gap=300,
+        emit=("turn_in_session", "sec_since_session_start"), tie_cols=["rid"]
+    )
+    out = _run(df, node)
+    srt = df.sort_values(["u", "ts", "rid"]).copy()
+    brk = (srt["ts"].diff().dt.total_seconds() > 300) & (srt["u"] == srt["u"].shift())
+    newent = srt["u"] != srt["u"].shift()
+    srt["sid"] = ((brk | newent).groupby(srt["u"].to_numpy()).cumsum() - 1).to_numpy()
+    srt["tis"] = srt.groupby(["u", "sid"]).cumcount()
+    srt["sss"] = (
+        srt["ts"] - srt.groupby(["u", "sid"])["ts"].transform("first")
+    ).dt.total_seconds()
+    srt = srt.sort_values("rid").reset_index(drop=True)
+    np.testing.assert_array_equal(out["session_id"], srt["sid"])
+    np.testing.assert_array_equal(out["turn_in_session"], srt["tis"])
+    np.testing.assert_allclose(out["sec_since_session_start"], srt["sss"])
