@@ -74,7 +74,8 @@ _US = 1_000_000
 _EMPTY_SUMMARY = {"n": 0, "first_ts": None, "last_ts": None,
                   "breaks": {}, "tail": {}, "head": {}, "exp": {},
                   "bf_last": {}, "bf_first": {}, "ctx_tail": {},
-                  "sh_tail": {}, "sh_head": {}, "lw": {}, "ewma": {}}
+                  "sh_tail": {}, "sh_head": {}, "lw": {}, "ewma": {},
+                  "sess_open": {}}
 
 
 # --------------------------------------------------------------------------
@@ -87,7 +88,7 @@ def _spec_out_names(spec: dict) -> list[str]:
     if k == "lag":
         return [spec.get("out") or f"{spec['col']}_difference_lag_{spec['shift']}"]
     if k == "sessionize":
-        return [spec.get("out") or "session_id"]
+        return [spec.get("out") or "session_id"] + list(spec.get("emit", ()))
     if k == "rolling":
         tag = "w" if spec.get("direction", "trailing") == "trailing" else "lead"
         return [f"{spec['col']}_{tag}{int(spec['window'])}s_{a}" for a in spec["aggs"]]
@@ -141,6 +142,11 @@ def _validate_specs(specs: list[dict]):
                 raise ValueError(f"rank method must be row_number|percent_rank|ntile: {s}")
             if m == "ntile" and int(s.get("n") or 0) < 1:
                 raise ValueError(f"ntile needs n >= 1: {s}")
+        if s["kind"] == "sessionize":
+            bad = [e for e in s.get("emit", ())
+                   if e not in ("turn_in_session", "sec_since_session_start")]
+            if bad:
+                raise ValueError(f"unknown sessionize emit features {bad}")
         if s["kind"] == "shift" and int(s["shift"]) == 0:
             raise ValueError(f"shift=0 is the identity: {s}")
         if s["kind"] == "ewma":
@@ -182,6 +188,38 @@ def _lag_cols(specs: list[dict]) -> tuple[dict, dict]:
             elif k < 0:
                 head[s["col"]] = max(head.get(s["col"], 0), -k)
     return tail, head
+
+
+def _session_emit_cols(
+    ts: np.ndarray,
+    start_of: np.ndarray,
+    emit,
+    is_ts: bool,
+    carry_rows: int = 0,
+    carry_start=None,
+) -> dict:
+    """Within-session position features from per-row session-start indices.
+    ``start_of[i] == -1`` marks rows continuing a CARRIED-over open session
+    (hot segments): they use ``carry_rows``/``carry_start`` instead."""
+    n = len(ts)
+    out: dict = {}
+    in_carry = start_of < 0
+    safe = np.clip(start_of, 0, max(n - 1, 0))
+    if "turn_in_session" in emit:
+        turn = np.arange(n, dtype=np.int64) - safe
+        if in_carry.any():
+            # carried rows are a prefix of the segment
+            turn[in_carry] = carry_rows + np.arange(int(in_carry.sum()), dtype=np.int64)
+        out["turn_in_session"] = turn
+    if "sec_since_session_start" in emit:
+        el = (ts - ts[safe]).astype(np.float64)
+        if in_carry.any():
+            cs = carry_start if carry_start is not None else (ts[0] if n else 0)
+            el[in_carry] = (ts[in_carry] - cs).astype(np.float64)
+        if is_ts:
+            el = el / 1_000_000.0
+        out["sec_since_session_start"] = el
+    return out
 
 
 def _shift_cols(specs: list[dict]) -> tuple[dict, dict]:
@@ -474,6 +512,17 @@ def _compute_cold(t: pa.Table, cfg: dict) -> pa.Table:
         elif s["kind"] == "sessionize":
             sid = grouped_sessionize(ts_us, gid, int(s["gap"] * scale))
             t = t.append_column(names[0], pa.array(sid, pa.int64()))
+            emit = s.get("emit", ())
+            if emit:
+                n_r = len(sid)
+                new_sess = np.ones(n_r, dtype=bool)
+                if n_r:
+                    new_sess[1:] = (gid[1:] != gid[:-1]) | (sid[1:] != sid[:-1])
+                starts = np.flatnonzero(new_sess)
+                start_of = np.repeat(starts, np.diff(np.r_[starts, n_r]))
+                res = _session_emit_cols(ts_us, start_of, emit, scale == _US)
+                for e in emit:
+                    t = t.append_column(e, pa.array(res[e]))
         elif s["kind"] == "rolling":
             res = _rolling_results(t, s, vals, ts_us, gid, scale)
             for name, a in zip(names, s["aggs"]):
@@ -563,7 +612,18 @@ def _summarize_segment(t: pa.Table, cfg: dict) -> dict:
     for i, s in enumerate(cfg["specs"]):
         if s["kind"] == "sessionize":
             gap = int(s["gap"] * scale)
-            out["breaks"][i] = int(np.count_nonzero(np.diff(ts_us) > gap))
+            brk_pos = np.flatnonzero(np.diff(ts_us) > gap) + 1  # row starting a session
+            out["breaks"][i] = len(brk_pos)
+            if s.get("emit"):
+                # open-session fold state: rows after the segment's LAST
+                # in-segment session start, and that start's ts
+                if len(brk_pos):
+                    out.setdefault("sess_open", {})[i] = (
+                        int(body.num_rows - brk_pos[-1]),
+                        int(ts_us[brk_pos[-1]]),
+                    )
+                else:
+                    out.setdefault("sess_open", {})[i] = None  # no in-segment break
         elif s["kind"] == "context":
             from nvtabular_ray.ops.context import render_pieces
 
@@ -682,6 +742,12 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
         i: float(s["alpha"]) for i, s in enumerate(cfg["specs"]) if s["kind"] == "ewma"
     }
     run_ewma = {i: None for i in ewma_specs}  # None = no prior state
+    sess_emit_specs = [
+        i for i, s in enumerate(cfg["specs"])
+        if s["kind"] == "sessionize" and s.get("emit")
+    ]
+    # (rows in the open session so far, that session's start ts)
+    run_sess = {i: (0, None) for i in sess_emit_specs}
     ts_scale = _US if cfg["is_ts"] else 1
     for j, sm in enumerate(summaries):
         carries[j]["prev_last_ts"] = prev_last_ts
@@ -697,6 +763,7 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
         }
         carries[j]["lw"] = dict(run_lw)
         carries[j]["ewma_y"] = dict(run_ewma)
+        carries[j]["sess_open"] = dict(run_sess)
         run_rows += sm["n"]
         for i, k in ctx_specs.items():
             run_ctx[i] = (run_ctx[i] + sm["ctx_tail"].get(i, []))[-k:]
@@ -725,6 +792,17 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
             gap = int(s["gap"] * ts_scale)
             first_flag = 1 if prev_last_ts is None else int(sm["first_ts"] - prev_last_ts > gap)
             breaks_before[i] += first_flag + sm["breaks"].get(i, 0)
+            if i in run_sess:
+                open_rows, open_start = run_sess[i]
+                if first_flag:
+                    open_rows, open_start = 0, sm["first_ts"]
+                elif open_start is None:
+                    open_start = sm["first_ts"]
+                seg_open = sm.get("sess_open", {}).get(i)
+                if seg_open is not None:  # in-segment break: session restarts
+                    run_sess[i] = seg_open
+                else:
+                    run_sess[i] = (open_rows + sm["n"], open_start)
         prev_last_ts = sm["last_ts"]
         for c in tail_cols:
             run_tail[c] = np.concatenate([run_tail[c], sm["tail"].get(c, [])])[-tail_cols[c]:]
@@ -852,8 +930,9 @@ def _compute_hot(t: pa.Table, cfg: dict, carry: dict) -> pa.Table:
             body = body.append_column(names[0], pa.array(d, pa.float32(), mask=np.isnan(d)))
         elif s["kind"] == "sessionize":
             gap = int(s["gap"] * scale)
-            new_s = np.ones(len(idx), dtype=np.int64)
-            if len(idx):
+            nb = len(idx)
+            new_s = np.ones(nb, dtype=np.int64)
+            if nb:
                 new_s[1:] = (np.diff(seg_ts) > gap).astype(np.int64)
                 prev = carry["prev_last_ts"]
                 if prev is not None:
@@ -861,6 +940,22 @@ def _compute_hot(t: pa.Table, cfg: dict, carry: dict) -> pa.Table:
             base = carry["breaks_before"].get(spec_i, 0)
             sid = base + np.cumsum(new_s) - 1
             body = body.append_column(names[0], pa.array(sid, pa.int64()))
+            emit = s.get("emit", ())
+            if emit:
+                starts_l = np.flatnonzero(new_s)
+                start_of = np.full(nb, -1, np.int64)
+                if len(starts_l):
+                    rep = np.repeat(
+                        starts_l, np.diff(np.r_[starts_l, nb])
+                    )
+                    start_of[starts_l[0]:] = rep
+                open_rows, open_start = carry["sess_open"].get(spec_i, (0, None))
+                res = _session_emit_cols(
+                    seg_ts, start_of, emit, scale == _US,
+                    carry_rows=open_rows, carry_start=open_start,
+                )
+                for e in emit:
+                    body = body.append_column(e, pa.array(res[e]))
         elif s["kind"] == "rolling":
             res = _rolling_results(t, s, vals, ts_us, gid_all, scale)
             for name, a in zip(names, s["aggs"]):
@@ -1212,7 +1307,10 @@ def ordered_features(
 
     specs (dicts):
       {"kind": "lag", "col", "shift": ±k}                     -> {col}_difference_lag_{k} (float32)
-      {"kind": "sessionize", "gap": sec, "out": "session_id"} -> int64
+      {"kind": "sessionize", "gap": sec, "out": "session_id",
+       "emit": ["turn_in_session", "sec_since_session_start"]} -> int64
+        (+ int64 turn index / float64 elapsed seconds; the open-session
+        carry is (rows so far, session start ts))
       {"kind": "rolling", "col", "window": sec, "aggs": [...],
        "direction": "trailing"|"leading"}                     -> {col}_w{W}s_{agg}
       {"kind": "expanding", "col", "aggs": [...]}             -> {col}_cum_{agg}

@@ -24,7 +24,8 @@ from nvtabular_ray.pipelines.hot_split import (
 SPECS = [
     {"kind": "lag", "col": "val", "shift": 1},
     {"kind": "lag", "col": "val", "shift": -2},
-    {"kind": "sessionize", "gap": 300, "out": "session_id"},
+    {"kind": "sessionize", "gap": 300, "out": "session_id",
+     "emit": ["turn_in_session", "sec_since_session_start"]},
     {"kind": "rolling", "col": "val", "window": 600,
      "aggs": ["count", "mean", "min", "std"]},
     {"kind": "rolling", "col": "val", "window": 450,
