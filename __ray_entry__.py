@@ -702,6 +702,21 @@ def _q_ewma(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["value_ewma"])
 
 
+def _q_normalize_robust(sf_dir: str):
+    """NormalizeRobust (new r5): median/IQR scaling with EXACT interpolated
+    quantiles from the streaming histogram-refine engine — DuckDB
+    quantile_cont parity."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    node = ["l_quantity", "l_extendedprice"] >> ops.NormalizeRobust()
+    wf = Workflow(node + ["l_orderkey", "l_linenumber"])
+    return _round6i(wf.fit(ds).transform(ds), ["l_quantity", "l_extendedprice"])
+
+
 def _q_session_features(sf_dir: str):
     """Sessionize emit features (new r5): session id + 0-based turn index
     inside the session + seconds since session start, one fused pass,
@@ -2313,8 +2328,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     decontaminate.py / packing.py all r5-hunk-free, r4 green rows
     stand). RollingAgg gained first/last window aggs + tie_cols
     (correlated-subquery oracle, rolling_first_last head row), displacing
-    resume_pipeline (state/resume.py r5-hunk-free, r4 green row
-    stands).
+    resume_pipeline (state/resume.py r5-hunk-free, r4 green row stands).
+    Sessionize gained emit position features (session_features head row;
+    sessionize itself rotated back in — its transform changed) and
+    NormalizeRobust (median/IQR, quantile_cont oracle) joined as
+    normalize_robust — displacing dedup_incremental, line_dedup and
+    dup_span, whose dedup.py functions are r5-hunk-free (the r5 dedup
+    hunks are gated by the in-window dedup_exact + ngram_dedup rows).
 
     Rows 29-50 are the r4-young rows whose files have NO round-5 hunks
     (functions/text.py, context.py, rank.py, packing.py, dsir.py,
@@ -2341,6 +2361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_first_last": _q_rolling_first_last,
         "sessionize": _q_sessionize,
         "session_features": _q_session_features,
+        "normalize_robust": _q_normalize_robust,
         "target_encode": _q_target_encode,
         "target_encode_distributed": _q_target_encode_distributed,
         "target_encode_multi_distributed": _q_target_encode_multi_distributed,
@@ -2381,7 +2402,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "classifier_score": _q_classifier_score,
         "gopher_rules": _q_gopher_rules,
-        "dup_span": _q_dup_span,
         "dsir_select": _q_dsir_select,
         "transcript_fused": _q_transcript_fused,
         # --- past the 50-row gate from here down: displaced this round
@@ -2393,6 +2413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resume_pipeline": _q_resume_pipeline,
         "dedup_incremental": _q_dedup_incremental,
         "line_dedup": _q_line_dedup,
+        "dup_span": _q_dup_span,
         "groupby_concat": _q_groupby_concat,
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
@@ -3454,6 +3475,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((st.s + 20 * g.gmean) / (st.cnt + 20) * 1e6)
                         AS BIGINT) AS te_rf
             FROM lineitem l JOIN stats st USING (l_returnflag), g
+        """,
+        "normalize_robust": """
+            WITH q AS (
+                SELECT quantile_cont(l_quantity, 0.5) AS mq,
+                       quantile_cont(l_quantity, 0.75)
+                           - quantile_cont(l_quantity, 0.25) AS iq,
+                       quantile_cont(l_extendedprice, 0.5) AS me,
+                       quantile_cont(l_extendedprice, 0.75)
+                           - quantile_cont(l_extendedprice, 0.25) AS ie
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CAST(ROUND((l_quantity - q.mq) / q.iq * 1e6) AS BIGINT)
+                       AS l_quantity,
+                   CAST(ROUND((l_extendedprice - q.me) / q.ie * 1e6) AS BIGINT)
+                       AS l_extendedprice
+            FROM lineitem, q
         """,
         "session_features": """
             WITH d AS (

@@ -31,7 +31,7 @@ from nvtabular_ray.ops.temporal_ops import ExpandingAgg, RollingAgg, Sessionize
 from nvtabular_ray.ops.text_ops import PIIRedact, RepetitionRatio, TextClean, TokenCount
 from nvtabular_ray.ops.fill import FillMedian, QuantileBucketize
 from nvtabular_ray.ops.hashed import HashBucket, HashedCross
-from nvtabular_ray.ops.normalize import Normalize, NormalizeMinMax
+from nvtabular_ray.ops.normalize import Normalize, NormalizeMinMax, NormalizeRobust
 from nvtabular_ray.ops.simple import (
     Bucketize,
     Clip,
@@ -86,6 +86,7 @@ __all__ = [
     "LambdaOp",
     "LogOp",
     "Normalize",
+    "NormalizeRobust",
     "NormalizeMinMax",
     "ExpandingAgg",
     "RollingAgg",

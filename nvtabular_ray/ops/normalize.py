@@ -139,3 +139,61 @@ class NormalizeMinMax(StatOperator):
 
             cols[name] = apply_unary(table.column(name), kernel)
         return pa.table(cols)
+
+
+class NormalizeRobust(StatOperator):
+    output_tags = ["continuous"]
+
+    """Robust scaler: ``(x - median) / (q_high - q_low)`` with fitted EXACT
+    interpolated quantiles (defaults 0.25/0.75 — the classic median/IQR
+    scaler, outlier-insensitive where Normalize's mean/std is not). No
+    reference analog (nearest is Normalize, reference normalize.py:79-124).
+    IQR == 0 -> centering only (Normalize's std==0 convention). Quantiles
+    come from the streaming histogram-refine engine (functions/quantile.py)
+    — all three targets refined in the same dataset passes — so results
+    match a DuckDB ``quantile_cont`` oracle exactly. No fused fit_partials:
+    quantile refinement is iterative (its own few scan rounds), unlike the
+    one-pass moment partials."""
+
+    def __init__(self, q_low: float = 0.25, q_high: float = 0.75, out_dtype=None):
+        super().__init__()
+        if not (0.0 <= q_low < q_high <= 1.0):
+            raise ValueError("need 0 <= q_low < q_high <= 1")
+        self.q_low = float(q_low)
+        self.q_high = float(q_high)
+        self.medians: dict[str, float] = {}
+        self.iqrs: dict[str, float] = {}
+        self.out_dtype = out_dtype or "float64"
+
+    def fit(self, col_selector, ds) -> None:
+        from nvtabular_ray.functions.quantile import distributed_quantiles_multi
+
+        qs = distributed_quantiles_multi(
+            ds, list(col_selector.names), [self.q_low, 0.5, self.q_high]
+        )
+        for col, (lo, med, hi) in qs.items():
+            self.medians[col] = med
+            self.iqrs[col] = hi - lo
+
+    def clear(self):
+        super().clear()
+        self.medians, self.iqrs = {}, {}
+
+    def output_dtype(self):
+        return pa.from_numpy_dtype(self.out_dtype)
+
+    def transform(self, col_selector, table: pa.Table) -> pa.Table:
+        out_type = pa.from_numpy_dtype(self.out_dtype)
+        cols = {}
+        for name in col_selector.names:
+            med, iqr = self.medians[name], self.iqrs[name]
+
+            def kernel(a, med=med, iqr=iqr):
+                a = pc.cast(a, pa.float64())
+                a = pc.subtract(a, pa.scalar(med, pa.float64()))
+                if iqr > 0:
+                    a = pc.divide(a, pa.scalar(iqr, pa.float64()))
+                return pc.cast(a, out_type)
+
+            cols[name] = apply_unary(table.column(name), kernel)
+        return pa.table(cols)

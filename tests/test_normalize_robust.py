@@ -1,0 +1,51 @@
+"""NormalizeRobust: median/IQR scaling vs pandas exact quantiles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from nvtabular_ray import Workflow, ops
+
+
+def test_normalize_robust_matches_pandas(ray_session):
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(5000, dtype=np.int64),
+            # heavy outlier block: robust scaling must ignore it
+            "x": np.concatenate([rng.normal(size=4950), rng.normal(1000, 10, 50)]),
+            "y": rng.exponential(3.0, 5000),
+        }
+    )
+    node = ["x", "y"] >> ops.NormalizeRobust()
+    out = (
+        Workflow(node + ["rid"])
+        .fit(rd.from_pandas(df))
+        .transform(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    for c in ("x", "y"):
+        med = df[c].quantile(0.5)
+        iqr = df[c].quantile(0.75) - df[c].quantile(0.25)
+        np.testing.assert_allclose(out[c], (df[c] - med) / iqr, rtol=1e-12)
+
+
+def test_normalize_robust_degenerate_iqr(ray_session):
+    df = pd.DataFrame({"rid": np.arange(100, dtype=np.int64), "x": np.ones(100)})
+    node = ["x"] >> ops.NormalizeRobust()
+    out = (
+        Workflow(node + ["rid"])
+        .fit(rd.from_pandas(df))
+        .transform(rd.from_pandas(df))
+        .to_pandas()
+    )
+    # IQR == 0 -> centering only (Normalize's std==0 convention)
+    np.testing.assert_allclose(out["x"], np.zeros(100))
+
+
+def test_normalize_robust_validation():
+    with pytest.raises(ValueError):
+        ops.NormalizeRobust(q_low=0.8, q_high=0.2)
