@@ -49,3 +49,38 @@ def test_normalize_robust_degenerate_iqr(ray_session):
 def test_normalize_robust_validation():
     with pytest.raises(ValueError):
         ops.NormalizeRobust(q_low=0.8, q_high=0.2)
+
+
+def test_new_r5_ops_save_load_roundtrip(ray_session, tmp_path):
+    """Workflow save/load with every round-5 op: served output identical."""
+    rng = np.random.default_rng(2)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 20, n),
+            "ts": rng.integers(0, 10**5, n),
+            "rid": np.arange(n, dtype=np.int64),
+            "role": rng.choice(["a", "b"], n),
+            "is_t": rng.random(n) < 0.3,
+            "x": rng.normal(size=n),
+        }
+    )
+    node = (
+        (["x"] >> ops.NormalizeRobust())
+        + (["role"] >> ops.Shift("u", shift=1, sort_cols=["ts", "rid"]))
+        + (["x"] >> ops.Ewma("u", alpha=0.3, sort_cols=["ts", "rid"]))
+        + (["role"] >> ops.LastWhere("u", cond_col="is_t", sort_cols=["ts", "rid"]))
+    )
+    wf = Workflow(node + ["rid"])
+    ds = rd.from_pandas(df)
+    a = wf.fit(ds).transform(ds).to_pandas().sort_values("rid").reset_index(drop=True)
+    d = str(tmp_path / "wf")
+    wf.save(d)
+    b = (
+        Workflow.load(d)
+        .transform(ds)
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
