@@ -896,3 +896,133 @@ def group_rank(
     return bucketed_group_map(
         ds, keys, [ts_col] + list(sort_cols or []), per_bucket, num_buckets=num_buckets
     )
+
+
+def shift_values(
+    ds,
+    key: Union[str, list[str]],
+    ts_col: str,
+    cols: Union[str, list[str]],
+    shift: Union[int, list[int]] = 1,
+    sort_cols: Optional[list[str]] = None,
+    num_buckets: Optional[int] = None,
+    hot_threshold: Optional[int] = None,
+    target_seg_rows: int = 250_000,
+):
+    """Raw dtype-preserving lag/lead per entity as a pipeline call
+    (functional form of ``ops.Shift``): ``{col}_shift_{k}`` columns
+    appended. ``hot_threshold`` routes through hot-entity splitting with
+    raw-value boundary carries (hot_split.py "shift" spec)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    shifts = [shift] if isinstance(shift, int) else list(shift)
+    if hot_threshold is not None:
+        specs = [
+            {"kind": "shift", "col": c, "shift": k} for c in cols for k in shifts
+        ]
+        return _via_hot_split(
+            ds, keys, ts_col, specs, None, hot_threshold, target_seg_rows,
+            num_buckets, sort_cols=list(sort_cols or []),
+        )
+
+    from nvtabular_ray.ops.shift import Shift
+    from nvtabular_ray.selector import ColumnSelector
+
+    op = Shift(keys, shift=shifts, sort_cols=[ts_col] + list(sort_cols or []))
+    sel = ColumnSelector(cols + op.dependencies)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        res = op.transform(ColumnSelector(cols), t)
+        for name in res.column_names:
+            t = t.append_column(name, res.column(name))
+        return t
+
+    return bucketed_group_map(
+        ds, keys, [ts_col] + list(sort_cols or []), per_bucket, num_buckets=num_buckets
+    )
+
+
+def last_where(
+    ds,
+    key: Union[str, list[str]],
+    ts_col: str,
+    cols: Union[str, list[str]],
+    cond_col: str,
+    sort_cols: Optional[list[str]] = None,
+    include_current: bool = False,
+    num_buckets: Optional[int] = None,
+    hot_threshold: Optional[int] = None,
+    target_seg_rows: int = 250_000,
+):
+    """Most recent matching row's fields per entity as a pipeline call
+    (functional form of ``ops.LastWhere``; row-level semantics, see the op
+    docstring). ``hot_threshold`` carries the last matched row's values
+    across segments (hot_split.py "last_where" spec)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if hot_threshold is not None:
+        if include_current:
+            raise ValueError("hot_threshold supports include_current=False only")
+        specs = [{"kind": "last_where", "col": c, "cond": cond_col} for c in cols]
+        return _via_hot_split(
+            ds, keys, ts_col, specs, None, hot_threshold, target_seg_rows,
+            num_buckets, sort_cols=list(sort_cols or []),
+        )
+
+    from nvtabular_ray.ops.last_where import LastWhere
+    from nvtabular_ray.selector import ColumnSelector
+
+    op = LastWhere(
+        keys, cond_col=cond_col, sort_cols=[ts_col] + list(sort_cols or []),
+        include_current=include_current,
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        res = op.transform(ColumnSelector(cols), t)
+        for name in res.column_names:
+            t = t.append_column(name, res.column(name))
+        return t
+
+    return bucketed_group_map(
+        ds, keys, [ts_col] + list(sort_cols or []), per_bucket, num_buckets=num_buckets
+    )
+
+
+def ewma(
+    ds,
+    key: Union[str, list[str]],
+    ts_col: str,
+    cols: Union[str, list[str]],
+    alpha: float,
+    sort_cols: Optional[list[str]] = None,
+    num_buckets: Optional[int] = None,
+    hot_threshold: Optional[int] = None,
+    target_seg_rows: int = 250_000,
+):
+    """Trailing exponentially weighted mean per entity as a pipeline call
+    (functional form of ``ops.Ewma``, adjust=False on the hot path).
+    ``hot_threshold`` folds the carried state through the linear
+    recurrence (hot_split.py "ewma" spec; requires non-null values)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if hot_threshold is not None:
+        specs = [{"kind": "ewma", "col": c, "alpha": float(alpha)} for c in cols]
+        return _via_hot_split(
+            ds, keys, ts_col, specs, None, hot_threshold, target_seg_rows,
+            num_buckets, sort_cols=list(sort_cols or []),
+        )
+
+    from nvtabular_ray.ops.ewma import Ewma
+    from nvtabular_ray.selector import ColumnSelector
+
+    op = Ewma(keys, alpha=float(alpha), sort_cols=[ts_col] + list(sort_cols or []))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        res = op.transform(ColumnSelector(cols), t)
+        for name in res.column_names:
+            t = t.append_column(name, res.column(name))
+        return t
+
+    return bucketed_group_map(
+        ds, keys, [ts_col] + list(sort_cols or []), per_bucket, num_buckets=num_buckets
+    )

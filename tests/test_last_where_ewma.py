@@ -196,3 +196,66 @@ def test_sessionize_emit_features(ray_session):
     np.testing.assert_array_equal(out["session_id"], srt["sid"])
     np.testing.assert_array_equal(out["turn_in_session"], srt["tis"])
     np.testing.assert_allclose(out["sec_since_session_start"], srt["sss"])
+
+
+def _hot_cold_frame(seed=6):
+    rng = np.random.default_rng(seed)
+    hot = pd.DataFrame(
+        {
+            "u": "hot",
+            "ts": pd.to_datetime(np.cumsum(rng.integers(1, 100, 3000)), unit="s"),
+            "is_t": rng.random(3000) < 0.2,
+            "x": rng.normal(size=3000),
+        }
+    )
+    colds = [
+        pd.DataFrame(
+            {
+                "u": f"c{i}",
+                "ts": pd.to_datetime(np.cumsum(rng.integers(1, 100, 50)), unit="s"),
+                "is_t": rng.random(50) < 0.2,
+                "x": rng.normal(size=50),
+            }
+        )
+        for i in range(20)
+    ]
+    df = pd.concat([hot] + colds, ignore_index=True)
+    df = df.sample(frac=1.0, random_state=0).reset_index(drop=True)
+    df["rid"] = np.arange(len(df), dtype=np.int64)
+    return df
+
+
+@pytest.mark.parametrize(
+    "fn_name,kw,outc",
+    [
+        ("shift_values", dict(cols="x", shift=[1, -1]), ["x_shift_1", "x_shift_-1"]),
+        ("last_where", dict(cols="x", cond_col="is_t"), ["x_last_where"]),
+        ("ewma", dict(cols="x", alpha=0.3), ["x_ewma"]),
+    ],
+)
+def test_functional_apis_hot_threshold_parity(ray_session, fn_name, kw, outc):
+    from nvtabular_ray.pipelines import temporal as T
+
+    fn = getattr(T, fn_name)
+    df = _hot_cold_frame()
+
+    def collect(out):
+        return out.to_pandas().sort_values("rid").reset_index(drop=True)
+
+    a = collect(fn(rd.from_pandas(df).repartition(4), "u", "ts", sort_cols=["rid"], **kw))
+    b = collect(
+        fn(
+            rd.from_pandas(df).repartition(4),
+            "u",
+            "ts",
+            sort_cols=["rid"],
+            hot_threshold=500,
+            target_seg_rows=400,
+            **kw,
+        )
+    )
+    for c in outc:
+        x = a[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        y = b[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        assert (np.isnan(x) == np.isnan(y)).all(), c
+        np.testing.assert_allclose(x[~np.isnan(x)], y[~np.isnan(y)], err_msg=c)
