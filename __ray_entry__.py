@@ -702,6 +702,23 @@ def _q_ewma(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["value_ewma"])
 
 
+def _q_ewma_time(sf_dir: str):
+    """Time-decay Ewma (new r5): halflife over ACTUAL elapsed time — the
+    correct trailing mean for irregular event streams. The engine computes
+    via group-end rebasing + local prefix sums while the oracle runs the
+    recursive num/den recurrence: mathematically identical, ~1e-13
+    relative apart numerically, so the compare uses 4 digits (the 6-digit
+    grid would flip on a ~1e-7 boundary coincidence)."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    node = ["value"] >> ops.Ewma(
+        "user_id", halflife=1800.0, ts_col="ts", sort_cols=["event_id"]
+    )
+    wf = Workflow(node + ["event_id"])
+    return _round6i(wf.fit(ds).transform(ds), ["value_ewma"], digits=4)
+
+
 def _q_normalize_robust(sf_dir: str):
     """NormalizeRobust (new r5): median/IQR scaling with EXACT interpolated
     quantiles from the streaming histogram-refine engine — DuckDB
@@ -2335,6 +2352,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     normalize_robust — displacing dedup_incremental, line_dedup and
     dup_span, whose dedup.py functions are r5-hunk-free (the r5 dedup
     hunks are gated by the in-window dedup_exact + ngram_dedup rows).
+    Ewma gained a halflife time-decay mode (ewma_time head row, 4-digit
+    compare — the rebased kernel and the recursive oracle are ~1e-13
+    apart numerically), displacing dsir_select (functions/dsir.py
+    r5-hunk-free, r4 green row stands).
 
     Rows 29-50 are the r4-young rows whose files have NO round-5 hunks
     (functions/text.py, context.py, rank.py, packing.py, dsir.py,
@@ -2362,6 +2383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "session_features": _q_session_features,
         "normalize_robust": _q_normalize_robust,
+        "ewma_time": _q_ewma_time,
         "target_encode": _q_target_encode,
         "target_encode_distributed": _q_target_encode_distributed,
         "target_encode_multi_distributed": _q_target_encode_multi_distributed,
@@ -2402,7 +2424,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "classifier_score": _q_classifier_score,
         "gopher_rules": _q_gopher_rules,
-        "dsir_select": _q_dsir_select,
         "transcript_fused": _q_transcript_fused,
         # --- past the 50-row gate from here down: displaced this round
         #     (green r4 rows stand; files verified r5-hunk-free) -------
@@ -2414,6 +2435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "line_dedup": _q_line_dedup,
         "dup_span": _q_dup_span,
+        "dsir_select": _q_dsir_select,
         "groupby_concat": _q_groupby_concat,
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
@@ -3475,6 +3497,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((st.s + 20 * g.gmean) / (st.cnt + 20) * 1e6)
                         AS BIGINT) AS te_rf
             FROM lineitem l JOIN stats st USING (l_returnflag), g
+        """,
+        "ewma_time": """
+            WITH RECURSIVE base AS (
+                SELECT event_id, user_id, value, ts,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, rn, event_id, ts,
+                       value::DOUBLE AS num, 1.0::DOUBLE AS den
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.user_id, b.rn, b.event_id, b.ts,
+                       b.value + exp(epoch(r.ts - b.ts) * 0.693147180559945
+                                     / 1800.0) * r.num,
+                       1.0 + exp(epoch(r.ts - b.ts) * 0.693147180559945
+                                 / 1800.0) * r.den
+                FROM base b JOIN r ON b.user_id = r.user_id
+                                  AND b.rn = r.rn + 1
+            )
+            SELECT event_id,
+                   CAST(ROUND(num / den * 1e4) AS BIGINT) AS value_ewma
+            FROM r
         """,
         "normalize_robust": """
             WITH q AS (

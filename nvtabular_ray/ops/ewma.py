@@ -7,6 +7,20 @@ windows can't express.
     adjust=True:             y_t = sum_j (1-alpha)^(t-j) x_j
                                    / sum_j (1-alpha)^(t-j)
 
+TIME-DECAY mode (``halflife=`` seconds or pd.Timedelta + ``ts_col=``):
+weights decay with ACTUAL elapsed time, 0.5^(dt/halflife), not row
+count — the correct trailing mean for irregular event streams (pandas
+``ewm(halflife=..., times=...)`` parity, normalized/adjust semantics):
+
+    y_t = sum_j x_j 0.5^((t_t - t_j)/h)  /  sum_j 0.5^((t_t - t_j)/h)
+
+Vectorized via group-end REBASING: u_j = exp((ts_j - ts_group_end)/tau)
+keeps every exponent in [-span/tau, 0], so prefix sums of x*u and u give
+num/den per row in two cumsums; groups whose time span exceeds 200*tau
+(where u would underflow) fall back to an exact chunked scan with
+(num, den) carried across chunks — the same linear-state fold the
+hot-split carry uses.
+
 No reference analog. SQL parity (driver oracle): a RECURSIVE CTE over
 the per-entity row_number applying the identical double-precision
 recurrence, so both sides agree to the _round6i integer compare.
@@ -36,17 +50,29 @@ class Ewma(Operator):
     def __init__(
         self,
         partition_cols: Union[str, list[str]],
-        alpha: float,
+        alpha: Optional[float] = None,
         sort_cols: Optional[Union[str, list[str]]] = None,
         adjust: bool = False,
+        halflife=None,
+        ts_col: Optional[str] = None,
     ):
-        if not (0.0 < alpha <= 1.0):
+        if (alpha is None) == (halflife is None):
+            raise ValueError("pass exactly one of alpha= (row decay) or halflife= (time decay)")
+        if alpha is not None and not (0.0 < alpha <= 1.0):
             raise ValueError("alpha must be in (0, 1]")
+        if halflife is not None and ts_col is None:
+            raise ValueError("halflife= (time decay) requires ts_col=")
         self.partition_cols = (
             [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
         )
-        self.alpha = float(alpha)
+        self.alpha = float(alpha) if alpha is not None else None
+        if halflife is not None and hasattr(halflife, "total_seconds"):
+            halflife = halflife.total_seconds()
+        self.halflife = float(halflife) if halflife is not None else None
+        self.ts_col = ts_col
         self.sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols or [])
+        if ts_col is not None and ts_col not in self.sort_cols:
+            self.sort_cols = [ts_col] + self.sort_cols
         self.adjust = adjust
 
     @property
@@ -79,6 +105,19 @@ class Ewma(Operator):
         order = group_multi_order(table, gid, self.sort_cols)
         gid_k = gid if order is None else gid[order]
         gser = pd.Series(gid_k)
+        ts_k = None
+        if self.halflife is not None:
+            import pyarrow.compute as pc
+
+            tcol = table.column(self.ts_col).combine_chunks()
+            if pa.types.is_timestamp(tcol.type):
+                ts_k = pc.cast(tcol, pa.timestamp("us")).cast(pa.int64()).to_numpy().astype(np.float64)
+                tau = (self.halflife * 1e6) / np.log(2.0)
+            else:
+                ts_k = pc.cast(tcol, pa.float64()).to_numpy(zero_copy_only=False)
+                tau = self.halflife / np.log(2.0)
+            if order is not None:
+                ts_k = ts_k[order]
         out = {}
         for col in value_cols:
             vals = (
@@ -91,6 +130,8 @@ class Ewma(Operator):
                 vals = vals[order]
             if n == 0:
                 ew = vals
+            elif self.halflife is not None:
+                ew = ewma_time_decay(vals, ts_k, gid_k, tau)
             else:
                 # gid-sorted input: grouped concat order == row order
                 ew = (
@@ -106,3 +147,78 @@ class Ewma(Operator):
                 ew = back
             out[f"{col}_ewma"] = pa.array(ew, pa.float64(), from_pandas=True)
         return pa.table(out)
+
+
+def ewma_time_decay(
+    vals: np.ndarray, ts: np.ndarray, gid: np.ndarray, tau: float
+) -> np.ndarray:
+    """Per-row time-decayed mean over (key, ts)-sorted rows:
+    num_t/den_t with weights exp((ts_j - ts_t)/tau), NaN rows skipped.
+
+    Fast path: rebase every group's exponents onto its LAST timestamp
+    (exponents in [-span/tau, 0], u >= e^-200 for span <= 200*tau), then
+    num/den are two segmented cumsums divided by u — fully vectorized.
+    Groups wider than 200*tau rerun through an exact chunked scan
+    carrying (num, den) across <=200*tau chunks (the same linear state
+    the hot-split carry folds)."""
+    n = len(vals)
+    if n == 0:
+        return vals
+    starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+    ends = np.r_[starts[1:], n]
+    sizes = ends - starts
+    end_ts_row = np.repeat(ts[ends - 1], sizes)
+    valid = ~np.isnan(vals)
+    u = np.exp((ts - end_ts_row) / tau)
+    xu = np.where(valid, vals, 0.0) * u
+    du = np.where(valid, u, 0.0)
+    # GROUP-LOCAL prefix sums (grouped_np._grouped_prefix): a global cumsum
+    # minus the group-start base cancels catastrophically once earlier
+    # groups' totals dwarf this group's rebased (u <= 1) terms — measured
+    # 5e-9 relative error; local accumulation keeps the error at ~1 ulp
+    from nvtabular_ray.functions.grouped_np import _grouped_prefix
+
+    rows = np.arange(1, n + 1)
+    cxu = _grouped_prefix(xu, starts)[rows]
+    cdu = _grouped_prefix(du, starts)[rows]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        num = cxu / u
+        den = cdu / u
+        out = np.where(den > 0, num / den, np.nan)
+    # exact rerun for wide groups (u underflow risk past ~200 tau)
+    span = ts[ends - 1] - ts[starts]
+    for g in np.flatnonzero(span > 200.0 * tau):
+        s0, e0 = starts[g], ends[g]
+        out[s0:e0] = _ewma_time_chunked(vals[s0:e0], ts[s0:e0], tau)
+    return out
+
+
+def _ewma_time_chunked(x: np.ndarray, ts: np.ndarray, tau: float) -> np.ndarray:
+    """Exact chunked scan for one wide group: chunks of span <= 200*tau,
+    (num, den) state carried across chunk boundaries."""
+    n = len(x)
+    out = np.empty(n)
+    span = 200.0 * tau
+    start = 0
+    num_c = den_c = 0.0
+    t_ref = None
+    valid_all = ~np.isnan(x)
+    while start < n:
+        end = int(np.searchsorted(ts, ts[start] + span, side="right"))
+        end = max(end, start + 1)
+        t_end = ts[end - 1]
+        u = np.exp((ts[start:end] - t_end) / tau)
+        v = valid_all[start:end]
+        cx = np.cumsum(np.where(v, x[start:end], 0.0) * u)
+        cd = np.cumsum(np.where(v, u, 0.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            num = cx / u
+            den = cd / u
+            if t_ref is not None:
+                decay = np.exp((t_ref - ts[start:end]) / tau)
+                num = num + num_c * decay
+                den = den + den_c * decay
+            out[start:end] = np.where(den > 0, num / den, np.nan)
+        num_c, den_c, t_ref = num[-1], den[-1], t_end
+        start = end
+    return out

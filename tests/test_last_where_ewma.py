@@ -259,3 +259,38 @@ def test_functional_apis_hot_threshold_parity(ray_session, fn_name, kw, outc):
         y = b[c].to_numpy(dtype=np.float64, na_value=np.nan)
         assert (np.isnan(x) == np.isnan(y)).all(), c
         np.testing.assert_allclose(x[~np.isnan(x)], y[~np.isnan(y)], err_msg=c)
+
+
+def test_ewma_time_decay_matches_pandas(ray_session):
+    rng = np.random.default_rng(13)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 40, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+            "rid": np.arange(n, dtype=np.int64),
+            "x": np.where(rng.random(n) < 0.05, np.nan, rng.normal(size=n)),
+        }
+    )
+    node = ["x"] >> ops.Ewma(
+        "u", halflife=600.0, ts_col="ts", sort_cols=["rid"]
+    )
+    out = _run(df, node)
+    exp = np.empty(n)
+    srt = df.sort_values(["u", "ts", "rid"])
+    for _, g in srt.groupby("u"):
+        e = g["x"].ewm(halflife=pd.Timedelta("600s"), times=g["ts"]).mean()
+        exp[g["rid"].to_numpy()] = e.to_numpy()
+    got = out.sort_values("rid")["x_ewma"].to_numpy()
+    assert (np.isnan(got) == np.isnan(exp)).all()
+    m = ~np.isnan(got)
+    np.testing.assert_allclose(got[m], exp[m], rtol=1e-10)
+
+
+def test_ewma_mode_validation():
+    with pytest.raises(ValueError):
+        ops.Ewma("u")  # neither mode
+    with pytest.raises(ValueError):
+        ops.Ewma("u", alpha=0.3, halflife=60.0)  # both
+    with pytest.raises(ValueError):
+        ops.Ewma("u", halflife=60.0)  # missing ts_col
