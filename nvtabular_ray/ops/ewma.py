@@ -55,9 +55,16 @@ class Ewma(Operator):
         adjust: bool = False,
         halflife=None,
         ts_col: Optional[str] = None,
+        emit: tuple = ("mean",),
     ):
         if (alpha is None) == (halflife is None):
             raise ValueError("pass exactly one of alpha= (row decay) or halflife= (time decay)")
+        bad = [e for e in emit if e not in ("mean", "sum", "count")]
+        if bad:
+            raise ValueError(f"unknown emit {bad}; options: mean, sum, count")
+        if alpha is not None and tuple(emit) != ("mean",):
+            raise ValueError("emit sum/count requires the halflife (time-decay) mode")
+        self.emit = tuple(emit)
         if alpha is not None and not (0.0 < alpha <= 1.0):
             raise ValueError("alpha must be in (0, 1]")
         if halflife is not None and ts_col is None:
@@ -82,11 +89,14 @@ class Ewma(Operator):
     def output_dtype(self):
         return pa.float64()
 
+    _EMIT_NAME = {"mean": "{c}_ewma", "sum": "{c}_decay_sum", "count": "{c}_decay_count"}
+
     def column_mapping(self, col_selector):
         return {
-            f"{col}_ewma": [col]
+            self._EMIT_NAME[e].format(c=col): [col]
             for col in col_selector.names
             if col not in self.partition_cols and col not in self.sort_cols
+            for e in self.emit
         }
 
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
@@ -128,30 +138,45 @@ class Ewma(Operator):
             )
             if order is not None:
                 vals = vals[order]
+            res: dict = {}
             if n == 0:
-                ew = vals
+                for e in self.emit:
+                    res[e] = vals
             elif self.halflife is not None:
-                ew = ewma_time_decay(vals, ts_k, gid_k, tau)
+                num, den = ewma_time_decay_numden(vals, ts_k, gid_k, tau)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    if "mean" in self.emit:
+                        res["mean"] = np.where(den > 0, num / den, np.nan)
+                    if "sum" in self.emit:
+                        # decayed sum: 0 (not null) when no history, like
+                        # SQL sum over an empty decayed set with min_count=0
+                        res["sum"] = num
+                    if "count" in self.emit:
+                        res["count"] = den  # decayed activity level
             else:
                 # gid-sorted input: grouped concat order == row order
-                ew = (
+                res["mean"] = (
                     pd.Series(vals)
                     .groupby(gser)
                     .ewm(alpha=self.alpha, adjust=self.adjust)
                     .mean()
                     .to_numpy()
                 )
-            if order is not None:
-                back = np.empty(n, np.float64)
-                back[order] = ew
-                ew = back
-            out[f"{col}_ewma"] = pa.array(ew, pa.float64(), from_pandas=True)
+            for e in self.emit:
+                ew = res[e]
+                if order is not None:
+                    back = np.empty(n, np.float64)
+                    back[order] = ew
+                    ew = back
+                out[self._EMIT_NAME[e].format(c=col)] = pa.array(
+                    ew, pa.float64(), from_pandas=True
+                )
         return pa.table(out)
 
 
-def ewma_time_decay(
+def ewma_time_decay_numden(
     vals: np.ndarray, ts: np.ndarray, gid: np.ndarray, tau: float
-) -> np.ndarray:
+) -> tuple[np.ndarray, np.ndarray]:
     """Per-row time-decayed mean over (key, ts)-sorted rows:
     num_t/den_t with weights exp((ts_j - ts_t)/tau), NaN rows skipped.
 
@@ -184,24 +209,40 @@ def ewma_time_decay(
     with np.errstate(invalid="ignore", divide="ignore"):
         num = cxu / u
         den = cdu / u
-        out = np.where(den > 0, num / den, np.nan)
     # exact rerun for wide groups (u underflow risk past ~200 tau)
     span = ts[ends - 1] - ts[starts]
     for g in np.flatnonzero(span > 200.0 * tau):
         s0, e0 = starts[g], ends[g]
-        out[s0:e0] = _ewma_time_chunked(vals[s0:e0], ts[s0:e0], tau)
-    return out
+        num[s0:e0], den[s0:e0] = _ewma_time_chunked(vals[s0:e0], ts[s0:e0], tau)
+    return num, den
 
 
-def _ewma_time_chunked(x: np.ndarray, ts: np.ndarray, tau: float) -> np.ndarray:
-    """Exact chunked scan for one wide group: chunks of span <= 200*tau,
-    (num, den) state carried across chunk boundaries."""
+def ewma_time_decay(
+    vals: np.ndarray, ts: np.ndarray, gid: np.ndarray, tau: float
+) -> np.ndarray:
+    num, den = ewma_time_decay_numden(vals, ts, gid, tau)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(den > 0, num / den, np.nan)
+
+
+def _ewma_time_chunked(
+    x: np.ndarray, ts: np.ndarray, tau: float, carry=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact chunked scan for one group of any time span: chunks of span
+    <= 200*tau, (num, den) state carried across chunk boundaries.
+    ``carry`` = (num_in, den_in, t_ref_in) continues a previous segment's
+    state (the hot-split fold) — num/den at row t gain
+    ``carry * exp((t_ref - ts_t)/tau)``. Returns per-row (num, den)."""
     n = len(x)
-    out = np.empty(n)
+    out_num = np.empty(n)
+    out_den = np.empty(n)
     span = 200.0 * tau
     start = 0
-    num_c = den_c = 0.0
-    t_ref = None
+    if carry is not None:
+        num_c, den_c, t_ref = carry
+    else:
+        num_c = den_c = 0.0
+        t_ref = None
     valid_all = ~np.isnan(x)
     while start < n:
         end = int(np.searchsorted(ts, ts[start] + span, side="right"))
@@ -215,10 +256,11 @@ def _ewma_time_chunked(x: np.ndarray, ts: np.ndarray, tau: float) -> np.ndarray:
             num = cx / u
             den = cd / u
             if t_ref is not None:
-                decay = np.exp((t_ref - ts[start:end]) / tau)
+                decay = np.exp(np.minimum(t_ref - ts[start:end], 0.0) / tau)
                 num = num + num_c * decay
                 den = den + den_c * decay
-            out[start:end] = np.where(den > 0, num / den, np.nan)
+        out_num[start:end] = num
+        out_den[start:end] = den
         num_c, den_c, t_ref = num[-1], den[-1], t_end
         start = end
-    return out
+    return out_num, out_den

@@ -75,7 +75,7 @@ _EMPTY_SUMMARY = {"n": 0, "first_ts": None, "last_ts": None,
                   "breaks": {}, "tail": {}, "head": {}, "exp": {},
                   "bf_last": {}, "bf_first": {}, "ctx_tail": {},
                   "sh_tail": {}, "sh_head": {}, "lw": {}, "ewma": {},
-                  "sess_open": {}}
+                  "sess_open": {}, "ewma_t": {}}
 
 
 # --------------------------------------------------------------------------
@@ -150,6 +150,12 @@ def _validate_specs(specs: list[dict]):
         if s["kind"] == "shift" and int(s["shift"]) == 0:
             raise ValueError(f"shift=0 is the identity: {s}")
         if s["kind"] == "ewma":
+            if ("alpha" in s) == ("halflife" in s):
+                raise ValueError(f"ewma spec needs exactly one of alpha/halflife: {s}")
+            if "halflife" in s:
+                if float(s["halflife"]) <= 0:
+                    raise ValueError(f"ewma halflife must be positive: {s}")
+                continue  # time-decay mode: (num, den, t_ref) carry below
             a = float(s["alpha"])
             if not (0.0 < a <= 1.0):
                 raise ValueError(f"ewma alpha must be in (0, 1]: {s}")
@@ -589,9 +595,17 @@ def _compute_cold(t: pa.Table, cfg: dict) -> pa.Table:
                 names[0], pc.take(t.column(s["col"]).combine_chunks(), idx_lw)
             )
         elif s["kind"] == "ewma":
-            import pandas as _pd
+            if "halflife" in s:
+                from nvtabular_ray.ops.ewma import ewma_time_decay
 
-            ew = _ewma_plain(vals(s["col"]), _pd.Series(gid), float(s["alpha"]))
+                tau = float(s["halflife"]) * scale / np.log(2.0)
+                ew = ewma_time_decay(
+                    vals(s["col"]), ts_us.astype(np.float64), gid, tau
+                )
+            else:
+                import pandas as _pd
+
+                ew = _ewma_plain(vals(s["col"]), _pd.Series(gid), float(s["alpha"]))
             t = t.append_column(names[0], pa.array(ew, pa.float64(), from_pandas=True))
     return t
 
@@ -604,7 +618,8 @@ def _summarize_segment(t: pa.Table, cfg: dict) -> dict:
     out = {"n": body.num_rows, "first_ts": None, "last_ts": None,
            "breaks": {}, "tail": {}, "head": {}, "exp": {},
            "bf_last": {}, "bf_first": {}, "ctx_tail": {},
-           "sh_tail": {}, "sh_head": {}, "lw": {}, "ewma": {}}
+           "sh_tail": {}, "sh_head": {}, "lw": {}, "ewma": {},
+           "ewma_t": {}, "sess_open": {}}
     if body.num_rows == 0:
         return out
     out["first_ts"] = int(ts_us[0])
@@ -644,6 +659,21 @@ def _summarize_segment(t: pa.Table, cfg: dict) -> dict:
                 has,
                 body.column(s["col"])[int(nz[-1])].as_py() if has else None,
             )
+        elif s["kind"] == "ewma" and "halflife" in s:
+            from nvtabular_ray.ops.ewma import _ewma_time_chunked
+
+            v = (
+                body.column(s["col"])
+                .combine_chunks()
+                .cast(pa.float64())
+                .to_numpy(zero_copy_only=False)
+            )
+            tau = float(s["halflife"]) * scale / np.log(2.0)
+            num, den = _ewma_time_chunked(v, ts_us.astype(np.float64), tau)
+            # zero-carry exit state; linear in the carried (num, den), so
+            # the fold transports it with one exp decay (NaNs are fine —
+            # they contribute nothing and the state stays linear)
+            out["ewma_t"][i] = (float(num[-1]), float(den[-1]), int(ts_us[-1]))
         elif s["kind"] == "ewma":
             v = (
                 body.column(s["col"])
@@ -739,9 +769,17 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
     lw_specs = [i for i, s in enumerate(cfg["specs"]) if s["kind"] == "last_where"]
     run_lw = {i: (False, None) for i in lw_specs}
     ewma_specs = {
-        i: float(s["alpha"]) for i, s in enumerate(cfg["specs"]) if s["kind"] == "ewma"
+        i: float(s["alpha"])
+        for i, s in enumerate(cfg["specs"])
+        if s["kind"] == "ewma" and "alpha" in s
     }
     run_ewma = {i: None for i in ewma_specs}  # None = no prior state
+    ewma_t_specs = {
+        i: float(s["halflife"])
+        for i, s in enumerate(cfg["specs"])
+        if s["kind"] == "ewma" and "halflife" in s
+    }
+    run_ewma_t = {i: None for i in ewma_t_specs}  # (num, den, t_ref)
     sess_emit_specs = [
         i for i, s in enumerate(cfg["specs"])
         if s["kind"] == "sessionize" and s.get("emit")
@@ -763,6 +801,7 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
         }
         carries[j]["lw"] = dict(run_lw)
         carries[j]["ewma_y"] = dict(run_ewma)
+        carries[j]["ewma_t_y"] = dict(run_ewma_t)
         carries[j]["sess_open"] = dict(run_sess)
         run_rows += sm["n"]
         for i, k in ctx_specs.items():
@@ -779,6 +818,18 @@ def _fold_carries(summaries: list[dict], cfg: dict) -> list[dict]:
                 n_seg, plain, seeded = e
                 y = run_ewma[i]
                 run_ewma[i] = plain if y is None else seeded + (1.0 - a) ** n_seg * y
+        for i, hl in ewma_t_specs.items():
+            e = sm.get("ewma_t", {}).get(i)
+            if e is not None:
+                num_e, den_e, t_last = e
+                tau = hl * ts_scale / np.log(2.0)
+                prev = run_ewma_t[i]
+                if prev is None:
+                    run_ewma_t[i] = (num_e, den_e, t_last)
+                else:
+                    pn, pd_, pt = prev
+                    d = np.exp((pt - t_last) / tau)
+                    run_ewma_t[i] = (num_e + d * pn, den_e + d * pd_, t_last)
         if sm["n"] == 0:
             continue
         for c in bf_cols:
@@ -1062,6 +1113,20 @@ def _compute_hot(t: pa.Table, cfg: dict, carry: dict) -> pa.Table:
                     pa.array(no_match), pa.scalar(val, col.type), taken
                 )
             body = body.append_column(names[0], taken)
+        elif s["kind"] == "ewma" and "halflife" in s:
+            from nvtabular_ray.ops.ewma import _ewma_time_chunked
+
+            tau = float(s["halflife"]) * scale / np.log(2.0)
+            v = vals(s["col"])[idx]
+            carry_t = carry["ewma_t_y"].get(spec_i)
+            num, den = _ewma_time_chunked(
+                v, seg_ts.astype(np.float64), tau, carry=carry_t
+            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ew = np.where(den > 0, num / den, np.nan)
+            body = body.append_column(
+                names[0], pa.array(ew, pa.float64(), from_pandas=True)
+            )
         elif s["kind"] == "ewma":
             a = float(s["alpha"])
             v = (

@@ -993,20 +993,29 @@ def ewma(
     key: Union[str, list[str]],
     ts_col: str,
     cols: Union[str, list[str]],
-    alpha: float,
+    alpha: Optional[float] = None,
+    halflife=None,
     sort_cols: Optional[list[str]] = None,
     num_buckets: Optional[int] = None,
     hot_threshold: Optional[int] = None,
     target_seg_rows: int = 250_000,
 ):
     """Trailing exponentially weighted mean per entity as a pipeline call
-    (functional form of ``ops.Ewma``, adjust=False on the hot path).
-    ``hot_threshold`` folds the carried state through the linear
-    recurrence (hot_split.py "ewma" spec; requires non-null values)."""
+    (functional form of ``ops.Ewma``; pass exactly one of ``alpha=`` for
+    row decay — adjust=False — or ``halflife=`` seconds for time decay
+    over the actual ts axis). ``hot_threshold`` folds the carried state
+    through the linear recurrence (hot_split.py "ewma" spec; alpha mode
+    requires non-null values, time mode tolerates them)."""
     keys = [key] if isinstance(key, str) else list(key)
     cols = [cols] if isinstance(cols, str) else list(cols)
+    if (alpha is None) == (halflife is None):
+        raise ValueError("pass exactly one of alpha= or halflife=")
     if hot_threshold is not None:
-        specs = [{"kind": "ewma", "col": c, "alpha": float(alpha)} for c in cols]
+        if alpha is not None:
+            specs = [{"kind": "ewma", "col": c, "alpha": float(alpha)} for c in cols]
+        else:
+            hl = halflife.total_seconds() if hasattr(halflife, "total_seconds") else halflife
+            specs = [{"kind": "ewma", "col": c, "halflife": float(hl)} for c in cols]
         return _via_hot_split(
             ds, keys, ts_col, specs, None, hot_threshold, target_seg_rows,
             num_buckets, sort_cols=list(sort_cols or []),
@@ -1015,7 +1024,12 @@ def ewma(
     from nvtabular_ray.ops.ewma import Ewma
     from nvtabular_ray.selector import ColumnSelector
 
-    op = Ewma(keys, alpha=float(alpha), sort_cols=[ts_col] + list(sort_cols or []))
+    if alpha is not None:
+        op = Ewma(keys, alpha=float(alpha), sort_cols=[ts_col] + list(sort_cols or []))
+    else:
+        op = Ewma(
+            keys, halflife=halflife, ts_col=ts_col, sort_cols=list(sort_cols or [])
+        )
 
     def per_bucket(t: pa.Table) -> pa.Table:
         res = op.transform(ColumnSelector(cols), t)

@@ -459,3 +459,52 @@ def test_context_group_rank_pipeline_hot_threshold_parity(ray_session):
     plain_r = collect(group_rank(ds, "conv_id", "ts"))
     split_r = collect(group_rank(ds, "conv_id", "ts", hot_threshold=100, target_seg_rows=60))
     assert plain_r["row_number"].tolist() == split_r["row_number"].tolist()
+
+
+def test_ewma_halflife_hot_split_parity(ray_session):
+    """Time-decay ewma carry ((num, den, t_ref) decayed once per segment)
+    reproduces the unsplit kernel through ~7-segment splits, NaNs included."""
+    rng = np.random.default_rng(7)
+    hot = pd.DataFrame(
+        {
+            "k": "hot",
+            "ts": pd.to_datetime(np.cumsum(rng.integers(1, 400, 4000)), unit="s"),
+            "val": np.where(rng.random(4000) < 0.06, np.nan, rng.normal(size=4000)),
+        }
+    )
+    colds = [
+        pd.DataFrame(
+            {
+                "k": f"c{i}",
+                "ts": pd.to_datetime(np.cumsum(rng.integers(1, 400, 80)), unit="s"),
+                "val": rng.normal(size=80),
+            }
+        )
+        for i in range(10)
+    ]
+    df = pd.concat([hot] + colds, ignore_index=True)
+    df = df.sample(frac=1.0, random_state=2).reset_index(drop=True)
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    specs = [{"kind": "ewma", "col": "val", "halflife": 600.0}]
+    srt = tbl.sort_by([("k", "ascending"), ("ts", "ascending")]).append_column(
+        HALO_COL, pa.array(np.zeros(len(df), np.int8))
+    )
+    cfg = {"key": "k", "ts_col": "ts", "specs": specs, "is_ts": True}
+    exp = _compute_cold(srt, cfg).to_pandas()
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    out = ordered_features(
+        ds, "k", "ts", specs, hot_threshold=500, target_seg_rows=600, num_buckets=4
+    )
+    got = (
+        pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow"),
+            promote_options="default",
+        )
+        .sort_by([("k", "ascending"), ("ts", "ascending")])
+        .to_pandas()
+    )
+    a = exp["val_ewma"].to_numpy()
+    b = got["val_ewma"].to_numpy()
+    assert (np.isnan(a) == np.isnan(b)).all()
+    m = ~np.isnan(a)
+    np.testing.assert_allclose(a[m], b[m], rtol=1e-9)
