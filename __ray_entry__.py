@@ -719,6 +719,19 @@ def _q_ewma_time(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["value_ewma"], digits=4)
 
 
+def _q_datepart(sf_dir: str):
+    """DatePart (new r5): calendar features via Arrow temporal kernels —
+    extract()/isodow/ISO week SQL parity."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    node = ["ts"] >> ops.DatePart(
+        ("year", "month", "hour", "isodow", "week", "dayofyear")
+    )
+    wf = Workflow(node + ["event_id"])
+    return wf.fit(ds).transform(ds)
+
+
 def _q_normalize_robust(sf_dir: str):
     """NormalizeRobust (new r5): median/IQR scaling with EXACT interpolated
     quantiles from the streaming histogram-refine engine — DuckDB
@@ -2355,7 +2368,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     Ewma gained a halflife time-decay mode (ewma_time head row, 4-digit
     compare — the rebased kernel and the recursive oracle are ~1e-13
     apart numerically), displacing dsir_select (functions/dsir.py
-    r5-hunk-free, r4 green row stands).
+    r5-hunk-free, r4 green row stands). DatePart (calendar features,
+    extract()/isodow/ISO-week parity) joined as datepart, displacing
+    conversation_dedup (its dedup.py path r5-hunk-free, r4 green row
+    stands).
 
     Rows 29-50 are the r4-young rows whose files have NO round-5 hunks
     (functions/text.py, context.py, rank.py, packing.py, dsir.py,
@@ -2383,6 +2399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "session_features": _q_session_features,
         "normalize_robust": _q_normalize_robust,
+        "datepart": _q_datepart,
         "ewma_time": _q_ewma_time,
         "target_encode": _q_target_encode,
         "target_encode_distributed": _q_target_encode_distributed,
@@ -2419,7 +2436,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expanding_agg": _q_expanding_agg,
         "rolling_mean": _q_rolling_mean,
         "hot_split_features": _q_hot_split_features,
-        "conversation_dedup": _q_conversation_dedup,
         "lm_perplexity": _q_lm_perplexity,
         "chunk_documents": _q_chunk_documents,
         "classifier_score": _q_classifier_score,
@@ -2436,6 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "dup_span": _q_dup_span,
         "dsir_select": _q_dsir_select,
+        "conversation_dedup": _q_conversation_dedup,
         "groupby_concat": _q_groupby_concat,
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
@@ -3497,6 +3514,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((st.s + 20 * g.gmean) / (st.cnt + 20) * 1e6)
                         AS BIGINT) AS te_rf
             FROM lineitem l JOIN stats st USING (l_returnflag), g
+        """,
+        "datepart": """
+            SELECT event_id,
+                   extract(year FROM ts)::BIGINT AS ts_year,
+                   extract(month FROM ts)::BIGINT AS ts_month,
+                   extract(hour FROM ts)::BIGINT AS ts_hour,
+                   extract(isodow FROM ts)::BIGINT AS ts_isodow,
+                   extract(week FROM ts)::BIGINT AS ts_week,
+                   extract(doy FROM ts)::BIGINT AS ts_dayofyear
+            FROM events
         """,
         "ewma_time": """
             WITH RECURSIVE base AS (

@@ -5,6 +5,7 @@ from nvtabular_ray.ops.categorify import Categorify, get_embedding_sizes
 from nvtabular_ray.ops.column_similarity import ColumnSimilarity
 from nvtabular_ray.ops.context import ContextConcat
 from nvtabular_ray.ops.data_stats import DataStats
+from nvtabular_ray.ops.datepart import DatePart
 from nvtabular_ray.ops.difference_lag import DifferenceLag
 from nvtabular_ray.ops.ewma import Ewma
 from nvtabular_ray.ops.last_where import LastWhere
@@ -56,6 +57,7 @@ __all__ = [
     "Bucketize",
     "ColumnSimilarity",
     "DataStats",
+    "DatePart",
     "DropLowCardinality",
     "ListSlice",
     "Tags",

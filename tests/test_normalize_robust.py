@@ -84,3 +84,36 @@ def test_new_r5_ops_save_load_roundtrip(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_datepart_matches_pandas(ray_session):
+    rng = np.random.default_rng(5)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 4 * 10**9, n), unit="s"),
+        }
+    )
+    node = ["ts"] >> ops.DatePart(("year", "month", "day", "hour", "isodow", "week", "dayofyear"))
+    out = (
+        Workflow(node + ["rid"])
+        .fit(rd.from_pandas(df))
+        .transform(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    dt = df["ts"].dt
+    np.testing.assert_array_equal(out["ts_year"], dt.year)
+    np.testing.assert_array_equal(out["ts_month"], dt.month)
+    np.testing.assert_array_equal(out["ts_day"], dt.day)
+    np.testing.assert_array_equal(out["ts_hour"], dt.hour)
+    np.testing.assert_array_equal(out["ts_isodow"], dt.dayofweek + 1)
+    np.testing.assert_array_equal(out["ts_week"], dt.isocalendar().week.astype(np.int64))
+    np.testing.assert_array_equal(out["ts_dayofyear"], dt.dayofyear)
+
+
+def test_datepart_validation():
+    with pytest.raises(ValueError):
+        ops.DatePart(("hour", "bogus"))
