@@ -719,6 +719,48 @@ def _q_ewma_time(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["value_ewma"], digits=4)
 
 
+def _q_history_fused(sf_dir: str):
+    """Composite proof the round-5 entity-history ops FUSE: Shift +
+    LastWhere + Ewma + Sessionize(emit) + RollingAgg(last) all declare
+    partition user_id over the (ts, event_id) axis, so the compiler runs
+    the five ops inside ONE bucketed exchange — zero extra shuffles
+    (transcript_fused's round-3 argument, extended to the r5 family)."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_click", pc.equal(t.column("event_type"), pa.scalar("click"))
+        )
+
+    ds2 = ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    sh = ["event_type"] >> ops.Shift("user_id", shift=1, sort_cols=["ts", "event_id"])
+    lw = ["value"] >> ops.LastWhere(
+        "user_id", cond_col="is_click", sort_cols=["ts", "event_id"]
+    )
+    ew = ["value"] >> ops.Ewma("user_id", alpha=0.25, sort_cols=["ts", "event_id"])
+    sess = ["ts"] >> ops.Sessionize(
+        "user_id", "ts", gap=21600, emit=("turn_in_session",), tie_cols=["event_id"]
+    )
+    rl = ["value"] >> ops.RollingAgg(
+        "user_id", "ts", 21600, aggs=("last",), tie_cols=["event_id"]
+    )
+    wf = Workflow(sh + lw + ew + sess + rl + ["event_id"])
+    out = wf.fit(ds2).transform(ds2).select_columns(
+        [
+            "event_id",
+            "event_type_shift_1",
+            "value_last_where",
+            "value_ewma",
+            "session_id",
+            "turn_in_session",
+            "value_w21600s_last",
+        ]
+    )
+    return _round6i(out, ["value_last_where", "value_ewma", "value_w21600s_last"])
+
+
 def _q_datepart(sf_dir: str):
     """DatePart (new r5): calendar features via Arrow temporal kernels —
     extract()/isodow/ISO week SQL parity."""
@@ -2400,6 +2442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_features": _q_session_features,
         "normalize_robust": _q_normalize_robust,
         "datepart": _q_datepart,
+        "history_fused": _q_history_fused,
         "ewma_time": _q_ewma_time,
         "target_encode": _q_target_encode,
         "target_encode_distributed": _q_target_encode_distributed,
@@ -2436,7 +2479,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expanding_agg": _q_expanding_agg,
         "rolling_mean": _q_rolling_mean,
         "hot_split_features": _q_hot_split_features,
-        "lm_perplexity": _q_lm_perplexity,
         "chunk_documents": _q_chunk_documents,
         "classifier_score": _q_classifier_score,
         "gopher_rules": _q_gopher_rules,
@@ -2453,6 +2495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span": _q_dup_span,
         "dsir_select": _q_dsir_select,
         "conversation_dedup": _q_conversation_dedup,
+        "lm_perplexity": _q_lm_perplexity,
         "groupby_concat": _q_groupby_concat,
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
@@ -3514,6 +3557,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((st.s + 20 * g.gmean) / (st.cnt + 20) * 1e6)
                         AS BIGINT) AS te_rf
             FROM lineitem l JOIN stats st USING (l_returnflag), g
+        """,
+        "history_fused": """
+            WITH RECURSIVE base AS (
+                SELECT event_id, user_id, ts, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, rn, event_id, value::DOUBLE AS ewm
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.user_id, b.rn, b.event_id,
+                       0.25 * b.value + 0.75 * r.ewm
+                FROM base b JOIN r ON b.user_id = r.user_id
+                                  AND b.rn = r.rn + 1
+            ),
+            d AS (
+                SELECT *,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN epoch(ts - lag(ts) OVER w) > 21600 THEN 1
+                            ELSE 0 END AS brk,
+                       lag(event_type) OVER w AS event_type_shift_1,
+                       last_value(CASE WHEN event_type = 'click' THEN value
+                                  END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS lw
+                FROM base
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) - 1
+                               AS BIGINT) AS session_id
+                FROM d
+            )
+            SELECT s.event_id,
+                   s.event_type_shift_1,
+                   CAST(ROUND(s.lw * 1e6) AS BIGINT) AS value_last_where,
+                   CAST(ROUND(r.ewm * 1e6) AS BIGINT) AS value_ewma,
+                   s.session_id,
+                   (row_number() OVER (PARTITION BY s.user_id, s.session_id
+                                       ORDER BY s.ts, s.event_id) - 1)::BIGINT
+                       AS turn_in_session,
+                   CAST(ROUND((
+                       SELECT f.value FROM events f
+                       WHERE f.user_id = s.user_id
+                         AND f.ts >= s.ts - INTERVAL 21600 SECOND
+                         AND f.ts <= s.ts
+                       ORDER BY f.ts DESC, f.event_id DESC LIMIT 1
+                   ) * 1e6) AS BIGINT) AS value_w21600s_last
+            FROM s JOIN r ON s.event_id = r.event_id
         """,
         "datepart": """
             SELECT event_id,
