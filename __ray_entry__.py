@@ -2413,7 +2413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     r5-hunk-free, r4 green row stands). DatePart (calendar features,
     extract()/isodow/ISO-week parity) joined as datepart, displacing
     conversation_dedup (its dedup.py path r5-hunk-free, r4 green row
-    stands).
+    stands); history_fused (composite: the five r5 entity-history ops
+    through ONE fused exchange) joined, displacing lm_perplexity
+    (functions/classifier.py r5-hunk-free, r4 green row stands).
 
     Rows 29-50 are the r4-young rows whose files have NO round-5 hunks
     (functions/text.py, context.py, rank.py, packing.py, dsir.py,
