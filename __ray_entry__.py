@@ -719,6 +719,23 @@ def _q_ewma_time(sf_dir: str):
     return _round6i(wf.fit(ds).transform(ds), ["value_ewma"], digits=4)
 
 
+def _q_join_shuffle_semi(sf_dir: str):
+    """Large×large SEMI join on the shuffle path: exercises the
+    null-safe distinct-key builders (pipelines/joins.py existence
+    branches, changed r5) that ship only block-deduplicated right KEYS
+    through the exchange — the shuffle complement of the broadcast
+    JoinExternal semi row."""
+    from nvtabular_ray.pipelines.joins import shuffle_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    big = items.filter(lambda r: r["l_quantity"] > 30)
+    out = shuffle_join(
+        orders, big, on="o_orderkey", right_on="l_orderkey", how="semi"
+    )
+    return _round6i(out, ["o_totalprice"])
+
+
 def _q_history_fused(sf_dir: str):
     """Composite proof the round-5 entity-history ops FUSE: Shift +
     LastWhere + Ewma + Sessionize(emit) + RollingAgg(last) all declare
@@ -2415,7 +2432,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     conversation_dedup (its dedup.py path r5-hunk-free, r4 green row
     stands); history_fused (composite: the five r5 entity-history ops
     through ONE fused exchange) joined, displacing lm_perplexity
-    (functions/classifier.py r5-hunk-free, r4 green row stands).
+    (functions/classifier.py r5-hunk-free, r4 green row stands);
+    join_shuffle_semi joined to gate the r5 null-safe distinct-key
+    builders on the shuffle semi/anti path (no other driver row runs
+    shuffle_join with how=semi), displacing chunk_documents
+    (functions/text.py r5-hunk-free, r4 green row stands).
 
     Rows 29-50 are the r4-young rows whose files have NO round-5 hunks
     (functions/text.py, context.py, rank.py, packing.py, dsir.py,
@@ -2461,6 +2482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup": _q_ngram_dedup,
         "join_shuffle": _q_join_shuffle,
         "join_chain": _q_join_chain,
+        "join_shuffle_semi": _q_join_shuffle_semi,
         "join_external": _q_join_external,
         "ann_topk": _q_ann_topk,
         "knn_join": _q_knn_join,
@@ -2481,7 +2503,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expanding_agg": _q_expanding_agg,
         "rolling_mean": _q_rolling_mean,
         "hot_split_features": _q_hot_split_features,
-        "chunk_documents": _q_chunk_documents,
         "classifier_score": _q_classifier_score,
         "gopher_rules": _q_gopher_rules,
         "transcript_fused": _q_transcript_fused,
@@ -2498,6 +2519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         "conversation_dedup": _q_conversation_dedup,
         "lm_perplexity": _q_lm_perplexity,
+        "chunk_documents": _q_chunk_documents,
         "groupby_concat": _q_groupby_concat,
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
@@ -3559,6 +3581,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((st.s + 20 * g.gmean) / (st.cnt + 20) * 1e6)
                         AS BIGINT) AS te_rf
             FROM lineitem l JOIN stats st USING (l_returnflag), g
+        """,
+        "join_shuffle_semi": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(ROUND(o.o_totalprice * 1e6) AS BIGINT) AS o_totalprice
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 30
+            )
         """,
         "history_fused": """
             WITH RECURSIVE base AS (
