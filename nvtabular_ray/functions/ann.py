@@ -289,6 +289,11 @@ def _knn_kernel(
     best_sims = np.empty((b, 0), dtype=np.float64)
     best_ids = np.empty((b, 0), dtype=np.int64)
     for ids_chunk, mat_chunk in chunks:
+        if len(ids_chunk) == 0:
+            # empty index side (everything filtered out upstream): the
+            # (b, d) @ (0, 0).T matmul would shape-error; the kk == 0
+            # early-return below then yields zero candidate rows
+            continue
         sims = qmat @ mat_chunk.T
         ids_b = np.broadcast_to(ids_chunk, sims.shape).copy()
         if exclude_self:

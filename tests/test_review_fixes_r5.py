@@ -83,6 +83,10 @@ def test_knn_join_empty_query_block(ray_session):
     out = knn_join(mixed, index, k=3).to_pandas()
     assert sorted(out.columns) == ["neighbor_id", "query_id", "rank", "sim"]
     assert len(out) == 30 and out["query_id"].nunique() == 10
+    # empty INDEX side (everything filtered upstream): zero candidates,
+    # not a (b, d) @ (0, 0) shape error
+    empty_index = _emb_ds(5, seed=6).filter(lambda r: False)
+    assert knn_join(_emb_ds(10, seed=5, id_start=300), empty_index, k=3).count() == 0
 
 
 def test_knn_join_ivf_partition_invariant(ray_session):
