@@ -117,3 +117,41 @@ def test_datepart_matches_pandas(ray_session):
 def test_datepart_validation():
     with pytest.raises(ValueError):
         ops.DatePart(("hour", "bogus"))
+
+
+def test_datepart_cyclical(ray_session):
+    rng = np.random.default_rng(6)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="s"),
+        }
+    )
+    node = ["ts"] >> ops.DatePart(("hour", "isodow", "month"), cyclical=True)
+    out = (
+        Workflow(node + ["rid"])
+        .fit(rd.from_pandas(df))
+        .transform(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    dt = df["ts"].dt
+    for part, vals, period, off in [
+        ("hour", dt.hour, 24, 0),
+        ("isodow", dt.dayofweek + 1, 7, 1),
+        ("month", dt.month, 12, 1),
+    ]:
+        phase = (vals - off) * (2 * np.pi / period)
+        np.testing.assert_allclose(out[f"ts_{part}_sin"], np.sin(phase), atol=1e-12)
+        np.testing.assert_allclose(out[f"ts_{part}_cos"], np.cos(phase), atol=1e-12)
+    # periodic adjacency: hour 23 is closer to hour 0 than hour 12 is
+    import math
+
+    p23 = (np.sin(2 * np.pi * 23 / 24), np.cos(2 * np.pi * 23 / 24))
+    p12 = (np.sin(np.pi), np.cos(np.pi))
+    p0 = (0.0, 1.0)
+    assert math.dist(p0, p23) < math.dist(p0, p12)
+    with pytest.raises(ValueError):
+        ops.DatePart(("week",), cyclical=True)  # no period for ISO week
