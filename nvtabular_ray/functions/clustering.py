@@ -97,11 +97,15 @@ def _reduce_partials(blob_ds) -> tuple[np.ndarray, np.ndarray] | None:
 
 
 def _sample_init(ds, k: int, embedding_col: str, sample_rows: int, seed: int) -> np.ndarray:
-    import ray
-
+    # iter_batches, NOT to_arrow_refs: to_arrow_refs() fetches the schema
+    # via an internal limit(1) re-plan that hits a Ray 2.49 AssertionError
+    # on limit-over-union plans containing an empty branch (reproduced:
+    # from_arrow(10 rows).union(filtered-empty).limit(5).to_arrow_refs())
     tabs = [
         t
-        for t in ray.get(ds.limit(sample_rows).select_columns([embedding_col]).to_arrow_refs())
+        for t in ds.limit(sample_rows)
+        .select_columns([embedding_col])
+        .iter_batches(batch_size=None, batch_format="pyarrow")
         if t.num_rows
     ]
     if not tabs:

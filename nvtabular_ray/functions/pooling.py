@@ -45,6 +45,11 @@ def l2_normalize(ds, vec_col: str = "embedding", out_col: str | None = None):
         else:
             dense = col
         mat = list_to_numpy_2d(dense, np.float64)
+        if not mat.flags.writeable:
+            # zero-copy views over plasma-backed blocks are READ-ONLY (the
+            # driver-row parquet path happened to copy; from_arrow/union
+            # inputs do not) — the in-place divide needs ownership
+            mat = mat.copy()
         norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
         np.divide(mat, norms[:, None], out=mat, where=norms[:, None] > 0)
         d = mat.shape[1] if mat.size else 0

@@ -127,3 +127,19 @@ def test_grouped_reduce_memory_guard_pre_get(ray_session):
     # sane limit still works
     out = grouped_reduce(parts, ["k"], {"v": "sum"}, memory_limit=1 << 30)
     assert len(out) == 977
+
+
+def test_l2_normalize_and_kmeans_on_union_with_empty(ray_session):
+    """Two latent crashes found by the r5 empty-block audit: (a)
+    l2_normalize's in-place divide on a READ-ONLY zero-copy plasma view
+    (from_arrow/union inputs; the parquet path happened to copy); (b)
+    fit_kmeans' sample init via to_arrow_refs, whose internal schema fetch
+    hits a Ray 2.49 AssertionError on limit-over-union-with-empty plans."""
+    from nvtabular_ray.functions.clustering import assign_clusters, fit_kmeans
+    from nvtabular_ray.functions.pooling import l2_normalize
+
+    mixed = _emb_ds(10, seed=5).union(_emb_ds(5, seed=6).filter(lambda r: False))
+    assert l2_normalize(mixed).count() == 10
+    cents = fit_kmeans(mixed, k=2, iters=2)
+    assert cents.shape == (2, 8)
+    assert assign_clusters(mixed, cents).count() == 10
