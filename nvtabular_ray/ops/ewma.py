@@ -21,12 +21,18 @@ num/den per row in two cumsums; groups whose time span exceeds 200*tau
 (num, den) carried across chunks — the same linear-state fold the
 hot-split carry uses.
 
-No reference analog. SQL parity (driver oracle): a RECURSIVE CTE over
-the per-entity row_number applying the identical double-precision
-recurrence, so both sides agree to the _round6i integer compare.
+``emit=("mean", "sum", "count")`` (time-decay mode only) additionally
+exposes the decayed SUM (num) and decayed COUNT (den — a "decayed
+activity level" feature) from the same pass.
 
-Kernel: rows arrive (key, sort)-ordered from the fused bucketed
-exchange; the whole bucket runs through pandas' Cython
+No reference analog. SQL parity (driver oracles): the alpha mode's
+RECURSIVE CTE applies the identical double recurrence (bit-identical,
+_round6i 6-digit compare); the time-decay mode's recursive oracle is
+mathematically identical but a different formulation (~1e-13 apart),
+compared at 4 digits.
+
+Alpha-mode kernel: rows arrive (key, sort)-ordered from the fused
+bucketed exchange; the whole bucket runs through pandas' Cython
 ``groupby().ewm().mean()`` in ONE call (input is gid-sorted, so the
 grouped concatenation order equals row order — no reindex). NaN inputs
 follow pandas semantics: skipped in the weighting, output carries the
