@@ -155,3 +155,48 @@ def test_datepart_cyclical(ray_session):
     assert math.dist(p0, p23) < math.dist(p0, p12)
     with pytest.raises(ValueError):
         ops.DatePart(("week",), cyclical=True)  # no period for ISO week
+
+
+def test_r5_ops_schema_contract(ray_session):
+    """Declared output schemas match produced batches for every round-5 op
+    (the reference's test_ops_schema pattern: a dtype lie surfaces as a
+    named validation error, not a parquet-write surprise)."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(1)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 10, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+            "rid": np.arange(n, dtype=np.int64),
+            "role": rng.choice(["a", "b"], n),
+            "is_t": rng.random(n) < 0.3,
+            "x": rng.normal(size=n),
+        }
+    )
+    node = (
+        (["role", "x"] >> ops.Shift("u", shift=[1, -1], sort_cols=["ts", "rid"]))
+        + (["role"] >> ops.LastWhere("u", cond_col="is_t", sort_cols=["ts", "rid"]))
+        + (["x"] >> ops.Ewma("u", halflife=60.0, ts_col="ts", sort_cols=["rid"],
+                             emit=("mean", "sum", "count")))
+        + (["ts"] >> ops.Sessionize("u", "ts", gap=300,
+                                    emit=("turn_in_session", "sec_since_session_start"),
+                                    tie_cols=["rid"]))
+        + (["x"] >> ops.RollingAgg("u", "ts", 600, aggs=("first", "last", "count"),
+                                   tie_cols=["rid"]))
+        + (["x"] >> ops.NormalizeRobust())
+        + (["ts"] >> ops.DatePart(("hour", "isodow"), cyclical=True))
+    )
+    wf = Workflow(node + ["rid"])
+    ds = rd.from_pandas(df)
+    wf.fit(ds)
+    declared = wf.output_schema(ds)
+    out = wf.transform(ds)
+    batch = next(iter(out.iter_batches(batch_size=64, batch_format="pyarrow")))
+    for name, typ in declared.items():
+        assert name in batch.column_names, f"missing declared column {name}"
+        if typ is not None:
+            assert batch.schema.field(name).type == typ, (
+                f"{name}: declared {typ}, produced {batch.schema.field(name).type}"
+            )
