@@ -2438,7 +2438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     shuffle_join with how=semi), displacing chunk_documents
     (functions/text.py r5-hunk-free, r4 green row stands).
 
-    Rows 29-50 are the r4-young rows whose files have NO round-5 hunks
+    The remaining head rows are the r4-young rows whose files have NO
+    round-5 hunks
     (functions/text.py, context.py, rank.py, packing.py, dsir.py,
     classifier.py, temporal_ops.py, hot_split.py, pooling.py,
     decontaminate.py, state/resume.py): their green r4 rows are fresh, and
