@@ -11,9 +11,13 @@ parquet write over a deterministic synthetic transcript table (BASELINE.json
 input_hint); turns/sec is the north-star metric. Per-query timings cover the
 __ray_entry__ pipelines over $GRAFT_SF_DIR.
 
-`--scaling`: runs the headline twice in fresh processes at RAY_GRAFT_CPUS=8
-and 32 on the SAME cached input and reports throughput at both plus scaling
-efficiency (the sandbox stand-in for the N vs 4N cluster criterion).
+`--scaling`: runs the headline at TWO parallelism levels in fresh pinned
+processes on the SAME cached input and reports throughput at both plus
+scaling efficiency (the sandbox stand-in for the N vs 4N cluster
+criterion). Default levels 2 -> 8 cores, whole-process-tree taskset
+pinning, interleaved min-of-N legs — see run_scaling() and BASELINE.md
+for the level choice and noise methodology; override with
+GRAFT_SCALE_LO/HI (e.g. 8 and 32).
 """
 
 from __future__ import annotations
