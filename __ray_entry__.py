@@ -1240,6 +1240,21 @@ def _q_expanding_agg(sf_dir: str):
     return _mean_cmp6(out, "cum_mean", "cum_sum", "cum_count")
 
 
+def _q_expanding_first_last(sf_dir: str):
+    """ExpandingAgg first/last (new r5 aggs): the entity's FIRST-ever value
+    and the most recent strictly-before value (equal-ts peers excluded),
+    tie-deterministic via tie_cols=[event_id]; correlated-subquery oracle
+    ordered by (ts, event_id) — same rationale as rolling_first_last."""
+    from nvtabular_ray import Workflow, ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    node = ["value"] >> ops.ExpandingAgg(
+        "user_id", "ts", aggs=("first", "last", "count"), tie_cols=["event_id"]
+    )
+    wf = Workflow(node + ["event_id"])
+    return _round6i(wf.fit(ds).transform(ds), ["value_cum_first", "value_cum_last"])
+
+
 def _q_hot_split_features(sf_dir: str):
     """Ordered features with HOT-ENTITY SPLITTING exercised end-to-end: a
     low hot_threshold forces every user onto the halo+carry path (time
@@ -2436,7 +2451,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     join_shuffle_semi joined to gate the r5 null-safe distinct-key
     builders on the shuffle semi/anti path (no other driver row runs
     shuffle_join with how=semi), displacing chunk_documents
-    (functions/text.py r5-hunk-free, r4 green row stands).
+    (functions/text.py r5-hunk-free, r4 green row stands);
+    expanding_first_last joined for ExpandingAgg's new first/last aggs +
+    tie_cols, displacing gopher_rules (text.py r5-hunk-free, r4 green
+    row stands).
 
     The remaining head rows are the r4-young rows whose files have NO
     round-5 hunks
@@ -2502,10 +2520,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l2_normalize": _q_l2_normalize,
         "rolling_distinct": _q_rolling_distinct,
         "expanding_agg": _q_expanding_agg,
+        "expanding_first_last": _q_expanding_first_last,
         "rolling_mean": _q_rolling_mean,
         "hot_split_features": _q_hot_split_features,
         "classifier_score": _q_classifier_score,
-        "gopher_rules": _q_gopher_rules,
         "transcript_fused": _q_transcript_fused,
         # --- past the 50-row gate from here down: displaced this round
         #     (green r4 rows stand; files verified r5-hunk-free) -------
@@ -2521,6 +2539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_dedup": _q_conversation_dedup,
         "lm_perplexity": _q_lm_perplexity,
         "chunk_documents": _q_chunk_documents,
+        "gopher_rules": _q_gopher_rules,
         "groupby_concat": _q_groupby_concat,
         "resample": _q_resample,
         "tumbling_agg": _q_tumbling_agg,
@@ -4311,6 +4330,23 @@ def oracle_sql() -> dict[str, str]:
                         RANGE BETWEEN CURRENT ROW AND INTERVAL 24 HOUR FOLLOWING)
                         AS BIGINT) AS next24h_count
             FROM events
+        """,
+        "expanding_first_last": """
+            SELECT e.event_id,
+                   CAST(ROUND((
+                       SELECT f.value FROM events f
+                       WHERE f.user_id = e.user_id AND f.ts < e.ts
+                       ORDER BY f.ts ASC, f.event_id ASC LIMIT 1
+                   ) * 1e6) AS BIGINT) AS value_cum_first,
+                   CAST(ROUND((
+                       SELECT f.value FROM events f
+                       WHERE f.user_id = e.user_id AND f.ts < e.ts
+                       ORDER BY f.ts DESC, f.event_id DESC LIMIT 1
+                   ) * 1e6) AS BIGINT) AS value_cum_last,
+                   (SELECT count(f.value) FROM events f
+                    WHERE f.user_id = e.user_id AND f.ts < e.ts)
+                       AS value_cum_count
+            FROM events e
         """,
         "expanding_agg": """
             SELECT event_id,

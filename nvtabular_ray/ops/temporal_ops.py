@@ -325,30 +325,44 @@ class ExpandingAgg(Operator):
         partition_cols: Union[str, list[str]],
         ts_col: str,
         aggs=("count", "sum", "mean"),
+        tie_cols: Optional[Union[str, list[str]]] = None,
     ):
         bad = [
             a
             for a in aggs
-            if a not in ("count", "sum", "mean", "min", "max", "std", "var", "distinct")
+            if a not in ("count", "sum", "mean", "min", "max", "std", "var",
+                         "distinct", "first", "last")
         ]
         if bad:
             raise ValueError(
-                f"unsupported aggs {bad}; use count/sum/mean/min/max/std/var/distinct"
+                f"unsupported aggs {bad}; use "
+                "count/sum/mean/min/max/std/var/distinct/first/last"
             )
         self.partition_cols = (
             [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
         )
         self.ts_col = ts_col
         self.aggs = list(aggs)
-        self.sort_cols = [ts_col]
+        # "first"/"last" read the frame's edge ROWS ("first ever value",
+        # "previous value with equal-ts peers excluded"); pass tie_cols
+        # when timestamps can tie or the picked peer is order-dependent,
+        # mirroring RollingAgg
+        self.tie_cols = [tie_cols] if isinstance(tie_cols, str) else list(tie_cols or [])
+        self.sort_cols = [ts_col] + self.tie_cols
 
     @property
     def dependencies(self):
-        return self.partition_cols + [self.ts_col]
+        return self.partition_cols + [self.ts_col] + [
+            c for c in self.tie_cols if c not in self.partition_cols
+        ]
 
     def _value_cols(self, col_selector):
         return [
-            c for c in col_selector.names if c not in self.partition_cols and c != self.ts_col
+            c
+            for c in col_selector.names
+            if c not in self.partition_cols
+            and c != self.ts_col
+            and c not in self.tie_cols
         ]
 
     def _out_name(self, col: str, agg: str) -> str:
@@ -369,7 +383,12 @@ class ExpandingAgg(Operator):
     def transform(self, col_selector, table: pa.Table) -> pa.Table:
         gid = group_ids_sorted(table, self.partition_cols)
         ts, _ = _ts_to_int_us(table.column(self.ts_col))
-        order = group_time_order(gid, ts)
+        if self.tie_cols:
+            from nvtabular_ray.functions.grouped_np import group_multi_order
+
+            order = group_multi_order(table, gid, self.sort_cols)
+        else:
+            order = group_time_order(gid, ts)
         ts_k, gid_k = (ts, gid) if order is None else (ts[order], gid[order])
         bounds_cache: list = []
 

@@ -294,3 +294,35 @@ def test_ewma_mode_validation():
         ops.Ewma("u", alpha=0.3, halflife=60.0)  # both
     with pytest.raises(ValueError):
         ops.Ewma("u", halflife=60.0)  # missing ts_col
+
+
+def test_expanding_first_last_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(2)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 30, n),
+            "ts": rng.integers(0, 5000, n),  # heavy ties
+            "rid": np.arange(n, dtype=np.int64),
+            "x": rng.normal(size=n),
+        }
+    )
+    node = ["x"] >> ops.ExpandingAgg(
+        "u", "ts", aggs=("first", "last", "count"), tie_cols=["rid"]
+    )
+    out = _run(df, node)
+    srt = df.sort_values(["u", "ts", "rid"]).reset_index(drop=True)
+    firsts, lasts = {}, {}
+    for _, g in srt.groupby("u"):
+        ts = g["ts"].to_numpy()
+        xs = g["x"].to_numpy()
+        rid = g["rid"].to_numpy()
+        for i in range(len(g)):
+            idxs = np.flatnonzero(ts < ts[i])  # equal-ts peers excluded
+            firsts[rid[i]] = xs[idxs[0]] if len(idxs) else np.nan
+            lasts[rid[i]] = xs[idxs[-1]] if len(idxs) else np.nan
+    for col, exp in (("x_cum_first", firsts), ("x_cum_last", lasts)):
+        a = out[col].to_numpy()
+        e = np.array([exp[r] for r in out["rid"]])
+        assert (np.isnan(a) == np.isnan(e)).all(), col
+        np.testing.assert_allclose(a[~np.isnan(a)], e[~np.isnan(e)], err_msg=col)
