@@ -223,11 +223,13 @@ def _ordered_frames(draw):
         nulls = draw(st.lists(st.booleans(), min_size=n, max_size=n))
         val = np.arange(n, dtype=np.float64) * 0.5 - 3.0
         val[np.asarray(nulls)] = np.nan
+        conds = draw(st.lists(st.booleans(), min_size=n, max_size=n))
         frames.append(pd.DataFrame({
             "k": f"e{e}",
             "ts": pd.to_datetime(ts, unit="s"),
             "rid": np.arange(rid, rid + n, dtype=np.int64),
             "val": val,
+            "cnd": np.asarray(conds),
         }))
         rid += n
     df = pd.concat(frames, ignore_index=True)
@@ -239,10 +241,14 @@ def _ordered_frames(draw):
 def test_property_split_equals_unsplit(df, seg_rows):
     specs = [
         {"kind": "lag", "col": "val", "shift": 1},
-        {"kind": "sessionize", "gap": 120, "out": "sid"},
-        {"kind": "rolling", "col": "val", "window": 300, "aggs": ["count", "sum", "max"]},
+        {"kind": "sessionize", "gap": 120, "out": "sid",
+         "emit": ["turn_in_session", "sec_since_session_start"]},
+        {"kind": "rolling", "col": "val", "window": 300,
+         "aggs": ["count", "sum", "max", "first", "last"]},
         {"kind": "expanding", "col": "val", "aggs": ["count", "mean"]},
         {"kind": "backfill", "col": "val"},
+        {"kind": "shift", "col": "val", "shift": 2},
+        {"kind": "last_where", "col": "val", "cond": "cnd"},
     ]
     tbl = pa.Table.from_pandas(df, preserve_index=False)
     srt = tbl.sort_by([("k", "ascending"), ("ts", "ascending"), ("rid", "ascending")])
