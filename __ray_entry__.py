@@ -2456,6 +2456,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     tie_cols, displacing gopher_rules (text.py r5-hunk-free, r4 green
     row stands).
 
+    End-of-round status: ALL 129 queries — the head 50, the tail, and
+    every row displaced this round — were re-verified green against
+    their sf0.01 oracles at the final HEAD (tools/check_oracles.py),
+    and the 16 round-5 rows additionally at sf0.1.
+
     The remaining head rows are the r4-young rows whose files have NO
     round-5 hunks
     (functions/text.py, context.py, rank.py, packing.py, dsir.py,
